@@ -1,0 +1,89 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's ingest chain F1–F5 (SURVEY.md §2.1) as pure,
+  * batch/streaming-agnostic `DataFrame => DataFrame` transforms over columns
+  * `topic: string`, `payload: string`.
+  *
+  * Reference semantics reproduced:
+  *  - F1 topic validity: must start with "/" and contain ≥ 4 slashes
+  *    (/root/reference/message/message.go:38-47).
+  *  - F2 topic parse: split on "/"; segment 1 → client, segment 2 → device,
+  *    last segment → tableName (/root/reference/message/message.go:50-61).
+  *  - F3 payload parse: JSON object with required key "value"; every other
+  *    key (incl. timestamp) discarded
+  *    (/root/reference/message/message.go:64-94).
+  *  - F4 type inference: JSON number → Float64, JSON string → String, any
+  *    other JSON type rejected (/root/reference/message/message.go:97-125;
+  *    Go json makes the `int` branch unreachable — SURVEY.md §1.2).
+  *  - F5 composition with per-row validity; unlike the reference (which
+  *    kills the pipeline on the first bad message, main.go:24-30), invalid
+  *    rows are routed to a rejected-rows output (documented deviation,
+  *    SURVEY.md §4.3).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * — no UDFs — so filters/projections stay inside WholeStageCodegen and
+  * push down through Catalyst.
+  */
+object Ingest {
+
+  /** F1 — topic validity predicate. ≥4 slashes ⇔ split yields ≥5 parts. */
+  def topicValid(topic: Column): Column =
+    topic.startsWith("/") && (size(split(topic, "/")) >= 5)
+
+  // JSON-level type of the required "value" key, detected on the raw text
+  // (get_json_object strips quotes, so the raw payload is the only place the
+  // number-vs-string distinction survives). Anchored on the "value" key.
+  private val numRe  = """"value"\s*:\s*-?(\d|\.\d)"""
+  private val strRe  = """"value"\s*:\s*""""
+
+  /** F4 — inferred ClickHouse type name for the payload's "value" key:
+    * "Float64", "String", or null (absent / unsupported JSON type). */
+  def valueType(payload: Column): Column =
+    when(payload.rlike(numRe), lit("Float64"))
+      .when(payload.rlike(strRe), lit("String"))
+      .otherwise(lit(null).cast("string"))
+
+  /** F2+F3+F4 — full parse: adds tableName/client/device from the topic and
+    * value_type/value_d/value_s from the payload, plus a `valid` flag.
+    * Input columns: `topic`, `payload`. */
+  def parse(df: DataFrame): DataFrame = {
+    val parts = split(col("topic"), "/")
+    df.withColumn("tableName", element_at(parts, -1))
+      .withColumn("client", parts.getItem(1))
+      .withColumn("device", parts.getItem(2))
+      .withColumn("value_type", valueType(col("payload")))
+      .withColumn("value_raw", get_json_object(col("payload"), "$.value"))
+      .withColumn("value_d",
+        when(col("value_type") === "Float64", col("value_raw").cast("double")))
+      .withColumn("value_s",
+        when(col("value_type") === "String", col("value_raw")))
+      .withColumn("valid",
+        topicValid(col("topic")) && col("value_type").isNotNull &&
+          col("value_raw").isNotNull)
+      .drop("value_raw")
+  }
+
+  /** F5 — valid, fully-parsed records (the reference's `CreateRecordData`
+    * success path, /root/reference/message/message.go:128-147). */
+  def records(df: DataFrame): DataFrame =
+    parse(df).filter(col("valid"))
+      .select("tableName", "client", "device",
+        "value_type", "value_d", "value_s")
+
+  /** Rejected rows with a reason — the engine's replacement for the
+    * reference's poison-message halt (documented deviation, SURVEY.md §4.3).
+    * Reason precedence mirrors the reference's check order: topic first
+    * (message.go:131), then required-key presence (message.go:72-75), then
+    * value-type support (message.go:105-118). */
+  def rejected(df: DataFrame): DataFrame =
+    parse(df).filter(!col("valid"))
+      .withColumn("reason",
+        when(!topicValid(col("topic")), lit("invalid_topic"))
+          .when(!col("payload").contains("\"value\""), lit("missing_value"))
+          .when(col("value_type").isNull, lit("unsupported_value_type"))
+          .otherwise(lit("null_value")))
+      .select(col("topic"), col("payload"), col("reason"))
+}

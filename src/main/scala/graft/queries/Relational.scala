@@ -1,0 +1,423 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2): scans, projection/filter,
+  * equi/semi/anti/broadcast joins, hash aggregation, distinct aggregation,
+  * rollup, window functions, running totals, top-k, set ops, scalar
+  * string/date/math functions.
+  *
+  * The reference has none of these (its only operators are the MQTT ingest
+  * chain, SURVEY.md §2.1); this surface comes from the engine north star.
+  * All plans are declarative DataFrame chains — Catalyst supplies pushdown,
+  * pruning, join selection (broadcast for the small dims), and AQE handles
+  * runtime re-planning at scale.
+  */
+object Relational {
+
+  /** Exact-decimal view of a 2-dp double column (oracle determinism). */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def D(c: Column): Column = c.cast("double")
+  // SQL-side twin
+  private def sdec(c: String): String = s"CAST($c AS DECIMAL(12,2))"
+
+  import Tables._
+
+  // ---------------------------------------------------------------- q01
+  // TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg.
+  // Partial aggregation map-side; 6 groups → trivially small shuffle.
+  private val q01 = QueryDef.of(
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        D(sum(dec(col("l_quantity")))).as("sum_qty"),
+        D(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        D(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("sum_disc_price"),
+        D(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(${sdec("l_quantity")}) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(${sdec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(${sdec("l_extendedprice")} * (1 - ${sdec("l_discount")})) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(${sdec("l_extendedprice")} * (1 - ${sdec("l_discount")}) * (1 + ${sdec("l_tax")})) AS DOUBLE) AS sum_charge,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  // ---------------------------------------------------------------- q02
+  // Selective filter + narrow projection: PushedFilters + 3-column
+  // ReadSchema at the parquet scan — verified via .explain in the spec.
+  private val q02 = QueryDef.of(
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        D(dec(col("l_extendedprice"))).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity >= 48
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  // ---------------------------------------------------------------- q03
+  // TPC-H Q3 shape: 3-way join, agg, top-10. customer/orders shuffle-join
+  // on keys; revenue agg on l_orderkey; AQE converts to broadcast when the
+  // filtered side is small.
+  private val q03 = QueryDef.of(
+    (s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(D(sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin)
+
+  // ---------------------------------------------------------------- q04
+  // Left-semi join (EXISTS): orders having a high-quantity lineitem.
+  private val q04 = QueryDef.of(
+    (s, d) => {
+      val o = orders(s, d)
+      val l = lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
+  // ---------------------------------------------------------------- q05
+  // Left-anti join (NOT EXISTS): customers with no recent orders, per
+  // nation. The date filter keeps the result non-degenerate (an unfiltered
+  // anti-join is empty on this data — every customer has some order).
+  private val q05 = QueryDef.of(
+    (s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val n = nation(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("no_order_customers"))
+        .orderBy(col("n_name"))
+    },
+    """SELECT n_name, COUNT(*) AS no_order_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin)
+
+  // ---------------------------------------------------------------- q06
+  // TPC-H Q6 shape: pure scan-filter-agg, no join, no shuffle beyond the
+  // single partial/final agg exchange. The canonical pushdown showcase.
+  private val q06 = QueryDef.of(
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(D(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+        .as("revenue")),
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+
+  // ---------------------------------------------------------------- q07
+  // Explicit broadcast join: part is a dimension (2k rows at sf0.01) —
+  // broadcast avoids shuffling the 100TB-side fact table entirely.
+  private val q07 = QueryDef.of(
+    (s, d) => lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        D(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("p_brand")),
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS line_count
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin)
+
+  // ---------------------------------------------------------------- q08
+  // TPC-H Q5 shape: 5-way star join (3 broadcast dims + 2 fact tables),
+  // revenue per nation.
+  private val q08 = QueryDef.of(
+    (s, d) => {
+      val l = lineitem(s, d)
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val c = customer(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(D(sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin)
+
+  // ---------------------------------------------------------------- q09
+  // Window function: top-2 orders per customer by totalprice.
+  private val q09 = QueryDef.of(
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          D(dec(col("o_totalprice"))).as("totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice, rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin)
+
+  // ---------------------------------------------------------------- q10
+  // Running (cumulative) sum per supplier — rowsBetween window.
+  private val q10 = QueryDef.of(
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .filter(col("l_suppkey") < 5)
+        .withColumn("running_qty", D(sum(dec(col("l_quantity"))).over(w)))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_qty
+      |FROM lineitem WHERE l_suppkey < 5
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+
+  // ---------------------------------------------------------------- q11
+  // Rollup (hierarchical subtotals). Grouping nulls → '(all)' so the sort
+  // key is non-null in both engines.
+  private val q11 = QueryDef.of(
+    (s, d) => lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(D(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus")),
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin)
+
+  // ---------------------------------------------------------------- q12
+  // Distinct aggregation (expands to two-phase agg in Catalyst).
+  private val q12 = QueryDef.of(
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")),
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+      |  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
+  // ---------------------------------------------------------------- q13
+  // Set operations: nations having customers vs nations having suppliers.
+  private val q13 = QueryDef.of(
+    (s, d) => {
+      val cn = customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .distinct()
+      val sn = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+        .distinct()
+      val both = cn.intersect(sn).withColumn("op", lit("both"))
+      val custOnly = cn.except(sn).withColumn("op", lit("customer_only"))
+      val suppOnly = sn.except(cn).withColumn("op", lit("supplier_only"))
+      both.unionAll(custOnly).unionAll(suppOnly)
+        .select(col("op"), col("nationkey"))
+        .orderBy(col("op"), col("nationkey"))
+    },
+    """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT * FROM (
+      |  SELECT 'both' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+      |  UNION ALL
+      |  SELECT 'customer_only' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+      |  UNION ALL
+      |  SELECT 'supplier_only' AS op, nationkey FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+      |)
+      |ORDER BY op, nationkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q14
+  // Date bucketing: orders per month (DATE output — no timestamp skew).
+  private val q14 = QueryDef.of(
+    (s, d) => orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        D(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("month")),
+    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin)
+
+  // ---------------------------------------------------------------- q15
+  // Scalar string functions over the part dimension.
+  private val q15 = QueryDef.of(
+    (s, d) => part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        col("p_name").contains("widget").cast("int").as("is_widget"))
+      .orderBy(col("p_partkey")),
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS uname,
+      |  SUBSTRING(p_name, 1, 5) AS prefix5,
+      |  LENGTH(p_name) AS name_len,
+      |  CONCAT_WS('/', p_brand, p_type) AS brand_type,
+      |  CAST(CONTAINS(p_name, 'widget') AS INT) AS is_widget
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q16
+  // CASE WHEN + math functions per market segment.
+  private val q16 = QueryDef.of(
+    (s, d) => customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(when(col("c_acctbal") > 5000, 1)).as("rich"),
+        count(when(col("c_acctbal") <= 5000, 1)).as("normal"),
+        D(sum(dec(abs(col("c_acctbal"))))).as("sum_abs_bal"),
+        D(max(dec(col("c_acctbal")))).as("max_bal"),
+        D(min(dec(col("c_acctbal")))).as("min_bal"))
+      .orderBy(col("c_mktsegment")),
+    """SELECT c_mktsegment,
+      |  COUNT(CASE WHEN c_acctbal > 5000 THEN 1 END) AS rich,
+      |  COUNT(CASE WHEN c_acctbal <= 5000 THEN 1 END) AS normal,
+      |  CAST(SUM(CAST(ABS(c_acctbal) AS DECIMAL(12,2))) AS DOUBLE) AS sum_abs_bal,
+      |  CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal,
+      |  CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin)
+
+  // ---------------------------------------------------------------- q17
+  // Global top-k with deterministic tiebreak (TakeOrderedAndProject —
+  // no full sort of the fact table).
+  private val q17 = QueryDef.of(
+    (s, d) => orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        D(dec(col("o_totalprice"))).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(15),
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+      |FROM orders
+      |ORDER BY totalprice DESC, o_orderkey
+      |LIMIT 15""".stripMargin)
+
+  // ---------------------------------------------------------------- q18
+  // approx_count_distinct (HLL++) — approximate by design, so no DuckDB
+  // hash oracle; the spec asserts its error envelope vs the exact count.
+  private val q18 = QueryDef.noOracle(
+    (s, d) => lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders")))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_top_revenue_orders" -> q03,
+    "q04_semi_join_priority" -> q04,
+    "q05_anti_join_no_orders" -> q05,
+    "q06_scan_filter_agg" -> q06,
+    "q07_broadcast_brand_volume" -> q07,
+    "q08_star_join_region_revenue" -> q08,
+    "q09_window_top_orders" -> q09,
+    "q10_window_running_sum" -> q10,
+    "q11_rollup_subtotals" -> q11,
+    "q12_distinct_agg" -> q12,
+    "q13_set_ops" -> q13,
+    "q14_date_buckets" -> q14,
+    "q15_string_funcs" -> q15,
+    "q16_case_math" -> q16,
+    "q17_global_topk" -> q17,
+    "q18_approx_distinct" -> q18)
+}

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB against the fixture tables, compare to the Verify parquet dumps.
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name in sorted(os.listdir(outdir)):
+    path = os.path.join(outdir, name)
+    if not os.path.isdir(path):
+        continue
+    got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
+    if name not in oracle:
+        print(f"{name}: NO-ORACLE rows={len(got)}")
+        continue
+    exp = con.sql(oracle[name]).df()
+    # driver compare: sort columns by name, then compare values
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    status = []
+    if list(got.columns) != list(exp.columns):
+        status.append(f"COLS got={list(got.columns)} exp={list(exp.columns)}")
+    elif len(got) != len(exp):
+        status.append(f"ROWS got={len(got)} exp={len(exp)}")
+    else:
+        import pandas as pd
+        try:
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True), exp.reset_index(drop=True),
+                check_dtype=False, check_exact=True)
+        except AssertionError as e:
+            status.append("VALUES " + str(e).split("\n")[0])
+            # also try order-insensitive
+            g2 = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+            e2 = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+            try:
+                pd.testing.assert_frame_equal(g2, e2, check_dtype=False,
+                                              check_exact=True)
+                status.append("(matches unordered)")
+            except AssertionError:
+                pass
+    if status:
+        fail += 1
+        print(f"{name}: FAIL {' '.join(status)}")
+    else:
+        print(f"{name}: OK rows={len(got)}")
+missing = set(oracle) - {n for n in os.listdir(outdir)
+                         if os.path.isdir(os.path.join(outdir, n))}
+for m in sorted(missing):
+    print(f"{m}: MISSING spark output")
+    fail += 1
+sys.exit(1 if fail else 0)
