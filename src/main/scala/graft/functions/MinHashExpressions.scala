@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** MinHash signature over 3-token shingles, as one native expression.
+  *
+  * Semantics (bit-compatible with the DuckDB oracle in
+  * [[graft.queries.Dedup]]):
+  *   shingle  = tokens(i) + " " + tokens(i+1) + " " + tokens(i+2)
+  *   h        = first 5 hex chars of md5(shingle) as an integer (20 bits)
+  *   sig(k)   = min over shingles of (A(k)*h + B(k)) mod P
+  * Documents with fewer than 3 tokens yield NULL (no shingles).
+  *
+  * Why native: the equivalent `transform(sequence(0,15), i ->
+  * array_min(transform(...)))` pipeline evaluates interpreted lambdas —
+  * 16 array traversals per row with per-element expression-tree dispatch.
+  * This is one md5 per shingle and a fused k-way min in a tight loop,
+  * ~10× faster, and it keeps the surrounding plan inside
+  * WholeStageCodegen (codegen emits a single static call).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // The static call keeps this row inside WholeStageCodegen; the
+      // expensive loop lives in compiled Scala, not interpreted Catalyst.
+      s"""
+         |${ev.value} = graft.functions.MinHashSig.compute($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Largest prime below 2^20; LSH hash-family modulus. */
+  val P = 1048573L
+  val K = 16
+  val A: Array[Long] =
+    (1 to K).map(i => (i.toLong * 2654435761L) % P).map(a => if (a == 0) 1L else a).toArray
+  val B: Array[Long] = (1 to K).map(i => (i.toLong * 40503L) % P).toArray
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** 20-bit integer = first 5 hex chars of the md5 digest
+    * (== `conv(substring(md5(s),1,5),16,10)`). */
+  def hash20(bytes: Array[Byte]): Long = {
+    val d = digest.get()
+    d.reset()
+    val md = d.digest(bytes)
+    (((md(0) & 0xffL) << 12) | ((md(1) & 0xffL) << 4) |
+      ((md(2) & 0xf0L) >> 4))
+  }
+
+  /** Null iff fewer than 3 tokens (no shingles). */
+  def compute(tokens: ArrayData): GenericArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return null
+    val sig = Array.fill[Long](K)(Long.MaxValue)
+    val sp = ' '.toByte
+    var i = 0
+    while (i <= n - 3) {
+      val t0 = tokens.getUTF8String(i).getBytes
+      val t1 = tokens.getUTF8String(i + 1).getBytes
+      val t2 = tokens.getUTF8String(i + 2).getBytes
+      val buf = new Array[Byte](t0.length + t1.length + t2.length + 2)
+      System.arraycopy(t0, 0, buf, 0, t0.length)
+      buf(t0.length) = sp
+      System.arraycopy(t1, 0, buf, t0.length + 1, t1.length)
+      buf(t0.length + t1.length + 1) = sp
+      System.arraycopy(t2, 0, buf, t0.length + t1.length + 2, t2.length)
+      val h = hash20(buf)
+      var k = 0
+      while (k < K) {
+        val v = (A(k) * h + B(k)) % P
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  /** UTF8String variant used by token-level hashing (SimHash). */
+  def hash20(s: UTF8String): Long = hash20(s.getBytes)
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (north-star surface, SURVEY.md
+  * §2.2): exact, MinHash+LSH near-dup candidates, exact n-gram Jaccard on
+  * the candidates, and SimHash sketches.
+  *
+  * Portability design (so DuckDB oracles reproduce results bit-for-bit):
+  * the only hash primitive is md5 (identical in both engines); its first 5
+  * hex chars become a 20-bit integer, and the k MinHash functions are
+  * universal-hash perturbations `(a_i*h + b_i) mod P` in int64 arithmetic
+  * that cannot overflow (a_i, h < 2^20 → product < 2^40).
+  *
+  * Scale design: everything before the LSH self-join is a per-row map
+  * (no shuffle, no UDF). The self-join shuffles only the banded keys
+  * (4 rows × ~30 bytes per doc — not the documents), which is the textbook
+  * 100 TB near-dup layout; AQE's skew handling covers pathological buckets
+  * (e.g. boilerplate-identical docs).
+  */
+object Dedup {
+
+  // ---- shared LSH parameters (16 hashes = 4 bands × 4 rows) ----
+  private val P = 1048573L // largest prime < 2^20
+  private val K = 16
+  private val Bands = 4
+  private val RowsPerBand = K / Bands
+  private val As: Seq[Long] =
+    (1 to K).map(i => (i.toLong * 2654435761L) % P).map(a => if (a == 0) 1L else a)
+  private val Bs: Seq[Long] = (1 to K).map(i => (i.toLong * 40503L) % P)
+  private val aList = As.mkString(", ")
+  private val bList = Bs.mkString(", ")
+
+  /** 3-token shingles → 20-bit hashes, as one Spark SQL expression chain. */
+  private val shinglesExpr =
+    """transform(sequence(0, size(toks) - 3),
+      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin
+  private val hashExpr =
+    "transform(sh, s -> cast(conv(substring(md5(s), 1, 5), 16, 10) as bigint))"
+  private val minhashExpr =
+    s"""transform(sequence(0, ${K - 1}), i ->
+       |  array_min(transform(hs, h ->
+       |    (element_at(array($aList), i + 1) * h +
+       |     element_at(array($bList), i + 1)) % $P)))""".stripMargin
+
+  /** DuckDB twins. */
+  private val sqlShingled =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |shingled AS (
+      |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
+      |  FROM toks)""".stripMargin
+  private val sqlMinhash =
+    s"""hashed AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST('0x' || substring(md5(s), 1, 5) AS BIGINT)) AS hs
+       |  FROM shingled),
+       |mhs AS (
+       |  SELECT doc_id, list_transform(range(0, $K), i ->
+       |    list_min(list_transform(hs, h ->
+       |      (([$aList])[i + 1] * h + ([$bList])[i + 1]) % $P))) AS mh
+       |  FROM hashed),
+       |banded AS (
+       |  SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(mh, t.b * $RowsPerBand + 1,
+       |      t.b * $RowsPerBand + $RowsPerBand), ',') AS bkey
+       |  FROM mhs CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+      .stripMargin
+
+  /** Banded (doc_id, band, bkey) frame — the LSH index. The signature is
+    * the native codegen'd [[graft.functions.MinHashSig]] (bit-compatible
+    * with [[minhashExpr]], which the oracle SQL mirrors; the HOF variant is
+    * kept above as documentation and spec-tested for equivalence). */
+  private def banded(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("mh", expr("minhash_sig(toks)"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id"), expr(
+        s"""explode(transform(sequence(0, ${Bands - 1}), b ->
+           |  struct(b AS band,
+           |    concat_ws(',', slice(mh, b * $RowsPerBand + 1, $RowsPerBand))
+           |      AS bkey)))""".stripMargin).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+  }
+
+  /** LSH candidate pairs (doc1 < doc2). Single-pass: group each bucket,
+    * emit intra-bucket pairs — the expensive signature pipeline runs once
+    * (a self-join would compute it twice and shuffle both sides), and the
+    * one shuffle carries only (band, bkey, doc_id) — never documents.
+    * Bucket membership lists are tiny by construction (a bucket = docs
+    * agreeing on 4 minhashes); a pathologically hot bucket (mass-duplicated
+    * boilerplate) is exactly the case AQE skew-split handles. */
+  private def candidates(s: org.apache.spark.sql.SparkSession, d: String) =
+    banded(s, d)
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    d2 -> struct(ids[i] AS doc1, d2 AS doc2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc1"), col("p.doc2")).distinct()
+
+  // ------------------------------------------------------------- q30
+  // Exact dedup: group on full text, keep the smallest doc_id as the
+  // canonical survivor (hash-groupBy; at 100 TB group on md5(text) first
+  // to shuffle 16-byte keys instead of document bodies).
+  private val q30 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_id")),
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY canonical_id""".stripMargin)
+
+  // ------------------------------------------------------------- q31
+  // MinHash + LSH near-dup candidate pairs.
+  private val q31 = QueryDef.of(
+    (s, d) => candidates(s, d).orderBy(col("doc1"), col("doc2")),
+    s"""$sqlShingled,
+       |$sqlMinhash
+       |SELECT doc1, doc2 FROM cand
+       |ORDER BY doc1, doc2""".stripMargin)
+
+  // ------------------------------------------------------------- q32
+  // SimHash: 16-bit sketch, majority vote per bit over distinct-token
+  // 20-bit hashes. Pure per-row map — embarrassingly parallel.
+  private val simhashExpr =
+    """aggregate(transform(sequence(0, 15), j ->
+      |  IF(aggregate(ths, 0, (acc, h) ->
+      |       acc + (CAST(shiftright(h, j) & 1 AS INT) * 2 - 1)) > 0,
+      |     shiftleft(1, j), 0)),
+      |  0, (acc, x) -> acc + x)""".stripMargin
+  private val q32 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ths", expr(
+        "transform(array_distinct(toks), t -> cast(conv(substring(md5(t), 1, 5), 16, 10) as bigint))"))
+      .select(col("doc_id"), expr(simhashExpr).cast("bigint").as("simhash"))
+      .orderBy(col("doc_id")),
+    """WITH t AS (
+      |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      |    tk -> CAST('0x' || substring(md5(tk), 1, 5) AS BIGINT)) AS ths
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 16), j ->
+      |    CASE WHEN list_sum(list_transform(ths,
+      |           h -> CAST((h >> j) & 1 AS INT) * 2 - 1)) > 0
+      |         THEN (1 << j) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM t
+      |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q33
+  // Exact 3-gram Jaccard on the LSH candidates: the verify stage of the
+  // near-dup pipeline (candidates are ~10^-6 of all pairs, so the exact
+  // set comparison touches almost nothing — that asymmetry is the point).
+  private val q33 = QueryDef.of(
+    (s, d) => {
+      val sets = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
+        .select(col("doc_id"), col("shset"))
+      val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
+      val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
+      candidates(s, d).join(a, "doc1").join(b, "doc2")
+        .withColumn("jaccard",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    s"""$sqlShingled,
+       |$sqlMinhash,
+       |sets AS (
+       |  SELECT doc_id, list_distinct(sh) AS shset FROM shingled)
+       |SELECT doc1, doc2,
+       |  CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
+       |FROM cand JOIN sets a ON cand.doc1 = a.doc_id
+       |          JOIN sets b ON cand.doc2 = b.doc_id
+       |WHERE CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
+       |ORDER BY doc1, doc2""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q30_dedup_exact" -> q30,
+    "q31_minhash_lsh" -> q31,
+    "q32_simhash" -> q32,
+    "q33_ngram_jaccard" -> q33)
+}

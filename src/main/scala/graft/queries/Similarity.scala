@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (north-star surface):
+  * brute-force cosine top-k as the correctness baseline, an IVF-style
+  * partition-probed variant as the scale path, and an IVF-blocked
+  * near-duplicate scan.
+  *
+  * The scoring kernel is the native codegen'd [[graft.functions.CosineSim]]
+  * expression (not a UDF, not interpreted HOF lambdas) — the probe×corpus
+  * scan stays inside WholeStageCodegen. The probe side is broadcast, so
+  * the corpus never shuffles: at 100 TB the scan is a single
+  * embarrassingly-parallel pass.
+  *
+  * Oracle parity: the DuckDB SQL reproduces the same strict left-fold
+  * double arithmetic (`list_reduce`), giving bit-identical scores.
+  */
+object Similarity {
+
+  /** DuckDB left-fold cosine, bit-compatible with CosineSim's codegen. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  private def scored(s: SparkSession, d: String,
+      probeFilter: String, sameLabelOnly: Boolean): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(expr(probeFilter)).select(
+      col("vec_id").as("probe_id"), col("label").as("probe_label"),
+      col("embedding").as("probe_emb"))
+    val joinCond = if (sameLabelOnly)
+      col("label") === col("probe_label") && col("vec_id") =!= col("probe_id")
+    else col("vec_id") =!= col("probe_id")
+    e.join(broadcast(probes), joinCond)
+      .withColumn("score", expr("cosine_sim(probe_emb, embedding)"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("score"))
+  }
+
+  private def topK(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------- q40
+  // Brute-force cosine top-5 for 20 probe vectors over the full corpus.
+  private val q40 = QueryDef.of(
+    (s, d) => topK(scored(s, d, "vec_id < 20", sameLabelOnly = false), 5),
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe
+       |  FROM embeddings WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("pe", "e.embedding")} AS score
+       |  FROM probes CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT probe_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin)
+
+  // ------------------------------------------------------------- q41
+  // IVF-style ANN: probe only the matching partition (here the stored
+  // cluster label; in production the nearest kmeans centroid(s)). Scans
+  // 1/n_cells of the corpus per probe — the 100 TB-viable path.
+  private val q41 = QueryDef.of(
+    (s, d) => topK(scored(s, d, "vec_id < 20", sameLabelOnly = true), 5),
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, label, embedding AS pe
+       |  FROM embeddings WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("pe", "e.embedding")} AS score
+       |  FROM probes JOIN embeddings e USING (label)
+       |  WHERE e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT probe_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin)
+
+  // ------------------------------------------------------------- q34
+  // Embedding near-dup scan, IVF-blocked: each probe (1-in-50 sample, the
+  // "incoming batch") is compared only against its own cell; pairs above
+  // the similarity floor are dup candidates.
+  private val q34 = QueryDef.of(
+    (s, d) => scored(s, d, "vec_id % 50 = 0", sameLabelOnly = true)
+      .filter(col("score") >= 0.3)
+      .select(col("probe_id"), col("neighbor_id"), col("score"))
+      .orderBy(col("probe_id"), col("neighbor_id")),
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, label, embedding AS pe
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |sc AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("pe", "e.embedding")} AS score
+       |  FROM probes JOIN embeddings e USING (label)
+       |  WHERE e.vec_id <> probe_id)
+       |SELECT probe_id, neighbor_id, score FROM sc
+       |WHERE score >= 0.3
+       |ORDER BY probe_id, neighbor_id""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q34_embed_neardup" -> q34,
+    "q40_ann_bruteforce" -> q40,
+    "q41_ann_ivf" -> q41)
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (north star; absent from the reference, SURVEY.md §2.2):
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting.
+  *
+  * All built from codegen'd built-ins + higher-order array functions — no
+  * UDFs, so at 100 TB these stay inside WholeStageCodegen and scale as
+  * embarrassingly-parallel per-row maps (zero shuffles except final agg).
+  *
+  * Determinism notes: ratios are single int/int IEEE divisions (exact same
+  * bits in both engines); hashes are md5 hex strings (identical libraries);
+  * token pipelines split on a literal space, matching the fixture's
+  * space-separated text.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------- q50
+  // Token counting: whitespace tokens, distinct tokens, a BPE-ish subword
+  // estimate (4 chars ≈ 1 token, ceil), avg token length.
+  private val q50 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_unique"),
+        ceil(length(col("text")) / lit(4.0)).cast("bigint").as("bpe_est"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(col("tokens"))).as("avg_token_len"))
+      .orderBy(col("doc_id")),
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_unique,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q51
+  // Quality scoring: stopword ratio, repetition ratio, length signal —
+  // the heuristics a pretraining filter (Gopher/C4-style) computes.
+  private val q51 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("n_stop", expr(
+        "size(filter(tokens, t -> array_contains(array('the','a','of','and','to','in'), t)))"))
+      .withColumn("n_unique", size(array_distinct(col("tokens"))))
+      .select(
+        col("doc_id"), col("lang"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_unique").cast("double") / col("n_tokens")).as("uniq_ratio"),
+        when(col("n_tokens").between(50, 10000), 1.0).otherwise(0.0)
+          .as("len_ok"))
+      .orderBy(col("doc_id")),
+    """SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stop_ratio,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS uniq_ratio,
+      |  CASE WHEN len(string_split(text, ' ')) BETWEEN 50 AND 10000
+      |       THEN 1.0 ELSE 0.0 END AS len_ok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q52
+  // Language-ID heuristic: stopword-list hits per candidate language,
+  // first-match priority (en→de→es→fr), else 'und'. On this synthetic
+  // English-vocabulary corpus it predicts 'en'/'und' — the shape of the
+  // operator (marker-lexicon scoring) is what scales to real corpora.
+  private val q52 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("hits_en", expr(
+        "size(filter(tokens, t -> array_contains(array('the','a','of'), t)))"))
+      .withColumn("hits_de", expr(
+        "size(filter(tokens, t -> array_contains(array('der','die','das'), t)))"))
+      .withColumn("hits_es", expr(
+        "size(filter(tokens, t -> array_contains(array('el','la','los'), t)))"))
+      .withColumn("hits_fr", expr(
+        "size(filter(tokens, t -> array_contains(array('le','les','une'), t)))"))
+      .withColumn("predicted",
+        when(col("hits_en") >= greatest(col("hits_de"), col("hits_es"),
+          col("hits_fr")) && col("hits_en") > 0, "en")
+          .when(col("hits_de") >= greatest(col("hits_es"), col("hits_fr")) &&
+            col("hits_de") > 0, "de")
+          .when(col("hits_es") >= col("hits_fr") && col("hits_es") > 0, "es")
+          .when(col("hits_fr") > 0, "fr")
+          .otherwise("und"))
+      .select(col("doc_id"), col("lang").as("labeled"), col("predicted"),
+        (col("predicted") === col("lang")).cast("int").as("agree"))
+      .orderBy(col("doc_id")),
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(tokens, t -> list_contains(['the','a','of'], t))) AS hits_en,
+      |    len(list_filter(tokens, t -> list_contains(['der','die','das'], t))) AS hits_de,
+      |    len(list_filter(tokens, t -> list_contains(['el','la','los'], t))) AS hits_es,
+      |    len(list_filter(tokens, t -> list_contains(['le','les','une'], t))) AS hits_fr
+      |  FROM t)
+      |SELECT doc_id, lang AS labeled,
+      |  CASE
+      |    WHEN hits_en >= greatest(hits_de, hits_es, hits_fr) AND hits_en > 0 THEN 'en'
+      |    WHEN hits_de >= greatest(hits_es, hits_fr) AND hits_de > 0 THEN 'de'
+      |    WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+      |    WHEN hits_fr > 0 THEN 'fr'
+      |    ELSE 'und' END AS predicted,
+      |  CAST(CASE
+      |    WHEN hits_en >= greatest(hits_de, hits_es, hits_fr) AND hits_en > 0 THEN 'en'
+      |    WHEN hits_de >= greatest(hits_es, hits_fr) AND hits_de > 0 THEN 'de'
+      |    WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+      |    WHEN hits_fr > 0 THEN 'fr'
+      |    ELSE 'und' END = lang AS INT) AS agree
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q53
+  // Document fingerprinting: min-hash over rolling 3-token shingles
+  // (winnowing's selection step) — one 32-hex fingerprint per doc.
+  // Identical md5 implementations make the hex strings engine-portable.
+  private val q53 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """transform(sequence(0, size(tokens) - 3),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        expr("array_min(transform(shingles, s -> md5(s)))")
+          .as("fingerprint"))
+      .orderBy(col("doc_id")),
+    """SELECT doc_id,
+      |  list_min(list_transform(
+      |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')),
+      |    s -> md5(s))) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q50_token_stats" -> q50,
+    "q51_quality_score" -> q51,
+    "q52_langid" -> q52,
+    "q53_fingerprint" -> q53)
+}
