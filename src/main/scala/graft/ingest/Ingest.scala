@@ -51,9 +51,13 @@ object Ingest {
     * Input columns: `topic`, `payload`. */
   def parse(df: DataFrame): DataFrame = {
     val parts = split(col("topic"), "/")
+    // get() (not getItem/element_at) — under ANSI mode (Spark 4 default) an
+    // out-of-range index THROWS; malformed short topics must flow to the
+    // rejected output instead of killing the query (the reference's
+    // poison-halt is exactly the bug we're not replicating).
     df.withColumn("tableName", element_at(parts, -1))
-      .withColumn("client", parts.getItem(1))
-      .withColumn("device", parts.getItem(2))
+      .withColumn("client", get(parts, lit(1)))
+      .withColumn("device", get(parts, lit(2)))
       .withColumn("value_type", valueType(col("payload")))
       .withColumn("value_raw", get_json_object(col("payload"), "$.value"))
       .withColumn("value_d",
