@@ -1,0 +1,71 @@
+package graft.sources.mqtt
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class MqttSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("topic filter matching: exact, +, #") {
+    import InMemoryBroker.matches
+    assert(matches("/a/b/c", "/a/b/c"))
+    assert(!matches("/a/b/c", "/a/b/d"))
+    assert(matches("/a/+/c", "/a/X/c"))
+    assert(!matches("/a/+/c", "/a/X/Y/c"))
+    assert(matches("/a/#", "/a/anything/here"))
+    assert(matches("#", "/any/topic"))
+    assert(!matches("/a/b", "/a/b/c"))
+    assert(!matches("/a/b/c", "/a/b"))
+  }
+
+  test("micro-batch reads only subscribed topics; offsets advance") {
+    val cid = s"spec-${System.nanoTime()}"
+    InMemoryBroker.reset(cid)
+    // subscribe before publishing — delivery is push-at-publish, so a not-
+    // yet-started query would otherwise miss early messages (real MQTT too)
+    InMemoryBroker.setSubscriptions(cid, Seq("/c1/+/out/sensors/#"))
+    val df = spark.readStream.format("mqtt")
+      .option("clientId", cid)
+      .option("topics", "/c1/+/out/sensors/#")
+      .load()
+    val q = df.writeStream.format("memory").queryName(s"m$cid".replace("-", ""))
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      InMemoryBroker.publish("/c1/d1/out/sensors/temp", """{"value":1}""")
+      InMemoryBroker.publish("/other/topic/x/y/z", """{"value":9}""")
+      InMemoryBroker.publish("/c1/d2/out/sensors/hum", """{"value":2}""")
+      q.processAllAvailable()
+      val rows = spark.table(s"m$cid".replace("-", ""))
+        .select("topic").collect().map(_.getString(0)).sorted
+      assert(rows.toSeq == Seq("/c1/d1/out/sensors/temp",
+        "/c1/d2/out/sensors/hum"))
+    } finally q.stop()
+  }
+
+  test("subscription swap applies between micro-batches (no loss window)") {
+    val cid = s"swap-${System.nanoTime()}"
+    InMemoryBroker.reset(cid)
+    InMemoryBroker.setSubscriptions(cid, Seq("/a/#"))
+    val df = spark.readStream.format("mqtt")
+      .option("clientId", cid).option("topics", "/a/#").load()
+    val name = s"q${cid.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      InMemoryBroker.publish("/a/1/2/3/s1", "x")
+      q.processAllAvailable()
+      MqttSource.reconfigure(cid, Seq("/b/#")) // the Consul-watch path
+      InMemoryBroker.publish("/a/1/2/3/s2", "y") // no longer subscribed
+      InMemoryBroker.publish("/b/1/2/3/s3", "z")
+      q.processAllAvailable()
+      val topics = spark.table(name).select("topic")
+        .collect().map(_.getString(0)).sorted
+      assert(topics.toSeq == Seq("/a/1/2/3/s1", "/b/1/2/3/s3"))
+    } finally q.stop()
+  }
+}
