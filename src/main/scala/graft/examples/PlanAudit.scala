@@ -1,0 +1,78 @@
+package graft.examples
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for representative queries, plus
+  * automated checks of the plan properties that matter at 100 TB:
+  * parquet filter pushdown, column-pruned read schemas, broadcast joins
+  * for dimensions, and WholeStageCodegen coverage.
+  *
+  * {{{ sbt "runMain graft.examples.PlanAudit [queryName ...]" }}}
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q02_filter_project", "q06_scan_filter_agg",
+        "q07_broadcast_brand_volume", "q08_star_join_region_revenue",
+        "q31_minhash_lsh", "q40_ann_bruteforce")
+
+    case class Check(name: String, test: String => Boolean, why: String)
+    val checks = Map(
+      "q02_filter_project" -> Seq(
+        Check("pushed-filters", _.contains("PushedFilters: [IsNotNull"),
+          "filters must reach the parquet scan"),
+        Check("pruned-schema", p => !p.contains("l_tax"),
+          "unused columns must not be read")),
+      "q06_scan_filter_agg" -> Seq(
+        Check("pushed-filters", _.contains("PushedFilters: [IsNotNull"),
+          "filters must reach the parquet scan")),
+      "q07_broadcast_brand_volume" -> Seq(
+        Check("broadcast-join", _.contains("BroadcastHashJoin"),
+          "part is a dimension — must broadcast, never shuffle lineitem")),
+      "q08_star_join_region_revenue" -> Seq(
+        Check("broadcast-dims", p =>
+          "BroadcastHashJoin".r.findAllIn(p).size >= 2,
+          "nation+region must broadcast")),
+      "q40_ann_bruteforce" -> Seq(
+        Check("codegen-scoring", p =>
+          p.contains("cosine_sim") &&
+            "Project \\[codegen id".r.findFirstIn(p).isDefined,
+          "scoring kernel must stay inside codegen"),
+        Check("broadcast-probes", p =>
+          p.contains("BroadcastNestedLoopJoin") ||
+            p.contains("BroadcastHashJoin"),
+          "probe side must broadcast — corpus never shuffles")))
+
+    var failed = 0
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // collect() (not count()) — count() spawns a separate query
+      // execution; this df's own AQE plan must finalize for codegen ids
+      df.collect()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode) + "\n" +
+        df.queryExecution.executedPlan.toString
+      println(s"\n════════ $n ════════")
+      println(plan.take(4000))
+      checks.getOrElse(n, Nil).foreach { c =>
+        val ok = c.test(plan)
+        if (!ok) failed += 1
+        println(f"[${if (ok) "PASS" else "FAIL"}%s] ${c.name}%-18s ${c.why}")
+      }
+    }
+    println(s"\nplan-audit: ${if (failed == 0) "ALL PASS" else s"$failed FAILED"}")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -145,9 +145,41 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------- q54
+  // Corpus token frequencies, top-5 per language: the explode → aggregate
+  // → windowed top-k shape (inverted-index / vocabulary building). At
+  // scale the explode output never materializes — it streams into the
+  // partial aggregation map-side; the shuffle carries (lang, token)
+  // partial counts only.
+  private val q54 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("lang"), col("rank"))
+    },
+    """WITH toks AS (
+      |  SELECT lang, u.token AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(token)),
+      |counted AS (
+      |  SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token),
+      |ranked AS (
+      |  SELECT lang, token, n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+      |  FROM counted)
+      |SELECT lang, token, n, rank FROM ranked WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q50_token_stats" -> q50,
     "q51_quality_score" -> q51,
     "q52_langid" -> q52,
-    "q53_fingerprint" -> q53)
+    "q53_fingerprint" -> q53,
+    "q54_token_frequencies" -> q54)
 }
