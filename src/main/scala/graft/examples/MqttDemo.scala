@@ -61,6 +61,25 @@ object MqttDemo {
     }
     println("-- rejected --")
     spark.read.parquet(rej).show(10, truncate = false)
+
+    println("== stateful running stats (flatMapGroupsWithState) ==")
+    val cid2 = "demo-stats"
+    InMemoryBroker.reset(cid2)
+    val statsQ = graft.streaming.SensorStats
+      .runningStats(graft.ingest.Ingest.records(
+        IngestPipeline.mqttStream(spark, cid2, Seq("#"))))
+      .writeStream.format("memory").queryName("sensor_stats")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("demo-ckpt2").toString)
+      .start()
+    InMemoryBroker.publish("/c/d/out/sensors/temp", """{"value":10.0}""")
+    InMemoryBroker.publish("/c/d/out/sensors/temp", """{"value":30.0}""")
+    statsQ.processAllAvailable()
+    InMemoryBroker.publish("/c/d/out/sensors/temp", """{"value":50.0}""")
+    statsQ.processAllAvailable()
+    statsQ.stop()
+    spark.table("sensor_stats").show(10, truncate = false)
     spark.stop()
   }
 }

@@ -401,7 +401,42 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders")))
 
+  // ---------------------------------------------------------------- q26
+  // Full cube over (returnflag, linestatus): all 2^2 grouping sets.
+  private val q26 = QueryDef.of(
+    (s, d) => lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(D(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus")),
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin)
+
+  // ---------------------------------------------------------------- q19
+  // approx_percentile (t-digest-style sketch): the only way quantiles are
+  // computable in one pass at 100 TB. Approximate by design → no hash
+  // oracle; the spec pins its error envelope against exact percentiles.
+  private val q19 = QueryDef.noOracle(
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("p95"))
+      .orderBy(col("l_returnflag")))
+
   val defs: Map[String, QueryDef] = Map(
+    "q19_approx_quantiles" -> q19,
+    "q26_cube" -> q26,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_top_revenue_orders" -> q03,

@@ -75,7 +75,103 @@ object Windows {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin)
 
+  // ------------------------------------------------------------- q25
+  // As-of join: each purchase matched to the user's most recent view at
+  // or before it. Spark lacks a native as-of join; rather than a custom
+  // SparkStrategy (SURVEY.md §7.3: none needed), this composes as a
+  // tagged union + running last-value window — ONE shuffle on user_id,
+  // no join at all, which beats a range-join at any scale. The DuckDB
+  // oracle uses its native ASOF JOIN, independently validating the
+  // composition's semantics (ties: a view at the exact purchase
+  // timestamp matches, hence is_view DESC in the sort).
+  private val q25 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+      val tagged = e.filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"),
+          (col("event_type") === "view").cast("int").as("is_view"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_view").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_view_ts",
+          max(when(col("is_view") === 1, col("ts"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view_ts").isNotNull)
+        .select(col("event_id"),
+          col("user_id"),
+          date_format(col("last_view_ts"), fmt).as("view_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_view_ts")))
+            .as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY event_id""".stripMargin)
+
+  // ------------------------------------------------------------- q27
+  // Analytic functions: lag/lead/ntile per user event sequence.
+  private val q27 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("event_id"), col("user_id"), col("delta"),
+          col("next_type"), col("quartile"))
+        .orderBy(col("event_id"))
+    },
+    """SELECT event_id, user_id,
+      |  "value" - LAG("value", 1) OVER w AS delta,
+      |  LEAD(event_type, 1) OVER w AS next_type,
+      |  NTILE(4) OVER w AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY event_id""".stripMargin)
+
+  // ------------------------------------------------------------- q28
+  // Range-frame window: trailing-1-hour event count and value sum per
+  // user — the "sliding aggregate per row" shape, expressed as a RANGE
+  // frame over epoch-µs (one shuffle on user_id, no self-join).
+  private val q28 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(12,2)")).over(w)
+            .cast("double"))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q23_tumbling_hourly" -> q23,
-    "q24_session_windows" -> q24)
+    "q24_session_windows" -> q24,
+    "q25_asof_join" -> q25,
+    "q27_lag_lead_ntile" -> q27,
+    "q28_range_frame" -> q28)
 }

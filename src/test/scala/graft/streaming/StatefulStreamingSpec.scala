@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.ingest.Ingest
+import graft.sources.mqtt.InMemoryBroker
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-mode stateful operators on the MQTT stream: keyed custom
+  * state (flatMapGroupsWithState) and watermarked tumbling windows — the
+  * batch twins are oracle-checked as q23/q24; these prove the same
+  * expressions run incrementally with state. */
+class StatefulStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def stream(cid: String) = {
+    InMemoryBroker.reset(cid)
+    InMemoryBroker.setSubscriptions(cid, Seq("#"))
+    IngestPipeline.mqttStream(spark, cid, Seq("#"))
+  }
+
+  test("flatMapGroupsWithState: running per-sensor stats across batches") {
+    val cid = s"stats-${System.nanoTime()}"
+    val name = s"t${cid.replace("-", "")}"
+    val q = SensorStats.runningStats(Ingest.records(stream(cid)))
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      InMemoryBroker.publish("/c/d/out/sensors/temp", """{"value":10.0}""")
+      InMemoryBroker.publish("/c/d/out/sensors/temp", """{"value":20.0}""")
+      q.processAllAvailable()
+      // second batch: state must carry over (count continues at 3)
+      InMemoryBroker.publish("/c/d2/out/sensors/temp", """{"value":60.0}""")
+      q.processAllAvailable()
+      val updates = spark.table(name)
+        .orderBy(col("count")).collect()
+        .map(r => (r.getAs[Long]("count"), r.getAs[Double]("mean"),
+          r.getAs[Double]("min"), r.getAs[Double]("max")))
+      assert(updates.last == ((3L, 30.0, 10.0, 60.0)))
+      assert(updates.head == ((2L, 15.0, 10.0, 20.0)))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window with watermark over receivedAt") {
+    val cid = s"win-${System.nanoTime()}"
+    val name = s"t${cid.replace("-", "")}"
+    val src = stream(cid)
+    val agg = Ingest.parse(src).filter(col("valid"))
+      .withWatermark("receivedAt", "1 minute")
+      .groupBy(window(col("receivedAt"), "1 minute"), col("tableName"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      InMemoryBroker.publish("/c/d/out/sensors/a", """{"value":1}""")
+      InMemoryBroker.publish("/c/d/out/sensors/a", """{"value":2}""")
+      InMemoryBroker.publish("/c/d/out/sensors/b", """{"value":3}""")
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("tableName"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
+}
