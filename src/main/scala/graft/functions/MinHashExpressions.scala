@@ -53,6 +53,63 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 16-bit SimHash over the DISTINCT tokens of the input array — native
+  * twin of the `aggregate(transform(sequence(0,15), ...))` HOF pipeline
+  * (which evaluates ~16×|tokens| interpreted lambda calls per row; this is
+  * one md5 per distinct token and an integer bit loop).
+  *
+  * Bit-compatible with the DuckDB oracle in [[graft.queries.Dedup]] q32:
+  * token hash = first 20 bits of md5; bit j of the sketch is set iff the
+  * majority of token hashes have bit j set (strictly positive vote sum).
+  */
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires array<string>, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash {
+  def compute(tokens: ArrayData): Long = {
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](16)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (seen.add(t)) {
+        val h = MinHashSig.hash20(t)
+        var j = 0
+        while (j < 16) {
+          votes(j) += (((h >> j) & 1L).toInt * 2) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sketch = 0L
+    var j = 0
+    while (j < 16) {
+      if (votes(j) > 0) sketch |= (1L << j)
+      j += 1
+    }
+    sketch
+  }
+}
+
 object MinHashSig {
   /** Largest prime below 2^20; LSH hash-family modulus. */
   val P = 1048573L

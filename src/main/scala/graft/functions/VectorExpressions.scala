@@ -131,5 +131,7 @@ object VectorFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHash(exprs.head), "built-in")
   }
 }

@@ -137,20 +137,17 @@ object Dedup {
 
   // ------------------------------------------------------------- q32
   // SimHash: 16-bit sketch, majority vote per bit over distinct-token
-  // 20-bit hashes. Pure per-row map — embarrassingly parallel.
-  private val simhashExpr =
-    """aggregate(transform(sequence(0, 15), j ->
-      |  IF(aggregate(ths, 0, (acc, h) ->
-      |       acc + (CAST(shiftright(h, j) & 1 AS INT) * 2 - 1)) > 0,
-      |     shiftleft(1, j), 0)),
-      |  0, (acc, x) -> acc + x)""".stripMargin
+  // 20-bit hashes — the native [[graft.functions.SimHash]] expression
+  // (bit-equality with the interpreted HOF pipeline is spec-tested in
+  // ExpressionsSpec). Pure per-row map — embarrassingly parallel.
   private val q32 = QueryDef.of(
-    (s, d) => Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("ths", expr(
-        "transform(array_distinct(toks), t -> cast(conv(substring(md5(t), 1, 5), 16, 10) as bigint))"))
-      .select(col("doc_id"), expr(simhashExpr).cast("bigint").as("simhash"))
-      .orderBy(col("doc_id")),
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), expr("simhash_sig(toks)").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
     """WITH t AS (
       |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
       |    tk -> CAST('0x' || substring(md5(tk), 1, 5) AS BIGINT)) AS ths

@@ -32,14 +32,21 @@ object Relational {
   private val q01 = QueryDef.of(
     (s, d) => lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      // shared decimal terms computed once per row (the 4 sums would
+      // otherwise each re-derive the cast/multiply chains)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice")).as("price"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("disc_price"),
+        dec(col("l_tax")).as("tax"))
+      .withColumn("charge", col("disc_price") * (lit(1) + col("tax")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        D(sum(dec(col("l_quantity")))).as("sum_qty"),
-        D(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        D(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
-          .as("sum_disc_price"),
-        D(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-            * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+        D(sum(col("qty"))).as("sum_qty"),
+        D(sum(col("price"))).as("sum_base_price"),
+        D(sum(col("disc_price"))).as("sum_disc_price"),
+        D(sum(col("charge"))).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus")),
     s"""SELECT l_returnflag, l_linestatus,

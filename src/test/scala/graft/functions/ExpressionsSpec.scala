@@ -63,6 +63,25 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.selectExpr("fast = slow AS eq").filter("NOT eq").count() == 0)
   }
 
+  test("simhash_sig matches the HOF md5 majority-vote pipeline") {
+    VectorFunctions.register(spark)
+    val docs = Seq.fill(30)(
+      Seq.fill(5 + rnd.nextInt(60))(s"w${rnd.nextInt(40)}").mkString(" "))
+    val df = docs.toDF("text")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("fast", expr("simhash_sig(toks)"))
+      .withColumn("slow", expr(
+        """cast(aggregate(transform(sequence(0, 15), j ->
+          |  IF(aggregate(
+          |       transform(array_distinct(toks),
+          |         t -> cast(conv(substring(md5(t), 1, 5), 16, 10) as bigint)),
+          |       0, (acc, h) ->
+          |       acc + (CAST(shiftright(h, j) & 1 AS INT) * 2 - 1)) > 0,
+          |     shiftleft(1, j), 0)),
+          |  0, (acc, x) -> acc + x) as bigint)""".stripMargin))
+    assert(df.filter("fast <> slow").count() == 0)
+  }
+
   test("minhash_sig yields null below 3 tokens") {
     VectorFunctions.register(spark)
     val df = Seq("one two", "one", "").toDF("text")
