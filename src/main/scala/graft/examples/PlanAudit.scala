@@ -15,12 +15,20 @@ object PlanAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // extension-path sanity: the native functions must resolve from pure
+    // SQL with no manual registry call
+    val ext = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float)), array(cast(2.0 as float))), " +
+        "simhash_sig(array('a','b','c'))").head()
+    println(s"extensions-ok: cosine=${ext.getDouble(0)} simhash=${ext.getLong(1)}")
 
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q06_scan_filter_agg",

@@ -41,12 +41,18 @@ object IngestPipeline {
 
   /** Wire parse + route + rejected sink onto any (topic, payload[, ...])
     * streaming frame and start it. */
+  /** Thrown in strict-compat mode when a batch contains a bad message —
+    * reproducing the reference's die-on-first-poison semantics
+    * (main.go:21-31) for bug-for-bug comparisons. */
+  final class PoisonMessageException(msg: String) extends RuntimeException(msg)
+
   def start(
       source: DataFrame,
       router: TableRouter,
       checkpointDir: String,
       rejectedDir: Option[String] = None,
-      dedupWithinWatermark: Option[String] = None): StreamingQuery = {
+      dedupWithinWatermark: Option[String] = None,
+      strictPoisonStop: Boolean = false): StreamingQuery = {
 
     val deduped = dedupWithinWatermark match {
       case Some(delay) if source.columns.contains("receivedAt") =>
@@ -61,9 +67,17 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val raw = batch.select("topic", "payload").persist()
         try {
+          val rej = Ingest.rejected(raw)
+          if (strictPoisonStop) {
+            // strict-compat: reference halts on the first bad message
+            val bad = rej.limit(1).collect()
+            if (bad.nonEmpty)
+              throw new PoisonMessageException(
+                s"poison message on topic '${bad.head.getAs[String]("topic")}'" +
+                  s": ${bad.head.getAs[String]("reason")}")
+          }
           router.routeBatch(Ingest.records(raw))
           rejectedDir.foreach { dir =>
-            val rej = Ingest.rejected(raw)
             if (!rej.isEmpty)
               rej.write.mode("append").parquet(dir)
           }

@@ -68,6 +68,28 @@ class IngestPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("strict-compat mode: poison message halts the query (reference X1)") {
+    val cid = s"strict-${System.nanoTime()}"
+    InMemoryBroker.reset(cid)
+    InMemoryBroker.setSubscriptions(cid, Seq("#"))
+    val wh = Files.createTempDirectory("wh").toString
+    val router = new TableRouter(new SchemaRegistry,
+      new WarehouseCatalog(spark, wh))
+    val q = IngestPipeline.start(
+      IngestPipeline.mqttStream(spark, cid, Seq("#")),
+      router, Files.createTempDirectory("ckpt").toString,
+      strictPoisonStop = true)
+    try {
+      InMemoryBroker.publish("/c/d/out/sensors/ok", """{"value":true}""")
+      val failed = try { q.processAllAvailable(); false }
+      catch { case _: Throwable => true }
+      assert(failed, "query should die on poison in strict mode")
+      assert(q.exception.isDefined)
+      assert(q.exception.get.getMessage.contains("poison") ||
+        q.exception.get.cause != null)
+    } finally if (q.isActive) q.stop()
+  }
+
   test("QoS-1 redelivery collapsed by watermark dedup") {
     val cid = s"dedup-${System.nanoTime()}"
     InMemoryBroker.reset(cid)
