@@ -80,6 +80,33 @@ object MqttDemo {
     statsQ.processAllAvailable()
     statsQ.stop()
     spark.table("sensor_stats").show(10, truncate = false)
+
+    println("== JDBC sink (embedded Derby standing in for ClickHouse) ==")
+    val dbUrl = "jdbc:derby:memory:demo;create=true"
+    java.sql.DriverManager.getConnection(dbUrl).close()
+    val jdbcFactory: () => java.sql.Connection = {
+      val u = "jdbc:derby:memory:demo"
+      () => java.sql.DriverManager.getConnection(u)
+    }
+    val jdbcRouter = new TableRouter(new SchemaRegistry,
+      new graft.sinks.JdbcCatalog(jdbcFactory, graft.sinks.DerbyDialect))
+    val cid3 = "demo-jdbc"
+    InMemoryBroker.reset(cid3)
+    val jdbcQ = IngestPipeline.start(
+      IngestPipeline.mqttStream(spark, cid3, Seq("#")),
+      jdbcRouter, Files.createTempDirectory("demo-ckpt3").toString)
+    InMemoryBroker.publish("/balalaykajazz/plants1/out/sensors/temp_out",
+      """{"value":27.8}""")
+    InMemoryBroker.publish("/balalaykajazz/plants2/out/sensors/temp_out",
+      """{"value":19.1}""")
+    jdbcQ.processAllAvailable()
+    jdbcQ.stop()
+    val c = java.sql.DriverManager.getConnection("jdbc:derby:memory:demo")
+    val rs = c.createStatement().executeQuery(
+      """SELECT "client", "device", "value" FROM "temp_out" ORDER BY "value"""")
+    while (rs.next())
+      println(s"jdbc row: ${rs.getString(1)} ${rs.getString(2)} ${rs.getDouble(3)}")
+    c.close()
     spark.stop()
   }
 }

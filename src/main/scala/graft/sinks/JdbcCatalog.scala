@@ -1,0 +1,141 @@
+package graft.sinks
+
+import graft.registry.ColumnDef
+import java.sql.{Connection, SQLException}
+import org.apache.spark.sql.DataFrame
+
+/** SQL dialect seam for the JDBC catalog: ClickHouse in production (the
+  * reference's target, /root/reference/db/db.go), Derby for hermetic tests
+  * (the only embedded database shipping with Spark). Serializable — it
+  * travels into executor-side `foreachPartition` writers. */
+trait SqlDialect extends Serializable {
+  def quote(ident: String): String
+  /** canonical ClickHouse type name → DDL type */
+  def typeName(chType: String): String
+  /** JDBC metadata type name → canonical ClickHouse type name */
+  def chTypeOf(jdbcTypeName: String): String
+  def createTable(table: String, cols: Seq[ColumnDef]): String
+  /** DDL failed because the table already exists → treat as success. */
+  def alreadyExists(e: SQLException): Boolean
+}
+
+object ClickHouseDialect extends SqlDialect {
+  override def quote(ident: String): String = ClickHouseSql.quoteIdent(ident)
+  override def typeName(chType: String): String = chType
+  override def chTypeOf(t: String): String = t
+  override def createTable(table: String, cols: Seq[ColumnDef]): String =
+    ClickHouseSql.createTable(table, cols)
+  override def alreadyExists(e: SQLException): Boolean = false // IF NOT EXISTS
+}
+
+/** Derby (test) dialect. Derby has no CREATE TABLE IF NOT EXISTS; the
+  * X0Y32 duplicate-object state is swallowed instead. */
+object DerbyDialect extends SqlDialect {
+  private val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  override def quote(name: String): String = name match {
+    case ident() => "\"" + name + "\""
+    case _ => throw new IllegalArgumentException(
+      s"illegal SQL identifier: '$name'")
+  }
+  override def typeName(chType: String): String = chType match {
+    case "String"  => "VARCHAR(4096)"
+    case "Float64" => "DOUBLE"
+    case "Int64" | "Int" => "BIGINT"
+    case other => throw new IllegalArgumentException(s"no Derby type for $other")
+  }
+  override def chTypeOf(t: String): String = t.toUpperCase match {
+    case "VARCHAR" => "String"
+    case "DOUBLE"  => "Float64"
+    case "BIGINT"  => "Int64"
+    case other => throw new IllegalArgumentException(s"unmapped type $other")
+  }
+  override def createTable(table: String, cols: Seq[ColumnDef]): String =
+    s"CREATE TABLE ${quote(table)} (" +
+      cols.map(c => s"${quote(c.name)} ${typeName(c.chType)}").mkString(", ") +
+      ")"
+  override def alreadyExists(e: SQLException): Boolean =
+    e.getSQLState == "X0Y32"
+}
+
+/** W1/W4/W5 against a real SQL database over JDBC — the engine's version
+  * of the reference's ClickHouse layer (/root/reference/db/db.go):
+  *
+  *  - metadata-driven bootstrap (fixes the malformed DESCRIBE, db.go:75);
+  *  - quoted/validated identifiers (reference is injectable, db.go:233);
+  *  - executor-side batched INSERTs per partition (reference: one
+  *    statement per message, db.go:259-264) — each partition opens one
+  *    connection, addBatch()es its rows, executes once. At cluster scale
+  *    the write parallelism is the partition count, which a
+  *    `coalesce(n)` upstream caps to the DB's ingest-connection budget.
+  *
+  * `connect` must be a serializable connection factory (URL-driven).
+  */
+final class JdbcCatalog(connect: () => Connection, dialect: SqlDialect)
+    extends TableCatalog {
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = connect()
+    try f(c) finally c.close()
+  }
+
+  override def listTables(): Seq[String] = withConn { c =>
+    val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // identifiers are created quoted → stored case-sensitively; report and
+    // look them up verbatim (no case normalization)
+    while (rs.next()) out += rs.getString("TABLE_NAME")
+    out.toSeq.sorted
+  }
+
+  override def describe(table: String): Seq[ColumnDef] = withConn { c =>
+    val rs = c.getMetaData.getColumns(null, null, table, "%")
+    val out = scala.collection.mutable.ArrayBuffer.empty[ColumnDef]
+    while (rs.next())
+      out += ColumnDef(rs.getString("COLUMN_NAME"),
+        dialect.chTypeOf(rs.getString("TYPE_NAME")))
+    out.toSeq
+  }
+
+  override def createTable(table: String, cols: Seq[ColumnDef]): Unit =
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute(dialect.createTable(table, cols))
+      catch {
+        case e: SQLException if dialect.alreadyExists(e) => ()
+      } finally st.close()
+    }
+
+  override def append(table: String, df: DataFrame): Unit = {
+    val cols = df.schema.fields.toSeq.map(f =>
+      ColumnDef(f.name, graft.ingest.TypeMapping.toClickHouse(f.dataType)))
+    val sql = s"INSERT INTO ${dialect.quote(table)} (" +
+      cols.map(c => dialect.quote(c.name)).mkString(", ") +
+      s") VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val conn = connect
+    val types = cols.map(_.chType)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val c = conn()
+        try {
+          val ps = c.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            types.zipWithIndex.foreach { case (t, i) =>
+              if (r.isNullAt(i)) ps.setObject(i + 1, null)
+              else t match {
+                case "Float64" => ps.setDouble(i + 1, r.getDouble(i))
+                case "Int64" | "Int" => ps.setLong(i + 1, r.getLong(i))
+                case _ => ps.setString(i + 1, r.getString(i))
+              }
+            }
+            ps.addBatch()
+            n += 1
+            if (n % 10000 == 0) ps.executeBatch() // bound batch memory
+          }
+          ps.executeBatch()
+          ps.close()
+        } finally c.close()
+      }
+    }
+  }
+}
