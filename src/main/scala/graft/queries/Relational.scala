@@ -441,9 +441,67 @@ object Relational {
           .as("p95"))
       .orderBy(col("l_returnflag")))
 
+  // ---------------------------------------------------------------- q29
+  // Pivot: order counts per month × priority (pivoted to columns). Spark
+  // pivot with explicit values (no extra pass to discover them); oracle
+  // spells the same thing as conditional aggregation.
+  private val q29 = QueryDef.of(
+    (s, d) => orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+        "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+      .orderBy(col("month")),
+    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+      |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+      |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+      |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS unspecified,
+      |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin)
+
+  // ---------------------------------------------------------------- q29b
+  // Multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+  // cardinalities (the bag semantics the dedup pipeline reasons about).
+  private val q29b = QueryDef.of(
+    (s, d) => {
+      val a = lineitem(s, d).filter(col("l_quantity") <= 10)
+        .select(col("l_suppkey").as("k"))
+      val b = lineitem(s, d).filter(col("l_discount") >= 0.05)
+        .select(col("l_suppkey").as("k"))
+      a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_intersect"))
+        .join(
+          a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_except")),
+          Seq("k"), "full_outer")
+        .na.fill(0L)
+        .orderBy(col("k"))
+    },
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity <= 10),
+      |     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount >= 0.05),
+      |     i AS (SELECT k, COUNT(*) AS n_intersect
+      |           FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      |           GROUP BY k),
+      |     e AS (SELECT k, COUNT(*) AS n_except
+      |           FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |           GROUP BY k)
+      |SELECT COALESCE(i.k, e.k) AS k,
+      |  COALESCE(n_intersect, 0) AS n_intersect,
+      |  COALESCE(n_except, 0) AS n_except
+      |FROM i FULL OUTER JOIN e ON i.k = e.k
+      |ORDER BY k""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_approx_quantiles" -> q19,
     "q26_cube" -> q26,
+    "q29_pivot" -> q29,
+    "q29b_multiset_ops" -> q29b,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_top_revenue_orders" -> q03,
