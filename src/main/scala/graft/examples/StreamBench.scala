@@ -1,0 +1,73 @@
+package graft.examples
+
+import graft.registry.SchemaRegistry
+import graft.sinks.{TableRouter, WarehouseCatalog}
+import graft.sources.mqtt.InMemoryBroker
+import graft.streaming.IngestPipeline
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+
+/** Ingest-path throughput: N pre-published MQTT messages through
+  * source → parse → route → warehouse, one JSON line out.
+  *
+  * The reference's write path is structurally serial — one goroutine, one
+  * INSERT statement per message (/root/reference/main.go:95,
+  * db/db.go:259-264) — and publishes no numbers (BASELINE.md). This
+  * measures the engine's replacement: micro-batched, partition-parallel,
+  * bulk-appended.
+  *
+  * {{{ STREAM_BENCH_N=200000 sbt "runMain graft.examples.StreamBench" }}}
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("STREAM_BENCH_N", "200000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val cid = "streambench"
+    InMemoryBroker.reset(cid)
+    InMemoryBroker.setSubscriptions(cid, Seq("#"))
+
+    // 20 sensors, mixed payload shapes incl. poison (~9%)
+    var i = 0
+    while (i < n) {
+      val sensor = s"sensor${i % 20}"
+      val (topic, payload) = (i % 11) match {
+        case 9 => (s"/c${i % 3}/d${i % 7}/out/sensors/$sensor",
+          s"""{"k":$i}""") // missing value → rejected
+        case 10 => (s"c/bad/$sensor", s"""{"value":$i}""") // bad topic
+        case 7 => (s"/c${i % 3}/d${i % 7}/out/sensors/str_$sensor",
+          s"""{"value":"v$i"}""")
+        case _ => (s"/c${i % 3}/d${i % 7}/out/sensors/$sensor",
+          s"""{"timestamp":"2024-01-01T00:00:00Z","value":${i % 1000}.25}""")
+      }
+      InMemoryBroker.publish(topic, payload)
+      i += 1
+    }
+
+    val wh = Files.createTempDirectory("sb-wh").toString
+    val catalog = new WarehouseCatalog(spark, wh)
+    val router = new TableRouter(new SchemaRegistry, catalog)
+    val q = IngestPipeline.start(
+      IngestPipeline.mqttStream(spark, cid, Seq("#")),
+      router, Files.createTempDirectory("sb-ckpt").toString,
+      rejectedDir = Some(Files.createTempDirectory("sb-rej").toString))
+
+    val t0 = System.nanoTime()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+
+    val routed = catalog.listTables()
+      .map(t => catalog.read(t).count()).sum
+    println(s"""{"metric":"ingest_throughput","messages":$n,""" +
+      s""""routed_rows":$routed,"seconds":${f"$secs%.2f"},""" +
+      s""""msgs_per_sec":${(n / secs).toInt}}""")
+    spark.stop()
+  }
+}

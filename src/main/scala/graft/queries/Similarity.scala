@@ -32,15 +32,20 @@ object Similarity {
   private def scored(s: SparkSession, d: String,
       probeFilter: String, sameLabelOnly: Boolean): DataFrame = {
     VectorFunctions.register(s)
+    // Norms precomputed once per row (vec_norm shares CosineSim's fold
+    // contract, so dot/(n1*n2) stays bit-identical to cosine_sim) — the
+    // pair-scan then does ONE fold per pair instead of three.
     val e = Tables.embeddings(s, d)
+      .withColumn("emb_norm", expr("vec_norm(embedding)"))
     val probes = e.filter(expr(probeFilter)).select(
       col("vec_id").as("probe_id"), col("label").as("probe_label"),
-      col("embedding").as("probe_emb"))
+      col("embedding").as("probe_emb"), col("emb_norm").as("probe_norm"))
     val joinCond = if (sameLabelOnly)
       col("label") === col("probe_label") && col("vec_id") =!= col("probe_id")
     else col("vec_id") =!= col("probe_id")
     e.join(broadcast(probes), joinCond)
-      .withColumn("score", expr("cosine_sim(probe_emb, embedding)"))
+      .withColumn("score", expr(
+        "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("score"))
   }
 

@@ -23,6 +23,12 @@ trait TableCatalog {
   def createTable(table: String, cols: Seq[ColumnDef]): Unit
   /** W5 — bulk append one micro-batch's rows for one table. */
   def append(table: String, df: DataFrame): Unit
+  /** W5, many-table fast path: append a routed frame with columns
+    * (tableName, client, device, value) spanning `tables` in ONE write
+    * job. Returns false if this catalog can't (caller falls back to
+    * per-table [[append]]). At high sensor cardinality this is the
+    * difference between 2 jobs per batch and N-tables jobs per batch. */
+  def appendRouted(df: DataFrame, tables: Seq[String]): Boolean = false
 }
 
 /** Parquet-directory catalog: one subdirectory per sensor table. Durable
@@ -54,7 +60,66 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
   override def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(s"$root/$table")
 
+  /** One dynamic-partitioned write job for ALL tables in the slice, then
+    * per-file renames from the staging dir into each table dir (parquet
+    * part-file names carry a write UUID, so moves can't collide). */
+  override def appendRouted(df: DataFrame, tables: Seq[String]): Boolean = {
+    val staging = new java.io.File(rootDir,
+      s".staging-${java.util.UUID.randomUUID()}")
+    df.write.partitionBy("tableName")
+      .mode(SaveMode.Overwrite).parquet(staging.toString)
+    Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("tableName=")).foreach { pdir =>
+        val table = java.net.URLDecoder.decode(
+          pdir.getName.stripPrefix("tableName="), "UTF-8")
+        val dest = new java.io.File(rootDir, table)
+        dest.mkdirs()
+        pdir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!f.renameTo(new java.io.File(dest, f.getName)))
+              throw new java.io.IOException(s"move failed: $f")
+          }
+      }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(staging)
+    true
+  }
+
   def read(table: String): DataFrame = spark.read.parquet(s"$root/$table")
+
+  /** Streaming appends produce one file per partition per micro-batch;
+    * periodic compaction rewrites a table to `targetFiles` files. Write to
+    * a sibling temp dir, then swap — readers between the two renames see
+    * either the old or the new complete file set, never a partial one
+    * (single-writer assumption, same as the append path). */
+  def compact(table: String, targetFiles: Int = 1): Unit = {
+    val dir = new java.io.File(s"$root/$table")
+    require(dir.isDirectory, s"no such table: $table")
+    val tmp = new java.io.File(s"$root/.compact-$table")
+    val old = new java.io.File(s"$root/.old-$table")
+    spark.read.parquet(dir.toString)
+      .coalesce(math.max(1, targetFiles))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!tmp.renameTo(dir)) {
+      old.renameTo(dir) // roll back
+      throw new java.io.IOException(s"compact: cannot activate $tmp")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(old)
+  }
+
+  def fileCount(table: String): Int =
+    Option(new java.io.File(s"$root/$table").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".parquet"))
 }
 
 /** SQL-text generation for a ClickHouse (JDBC) catalog. Connection handling

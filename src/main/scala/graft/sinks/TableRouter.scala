@@ -29,7 +29,8 @@ final case class RouteStats(
   * `[client String, device String, value <inferred>]`
   * (/root/reference/message/message_test.go:177-198).
   */
-final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog) {
+final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
+    appendParallelism: Int = 4) {
 
   /** W1 — seed the registry from the physical catalog at startup
     * (reference `LoadTables`, /root/reference/db/db.go:117-135). */
@@ -56,7 +57,11 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog) {
 
       val appended = scala.collection.mutable.Map.empty[String, Long]
       val rejected = scala.collection.mutable.Map.empty[String, Long]
+      val appendTasks = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String, Long)] // (table, vt, valueCol, n)
 
+      // Phase 1 (serial, driver): DDL + schema decisions — cheap,
+      // order-sensitive (first sight fixes the schema).
       hist.groupBy(_._1).toSeq.sortBy(_._1).foreach {
         case (table, groups) =>
           // First message for a sensor fixes its schema (reference
@@ -76,20 +81,55 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog) {
                 registry.get(table).get, colsFor(vt)) match {
               case None =>
                 val valueCol =
-                  if (tableType == "String") col("value_s")
-                  else col("value_d")
-                catalog.append(table,
-                  recs.filter(col("tableName") === table &&
-                      col("value_type") === vt)
-                    .select(col("client"), col("device"),
-                      valueCol.as("value")))
-                appended(table) = appended.getOrElse(table, 0L) + n
+                  if (tableType == "String") "value_s" else "value_d"
+                appendTasks += ((table, vt, valueCol, n))
               case Some(_) =>
                 rejected(table) = rejected.getOrElse(table, 0L) + n
             }
           }
       }
-      RouteStats(appended.toMap, rejected.toMap)
+
+      // Phase 2: appends. Fast path — ONE dynamic-partitioned write job
+      // per value type (validated tasks always have vt == table type, so
+      // there are at most 2 groups), covering every table in the slice.
+      // Catalogs without a routed write (JDBC) fall back to bounded-
+      // parallel per-table jobs.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val byType = appendTasks.toSeq.groupBy(t => (t._2, t._3)).toSeq
+        .sortBy(_._1)
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.max(1, appendParallelism))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = byType.map { case ((vt, valueCol), tasks) =>
+          Future {
+            val tables = tasks.map(_._1)
+            val routedDf = recs
+              .filter(col("value_type") === vt &&
+                col("tableName").isInCollection(tables))
+              .select(col("tableName"), col("client"), col("device"),
+                col(valueCol).as("value"))
+            val handled = catalog.appendRouted(routedDf, tables)
+            if (!handled) tasks.foreach { case (table, _, _, _) =>
+              catalog.append(table,
+                recs.filter(col("tableName") === table &&
+                    col("value_type") === vt)
+                  .select(col("client"), col("device"),
+                    col(valueCol).as("value")))
+            }
+            appended.synchronized {
+              tasks.foreach { case (table, _, _, n) =>
+                appended(table) = appended.getOrElse(table, 0L) + n
+              }
+            }
+          }
+        }
+        Await.result(Future.sequence(futures), Duration.Inf)
+      } finally pool.shutdown()
+
+      RouteStats(appended.synchronized(appended.toMap), rejected.toMap)
     } finally { recs.unpersist(); () }
   }
 }

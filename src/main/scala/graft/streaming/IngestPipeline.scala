@@ -65,7 +65,12 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val raw = batch.select("topic", "payload").persist()
+        // The MQTT source is one ordered feed → one input partition;
+        // scatter before the parse so the chain runs on all cores
+        // (order is irrelevant once rows are routed by tableName).
+        val raw = batch.select("topic", "payload")
+          .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+          .persist()
         try {
           val rej = Ingest.rejected(raw)
           if (strictPoisonStop) {

@@ -65,6 +65,34 @@ class TableRouterSpec extends AnyFunSuite {
     assert(stats.rejectedSchema == Map("mix" -> 1L))
   }
 
+  test("compaction collapses per-batch files; data unchanged") {
+    val (router, _, catalog) = freshRouter()
+    // 5 micro-batches → ≥5 files
+    (1 to 5).foreach { i =>
+      router.routeBatch(batchOf(
+        (s"/c/d$i/out/sensors/compactme", s"""{"value":$i.0}""")))
+    }
+    assert(catalog.fileCount("compactme") >= 5)
+    val before = catalog.read("compactme").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    catalog.compact("compactme", targetFiles = 1)
+    assert(catalog.fileCount("compactme") == 1)
+    val after = catalog.read("compactme").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before)
+  }
+
+  test("many tables in one batch: parallel appends all land") {
+    val (router, _, catalog) = freshRouter()
+    val msgs = (1 to 12).map(i =>
+      (s"/c/d/out/sensors/s$i", s"""{"value":$i.5}"""))
+    val stats = router.routeBatch(batchOf(msgs: _*))
+    assert(stats.appended.size == 12)
+    (1 to 12).foreach { i =>
+      assert(catalog.read(s"s$i").head().getAs[Double]("value") == i + 0.5)
+    }
+  }
+
   test("bootstrap seeds registry from existing warehouse (W1)") {
     val (router, _, catalog) = freshRouter()
     router.routeBatch(batchOf(
