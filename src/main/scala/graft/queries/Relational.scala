@@ -310,7 +310,7 @@ object Relational {
       val both = cn.intersect(sn).withColumn("op", lit("both"))
       val custOnly = cn.except(sn).withColumn("op", lit("customer_only"))
       val suppOnly = sn.except(cn).withColumn("op", lit("supplier_only"))
-      both.unionAll(custOnly).unionAll(suppOnly)
+      both.union(custOnly).union(suppOnly)
         .select(col("op"), col("nationkey"))
         .orderBy(col("op"), col("nationkey"))
     },

@@ -35,7 +35,11 @@ object InMemoryBroker extends MqttConnector {
     @volatile var subs: Seq[String] = Nil
   }
   private val clients = TrieMap.empty[String, ClientState]
-  private val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+  // Deterministic logical clock: 2024-01-01T00:00:00Z epoch-µs, one
+  // MILLISECOND per publish — Spark's event-time watermark is tracked at
+  // ms granularity, so sub-ms steps would freeze watermarks forever.
+  private val clock = new java.util.concurrent.atomic.AtomicLong(
+    1704067200000000L)
 
   /** MQTT topic-filter match: `+` = one level, `#` = all remaining. */
   def matches(filter: String, topic: String): Boolean = {
@@ -59,7 +63,7 @@ object InMemoryBroker extends MqttConnector {
 
   /** Deliver to every client with a matching filter; returns receivers. */
   def publish(topic: String, payload: String): Int = {
-    val ts = clock.incrementAndGet() // deterministic logical timestamp
+    val ts = clock.addAndGet(1000L) // +1ms per publish (see clock note)
     var n = 0
     clients.values.foreach { c =>
       if (c.subs.exists(matches(_, topic))) {

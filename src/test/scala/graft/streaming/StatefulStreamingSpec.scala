@@ -43,6 +43,44 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session window with watermark (q24's streaming twin)") {
+    val cid = s"sess-${System.nanoTime()}"
+    val name = s"t${cid.replace("-", "")}"
+    val src = stream(cid)
+    // zero-delay watermark on the broker's 1ms-step logical clock
+    // (session windows support only append mode on streams)
+    val agg = Ingest.parse(src).filter(col("valid"))
+      .withWatermark("receivedAt", "0 seconds")
+      .groupBy(session_window(col("receivedAt"), "10 milliseconds"),
+        col("tableName"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("tableName"), col("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // 3 messages 1ms apart → one session under the 10ms gap
+      InMemoryBroker.publish("/c/d/out/sensors/s", """{"value":1}""")
+      InMemoryBroker.publish("/c/d/out/sensors/s", """{"value":2}""")
+      InMemoryBroker.publish("/c/d/out/sensors/s", """{"value":3}""")
+      q.processAllAvailable()
+      // append mode emits once the watermark passes the session end; the
+      // watermark used by batch N comes from batch N-1's max event time,
+      // so push it forward across two further batches
+      (1 to 30).foreach { _ =>
+        InMemoryBroker.publish("/c/d/out/sensors/later", """{"value":9}""")
+      }
+      q.processAllAvailable()
+      InMemoryBroker.publish("/c/d/out/sensors/later", """{"value":9}""")
+      q.processAllAvailable()
+      val sess = spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(sess.contains(("s", 3L)),
+        s"expected closed session (s,3), got ${sess.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling window with watermark over receivedAt") {
     val cid = s"win-${System.nanoTime()}"
     val name = s"t${cid.replace("-", "")}"
