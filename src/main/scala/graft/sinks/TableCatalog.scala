@@ -29,6 +29,14 @@ trait TableCatalog {
     * per-table [[append]]). At high sensor cardinality this is the
     * difference between 2 jobs per batch and N-tables jobs per batch. */
   def appendRouted(df: DataFrame, tables: Seq[String]): Boolean = false
+
+  /** Exactly-once support: has this streaming batch already been fully
+    * appended? foreachBatch re-runs a batch after a crash/restart; a
+    * catalog that records commits lets the router skip the replay instead
+    * of duplicating rows. Default: no record → at-least-once. */
+  def batchCommitted(batchId: Long): Boolean = false
+  /** Record `batchId` as fully appended (called after all appends). */
+  def commitBatch(batchId: Long): Unit = ()
 }
 
 /** Parquet-directory catalog: one subdirectory per sensor table. Durable
@@ -38,10 +46,6 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
     extends TableCatalog {
   private val rootDir = new java.io.File(root)
   rootDir.mkdirs()
-
-  override def listTables(): Seq[String] =
-    Option(rootDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName).toSeq.sorted
 
   override def describe(table: String): Seq[ColumnDef] = {
     val schema: StructType =
@@ -87,6 +91,26 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
     rm(staging)
     true
   }
+
+  // batch-commit markers: root/_batches/<id>. Marker written after all
+  // moves; a crash between the last move and the marker replays the batch
+  // (duplicates possible in exactly that window — the standard
+  // non-transactional-store tradeoff; a table format with commit logs
+  // would close it).
+  private val batchesDir = new java.io.File(rootDir, "_batches")
+  override def batchCommitted(batchId: Long): Boolean =
+    new java.io.File(batchesDir, batchId.toString).exists()
+  override def commitBatch(batchId: Long): Unit = {
+    batchesDir.mkdirs()
+    new java.io.File(batchesDir, batchId.toString).createNewFile()
+    ()
+  }
+
+  override def listTables(): Seq[String] =
+    Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName).toSeq.sorted
 
   def read(table: String): DataFrame = spark.read.parquet(s"$root/$table")
 

@@ -45,8 +45,14 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
     ColumnDef("value", chType))
 
   /** Route one micro-batch of parsed records (output of
-    * [[graft.ingest.Ingest.records]]). */
-  def routeBatch(batch: DataFrame): RouteStats = {
+    * [[graft.ingest.Ingest.records]]).
+    *
+    * With `batchId >= 0` (streaming), replayed batches the catalog has
+    * already committed are skipped — effectively-once appends across
+    * query restarts for catalogs that record commits. */
+  def routeBatch(batch: DataFrame, batchId: Long = -1L): RouteStats = {
+    if (batchId >= 0 && catalog.batchCommitted(batchId))
+      return RouteStats(Map.empty, Map.empty)
     val recs = batch.persist()
     try {
       // (tableName, value_type) -> count; tiny, driver-side by design.
@@ -129,6 +135,7 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
         Await.result(Future.sequence(futures), Duration.Inf)
       } finally pool.shutdown()
 
+      if (batchId >= 0) catalog.commitBatch(batchId)
       RouteStats(appended.synchronized(appended.toMap), rejected.toMap)
     } finally { recs.unpersist(); () }
   }

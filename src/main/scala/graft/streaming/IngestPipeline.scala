@@ -81,7 +81,7 @@ object IngestPipeline {
                 s"poison message on topic '${bad.head.getAs[String]("topic")}'" +
                   s": ${bad.head.getAs[String]("reason")}")
           }
-          router.routeBatch(Ingest.records(raw))
+          router.routeBatch(Ingest.records(raw), batchId)
           rejectedDir.foreach { dir =>
             if (!rej.isEmpty)
               rej.write.mode("append").parquet(dir)

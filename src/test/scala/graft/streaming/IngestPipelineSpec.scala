@@ -68,6 +68,51 @@ class IngestPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: no replay duplicates, ingestion continues") {
+    val cid = s"restart-${System.nanoTime()}"
+    InMemoryBroker.reset(cid)
+    InMemoryBroker.setSubscriptions(cid, Seq("#"))
+    val wh = Files.createTempDirectory("wh").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val catalog = new WarehouseCatalog(spark, wh)
+    def newQuery() = IngestPipeline.start(
+      IngestPipeline.mqttStream(spark, cid, Seq("#")),
+      new TableRouter(new SchemaRegistry, catalog), ckpt)
+
+    val q1 = newQuery()
+    InMemoryBroker.publish("/c/d/out/sensors/r", """{"value":1.0}""")
+    InMemoryBroker.publish("/c/d/out/sensors/r", """{"value":2.0}""")
+    q1.processAllAvailable()
+    q1.stop()
+
+    InMemoryBroker.publish("/c/d/out/sensors/r", """{"value":3.0}""")
+    val q2 = newQuery()
+    try {
+      q2.processAllAvailable()
+      val vals = catalog.read("r").collect()
+        .map(_.getAs[Double]("value")).sorted.toSeq
+      assert(vals == Seq(1.0, 2.0, 3.0),
+        s"expected exactly-once across restart, got $vals")
+    } finally q2.stop()
+  }
+
+  test("committed batch replay is skipped (idempotent routeBatch)") {
+    val wh = Files.createTempDirectory("wh").toString
+    val catalog = new WarehouseCatalog(spark, wh)
+    val router = new TableRouter(new SchemaRegistry, catalog)
+    val batch = {
+      import spark.implicits._
+      graft.ingest.Ingest.records(Seq(
+        ("/c/d/out/sensors/once", """{"value":5.0}"""))
+        .toDF("topic", "payload"))
+    }
+    val first = router.routeBatch(batch, batchId = 7L)
+    assert(first.appended == Map("once" -> 1L))
+    val replay = router.routeBatch(batch, batchId = 7L)
+    assert(replay.appended.isEmpty)
+    assert(catalog.read("once").count() == 1)
+  }
+
   test("strict-compat mode: poison message halts the query (reference X1)") {
     val cid = s"strict-${System.nanoTime()}"
     InMemoryBroker.reset(cid)
