@@ -120,8 +120,28 @@ object Similarity {
        |WHERE score >= 0.3
        |ORDER BY probe_id, neighbor_id""".stripMargin)
 
+  // ------------------------------------------------------------- q42
+  // Trained-centroid IVF ANN (graft.operators.IvfIndex): kmeans cells +
+  // nProbe-limited scan. No DuckDB oracle (kmeans isn't reproducible in
+  // SQL) — IvfIndexSpec pins exactness at nProbe = nCells and the scan
+  // shape; the driver's rows-only check applies here.
+  private val q42 = QueryDef.noOracle(
+    (s, d) => {
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val probes = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb"))
+      val (assigned, centroids) =
+        graft.operators.IvfIndex.build(corpus, nCells = 16)
+      graft.operators.IvfIndex
+        .search(assigned, centroids, probes, k = 5, nProbe = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q34_embed_neardup" -> q34,
     "q40_ann_bruteforce" -> q40,
-    "q41_ann_ivf" -> q41)
+    "q41_ann_ivf" -> q41,
+    "q42_ann_ivf_kmeans" -> q42)
 }
