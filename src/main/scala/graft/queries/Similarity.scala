@@ -139,9 +139,79 @@ object Similarity {
         .orderBy(col("probe_id"), col("rank"))
     })
 
+  // ------------------------------------------------------------- q43
+  // Random-hyperplane LSH ANN: 4 deterministic ±1 hyperplanes (pseudo-
+  // random by integer formula, inlined as literals in BOTH engines) give
+  // a 16-bucket sign partition; each probe scans only its own bucket.
+  // Unlike kmeans-IVF this is fully SQL-reproducible → hash oracle.
+  // The bucketing dots reuse the codegen'd dot_product kernel.
+  private val Planes = 4
+  private val Dims = 64
+  private def weight(p: Int, i: Int): Int =
+    if ((i.toLong * 2654435761L + p.toLong * 40503L) % 97 < 48) 1 else -1
+  private def planeArraySql(p: Int): String =
+    (0 until Dims).map(i => s"${weight(p, i)}.0").mkString("[", ", ", "]")
+  private def planeArraySpark(p: Int): String =
+    (0 until Dims).map(i => s"${weight(p, i)}F").mkString("array(", ", ", ")")
+
+  private def bucketExprSpark(embCol: String): String =
+    (0 until Planes).map { p =>
+      s"(CASE WHEN dot_product($embCol, ${planeArraySpark(p)}) > 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+  private def bucketExprSql(embCol: String): String =
+    (0 until Planes).map { p =>
+      s"(CASE WHEN list_reduce(list_transform(range(1, $Dims + 1), " +
+        s"i -> CAST($embCol[i] AS DOUBLE) * (${planeArraySql(p)})[i]), " +
+        s"(x, y) -> x + y) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val q43 = QueryDef.of(
+    (s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", expr(bucketExprSpark("embedding")))
+        .withColumn("emb_norm", expr("vec_norm(embedding)"))
+      val probes = e.filter(col("vec_id") < 20).select(
+        col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("emb_norm").as("probe_norm"), col("bucket"))
+      import org.apache.spark.sql.expressions.Window
+      e.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("score", expr(
+          "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("score"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketExprSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, bucket
+       |  FROM bucketed WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("pe", "e.embedding")} AS score
+       |  FROM probes JOIN bucketed e USING (bucket)
+       |  WHERE e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT probe_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q34_embed_neardup" -> q34,
     "q40_ann_bruteforce" -> q40,
     "q41_ann_ivf" -> q41,
-    "q42_ann_ivf_kmeans" -> q42)
+    "q42_ann_ivf_kmeans" -> q42,
+    "q43_ann_lsh_hyperplane" -> q43)
 }

@@ -176,10 +176,54 @@ object TextAnalysis {
       |SELECT lang, token, n, rank FROM ranked WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin)
 
+  // ------------------------------------------------------------- q55
+  // Deterministic hash sampling: ~10% of the corpus by md5(doc_id) —
+  // reproducible across engines/runs/scales (rand() is not), the standard
+  // way training pipelines carve held-out slices.
+  private val q55 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)"))
+      .filter(col("h") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    """SELECT doc_id, lang, n_chars
+      |FROM (SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS h
+      |      FROM documents)
+      |WHERE h % 10 = 0
+      |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q56
+  // Stratified balanced sample: first 20 docs per language in hash order
+  // — equal-size per-stratum subsets for training-mix construction
+  // (hash order ≈ uniform, deterministic; windowed top-N per stratum).
+  private val q56 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h",
+          md5(concat(lit("strat:"), col("doc_id").cast("string"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    """SELECT lang, doc_id, rk
+      |FROM (SELECT lang, doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY lang
+      |          ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents)
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q50_token_stats" -> q50,
     "q51_quality_score" -> q51,
     "q52_langid" -> q52,
     "q53_fingerprint" -> q53,
-    "q54_token_frequencies" -> q54)
+    "q54_token_frequencies" -> q54,
+    "q55_hash_sample" -> q55,
+    "q56_stratified_sample" -> q56)
 }
