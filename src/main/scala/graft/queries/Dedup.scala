@@ -193,9 +193,63 @@ object Dedup {
        |    / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
        |ORDER BY doc1, doc2""".stripMargin)
 
+  // ------------------------------------------------------------- q35
+  // Per-language vocabulary similarity via the custom typed Aggregator
+  // [[graft.functions.MinHashUnionAgg]]: element-wise min of document
+  // signatures = signature of the union of their shingle sets, so the
+  // equal-position fraction between two groups estimates the Jaccard
+  // similarity of their combined vocabularies. Mergeable → map-side
+  // partial aggregation; the shuffle carries one 16-long array per
+  // (group × partition).
+  private val q35 = QueryDef.of(
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val mhUnion = udaf(graft.functions.MinHashUnionAgg)
+      val sigs = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("mh", expr("minhash_sig(toks)"))
+        .filter(col("mh").isNotNull)
+        .groupBy(col("lang"))
+        .agg(mhUnion(col("mh")).as("sig"))
+      val a = sigs.select(col("lang").as("lang1"), col("sig").as("sig1"))
+      val b = sigs.select(col("lang").as("lang2"), col("sig").as("sig2"))
+      a.join(b, col("lang1") < col("lang2"))
+        .select(col("lang1"), col("lang2"),
+          expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / 16.0")
+            .as("est_jaccard"))
+        .orderBy(col("lang1"), col("lang2"))
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |hs AS (
+       |  SELECT doc_id, lang, list_transform(sh,
+       |    s -> CAST('0x' || substring(md5(s), 1, 5) AS BIGINT)) AS hs
+       |  FROM sh),
+       |mhs AS (
+       |  SELECT doc_id, lang, list_transform(range(0, $K), i ->
+       |    list_min(list_transform(hs, h ->
+       |      (([$aList])[i + 1] * h + ([$bList])[i + 1]) % $P))) AS mh
+       |  FROM hs),
+       |pos AS (
+       |  SELECT lang, g.pos AS pos, min(mh[g.pos]) AS mv
+       |  FROM mhs CROSS JOIN generate_series(1, $K) AS g(pos)
+       |  GROUP BY lang, g.pos),
+       |sig AS (
+       |  SELECT lang, list(mv ORDER BY pos) AS sig FROM pos GROUP BY lang)
+       |SELECT a.lang AS lang1, b.lang AS lang2,
+       |  len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) / 16.0
+       |    AS est_jaccard
+       |FROM sig a JOIN sig b ON a.lang < b.lang
+       |ORDER BY lang1, lang2""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
     "q32_simhash" -> q32,
-    "q33_ngram_jaccard" -> q33)
+    "q33_ngram_jaccard" -> q33,
+    "q35_lang_minhash_union" -> q35)
 }
