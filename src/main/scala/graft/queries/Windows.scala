@@ -168,10 +168,51 @@ object Windows {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin)
 
+  // ------------------------------------------------------------- q36
+  // Interval (band) self-join: ordered event pairs of the same user
+  // within 5 minutes. NOT the naive same-user join + band filter (pairs
+  // within a user grow quadratically with density — dies at 100×): one
+  // side is exploded to its 3 candidate 5-min buckets and the join is
+  // EQUI on (user_id, bucket), so the shuffle key granularity bounds
+  // each comparison group to two adjacent buckets regardless of scale.
+  // A qualifying pair (|Δt| ≤ gap ⇒ buckets differ by ≤ 1) is discovered
+  // exactly once since the candidate buckets are distinct.
+  private val q36 = QueryDef.of(
+    (s, d) => {
+      val gapUs = 300000000L
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+      val a = e.select(col("user_id"), col("event_id").as("id1"),
+        col("tus").as("t1"))
+        .withColumn("bucket", expr(s"t1 div $gapUs"))
+      val b = e.select(col("user_id"), col("event_id").as("id2"),
+        col("tus").as("t2"))
+        .withColumn("bucket", explode(expr(
+          s"array(t2 div $gapUs - 1, t2 div $gapUs, t2 div $gapUs + 1)")))
+      a.join(b, Seq("user_id", "bucket"))
+        .filter(col("id1") < col("id2") &&
+          abs(col("t2") - col("t1")) <= gapUs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      |  FROM events)
+      |SELECT a.user_id, COUNT(*) AS n_pairs
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |  AND abs(b.tus - a.tus) <= 300000000
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q23_tumbling_hourly" -> q23,
     "q24_session_windows" -> q24,
     "q25_asof_join" -> q25,
     "q27_lag_lead_ntile" -> q27,
-    "q28_range_frame" -> q28)
+    "q28_range_frame" -> q28,
+    "q36_interval_join" -> q36)
 }

@@ -62,17 +62,24 @@ object InMemoryBroker extends MqttConnector {
     state(clientId).subs = topicFilters
 
   /** Deliver to every client with a matching filter; returns receivers. */
-  def publish(topic: String, payload: String): Int = {
-    val ts = clock.addAndGet(1000L) // +1ms per publish (see clock note)
+  def publish(topic: String, payload: String): Int =
+    publishAt(topic, payload, clock.addAndGet(1000L))
+
+  /** Deliver with an explicit event timestamp (µs) — lets tests inject
+    * late data (an event time behind the stream's watermark). */
+  def publishAt(topic: String, payload: String, tsMicros: Long): Int = {
     var n = 0
     clients.values.foreach { c =>
       if (c.subs.exists(matches(_, topic))) {
-        c.buf.synchronized { c.buf += Msg(topic, payload, ts) }
+        c.buf.synchronized { c.buf += Msg(topic, payload, tsMicros) }
         n += 1
       }
     }
     n
   }
+
+  /** Current logical clock (µs) — for constructing relative late events. */
+  def now(): Long = clock.get()
 
   override def fetch(clientId: String, fromSeq: Long, untilSeq: Long): Seq[Msg] = {
     val c = state(clientId)

@@ -81,6 +81,42 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data behind the watermark is dropped from windowed aggs") {
+    val cid = s"late-${System.nanoTime()}"
+    val name = s"t${cid.replace("-", "")}"
+    val src = stream(cid)
+    val agg = Ingest.parse(src).filter(col("valid"))
+      .withWatermark("receivedAt", "10 milliseconds")
+      .groupBy(window(col("receivedAt"), "1 second"), col("tableName"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("tableName"), col("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      InMemoryBroker.publish("/c/d/out/sensors/lt", """{"value":1}""")
+      q.processAllAvailable()
+      // advance event time well past the late event's window + delay
+      (1 to 30).foreach { _ =>
+        InMemoryBroker.publish("/c/d/out/sensors/other", """{"value":2}""")
+      }
+      q.processAllAvailable()
+      // now inject an event 10 SECONDS behind current event time — far
+      // behind the 10ms watermark delay → state for its window is gone
+      InMemoryBroker.publishAt("/c/d/out/sensors/lt", """{"value":3}""",
+        InMemoryBroker.now() - 10000000L)
+      q.processAllAvailable()
+      val ltCounts = spark.table(name)
+        .filter(col("tableName") === "lt")
+        .select(col("n")).collect().map(_.getLong(0)).toSeq
+      // if the late event were accepted it would emit its own (lt, 1)
+      // window update → a second row; watermark-dropped means exactly one
+      assert(ltCounts == Seq(1L),
+        s"late event must be dropped entirely, got $ltCounts")
+    } finally q.stop()
+  }
+
   test("streaming tumbling window with watermark over receivedAt") {
     val cid = s"win-${System.nanoTime()}"
     val name = s"t${cid.replace("-", "")}"
