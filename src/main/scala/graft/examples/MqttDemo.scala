@@ -81,6 +81,31 @@ object MqttDemo {
     statsQ.stop()
     spark.table("sensor_stats").show(10, truncate = false)
 
+    println("== file config-watch (reference's consul topic map) ==")
+    val cidW = "demo-watch"
+    InMemoryBroker.reset(cidW)
+    val cfg = Files.createTempFile("topics", ".json")
+    Files.writeString(cfg, """{"sensors": "/w/#"}""")
+    val watcher = new graft.streaming.TopicConfigWatcher(cfg, cidW, 50L)
+      .start()
+    val wq = spark.readStream.format("mqtt")
+      .option("clientId", cidW).option("topics", "/w/#").load()
+      .writeStream.format("memory").queryName("watch_demo")
+      .option("checkpointLocation",
+        Files.createTempDirectory("demo-ckptw").toString)
+      .start()
+    InMemoryBroker.publish("/w/1/2/3/s", "before-swap")
+    wq.processAllAvailable()
+    Files.writeString(cfg, """{"alerts": "/v/#"}""")
+    val deadline = System.currentTimeMillis() + 5000
+    while (watcher.topics.get("alerts").isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    InMemoryBroker.publish("/w/1/2/3/s", "dropped-after-swap")
+    InMemoryBroker.publish("/v/1/2/3/s", "after-swap")
+    wq.processAllAvailable()
+    wq.stop(); watcher.stop()
+    spark.table("watch_demo").select("payload").show(5, truncate = false)
+
     println("== JDBC sink (embedded Derby standing in for ClickHouse) ==")
     val dbUrl = "jdbc:derby:memory:demo;create=true"
     java.sql.DriverManager.getConnection(dbUrl).close()
