@@ -1,0 +1,77 @@
+package graft.examples
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-linearity probe: runs the two core workloads (decimal aggregation
+  * à la q01, MinHash-LSH candidate generation à la q31) at 1× and 10× the
+  * sf0.1 data (10× synthesized by unioning key-shifted copies — no files
+  * written) and prints the runtime ratios. A shuffle- or driver-bound plan
+  * shows superlinear growth; the expected profile is ~linear (10×±JIT).
+  *
+  * {{{ sbt "runMain graft.examples.ScaleStress" }}}
+  */
+object ScaleStress {
+
+  private def replicate(df: DataFrame, copies: Int, keyCol: String,
+      keyStride: Long): DataFrame =
+    df.crossJoin(broadcast(df.sparkSession.range(copies).toDF("copy")))
+      .withColumn(keyCol, col(keyCol) + col("copy") * keyStride)
+      .drop("copy")
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    VectorFunctions.register(spark)
+
+    def aggRun(li: DataFrame): Long =
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("rev"),
+          count(lit(1)).as("n"))
+        .collect().map(_.getAs[Long]("n")).sum
+
+    def lshRun(docs: DataFrame): Long =
+      docs.withColumn("toks", split(col("text"), " "))
+        .withColumn("mh", expr("minhash_sig(toks)"))
+        .filter(col("mh").isNotNull)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  concat_ws(',', slice(mh, b * 4 + 1, 4)))""".stripMargin))
+          .as("bkey"))
+        .groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).count()
+
+    val li1 = Tables.lineitem(spark, sfDir)
+    val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
+    val d1 = Tables.documents(spark, sfDir)
+    val d10 = replicate(d1, 10, "doc_id", 1000000000L)
+
+    aggRun(li1); lshRun(d1) // warm up JIT + file listing
+
+    val (aggT1, aggN1) = time(aggRun(li1))
+    val (aggT10, aggN10) = time(aggRun(li10))
+    val (lshT1, _) = time(lshRun(d1))
+    val (lshT10, _) = time(lshRun(d10))
+
+    println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
+      f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
+      f""""lsh_1x_s":$lshT1%.2f,"lsh_10x_s":$lshT10%.2f,"lsh_ratio":${lshT10 / lshT1}%.1f}""")
+    spark.stop()
+  }
+}
