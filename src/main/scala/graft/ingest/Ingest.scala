@@ -60,20 +60,34 @@ object Ingest {
       .withColumn("device", get(parts, lit(2)))
       .withColumn("value_type", valueType(col("payload")))
       .withColumn("value_raw", get_json_object(col("payload"), "$.value"))
+      // try_cast, not cast: the type regex can misfire on a payload whose
+      // NESTED key is numeric while the top-level "value" is a string —
+      // under ANSI (Spark 4 default) a plain cast would then throw and
+      // kill the query, recreating the reference's poison-halt. try_cast
+      // yields null and the row flows to rejected instead.
       .withColumn("value_d",
-        when(col("value_type") === "Float64", col("value_raw").cast("double")))
+        when(col("value_type") === "Float64",
+          expr("try_cast(value_raw AS double)")))
       .withColumn("value_s",
         when(col("value_type") === "String", col("value_raw")))
-      .withColumn("valid",
+      // coalesce(false): a NULL topic makes topicValid NULL, and a
+      // NULL `valid` would vanish from BOTH records() and rejected()
+      .withColumn("valid", coalesce(
         topicValid(col("topic")) && col("value_type").isNotNull &&
-          col("value_raw").isNotNull)
+          col("value_raw").isNotNull &&
+          (col("value_type") =!= "Float64" || col("value_d").isNotNull),
+        lit(false)))
       .drop("value_raw")
   }
 
   /** F5 — valid, fully-parsed records (the reference's `CreateRecordData`
     * success path, /root/reference/message/message.go:128-147). */
-  def records(df: DataFrame): DataFrame =
-    parse(df).filter(col("valid"))
+  def records(df: DataFrame): DataFrame = recordsOfParsed(parse(df))
+
+  /** records() over an already-[[parse]]d frame — lets callers that need
+    * both outputs (streaming foreachBatch) parse once. */
+  def recordsOfParsed(parsed: DataFrame): DataFrame =
+    parsed.filter(col("valid"))
       .select("tableName", "client", "device",
         "value_type", "value_d", "value_s")
 
@@ -82,10 +96,16 @@ object Ingest {
     * Reason precedence mirrors the reference's check order: topic first
     * (message.go:131), then required-key presence (message.go:72-75), then
     * value-type support (message.go:105-118). */
-  def rejected(df: DataFrame): DataFrame =
-    parse(df).filter(!col("valid"))
+  def rejected(df: DataFrame): DataFrame = rejectedOfParsed(parse(df))
+
+  /** rejected() over an already-[[parse]]d frame. */
+  def rejectedOfParsed(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("valid"))
       .withColumn("reason",
-        when(!topicValid(col("topic")), lit("invalid_topic"))
+        // coalesce: a NULL topic makes the predicate NULL; classify it
+        // as invalid_topic, not fall-through
+        when(coalesce(!topicValid(col("topic")), lit(true)),
+          lit("invalid_topic"))
           .when(!col("payload").contains("\"value\""), lit("missing_value"))
           .when(col("value_type").isNull, lit("unsupported_value_type"))
           .otherwise(lit("null_value")))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, SimHash}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, SimHash, VecNorm}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(tokens) - 16-bit SimHash over distinct tokens"),
       (exprs: Seq[Expression]) => SimHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a float vector"),
+      (exprs: Seq[Expression]) => VecNorm(exprs.head)))
   }
 }

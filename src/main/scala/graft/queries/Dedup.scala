@@ -32,10 +32,14 @@ object Dedup {
   private val aList = As.mkString(", ")
   private val bList = Bs.mkString(", ")
 
-  /** 3-token shingles → 20-bit hashes, as one Spark SQL expression chain. */
+  /** 3-token shingles → 20-bit hashes, as one Spark SQL expression chain.
+    * Guarded for <3 tokens: Spark's sequence(0, n) runs DESCENDING when
+    * n < 0, which would index toks[-1] (an ANSI error). */
   private val shinglesExpr =
-    """transform(sequence(0, size(toks) - 3),
-      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin
+    """CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(0, size(toks) - 3),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |ELSE array() END""".stripMargin
   private val hashExpr =
     "transform(sh, s -> cast(conv(substring(md5(s), 1, 5), 16, 10) as bigint))"
   private val minhashExpr =

@@ -64,6 +64,21 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
   override def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(s"$root/$table")
 
+  /** Inverse of Spark's partition-path escaping: %XX sequences only.
+    * NOT URLDecoder — that also maps '+' to space, silently splitting a
+    * table named "a+b" into a phantom directory "a b". */
+  private def unescapePartitionName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** One dynamic-partitioned write job for ALL tables in the slice, then
     * per-file renames from the staging dir into each table dir (parquet
     * part-file names carry a write UUID, so moves can't collide). */
@@ -74,8 +89,8 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
       .mode(SaveMode.Overwrite).parquet(staging.toString)
     Option(staging.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("tableName=")).foreach { pdir =>
-        val table = java.net.URLDecoder.decode(
-          pdir.getName.stripPrefix("tableName="), "UTF-8")
+        val table = unescapePartitionName(
+          pdir.getName.stripPrefix("tableName="))
         val dest = new java.io.File(rootDir, table)
         dest.mkdirs()
         pdir.listFiles().filter(_.getName.endsWith(".parquet"))

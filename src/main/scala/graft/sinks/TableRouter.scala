@@ -5,10 +5,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Per-batch routing outcome (observability; the reference logs and dies
-  * instead — /root/reference/main.go:21-31). */
+  * instead — /root/reference/main.go:21-31). `alreadyCommitted` = this
+  * batch id was appended by a previous run (crash replay) and was skipped
+  * — side outputs must not re-append either. */
 final case class RouteStats(
     appended: Map[String, Long],
-    rejectedSchema: Map[String, Long])
+    rejectedSchema: Map[String, Long],
+    alreadyCommitted: Boolean = false)
 
 /** W2 — table router / demultiplexer (reference `Recording`,
   * /root/reference/db/db.go:147-205), run driver-side inside
@@ -30,7 +33,8 @@ final case class RouteStats(
   * (/root/reference/message/message_test.go:177-198).
   */
 final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
-    appendParallelism: Int = 4) {
+    appendParallelism: Int = 4,
+    schemaRejectSink: Option[DataFrame => Unit] = None) {
 
   /** W1 — seed the registry from the physical catalog at startup
     * (reference `LoadTables`, /root/reference/db/db.go:117-135). */
@@ -52,7 +56,7 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
     * query restarts for catalogs that record commits. */
   def routeBatch(batch: DataFrame, batchId: Long = -1L): RouteStats = {
     if (batchId >= 0 && catalog.batchCommitted(batchId))
-      return RouteStats(Map.empty, Map.empty)
+      return RouteStats(Map.empty, Map.empty, alreadyCommitted = true)
     val recs = batch.persist()
     try {
       // (tableName, value_type) -> count; tiny, driver-side by design.
@@ -134,6 +138,19 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
         }
         Await.result(Future.sequence(futures), Duration.Inf)
       } finally pool.shutdown()
+
+      // schema-mismatched slices go to the configured side output —
+      // "rejected" must mean visible, not silently counted away
+      if (rejected.nonEmpty) schemaRejectSink.foreach { sink =>
+        val mismatchKeys = hist.filter { case (table, vt, _) =>
+          registry.get(table).exists(cols =>
+            registry.checkValid(cols, colsFor(vt)).isDefined)
+        }.map { case (table, vt, _) => (table, vt) }
+        val cond = mismatchKeys.map { case (t, vt) =>
+          col("tableName") === t && col("value_type") === vt
+        }.reduce(_ || _)
+        sink(recs.filter(cond))
+      }
 
       if (batchId >= 0) catalog.commitBatch(batchId)
       RouteStats(appended.synchronized(appended.toMap), rejected.toMap)

@@ -61,6 +61,12 @@ object InMemoryBroker extends MqttConnector {
   override def setSubscriptions(clientId: String, topicFilters: Seq[String]): Unit =
     state(clientId).subs = topicFilters
 
+  /** Does the client already have an active subscription set? Used by the
+    * source on query (re)start to avoid reverting a dynamic reconfigure
+    * with the stale original `topics` option. */
+  def hasSubscriptions(clientId: String): Boolean =
+    clients.get(clientId).exists(_.subs.nonEmpty)
+
   /** Deliver to every client with a matching filter; returns receivers. */
   def publish(topic: String, payload: String): Int =
     publishAt(topic, payload, clock.addAndGet(1000L))

@@ -70,7 +70,11 @@ final class MqttTable(options: CaseInsensitiveStringMap)
         val topics = Option(opts.get("topics"))
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
-        InMemoryBroker.setSubscriptions(clientId, topics)
+        // Apply the option set only on FIRST connect: a query restart
+        // re-runs this with the original (possibly stale) option string,
+        // which must not revert a later dynamic reconfigure().
+        if (!InMemoryBroker.hasSubscriptions(clientId))
+          InMemoryBroker.setSubscriptions(clientId, topics)
         new MqttMicroBatchStream(clientId)
       }
     }

@@ -68,11 +68,14 @@ object IngestPipeline {
         // The MQTT source is one ordered feed → one input partition;
         // scatter before the parse so the chain runs on all cores
         // (order is irrelevant once rows are routed by tableName).
-        val raw = batch.select("topic", "payload")
-          .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+        // Parse ONCE and persist — records, rejected, and the strict
+        // check all derive from the parsed frame without re-running the
+        // regex/JSON chain per consumer.
+        val parsed = Ingest.parse(batch.select("topic", "payload")
+            .repartition(batch.sparkSession.sparkContext.defaultParallelism))
           .persist()
         try {
-          val rej = Ingest.rejected(raw)
+          val rej = Ingest.rejectedOfParsed(parsed)
           if (strictPoisonStop) {
             // strict-compat: reference halts on the first bad message
             val bad = rej.limit(1).collect()
@@ -81,12 +84,15 @@ object IngestPipeline {
                 s"poison message on topic '${bad.head.getAs[String]("topic")}'" +
                   s": ${bad.head.getAs[String]("reason")}")
           }
-          router.routeBatch(Ingest.records(raw), batchId)
-          rejectedDir.foreach { dir =>
+          val stats =
+            router.routeBatch(Ingest.recordsOfParsed(parsed), batchId)
+          // skip side outputs when replaying an already-committed batch —
+          // they would duplicate while the data path stays exactly-once
+          if (!stats.alreadyCommitted) rejectedDir.foreach { dir =>
             if (!rej.isEmpty)
               rej.write.mode("append").parquet(dir)
           }
-        } finally { raw.unpersist(); () }
+        } finally { parsed.unpersist(); () }
       }
       .start()
   }

@@ -23,7 +23,6 @@ final class TopicConfigWatcher(path: Path, clientId: String,
     pollMillis: Long = 200L) {
 
   private val running = new AtomicBoolean(false)
-  @volatile private var lastModified = -1L
   @volatile private var current: Map[String, String] = Map.empty
   private var thread: Thread = _
 
@@ -40,14 +39,13 @@ final class TopicConfigWatcher(path: Path, clientId: String,
   def topics: Map[String, String] = current
 
   private def applyIfChanged(): Unit = {
-    val mtime = Files.getLastModifiedTime(path).toMillis
-    if (mtime != lastModified) {
-      lastModified = mtime
-      val parsed = parseTopicMap(Files.readString(path))
-      if (parsed != current) {
-        current = parsed
-        MqttSource.reconfigure(clientId, parsed.values.toSeq.sorted)
-      }
+    // content comparison, not mtime: two writes inside one filesystem
+    // timestamp tick would make an mtime gate serve stale config forever;
+    // the file is a small topic map, re-reading per poll is cheap
+    val parsed = parseTopicMap(Files.readString(path))
+    if (parsed != current) {
+      current = parsed
+      MqttSource.reconfigure(clientId, parsed.values.toSeq.sorted)
     }
   }
 

@@ -85,6 +85,27 @@ class IngestSpec extends AnyFunSuite {
     assert(rej.find(_._2 == "invalid_topic").isDefined)
   }
 
+  test("nested numeric 'value' with top-level string is rejected, not a crash") {
+    // the type regex can match the NESTED "value": 1 → Float64; the
+    // top-level value is "open" which must NOT ansi-crash the cast
+    val rej = rejectedOf(
+      (goodTopic, """{"meta":{"value": 1},"value":"open"}"""))
+      .collect()
+    assert(rej.length == 1)
+    assert(rej.head.getAs[String]("reason") == "null_value")
+    assert(recordsOf(
+      (goodTopic, """{"meta":{"value": 1},"value":"open"}""")).count() == 0)
+  }
+
+  test("null topic goes to rejected as invalid_topic (not silently lost)") {
+    val rows = Seq((null.asInstanceOf[String], """{"value":1}"""))
+    val df = rows.toDF("topic", "payload")
+    assert(Ingest.records(df).count() == 0)
+    val rej = Ingest.rejected(df).collect()
+    assert(rej.length == 1)
+    assert(rej.head.getAs[String]("reason") == "invalid_topic")
+  }
+
   test("records/rejected partition the input") {
     val rows = Seq(
       (goodTopic, goodPayload),

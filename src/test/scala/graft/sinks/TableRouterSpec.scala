@@ -93,6 +93,29 @@ class TableRouterSpec extends AnyFunSuite {
     }
   }
 
+  test("schema-mismatch rows reach the configured reject sink") {
+    val root = Files.createTempDirectory("graft-wh").toString
+    val catalog = new WarehouseCatalog(spark, root)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[String]
+    val router = new TableRouter(new SchemaRegistry, catalog,
+      schemaRejectSink = Some(df =>
+        collected ++= df.select("tableName").collect().map(_.getString(0))))
+    router.routeBatch(batchOf(
+      ("/c/d/out/sensors/mm", """{"value":1.0}""")))
+    val stats = router.routeBatch(batchOf(
+      ("/c/d/out/sensors/mm", """{"value":"oops"}""")))
+    assert(stats.rejectedSchema == Map("mm" -> 1L))
+    assert(collected.toSeq == Seq("mm"))
+  }
+
+  test("table names with '+' survive the routed-append path") {
+    val (router, _, catalog) = freshRouter()
+    router.routeBatch(batchOf(
+      ("/c/d/out/sensors/a+b", """{"value":4.5}""")))
+    assert(catalog.read("a+b").head().getAs[Double]("value") == 4.5)
+    assert(catalog.listTables().contains("a+b"))
+  }
+
   test("bootstrap seeds registry from existing warehouse (W1)") {
     val (router, _, catalog) = freshRouter()
     router.routeBatch(batchOf(

@@ -45,6 +45,33 @@ class MqttSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("query restart does not revert a dynamic reconfigure") {
+    val cid = s"rst-${System.nanoTime()}"
+    InMemoryBroker.reset(cid)
+    InMemoryBroker.setSubscriptions(cid, Seq("/a/#"))
+    // fresh checkpoints (memory sink can't recover one); the bug under
+    // test is option re-application on any NEW query for the client
+    def newQuery(n: String) = spark.readStream.format("mqtt")
+      .option("clientId", cid).option("topics", "/a/#").load()
+      .writeStream.format("memory").queryName(n)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck").toString).start()
+    val q1 = newQuery(s"a${cid.replace("-", "")}")
+    InMemoryBroker.publish("/a/1/2/3/s", "x")
+    q1.processAllAvailable(); q1.stop()
+    MqttSource.reconfigure(cid, Seq("/b/#")) // dynamic swap while stopped
+    val q2 = newQuery(s"b${cid.replace("-", "")}") // restart w/ stale option
+    try {
+      InMemoryBroker.publish("/a/1/2/3/s", "stale") // must NOT arrive
+      InMemoryBroker.publish("/b/1/2/3/s", "fresh")
+      q2.processAllAvailable()
+      val got = spark.table(s"b${cid.replace("-", "")}")
+        .select("payload").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("fresh", "x"),
+        s"restart must keep the reconfigured subscriptions, got $got")
+    } finally q2.stop()
+  }
+
   test("subscription swap applies between micro-batches (no loss window)") {
     val cid = s"swap-${System.nanoTime()}"
     InMemoryBroker.reset(cid)
