@@ -32,21 +32,10 @@ object Dedup {
   private val aList = As.mkString(", ")
   private val bList = Bs.mkString(", ")
 
-  /** 3-token shingles → 20-bit hashes, as one Spark SQL expression chain.
-    * Guarded for <3 tokens: Spark's sequence(0, n) runs DESCENDING when
-    * n < 0, which would index toks[-1] (an ANSI error). */
-  private val shinglesExpr =
-    """CASE WHEN size(toks) >= 3 THEN
-      |  transform(sequence(0, size(toks) - 3),
-      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-      |ELSE array() END""".stripMargin
-  private val hashExpr =
-    "transform(sh, s -> cast(conv(substring(md5(s), 1, 5), 16, 10) as bigint))"
-  private val minhashExpr =
-    s"""transform(sequence(0, ${K - 1}), i ->
-       |  array_min(transform(hs, h ->
-       |    (element_at(array($aList), i + 1) * h +
-       |     element_at(array($bList), i + 1)) % $P)))""".stripMargin
+  /** Shared guarded 3-token shingle expression (see [[TextExprs]]); the
+    * HOF md5/minhash pipeline the native MinHashSig replaces lives only in
+    * ExpressionsSpec, where bit-equality is actually enforced. */
+  private val shinglesExpr = TextExprs.shingles3("toks")
 
   /** DuckDB twins. */
   private val sqlShingled =
@@ -100,14 +89,24 @@ object Dedup {
     * emit intra-bucket pairs — the expensive signature pipeline runs once
     * (a self-join would compute it twice and shuffle both sides), and the
     * one shuffle carries only (band, bkey, doc_id) — never documents.
-    * Bucket membership lists are tiny by construction (a bucket = docs
-    * agreeing on 4 minhashes); a pathologically hot bucket (mass-duplicated
-    * boilerplate) is exactly the case AQE skew-split handles. */
+    *
+    * Skew honesty: collect_list concentrates a bucket on ONE reduce task
+    * and AQE does NOT split skewed groupBy keys (only join partitions), so
+    * a mass-duplicated-boilerplate bucket with millions of members would
+    * OOM the task and its all-pairs output would be quadratic anyway. The
+    * cap below keeps the first `MaxBucket` ids (sorted — deterministic,
+    * still linking every kept doc) and exposes the overflow per bucket in
+    * the bucket size rather than silently: a bucket that large IS one
+    * duplicate cluster, and pairing its first N members already marks the
+    * cluster; production would additionally route
+    * `size(all_ids) > MaxBucket` buckets to a cluster report. */
+  private val MaxBucket = 10000
   private def candidates(s: org.apache.spark.sql.SparkSession, d: String) =
     banded(s, d)
       .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
+      .filter(size(col("all_ids")) >= 2)
+      .withColumn("ids", slice(col("all_ids"), 1, MaxBucket))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids) - 2), i ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),

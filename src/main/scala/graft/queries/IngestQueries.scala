@@ -34,6 +34,12 @@ object IngestQueries {
             concat(lit("{\"timestamp\":\"2024-01-01T00:00:00Z\",\"value\":"),
               col("value").cast("string"), lit("}")))
           .when(col("event_id") % 7 === 3, lit("{\"value\":true}"))
+          // nested numeric "value" + top-level string: the type regex
+          // misfires to Float64 and the castability guard must reject
+          // (the poison-crash path fixed in Ingest.parse)
+          .when(col("event_id") % 7 === 4,
+            concat(lit("{\"nested\":{\"value\":9},\"value\":\""),
+              col("event_type"), lit("\"}")))
           .otherwise(concat(lit("{\"value\":"), col("value").cast("string"),
             lit("}"))))
       .select(col("event_id"), col("topic"), col("payload"))
@@ -51,6 +57,7 @@ object IngestQueries {
       |      WHEN event_id % 7 = 1 THEN '{"value":"' || event_type || '"}'
       |      WHEN event_id % 7 = 2 THEN '{"timestamp":"2024-01-01T00:00:00Z","value":' || CAST("value" AS VARCHAR) || '}'
       |      WHEN event_id % 7 = 3 THEN '{"value":true}'
+      |      WHEN event_id % 7 = 4 THEN '{"nested":{"value":9},"value":"' || event_type || '"}'
       |      ELSE '{"value":' || CAST("value" AS VARCHAR) || '}'
       |    END AS payload
       |  FROM events),
@@ -73,10 +80,12 @@ object IngestQueries {
       |  SELECT event_id, topic, payload,
       |    parts[-1] AS tableName, parts[2] AS client, parts[3] AS device,
       |    value_type,
-      |    CASE WHEN value_type = 'Float64' THEN CAST(value_raw AS DOUBLE) END AS value_d,
+      |    CASE WHEN value_type = 'Float64' THEN TRY_CAST(value_raw AS DOUBLE) END AS value_d,
       |    CASE WHEN value_type = 'String' THEN value_raw END AS value_s,
       |    (starts_with(topic, '/') AND len(parts) >= 5
-      |      AND value_type IS NOT NULL AND value_raw IS NOT NULL) AS valid
+      |      AND value_type IS NOT NULL AND value_raw IS NOT NULL
+      |      AND (value_type <> 'Float64'
+      |           OR TRY_CAST(value_raw AS DOUBLE) IS NOT NULL)) AS valid
       |  FROM parsed)
       |""".stripMargin
 
@@ -124,7 +133,9 @@ object IngestQueries {
         |  COUNT(*) AS n
         |FROM (SELECT topic, payload, parts, value_type, value_raw,
         |        (starts_with(topic, '/') AND len(parts) >= 5
-        |          AND value_type IS NOT NULL AND value_raw IS NOT NULL) AS valid
+        |          AND value_type IS NOT NULL AND value_raw IS NOT NULL
+        |          AND (value_type <> 'Float64'
+        |               OR TRY_CAST(value_raw AS DOUBLE) IS NOT NULL)) AS valid
         |      FROM parsed)
         |WHERE NOT valid
         |GROUP BY 1

@@ -27,3 +27,17 @@ object QueryDef {
   def noOracle(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(fn, None)
 }
+
+/** Shared text-expression fragments used by more than one query module —
+  * single definition so semantics can't drift between the dedup pipeline
+  * and the fingerprinting path. */
+object TextExprs {
+  /** Rolling 3-token shingles over a tokens column. Guarded for <3 tokens:
+    * Spark's sequence(0, n) runs DESCENDING when n < 0, which would index
+    * toks[-1] — an error under ANSI mode (Spark 4 default). */
+  def shingles3(toksCol: String): String =
+    s"""CASE WHEN size($toksCol) >= 3 THEN
+       |  transform(sequence(0, size($toksCol) - 3),
+       |    i -> concat_ws(' ', $toksCol[i], $toksCol[i+1], $toksCol[i+2]))
+       |ELSE array() END""".stripMargin
+}

@@ -175,18 +175,14 @@ object Similarity {
       val probes = e.filter(col("vec_id") < 20).select(
         col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("emb_norm").as("probe_norm"), col("bucket"))
-      import org.apache.spark.sql.expressions.Window
-      e.join(broadcast(probes), Seq("bucket"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("score", expr(
-          "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("probe_id"))
-            .orderBy(col("score").desc, col("vec_id"))))
-        .filter(col("rank") <= 5)
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          col("score"), col("rank"))
-        .orderBy(col("probe_id"), col("rank"))
+      topK(
+        e.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("score", expr(
+            "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("score")),
+        5)
     },
     s"""WITH bucketed AS (
        |  SELECT vec_id, embedding,

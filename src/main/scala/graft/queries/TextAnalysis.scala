@@ -129,14 +129,10 @@ object TextAnalysis {
   private val q53 = QueryDef.of(
     (s, d) => Tables.documents(s, d)
       .withColumn("tokens", split(col("text"), " "))
-      // guarded: sequence(0, n<0) descends and indexes tokens[-1] (ANSI
-      // error) — short docs get an empty shingle set (null fingerprint,
-      // matching the oracle's empty range)
-      .withColumn("shingles", expr(
-        """CASE WHEN size(tokens) >= 3 THEN
-          |  transform(sequence(0, size(tokens) - 3),
-          |    i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
-          |ELSE array() END""".stripMargin))
+      // shared guarded shingle expression — same shingles as the dedup
+      // pipeline by construction (TextExprs.shingles3); short docs get an
+      // empty set → null fingerprint, matching the oracle's empty range
+      .withColumn("shingles", expr(TextExprs.shingles3("tokens")))
       .select(col("doc_id"),
         expr("array_min(transform(shingles, s -> md5(s)))")
           .as("fingerprint"))
