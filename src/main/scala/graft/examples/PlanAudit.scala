@@ -54,7 +54,7 @@ object PlanAudit {
           "nation+region must broadcast")),
       "q40_ann_bruteforce" -> Seq(
         Check("codegen-scoring", p =>
-          p.contains("cosine_sim") &&
+          (p.contains("dot_product") || p.contains("cosine_sim")) &&
             "Project \\[codegen id".r.findFirstIn(p).isDefined,
           "scoring kernel must stay inside codegen"),
         Check("broadcast-probes", p =>

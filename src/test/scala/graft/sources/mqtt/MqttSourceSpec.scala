@@ -72,6 +72,34 @@ class MqttSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("union of two mqtt sources: the documented multi-broker scale-out") {
+    val c1 = s"u1-${System.nanoTime()}"
+    val c2 = s"u2-${System.nanoTime()}"
+    // shard by topic prefix: each "broker connection" owns one shard
+    InMemoryBroker.reset(c1); InMemoryBroker.reset(c2)
+    InMemoryBroker.setSubscriptions(c1, Seq("/s1/#"))
+    InMemoryBroker.setSubscriptions(c2, Seq("/s2/#"))
+    def src(c: String, t: String) = spark.readStream.format("mqtt")
+      .option("clientId", c).option("topics", t).load()
+    val name = s"u${c1.replace("-", "")}"
+    val q = src(c1, "/s1/#").union(src(c2, "/s2/#"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // shard messages across "brokers"; union must see both feeds
+      InMemoryBroker.publishAt("/s1/a/b/c/x", "from-shard-1",
+        InMemoryBroker.now() + 1)
+      InMemoryBroker.publishAt("/s2/a/b/c/x", "from-shard-2",
+        InMemoryBroker.now() + 2)
+      q.processAllAvailable()
+      val got = spark.table(name).select("payload")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("from-shard-1", "from-shard-2"))
+    } finally q.stop()
+  }
+
   test("subscription swap applies between micro-batches (no loss window)") {
     val cid = s"swap-${System.nanoTime()}"
     InMemoryBroker.reset(cid)
