@@ -249,10 +249,46 @@ object Dedup {
        |FROM sig a JOIN sig b ON a.lang < b.lang
        |ORDER BY lang1, lang2""".stripMargin)
 
+  // ------------------------------------------------------------- q37
+  // Edit-distance verification of the LSH candidates: character-level
+  // Levenshtein (identical definitions in Spark and DuckDB) as a second,
+  // independent near-dup signal alongside q33's shingle Jaccard. Runs
+  // only on the ~10^-6 candidate fraction — O(len²) per pair is fine
+  // there and nowhere else.
+  private val q37 = QueryDef.of(
+    (s, d) => {
+      val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val a = texts.withColumnsRenamed(Map("doc_id" -> "doc1", "text" -> "t1"))
+      val b = texts.withColumnsRenamed(Map("doc_id" -> "doc2", "text" -> "t2"))
+      // Levenshtein is O(len²) per pair — cap at a 500-char prefix (the
+      // standard bounded-cost practice; near-dups diverge early anyway)
+      candidates(s, d).join(a, "doc1").join(b, "doc2")
+        .withColumn("p1", substring(col("t1"), 1, 500))
+        .withColumn("p2", substring(col("t2"), 1, 500))
+        .select(col("doc1"), col("doc2"),
+          levenshtein(col("p1"), col("p2")).cast("bigint").as("edit_dist"),
+          (levenshtein(col("p1"), col("p2")).cast("double") /
+            greatest(length(col("p1")), length(col("p2"))))
+            .as("edit_ratio"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    s"""$sqlShingled,
+       |$sqlMinhash
+       |SELECT doc1, doc2,
+       |  levenshtein(substring(a.text, 1, 500), substring(b.text, 1, 500)) AS edit_dist,
+       |  CAST(levenshtein(substring(a.text, 1, 500), substring(b.text, 1, 500)) AS DOUBLE)
+       |    / greatest(length(substring(a.text, 1, 500)),
+       |               length(substring(b.text, 1, 500))) AS edit_ratio
+       |FROM cand
+       |JOIN documents a ON cand.doc1 = a.doc_id
+       |JOIN documents b ON cand.doc2 = b.doc_id
+       |ORDER BY doc1, doc2""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
     "q32_simhash" -> q32,
     "q33_ngram_jaccard" -> q33,
-    "q35_lang_minhash_union" -> q35)
+    "q35_lang_minhash_union" -> q35,
+    "q37_edit_distance" -> q37)
 }

@@ -497,11 +497,48 @@ object Relational {
       |FROM i FULL OUTER JOIN e ON i.k = e.k
       |ORDER BY k""".stripMargin)
 
+  // ---------------------------------------------------------------- q38
+  // Correlated-subquery pattern: customers above their nation's average
+  // balance. Spark-first form is a window average (one shuffle on the
+  // correlation key — what a decorrelated subquery plans to anyway);
+  // the oracle keeps the literal correlated subquery, independently
+  // validating the decorrelation.
+  private val q38 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+      customer(s, d)
+        // exact decimal SUM cast to double, THEN double-divide: decimal
+        // division itself rounds differently across engines
+        .withColumn("nation_avg",
+          sum(dec(col("c_acctbal"))).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double"))
+        .filter(col("c_acctbal").cast("decimal(12,2)").cast("double") >
+          col("nation_avg"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          D(dec(col("c_acctbal"))).as("acctbal"), col("nation_avg"))
+        .orderBy(col("c_custkey"))
+    },
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+      |  CAST((SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+      |        FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey) AS DOUBLE)
+      |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM customer c3
+      |       WHERE c3.c_nationkey = c1.c_nationkey) AS nation_avg
+      |FROM customer c1
+      |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) >
+      |  CAST((SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+      |        FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey) AS DOUBLE)
+      |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM customer c3
+      |       WHERE c3.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_approx_quantiles" -> q19,
     "q26_cube" -> q26,
     "q29_pivot" -> q29,
     "q29b_multiset_ops" -> q29b,
+    "q38_correlated_subquery" -> q38,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_top_revenue_orders" -> q03,
