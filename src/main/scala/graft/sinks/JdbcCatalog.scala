@@ -31,7 +31,7 @@ object ClickHouseDialect extends SqlDialect {
 /** Derby (test) dialect. Derby has no CREATE TABLE IF NOT EXISTS; the
   * X0Y32 duplicate-object state is swallowed instead. */
 object DerbyDialect extends SqlDialect {
-  private val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private val ident = "^[A-Za-z0-9_][A-Za-z0-9_-]*$".r
   override def quote(name: String): String = name match {
     case ident() => "\"" + name + "\""
     case _ => throw new IllegalArgumentException(
@@ -88,7 +88,15 @@ final class JdbcCatalog(connect: () => Connection, dialect: SqlDialect)
   }
 
   override def describe(table: String): Seq[ColumnDef] = withConn { c =>
-    val rs = c.getMetaData.getColumns(null, null, table, "%")
+    // getColumns' table argument is a LIKE pattern: an unescaped '_' in a
+    // sensor name ('temp_1') would also match 'tempX1' and merge columns
+    // from unrelated tables into the registry schema
+    val esc = c.getMetaData.getSearchStringEscape
+    val literal = table
+      .replace(esc, esc + esc)
+      .replace("_", esc + "_")
+      .replace("%", esc + "%")
+    val rs = c.getMetaData.getColumns(null, null, literal, "%")
     val out = scala.collection.mutable.ArrayBuffer.empty[ColumnDef]
     while (rs.next())
       out += ColumnDef(rs.getString("COLUMN_NAME"),

@@ -99,12 +99,13 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
               throw new java.io.IOException(s"move failed: $f")
           }
       }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
     rm(staging)
     true
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete(); ()
   }
 
   // batch-commit markers: root/_batches/<id>. Marker written after all
@@ -130,10 +131,13 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
   def read(table: String): DataFrame = spark.read.parquet(s"$root/$table")
 
   /** Streaming appends produce one file per partition per micro-batch;
-    * periodic compaction rewrites a table to `targetFiles` files. Write to
-    * a sibling temp dir, then swap — readers between the two renames see
-    * either the old or the new complete file set, never a partial one
-    * (single-writer assumption, same as the append path). */
+    * periodic compaction rewrites a table to `targetFiles` files.
+    *
+    * MAINTENANCE OPERATION — run while the table is quiescent (no
+    * concurrent appends or reads): the two-rename swap has a brief window
+    * where the table directory is absent, and a crash inside it leaves
+    * the data in `.old-<table>` for manual recovery (a table format with
+    * a commit log is the production answer for online compaction). */
   def compact(table: String, targetFiles: Int = 1): Unit = {
     val dir = new java.io.File(s"$root/$table")
     require(dir.isDirectory, s"no such table: $table")
@@ -145,12 +149,10 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
     if (!dir.renameTo(old))
       throw new java.io.IOException(s"compact: cannot move $dir aside")
     if (!tmp.renameTo(dir)) {
-      old.renameTo(dir) // roll back
-      throw new java.io.IOException(s"compact: cannot activate $tmp")
-    }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
+      val rolledBack = old.renameTo(dir)
+      throw new java.io.IOException(s"compact: cannot activate $tmp" +
+        (if (rolledBack) " (rolled back)"
+         else s" AND ROLLBACK FAILED — data is in $old"))
     }
     rm(old)
   }
@@ -168,7 +170,11 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
   * through the topic string — /root/reference/db/db.go:233, :259-262;
   * deviation §4.3). */
 object ClickHouseSql {
-  private val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  // hyphens + leading digits are fine under backtick quoting and routine
+  // in MQTT sensor names; everything else (quotes, spaces, dots, control
+  // chars) is refused — the router's name policy rejects those upstream,
+  // this is defense in depth
+  private val ident = "^[A-Za-z0-9_][A-Za-z0-9_-]*$".r
 
   def quoteIdent(name: String): String = name match {
     case ident() => "`" + name + "`"

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
 final case class RouteStats(
     appended: Map[String, Long],
     rejectedSchema: Map[String, Long],
+    rejectedName: Map[String, Long] = Map.empty,
     alreadyCommitted: Boolean = false)
 
 /** W2 — table router / demultiplexer (reference `Recording`,
@@ -37,16 +38,51 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
     schemaRejectSink: Option[DataFrame => Unit] = None) {
 
   /** W1 — seed the registry from the physical catalog at startup
-    * (reference `LoadTables`, /root/reference/db/db.go:117-135). */
+    * (reference `LoadTables`, /root/reference/db/db.go:117-135).
+    * Per-table failures (e.g. an empty directory left by a crash mid-
+    * append) are logged and skipped — a broken table must not wedge
+    * startup into a crash loop. */
   def bootstrap(): Unit =
     catalog.listTables().foreach { t =>
-      registry.put(t, catalog.describe(t))
+      try {
+        val cols = catalog.describe(t)
+        if (cols.nonEmpty) registry.put(t, cols)
+      } catch { case e: Exception =>
+        System.err.println(s"[router] bootstrap skipping '$t': ${e.getMessage}")
+      }
     }
+
+  /** Was this streaming batch already fully appended by a previous run?
+    * Lets the pipeline order its side outputs around the commit point. */
+  def isCommitted(batchId: Long): Boolean =
+    batchId >= 0 && catalog.batchCommitted(batchId)
+
+  // shared bounded pool for append jobs — routeBatch runs per micro-batch
+  // and must not churn a fresh thread pool on the hot path
+  private lazy val appendPool =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, appendParallelism),
+      (r: Runnable) => {
+        val t = new Thread(r, "router-append"); t.setDaemon(true); t
+      })
 
   private def colsFor(chType: String): Seq[ColumnDef] = Seq(
     ColumnDef("client", "String"),
     ColumnDef("device", "String"),
     ColumnDef("value", chType))
+
+  /** Table-name policy, enforced at the single choke point before any
+    * physical layer sees the name. The topic's last segment is attacker-
+    * controllable; without this, '..' traverses the warehouse root,
+    * '_'/'.' prefixes create directories invisible to bootstrap, and
+    * SQL-identifier validation deep in the JDBC dialect would THROW from
+    * foreachBatch — killing the query on the first exotic sensor name
+    * (the reference's poison-halt again). Hyphens are allowed: they are
+    * routine in MQTT sensor names and safe under quoted identifiers.
+    * Invalid names are counted + routed to the reject sink instead. */
+  private val validName = "^[A-Za-z0-9][A-Za-z0-9_-]{0,127}$".r
+  private[sinks] def tableNameOk(name: String): Boolean =
+    name != null && validName.pattern.matcher(name).matches()
 
   /** Route one micro-batch of parsed records (output of
     * [[graft.ingest.Ingest.records]]).
@@ -67,12 +103,15 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
 
       val appended = scala.collection.mutable.Map.empty[String, Long]
       val rejected = scala.collection.mutable.Map.empty[String, Long]
+      val badNames = scala.collection.mutable.Map.empty[String, Long]
       val appendTasks = scala.collection.mutable.ArrayBuffer
         .empty[(String, String, String, Long)] // (table, vt, valueCol, n)
 
-      // Phase 1 (serial, driver): DDL + schema decisions — cheap,
-      // order-sensitive (first sight fixes the schema).
+      // Phase 1 (serial, driver): name policy + DDL + schema decisions —
+      // cheap, order-sensitive (first sight fixes the schema).
       hist.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+        case (table, groups) if !tableNameOk(table) =>
+          badNames(table) = groups.map(_._3).sum
         case (table, groups) =>
           // First message for a sensor fixes its schema (reference
           // db/db.go:187-195). Within one batch arrival order is
@@ -108,11 +147,9 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
       import scala.concurrent.duration.Duration
       val byType = appendTasks.toSeq.groupBy(t => (t._2, t._3)).toSeq
         .sortBy(_._1)
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.max(1, appendParallelism))
       implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutorService(pool)
-      try {
+        ExecutionContext.fromExecutor(appendPool)
+      locally {
         val futures = byType.map { case ((vt, valueCol), tasks) =>
           Future {
             val tables = tasks.map(_._1)
@@ -137,23 +174,27 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
           }
         }
         Await.result(Future.sequence(futures), Duration.Inf)
-      } finally pool.shutdown()
-
-      // schema-mismatched slices go to the configured side output —
-      // "rejected" must mean visible, not silently counted away
-      if (rejected.nonEmpty) schemaRejectSink.foreach { sink =>
-        val mismatchKeys = hist.filter { case (table, vt, _) =>
-          registry.get(table).exists(cols =>
-            registry.checkValid(cols, colsFor(vt)).isDefined)
-        }.map { case (table, vt, _) => (table, vt) }
-        val cond = mismatchKeys.map { case (t, vt) =>
-          col("tableName") === t && col("value_type") === vt
-        }.reduce(_ || _)
-        sink(recs.filter(cond))
       }
 
+      // schema-mismatched and name-invalid slices go to the configured
+      // side output — "rejected" must mean visible, not counted away
+      if (rejected.nonEmpty || badNames.nonEmpty)
+        schemaRejectSink.foreach { sink =>
+          val mismatchCond = hist.filter { case (table, vt, _) =>
+            registry.get(table).exists(cols =>
+              registry.checkValid(cols, colsFor(vt)).isDefined)
+          }.map { case (table, vt, _) =>
+            col("tableName") === table && col("value_type") === vt
+          }
+          val nameCond = badNames.keys.toSeq.sorted
+            .map(t => col("tableName") === t)
+          (mismatchCond ++ nameCond).reduceOption(_ || _)
+            .foreach(cond => sink(recs.filter(cond)))
+        }
+
       if (batchId >= 0) catalog.commitBatch(batchId)
-      RouteStats(appended.synchronized(appended.toMap), rejected.toMap)
+      RouteStats(appended.synchronized(appended.toMap), rejected.toMap,
+        badNames.toMap)
     } finally { recs.unpersist(); () }
   }
 }

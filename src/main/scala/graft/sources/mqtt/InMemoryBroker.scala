@@ -32,7 +32,15 @@ object InMemoryBroker extends MqttConnector {
 
   private final class ClientState {
     val buf = new ArrayBuffer[Msg]()
+    /** absolute sequence number of buf(0) — advanced by [[truncate]] so
+      * committed prefixes can be dropped (otherwise a long-running stream
+      * accumulates every message ever published until OOM) */
+    var base: Long = 0L
     @volatile var subs: Seq[String] = Nil
+    /** set once subscriptions have ever been configured — an explicit
+      * unsubscribe-all (subs == Nil) must NOT look "never configured",
+      * or a query restart would revert to its stale topics option */
+    @volatile var configured: Boolean = false
   }
   private val clients = TrieMap.empty[String, ClientState]
   // Deterministic logical clock: 2024-01-01T00:00:00Z epoch-µs, one
@@ -58,14 +66,17 @@ object InMemoryBroker extends MqttConnector {
   private def state(clientId: String): ClientState =
     clients.getOrElseUpdate(clientId, new ClientState)
 
-  override def setSubscriptions(clientId: String, topicFilters: Seq[String]): Unit =
-    state(clientId).subs = topicFilters
+  override def setSubscriptions(clientId: String, topicFilters: Seq[String]): Unit = {
+    val s = state(clientId)
+    s.subs = topicFilters
+    s.configured = true
+  }
 
-  /** Does the client already have an active subscription set? Used by the
-    * source on query (re)start to avoid reverting a dynamic reconfigure
-    * with the stale original `topics` option. */
-  def hasSubscriptions(clientId: String): Boolean =
-    clients.get(clientId).exists(_.subs.nonEmpty)
+  /** Has this client EVER been configured (including an explicit
+    * unsubscribe-all)? Used by the source on query (re)start to avoid
+    * reverting a dynamic reconfigure with the stale `topics` option. */
+  def isConfigured(clientId: String): Boolean =
+    clients.get(clientId).exists(_.configured)
 
   /** Deliver to every client with a matching filter; returns receivers. */
   def publish(topic: String, payload: String): Int =
@@ -90,13 +101,28 @@ object InMemoryBroker extends MqttConnector {
   override def fetch(clientId: String, fromSeq: Long, untilSeq: Long): Seq[Msg] = {
     val c = state(clientId)
     c.buf.synchronized {
-      c.buf.slice(fromSeq.toInt, untilSeq.toInt).toSeq
+      val from = math.max(fromSeq - c.base, 0L).toInt
+      val until = math.max(untilSeq - c.base, 0L).toInt
+      c.buf.slice(from, until).toSeq
     }
   }
 
   override def latestSeq(clientId: String): Long = {
     val c = state(clientId)
-    c.buf.synchronized(c.buf.length.toLong)
+    c.buf.synchronized(c.base + c.buf.length)
+  }
+
+  /** Drop messages below `uptoSeq` (exclusive) — called from the source's
+    * `commit()` so the buffer stays bounded by uncommitted backlog. */
+  def truncate(clientId: String, uptoSeq: Long): Unit = {
+    val c = state(clientId)
+    c.buf.synchronized {
+      val drop = math.min(math.max(uptoSeq - c.base, 0L), c.buf.length.toLong)
+      if (drop > 0) {
+        c.buf.remove(0, drop.toInt)
+        c.base += drop
+      }
+    }
   }
 
   /** Test hygiene: forget a client entirely. */

@@ -72,8 +72,9 @@ final class MqttTable(options: CaseInsensitiveStringMap)
           .getOrElse(Nil)
         // Apply the option set only on FIRST connect: a query restart
         // re-runs this with the original (possibly stale) option string,
-        // which must not revert a later dynamic reconfigure().
-        if (!InMemoryBroker.hasSubscriptions(clientId))
+        // which must not revert a later dynamic reconfigure() — including
+        // an explicit unsubscribe-all (hence "configured", not "nonEmpty").
+        if (!InMemoryBroker.isConfigured(clientId))
           InMemoryBroker.setSubscriptions(clientId, topics)
         new MqttMicroBatchStream(clientId)
       }
@@ -90,7 +91,10 @@ final class MqttMicroBatchStream(clientId: String) extends MicroBatchStream {
     MqttOffset(InMemoryBroker.latestSeq(clientId))
   override def deserializeOffset(json: String): Offset =
     MqttOffset(json.trim.toLong)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    // committed prefix is never re-read (the checkpoint owns replay from
+    // here) — drop it so the broker buffer stays bounded
+    InMemoryBroker.truncate(clientId, end.asInstanceOf[MqttOffset].seq)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -84,14 +84,18 @@ object IngestPipeline {
                 s"poison message on topic '${bad.head.getAs[String]("topic")}'" +
                   s": ${bad.head.getAs[String]("reason")}")
           }
-          val stats =
-            router.routeBatch(Ingest.recordsOfParsed(parsed), batchId)
-          // skip side outputs when replaying an already-committed batch —
-          // they would duplicate while the data path stays exactly-once
-          if (!stats.alreadyCommitted) rejectedDir.foreach { dir =>
+          // Side output BEFORE the data commit: if it ran after, a crash
+          // between commitBatch and the rejected write would lose those
+          // rows forever (the replay guard would skip them). This order
+          // gives the audit trail at-least-once (duplicates possible on
+          // replay of an uncommitted batch) and the data path
+          // effectively-once — the right asymmetry for an audit log.
+          if (!router.isCommitted(batchId)) rejectedDir.foreach { dir =>
             if (!rej.isEmpty)
               rej.write.mode("append").parquet(dir)
           }
+          router.routeBatch(Ingest.recordsOfParsed(parsed), batchId)
+          ()
         } finally { parsed.unpersist(); () }
       }
       .start()

@@ -28,7 +28,10 @@ class ClickHouseSqlSpec extends AnyFunSuite {
   }
 
   test("injection attempts via table/column names are refused") {
-    val evil = Seq("t; DROP TABLE x", "t`--", "a b", "", "1t-")
+    // hyphens/digits are legal under quoting (routine MQTT sensor names);
+    // structural characters are not
+    assert(ClickHouseSql.quoteIdent("temp-1") == "`temp-1`")
+    val evil = Seq("t; DROP TABLE x", "t`--", "a b", "", "a.b", "..")
     evil.foreach { name =>
       intercept[IllegalArgumentException] {
         ClickHouseSql.createTable(name, cols)

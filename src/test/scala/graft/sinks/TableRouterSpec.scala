@@ -108,10 +108,34 @@ class TableRouterSpec extends AnyFunSuite {
     assert(collected.toSeq == Seq("mm"))
   }
 
-  test("table names with '+' survive the routed-append path") {
-    val (router, _, catalog) = freshRouter()
-    router.routeBatch(batchOf(
-      ("/c/d/out/sensors/a+b", """{"value":4.5}""")))
+  test("hostile or exotic table names rejected, never touch the catalog") {
+    val root = Files.createTempDirectory("graft-wh").toString
+    val catalog = new WarehouseCatalog(spark, root)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[String]
+    val router = new TableRouter(new SchemaRegistry, catalog,
+      schemaRejectSink = Some(df =>
+        collected ++= df.select("tableName").collect().map(_.getString(0))))
+    val stats = router.routeBatch(batchOf(
+      ("/c/d/out/sensors/..", """{"value":1.0}"""),      // path traversal
+      ("/c/d/out/sensors/_hidden", """{"value":2.0}"""), // invisible to bootstrap
+      ("/c/d/out/sensors/temp-1", """{"value":3.0}""")))  // hyphen: LEGAL
+    assert(stats.appended == Map("temp-1" -> 1L))
+    assert(stats.rejectedName.keySet == Set("..", "_hidden"))
+    assert(collected.sorted == Seq("..", "_hidden"))
+    assert(catalog.listTables() == Seq("temp-1"))
+    // nothing escaped the warehouse root
+    assert(!new java.io.File(root).getParentFile.listFiles()
+      .exists(f => f.getName.endsWith(".parquet")))
+  }
+
+  test("partition-name decoding keeps '+' literal (direct appendRouted)") {
+    // router policy rejects '+' names upstream; the decoder must still be
+    // correct for direct catalog callers (URLDecoder would map '+'→' ')
+    val root = Files.createTempDirectory("graft-wh").toString
+    val catalog = new WarehouseCatalog(spark, root)
+    val df = spark.createDataFrame(Seq(
+      ("a+b", "c1", "d1", 4.5))).toDF("tableName", "client", "device", "value")
+    assert(catalog.appendRouted(df, Seq("a+b")))
     assert(catalog.read("a+b").head().getAs[Double]("value") == 4.5)
     assert(catalog.listTables().contains("a+b"))
   }
