@@ -27,8 +27,15 @@ object PlanAudit {
     // SQL with no manual registry call
     val ext = spark.sql(
       "SELECT cosine_sim(array(cast(1.0 as float)), array(cast(2.0 as float))), " +
-        "simhash_sig(array('a','b','c'))").head()
-    println(s"extensions-ok: cosine=${ext.getDouble(0)} simhash=${ext.getLong(1)}")
+        "simhash_sig(array('a','b','c')), " +
+        // degenerate inputs must be NULL, never NaN (NaN sorts largest and
+        // would corrupt top-k) and never a truncated-length score
+        "cosine_sim(array(cast(0.0 as float)), array(cast(1.0 as float))) IS NULL, " +
+        "cosine_sim(array(cast(1.0 as float)), array(cast(1.0 as float), cast(2.0 as float))) IS NULL, " +
+        "minhash_sig(array('a', NULL, 'b', 'c', 'd')) IS NOT NULL").head()
+    println(s"extensions-ok: cosine=${ext.getDouble(0)} simhash=${ext.getLong(1)} " +
+      s"zeroNull=${ext.getBoolean(2)} lenNull=${ext.getBoolean(3)} " +
+      s"nullTokOk=${ext.getBoolean(4)}")
 
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q06_scan_filter_agg",

@@ -89,8 +89,9 @@ object SimHash {
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
-      val t = tokens.getUTF8String(i)
-      if (seen.add(t)) {
+      // null tokens skipped (would NPE on getBytes and kill the query)
+      val t = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      if (t != null && seen.add(t)) {
         val h = MinHashSig.hash20(t)
         var j = 0
         while (j < 16) {
@@ -133,17 +134,25 @@ object MinHashSig {
       ((md(2) & 0xf0L) >> 4))
   }
 
-  /** Null iff fewer than 3 tokens (no shingles). */
+  /** Null iff fewer than 3 non-null tokens (no shingles). Null elements
+    * are skipped — SQL callers can pass arrays with null slots, and an
+    * executor NPE would kill the query (the poison-halt again). Token
+    * byte arrays slide through a 3-slot window so each token is
+    * materialized once, not three times. */
   def compute(tokens: ArrayData): GenericArrayData = {
     val n = tokens.numElements()
-    if (n < 3) return null
+    val toks = new scala.collection.mutable.ArrayBuffer[Array[Byte]](n)
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) toks += tokens.getUTF8String(j).getBytes
+      j += 1
+    }
+    if (toks.length < 3) return null
     val sig = Array.fill[Long](K)(Long.MaxValue)
     val sp = ' '.toByte
     var i = 0
-    while (i <= n - 3) {
-      val t0 = tokens.getUTF8String(i).getBytes
-      val t1 = tokens.getUTF8String(i + 1).getBytes
-      val t2 = tokens.getUTF8String(i + 2).getBytes
+    while (i <= toks.length - 3) {
+      val t0 = toks(i); val t1 = toks(i + 1); val t2 = toks(i + 2)
       val buf = new Array[Byte](t0.length + t1.length + t2.length + 2)
       System.arraycopy(t0, 0, buf, 0, t0.length)
       buf(t0.length) = sp

@@ -40,7 +40,10 @@ object MinHashUnionAgg
     a
   }
 
-  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  // a never-updated buffer (all inputs null/absent) must NOT surface as a
+  // valid-looking sketch — two such groups would compare as 100% similar
+  override def finish(buf: Array[Long]): Seq[Long] =
+    if (buf.forall(_ == Long.MaxValue)) null else buf.toSeq
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

@@ -40,10 +40,18 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // NULL result (never NaN) for mismatched lengths or zero-norm inputs:
+  // NaN sorts as the LARGEST double in Spark, so a zero/padding vector
+  // would otherwise rank as every probe's top neighbor; null sorts last
+  // under DESC and signals the data problem. Null ELEMENTS read as 0.0
+  // (ArrayData contract) — documented, deterministic.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -51,7 +59,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,14 +73,22 @@ case class CosineSim(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -80,7 +97,8 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Dot product twin of [[CosineSim]] (same fold order). */
+/** Dot product twin of [[CosineSim]] (same fold order; null on length
+  * mismatch — a dimension mixup must not silently truncate). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with FloatArrayInputs {
 
@@ -88,10 +106,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var i = 0
     while (i < n) {
       dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
@@ -106,12 +127,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -170,17 +195,25 @@ case class VecNorm(child: Expression) extends
 /** Session-level registration so the expressions are usable from
   * `expr("cosine_sim(a, b)")` / SQL. Idempotent. */
 object VectorFunctions {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash_sig", exprs => SimHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "vec_norm", exprs => VecNorm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      arity("cosine_sim", 2)(e => CosineSim(e(0), e(1))), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      arity("dot_product", 2)(e => DotProduct(e(0), e(1))), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      arity("minhash_sig", 1)(e => MinHashSig(e.head)), "built-in")
+    reg.createOrReplaceTempFunction("simhash_sig",
+      arity("simhash_sig", 1)(e => SimHash(e.head)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm",
+      arity("vec_norm", 1)(e => VecNorm(e.head)), "built-in")
   }
 }

@@ -40,7 +40,15 @@ object Ingest {
   private val strRe  = """"value"\s*:\s*""""
 
   /** F4 — inferred ClickHouse type name for the payload's "value" key:
-    * "Float64", "String", or null (absent / unsupported JSON type). */
+    * "Float64", "String", or null (absent / unsupported JSON type).
+    *
+    * KNOWN LIMIT: the regexes scan the raw text, so a NESTED "value" key
+    * can shadow the top-level one's JSON type (the reference's payloads
+    * are flat `{"timestamp":..., "value":...}` objects, message.go:64-94,
+    * so this doesn't arise in its domain). The failure mode is safe by
+    * construction: a misfire makes the castability check in [[parse]]
+    * fail and the row lands in rejected — never a wrong-typed record,
+    * never a query-killing cast. */
   def valueType(payload: Column): Column =
     when(payload.rlike(numRe), lit("Float64"))
       .when(payload.rlike(strRe), lit("String"))
@@ -106,7 +114,10 @@ object Ingest {
         // as invalid_topic, not fall-through
         when(coalesce(!topicValid(col("topic")), lit(true)),
           lit("invalid_topic"))
-          .when(!col("payload").contains("\"value\""), lit("missing_value"))
+          // coalesce: contains() on a NULL payload is NULL, and a missing
+          // payload IS a missing required key (message.go:72-75 order)
+          .when(coalesce(!col("payload").contains("\"value\""), lit(true)),
+            lit("missing_value"))
           .when(col("value_type").isNull, lit("unsupported_value_type"))
           .otherwise(lit("null_value")))
       .select(col("topic"), col("payload"), col("reason"))

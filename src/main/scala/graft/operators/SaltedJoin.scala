@@ -24,9 +24,13 @@ object SaltedJoin {
 
   def inner(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val factCols = fact.columns.map(col).toSeq
+    // Salt must spread IDENTICAL rows too (a hot key's rows are often
+    // byte-identical — a row-content hash would send them all to one
+    // reducer, defeating the whole tool). monotonically_increasing_id is
+    // non-deterministic across task retries, which is fine here: any salt
+    // assignment joins each row exactly once; only the scatter changes.
     val salted = fact.withColumn("__salt",
-      pmod(hash(struct(factCols: _*)), lit(salts)))
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
