@@ -40,7 +40,7 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q06_scan_filter_agg",
         "q07_broadcast_brand_volume", "q08_star_join_region_revenue",
-        "q31_minhash_lsh", "q40_ann_bruteforce")
+        "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans")
 
     case class Check(name: String, test: String => Boolean, why: String)
     val checks = Map(
@@ -67,7 +67,11 @@ object PlanAudit {
         Check("broadcast-probes", p =>
           p.contains("BroadcastNestedLoopJoin") ||
             p.contains("BroadcastHashJoin"),
-          "probe side must broadcast — corpus never shuffles")))
+          "probe side must broadcast — corpus never shuffles")),
+      "q42_ann_ivf_kmeans" -> Seq(
+        Check("partition-pruned-index", p =>
+          "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+          "prebuilt IVF probe must read only the probed cell partitions")))
 
     var failed = 0
     names.foreach { n =>

@@ -218,7 +218,11 @@ object Dedup {
       val b = sigs.select(col("lang").as("lang2"), col("sig").as("sig2"))
       a.join(b, col("lang1") < col("lang2"))
         .select(col("lang1"), col("lang2"),
-          expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / 16.0")
+          // cast the count to double BEFORE the divide so the result type
+          // is unambiguously DOUBLE on both engines (round-1 q35 driver
+          // hash diverged on int/16.0 vs DECIMAL resolution; q33 pins the
+          // same way)
+          expr("cast(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) as double) / 16.0")
             .as("est_jaccard"))
         .orderBy(col("lang1"), col("lang2"))
     },
@@ -244,8 +248,8 @@ object Dedup {
        |sig AS (
        |  SELECT lang, list(mv ORDER BY pos) AS sig FROM pos GROUP BY lang)
        |SELECT a.lang AS lang1, b.lang AS lang2,
-       |  len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) / 16.0
-       |    AS est_jaccard
+       |  CAST(len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+       |    / 16.0 AS est_jaccard
        |FROM sig a JOIN sig b ON a.lang < b.lang
        |ORDER BY lang1, lang2""".stripMargin)
 

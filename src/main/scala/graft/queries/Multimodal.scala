@@ -61,14 +61,17 @@ object Multimodal {
 
   // ------------------------------------------------------------- q60
   // Binary column + metadata struct, all relational (no decode): the
-  // storage/schema layer of a multimodal table.
+  // storage/schema layer of a multimodal table. The binary column lives
+  // INSIDE the query (length/hex are computed from it); the output
+  // projects its hex form — the driver's pandas oracle gate cannot
+  // hash/sort raw bytes (round-1 q60 failure).
   private val q60 = QueryDef.of(
     (s, d) => media(s, d)
-      .select(col("doc_id"), col("blob"), col("fmt"),
+      .select(col("doc_id"), hex(col("blob")).as("blob_hex"), col("fmt"),
         length(col("blob")).as("n_bytes"),
         substring(hex(col("blob")), 1, 8).as("magic"))
       .orderBy(col("doc_id")),
-    """SELECT doc_id, unhex(md5(text)) AS blob,
+    """SELECT doc_id, upper(md5(text)) AS blob_hex,
       |  CASE WHEN source = 'src0' THEN 'png'
       |       WHEN source = 'src1' THEN 'jpeg'
       |       ELSE 'webp' END AS fmt,

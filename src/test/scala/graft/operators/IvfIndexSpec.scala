@@ -50,4 +50,37 @@ class IvfIndexSpec extends AnyFunSuite {
     // every IVF hit must be a genuine corpus vector with a valid score
     assert(rows.forall(r => r.getAs[Double]("score") <= 1.0 + 1e-9))
   }
+
+  test("prebuilt (persisted, cell-partitioned) index matches in-memory search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-spec").toString
+    val (assigned, centroids) = IvfIndex.build(corpus, nCells = 8)
+    IvfIndex.persist(assigned, centroids, dir)
+    val mem = IvfIndex.search(assigned, centroids, probes, k = 5, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    val pre = IvfIndex.searchPrebuilt(spark, dir, probes, k = 5, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(pre == mem)
+  }
+
+  test("prebuilt search pushes a static partition filter on cell") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-spec2").toString
+    val (assigned, centroids) = IvfIndex.build(corpus, nCells = 8)
+    IvfIndex.persist(assigned, centroids, dir)
+    val df = IvfIndex.searchPrebuilt(spark, dir, probes, k = 5, nProbe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus scan must list only the probed cell directories
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no partition filter on cell in plan:\n${plan.take(3000)}")
+  }
+
+  test("ensure() builds once then loads (idempotent offline job)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-spec3").toString + "/idx"
+    val (a1, c1) = IvfIndex.ensure(corpus, 8, dir)
+    val sig1 = a1.select("vec_id", "cell").collect().map(_.toSeq).toSet
+    val (a2, _) = IvfIndex.ensure(corpus, 8, dir) // second call: load path
+    val sig2 = a2.select("vec_id", "cell").collect().map(_.toSeq).toSet
+    assert(sig1 == sig2)
+    assert(c1.count() == 8)
+  }
 }

@@ -31,4 +31,29 @@ class SaltedJoinSpec extends AnyFunSuite {
     val expected = li.join(p, Seq("k")).count()
     assert(SaltedJoin.inner(li, p, "k", salts = 4).count() == expected)
   }
+
+  test("salt is deterministic across repeated evaluation") {
+    import spark.implicits._
+    val fact = (1 to 500).map(i => (7L, s"row$i")).toDF("k", "v")
+    val salted = fact.withColumn("__salt",
+      pmod(hash(col("k"), col("v")), lit(8)))
+    val a = salted.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = salted.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+    // hot key actually spreads over multiple salts
+    assert(salted.select("__salt").distinct().count() > 1)
+  }
+
+  test("explicit saltFrom row-id spreads byte-identical duplicate rows") {
+    import spark.implicits._
+    // all fact rows identical: content-hash salting would collapse them
+    // onto one reducer; a caller-supplied unique row-id spreads them
+    val fact = (1 to 400).map(i => (7L, "same", i.toLong)).toDF("k", "v", "rid")
+    val dim = Seq((7L, "d7")).toDF("k", "d")
+    val joined = SaltedJoin.inner(fact, dim, "k", salts = 8, Seq(col("rid")))
+    assert(joined.count() == 400)
+    val spread = fact.withColumn("__salt", pmod(hash(col("rid")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 1)
+  }
 }
