@@ -23,8 +23,38 @@ import scala.collection.mutable.ArrayBuffer
   */
 trait MqttConnector {
   def setSubscriptions(clientId: String, topicFilters: Seq[String]): Unit
+  /** Has this client EVER been configured (including an explicit
+    * unsubscribe-all)? The source consults this on query (re)start to
+    * avoid reverting a dynamic reconfigure with a stale topics option. */
+  def isConfigured(clientId: String): Boolean
   def fetch(clientId: String, fromSeq: Long, untilSeq: Long): Seq[InMemoryBroker.Msg]
   def latestSeq(clientId: String): Long
+  /** Drop messages below `uptoSeq` (exclusive) — called from the source's
+    * `commit()` so the buffer stays bounded by uncommitted backlog. */
+  def truncate(clientId: String, uptoSeq: Long): Unit
+}
+
+/** Connector registry: the `connector` source option picks the backend —
+  * `memory` (default, [[InMemoryBroker]]), `tcp` (a [[TcpMqttConnector]]
+  * built from the same option map), or any name registered up front
+  * (tests inject live instances this way). One TCP connector per
+  * (host, port, clientId) triple — a broker session is stateful. */
+object MqttConnectors {
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, MqttConnector]
+
+  def register(name: String, c: MqttConnector): Unit = registry.put(name, c)
+
+  def resolve(get: String => Option[String]): MqttConnector =
+    get("connector").getOrElse("memory") match {
+      case "memory" => InMemoryBroker
+      case "tcp" =>
+        val s = MqttSettings.fromOptions(get)
+        registry.getOrElseUpdate(s"tcp:${s.host}:${s.port}:${s.clientId}",
+          new TcpMqttConnector(s).connect())
+      case name => registry.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown mqtt connector '$name'"))
+    }
 }
 
 object InMemoryBroker extends MqttConnector {
@@ -75,7 +105,7 @@ object InMemoryBroker extends MqttConnector {
   /** Has this client EVER been configured (including an explicit
     * unsubscribe-all)? Used by the source on query (re)start to avoid
     * reverting a dynamic reconfigure with the stale `topics` option. */
-  def isConfigured(clientId: String): Boolean =
+  override def isConfigured(clientId: String): Boolean =
     clients.get(clientId).exists(_.configured)
 
   /** Deliver to every client with a matching filter; returns receivers. */
@@ -114,7 +144,7 @@ object InMemoryBroker extends MqttConnector {
 
   /** Drop messages below `uptoSeq` (exclusive) — called from the source's
     * `commit()` so the buffer stays bounded by uncommitted backlog. */
-  def truncate(clientId: String, uptoSeq: Long): Unit = {
+  override def truncate(clientId: String, uptoSeq: Long): Unit = {
     val c = state(clientId)
     c.buf.synchronized {
       val drop = math.min(math.max(uptoSeq - c.base, 0L), c.buf.length.toLong)

@@ -70,13 +70,14 @@ final class MqttTable(options: CaseInsensitiveStringMap)
         val topics = Option(opts.get("topics"))
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
+        val connector = MqttConnectors.resolve(k => Option(opts.get(k)))
         // Apply the option set only on FIRST connect: a query restart
         // re-runs this with the original (possibly stale) option string,
         // which must not revert a later dynamic reconfigure() — including
         // an explicit unsubscribe-all (hence "configured", not "nonEmpty").
-        if (!InMemoryBroker.isConfigured(clientId))
-          InMemoryBroker.setSubscriptions(clientId, topics)
-        new MqttMicroBatchStream(clientId)
+        if (!connector.isConfigured(clientId))
+          connector.setSubscriptions(clientId, topics)
+        new MqttMicroBatchStream(connector, clientId)
       }
     }
 }
@@ -85,20 +86,21 @@ final case class MqttOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-final class MqttMicroBatchStream(clientId: String) extends MicroBatchStream {
+final class MqttMicroBatchStream(connector: MqttConnector, clientId: String)
+    extends MicroBatchStream {
   override def initialOffset(): Offset = MqttOffset(0L)
   override def latestOffset(): Offset =
-    MqttOffset(InMemoryBroker.latestSeq(clientId))
+    MqttOffset(connector.latestSeq(clientId))
   override def deserializeOffset(json: String): Offset =
     MqttOffset(json.trim.toLong)
   override def commit(end: Offset): Unit =
     // committed prefix is never re-read (the checkpoint owns replay from
     // here) — drop it so the broker buffer stays bounded
-    InMemoryBroker.truncate(clientId, end.asInstanceOf[MqttOffset].seq)
+    connector.truncate(clientId, end.asInstanceOf[MqttOffset].seq)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val msgs = InMemoryBroker.fetch(clientId,
+    val msgs = connector.fetch(clientId,
       start.asInstanceOf[MqttOffset].seq, end.asInstanceOf[MqttOffset].seq)
     if (msgs.isEmpty) Array.empty
     else Array(MqttInputPartition(msgs.toArray))

@@ -9,14 +9,13 @@ class TopicConfigWatcherSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("parses the reference's flat topic-map JSON") {
-    val w = new TopicConfigWatcher(
-      Files.createTempFile("t", ".json"), "unused")
-    assert(w.parseTopicMap("""{"name": "test"}""") == Map("name" -> "test"))
-    assert(w.parseTopicMap(
+    import ConfigBackend.parseTopicMap
+    assert(parseTopicMap("""{"name": "test"}""") == Map("name" -> "test"))
+    assert(parseTopicMap(
       """{"a": "/x/#", "b": "/y/+/z"}""") ==
       Map("a" -> "/x/#", "b" -> "/y/+/z"))
-    assert(w.parseTopicMap("{}") == Map.empty)
-    assert(w.parseTopicMap("""{"q\"uo": "v\\al"}""") ==
+    assert(parseTopicMap("{}") == Map.empty)
+    assert(parseTopicMap("""{"q\"uo": "v\\al"}""") ==
       Map("q\"uo" -> "v\\al"))
   }
 
