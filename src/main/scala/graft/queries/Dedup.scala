@@ -288,11 +288,58 @@ object Dedup {
        |JOIN documents b ON cand.doc2 = b.doc_id
        |ORDER BY doc1, doc2""".stripMargin)
 
+  // ------------------------------------------------------------- q64
+  // The dedup DECISION: which documents survive near-dup removal. Rule
+  // (the standard keep-smallest-id policy, 1-hop): a doc is dropped iff a
+  // VERIFIED near-duplicate (LSH candidate with exact shingle Jaccard
+  // ≥ 0.5, i.e. q33's pairs) exists with a smaller doc_id; its canonical
+  // points at the smallest such partner. One left join of the corpus
+  // id-list against the (tiny) verified-pair set — the corpus never
+  // shuffles its bodies, and at 100 TB the pair set is the ~10^-6
+  // candidate fraction that survived verification.
+  private val q64 = QueryDef.of(
+    (s, d) => {
+      val sets = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
+        .select(col("doc_id"), col("shset"))
+      val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
+      val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
+      val verified = candidates(s, d).join(a, "doc1").join(b, "doc2")
+        .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))) >= 0.5)
+        .groupBy(col("doc2").as("doc_id"))
+        .agg(min(col("doc1")).as("dup_of"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("dup_of").isNull.cast("int").as("keep"),
+          coalesce(col("dup_of"), col("doc_id")).as("canonical"))
+        .orderBy(col("doc_id"))
+    },
+    s"""$sqlShingled,
+       |$sqlMinhash,
+       |sets AS (
+       |  SELECT doc_id, list_distinct(sh) AS shset FROM shingled),
+       |verified AS (
+       |  SELECT doc2 AS doc_id, MIN(doc1) AS dup_of
+       |  FROM cand JOIN sets a ON cand.doc1 = a.doc_id
+       |            JOIN sets b ON cand.doc2 = b.doc_id
+       |  WHERE CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x))) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
+       |  GROUP BY doc2)
+       |SELECT d.doc_id,
+       |  CAST(v.doc_id IS NULL AS INT) AS keep,
+       |  COALESCE(v.dup_of, d.doc_id) AS canonical
+       |FROM documents d LEFT JOIN verified v ON d.doc_id = v.doc_id
+       |ORDER BY d.doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
     "q32_simhash" -> q32,
     "q33_ngram_jaccard" -> q33,
     "q35_lang_minhash_union" -> q35,
-    "q37_edit_distance" -> q37)
+    "q37_edit_distance" -> q37,
+    "q64_dedup_decision" -> q64)
 }

@@ -60,6 +60,35 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
+  // --------------------------------------------------------------- q01b
+  // Scaled-long (cents) variant of q01: money as integer cents makes the
+  // sums exact 64-bit integer adds — measured ~2× faster than the decimal
+  // path (NOTES.md) with zero rounding semantics to manage. Overflow
+  // headroom: l_extendedprice < 10^6 → < 10^8 cents/row; Long.MaxValue
+  // ≈ 9.2×10^18 allows ~9×10^10 rows per group — four orders of
+  // magnitude beyond a 100 TB lineitem's largest group. The DECIMAL(12,2)
+  // intermediate makes the ×100 exact (double×100 would re-round).
+  private val q01b = QueryDef.of(
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum((dec(col("l_quantity")) * 100).cast("long")).as("sum_qty_cents"),
+        sum((dec(col("l_extendedprice")) * 100).cast("long"))
+          .as("sum_price_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(${sdec("l_quantity")} * 100 AS BIGINT)) AS BIGINT)
+       |    AS sum_qty_cents,
+       |  CAST(SUM(CAST(${sdec("l_extendedprice")} * 100 AS BIGINT)) AS BIGINT)
+       |    AS sum_price_cents,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
   // ---------------------------------------------------------------- q02
   // Selective filter + narrow projection: PushedFilters + 3-column
   // ReadSchema at the parquet scan — verified via .explain in the spec.
@@ -429,17 +458,30 @@ object Relational {
       |ORDER BY returnflag, linestatus""".stripMargin)
 
   // ---------------------------------------------------------------- q19
-  // approx_percentile (t-digest-style sketch): the only way quantiles are
-  // computable in one pass at 100 TB. Approximate by design → no hash
-  // oracle; the spec pins its error envelope against exact percentiles.
-  private val q19 = QueryDef.noOracle(
+  // approx_percentile (Greenwald-Khanna sketch): the one-pass quantile
+  // path at 100 TB. Oracled exactly: GK's rank error is n/accuracy, so
+  // with accuracy ≥ group cardinality the sketch returns the exact
+  // discrete quantile — an ACTUAL data value, which DuckDB's
+  // quantile_disc reproduces bit-for-bit (verified at sf0.001/0.01/0.1
+  // for p50/p95/p25; no interpolation, so no float-rounding boundary).
+  // Production tuning trades accuracy for memory on the same operator;
+  // the sketch's error envelope at low accuracy stays pinned by
+  // ApproxSpec.
+  private val q19 = QueryDef.of(
     (s, d) => lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-          .as("p95"))
-      .orderBy(col("l_returnflag")))
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000000))
+          .as("p50_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000000))
+          .as("p95_price"))
+      .orderBy(col("l_returnflag")),
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.5) AS p50_qty,
+      |  quantile_disc(l_extendedprice, 0.95) AS p95_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
 
   // ---------------------------------------------------------------- q29
   // Pivot: order counts per month × priority (pivoted to columns). Spark
@@ -540,6 +582,7 @@ object Relational {
     "q29b_multiset_ops" -> q29b,
     "q38_correlated_subquery" -> q38,
     "q01_pricing_summary" -> q01,
+    "q01b_pricing_cents" -> q01b,
     "q02_filter_project" -> q02,
     "q03_top_revenue_orders" -> q03,
     "q04_semi_join_priority" -> q04,

@@ -218,7 +218,114 @@ object TextAnalysis {
       |WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin)
 
+  // ------------------------------------------------------------- q63
+  // Term salience (log-free TF-IDF): per-document top-3 distinguishing
+  // terms, scored tf×(N/df) = (n_dt·N)/(len_d·df_t). The log-free form is
+  // deliberate: every factor is an exact integer < 2^53, so the score is
+  // ONE IEEE division — bit-identical across engines (ln() is not
+  // correctly-rounded in either). Shape: explode → (doc,term) counts →
+  // term doc-frequencies → broadcast-joined back → per-doc top-k window.
+  // At scale the shuffles carry (doc,term)/(term) count partials only.
+  private val q63 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val terms = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("n_dt"))
+      val len = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
+      val df = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("salience").desc, col("term"))
+      tf.join(len, "doc_id").join(broadcast(df), "term").crossJoin(broadcast(n))
+        .withColumn("salience",
+          (col("n_dt") * col("n_docs")).cast("double") /
+            (col("len_d") * col("df_t")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("salience"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    """WITH terms AS (
+      |  SELECT doc_id, u.term FROM documents,
+      |    unnest(string_split(text, ' ')) AS u(term)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS n_dt FROM terms GROUP BY 1, 2),
+      |len AS (SELECT doc_id, COUNT(*) AS len_d FROM terms GROUP BY 1),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf.n_dt * n.n_docs AS DOUBLE) / (len.len_d * df.df_t)
+      |      AS salience
+      |  FROM tf JOIN len USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY salience DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, salience, rank FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin)
+
+  // ------------------------------------------------------------- q66
+  // Benchmark-contamination scan: which documents contain any of a fixed
+  // probe-phrase set (decontamination against eval suites). The probe set
+  // is tiny and BROADCAST; the corpus is scanned once, never shuffled —
+  // the only viable layout when the corpus is 100 TB and the benchmark
+  // suite is kilobytes.
+  private val Probes = Seq("key agg row", "batch window spark",
+    "slow fast table", "vector table fast", "stream customer group")
+  private val q66 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      val probes = Probes.toDF("probe")
+      Tables.documents(s, d)
+        .crossJoin(broadcast(probes))
+        .filter(expr("contains(text, probe)"))
+        .select(col("probe"), col("doc_id"), col("lang"))
+        .orderBy(col("probe"), col("doc_id"))
+    },
+    s"""SELECT p.probe, doc_id, lang
+       |FROM documents CROSS JOIN (VALUES ${Probes.map(p => s"('$p')").mkString(", ")}) AS p(probe)
+       |WHERE contains(text, p.probe)
+       |ORDER BY p.probe, doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q67
+  // Context-window chunking: 32-token windows, stride 16 — the packing
+  // step that turns documents into training rows. One input row fans out
+  // to ceil((len-32)/16)+1 chunks (bounded, deterministic); emitted as
+  // (doc_id, chunk_idx, n_tokens, md5(chunk)) so the output stays
+  // hash-comparable without shipping chunk bodies through the gate.
+  private val q67 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, int(greatest(ceil((n - 32) / 16.0), 0))), i ->
+          |  struct(i AS chunk_idx,
+          |    size(slice(toks, i * 16 + 1, 32)) AS n_tokens,
+          |    md5(concat_ws(' ', slice(toks, i * 16 + 1, 32))) AS chunk_md5))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_tokens"),
+        col("c.chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents)
+      |SELECT doc_id, g.i AS chunk_idx,
+      |  len(list_slice(toks, g.i * 16 + 1, g.i * 16 + 32)) AS n_tokens,
+      |  md5(array_to_string(list_slice(toks, g.i * 16 + 1, g.i * 16 + 32), ' '))
+      |    AS chunk_md5
+      |FROM t CROSS JOIN generate_series(0, 31) AS g(i)
+      |WHERE g.i <= greatest(CAST(ceil((n - 32) / 16.0) AS INT), 0)
+      |ORDER BY doc_id, chunk_idx""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q63_term_salience" -> q63,
+    "q66_contamination" -> q66,
+    "q67_chunking" -> q67,
     "q50_token_stats" -> q50,
     "q51_quality_score" -> q51,
     "q52_langid" -> q52,

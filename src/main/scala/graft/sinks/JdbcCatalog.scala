@@ -22,7 +22,25 @@ trait SqlDialect extends Serializable {
 object ClickHouseDialect extends SqlDialect {
   override def quote(ident: String): String = ClickHouseSql.quoteIdent(ident)
   override def typeName(chType: String): String = chType
-  override def chTypeOf(t: String): String = t
+  /** clickhouse-jdbc reports TYPE_NAME as the full ClickHouse type
+    * expression, possibly wrapped — `Nullable(Float64)`,
+    * `LowCardinality(String)`, or both nested. The catalog stores the
+    * canonical inner name (the reference's world only knows the plain
+    * names — db.go:117-143), so strip wrappers before registry compare. */
+  override def chTypeOf(t: String): String = {
+    var s = t.trim
+    var changed = true
+    while (changed) {
+      changed = false
+      Seq("Nullable", "LowCardinality").foreach { w =>
+        if (s.startsWith(w + "(") && s.endsWith(")")) {
+          s = s.substring(w.length + 1, s.length - 1).trim
+          changed = true
+        }
+      }
+    }
+    s
+  }
   override def createTable(table: String, cols: Seq[ColumnDef]): String =
     ClickHouseSql.createTable(table, cols)
   override def alreadyExists(e: SQLException): Boolean = false // IF NOT EXISTS

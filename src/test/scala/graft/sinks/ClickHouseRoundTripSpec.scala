@@ -1,0 +1,192 @@
+package graft.sinks
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, DatabaseMetaData, PreparedStatement, ResultSet, Statement}
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import graft.TestSpark
+import graft.registry.ColumnDef
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ClickHouse type round-trip against a RECORDED-METADATA fake: a
+  * reflective `java.sql.Connection` whose `DatabaseMetaData` answers with
+  * the TYPE_NAME strings clickhouse-jdbc actually reports (`Float64`,
+  * `String`, `Nullable(Float64)`, `LowCardinality(String)`) and whose
+  * statements record every DDL/INSERT. Closes the round-1 gap where the
+  * `Float64`/`String` bijection (db.go:117-143's world) was only
+  * exercised through Derby's type names. */
+object FakeClickHouse {
+  /** table → (colName, rawClickHouseTypeName) as JDBC metadata reports it */
+  val tables = TrieMap.empty[String, Seq[(String, String)]]
+  val ddl = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val insertSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val inserted = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+
+  def reset(): Unit = { tables.clear(); ddl.clear(); insertSql.clear(); inserted.clear() }
+
+  private val cl = getClass.getClassLoader
+
+  private def proxy[T](iface: Class[T])(
+      handle: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+    Proxy.newProxyInstance(cl, Array(iface), new InvocationHandler {
+      override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+        val a = if (args == null) Array.empty[AnyRef] else args
+        if (handle.isDefinedAt((m.getName, a))) handle((m.getName, a))
+        else m.getName match {
+          case "close" | "clearParameters" => null
+          case "isClosed" => java.lang.Boolean.FALSE
+          case "toString" => s"fake-${iface.getSimpleName}"
+          case "hashCode" => Integer.valueOf(System.identityHashCode(p))
+          case "equals" => java.lang.Boolean.valueOf(p eq a(0))
+          case _ => null
+        }
+      }
+    }).asInstanceOf[T]
+
+  private def resultSet(rows: Seq[Map[String, AnyRef]]): ResultSet = {
+    var i = -1
+    proxy(classOf[ResultSet]) {
+      case ("next", _) => i += 1; java.lang.Boolean.valueOf(i < rows.length)
+      case ("getString", a) => rows(i)(a(0).asInstanceOf[String])
+    }
+  }
+
+  /** JDBC LIKE-pattern matcher honoring the escape string — the fake must
+    * implement real LIKE semantics or the catalog's pattern-escaping
+    * logic would go untested. */
+  private def likeMatches(pattern: String, esc: String, s: String): Boolean = {
+    val rx = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      if (pattern.startsWith(esc, i) && i + esc.length < pattern.length) {
+        rx.append(java.util.regex.Pattern.quote(
+          pattern(i + esc.length).toString))
+        i += esc.length + 1
+      } else {
+        pattern(i) match {
+          case '%' => rx.append(".*")
+          case '_' => rx.append(".")
+          case c => rx.append(java.util.regex.Pattern.quote(c.toString))
+        }
+        i += 1
+      }
+    }
+    s.matches(rx.toString)
+  }
+
+  private def metaData: DatabaseMetaData = proxy(classOf[DatabaseMetaData]) {
+    case ("getSearchStringEscape", _) => "\\"
+    case ("getTables", _) =>
+      resultSet(tables.keys.toSeq.sorted.map(t => Map("TABLE_NAME" -> (t: AnyRef))))
+    case ("getColumns", a) =>
+      val tablePattern = a(2).asInstanceOf[String]
+      val rows = tables.toSeq.sortBy(_._1)
+        .filter { case (name, _) => likeMatches(tablePattern, "\\", name) }
+        .flatMap { case (name, cols) => cols.map { case (cn, ct) =>
+          Map("TABLE_NAME" -> (name: AnyRef), "COLUMN_NAME" -> (cn: AnyRef),
+            "TYPE_NAME" -> (ct: AnyRef))
+        } }
+      resultSet(rows)
+  }
+
+  private val createRx =
+    """CREATE TABLE IF NOT EXISTS `([^`]+)` \((.*)\) ENGINE = .*""".r
+  private val colRx = """`([^`]+)` ([A-Za-z0-9()]+)""".r
+
+  private def runDdl(sql: String): Unit = {
+    ddl.add(sql)
+    sql match {
+      case createRx(name, cols) =>
+        // register what ClickHouse would then report back over metadata
+        tables.putIfAbsent(name,
+          colRx.findAllMatchIn(cols).map(m => (m.group(1), m.group(2))).toSeq)
+      case _ => ()
+    }
+  }
+
+  private def statement: Statement = proxy(classOf[Statement]) {
+    case ("execute", a) =>
+      runDdl(a(0).asInstanceOf[String]); java.lang.Boolean.FALSE
+  }
+
+  private def prepared(sql: String): PreparedStatement = {
+    insertSql.add(sql)
+    val nParams = sql.count(_ == '?')
+    val current = new Array[Any](nParams)
+    val batch = new ArrayBuffer[Seq[Any]]()
+    proxy(classOf[PreparedStatement]) {
+      case (("setDouble" | "setLong" | "setString" | "setObject"), a) =>
+        current(a(0).asInstanceOf[Integer] - 1) = a(1); null
+      case ("addBatch", _) => batch += current.toSeq; null
+      case ("executeBatch", _) =>
+        batch.foreach(inserted.add); batch.clear()
+        Array.fill[Int](0)(0).asInstanceOf[AnyRef]
+    }
+  }
+
+  def connect(): Connection = proxy(classOf[Connection]) {
+    case ("getMetaData", _) => metaData
+    case ("createStatement", _) => statement
+    case ("prepareStatement", a) => prepared(a(0).asInstanceOf[String])
+  }
+}
+
+class ClickHouseRoundTripSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def catalog = new JdbcCatalog(() => FakeClickHouse.connect(), ClickHouseDialect)
+
+  test("auto-DDL emits MergeTree DDL and types round-trip via metadata") {
+    FakeClickHouse.reset()
+    val cols = Seq(ColumnDef("client", "String"), ColumnDef("device", "String"),
+      ColumnDef("value", "Float64"))
+    catalog.createTable("temp_out", cols)
+    assert(FakeClickHouse.ddl.peek() ==
+      "CREATE TABLE IF NOT EXISTS `temp_out` (`client` String, " +
+        "`device` String, `value` Float64) ENGINE = MergeTree() ORDER BY tuple()")
+    // W1 bootstrap reads the same table back through JDBC metadata —
+    // the Float64/String bijection must survive the round trip
+    assert(catalog.listTables() == Seq("temp_out"))
+    assert(catalog.describe("temp_out") == cols)
+  }
+
+  test("Nullable/LowCardinality wrappers map to canonical types") {
+    FakeClickHouse.reset()
+    FakeClickHouse.tables.put("wrapped", Seq(
+      ("v", "Nullable(Float64)"),
+      ("s", "LowCardinality(String)"),
+      ("n", "Nullable(LowCardinality(String))"),
+      ("i", "Int64")))
+    assert(catalog.describe("wrapped") == Seq(
+      ColumnDef("v", "Float64"), ColumnDef("s", "String"),
+      ColumnDef("n", "String"), ColumnDef("i", "Int64")))
+  }
+
+  test("describe('temp_1') does not merge columns from 'tempX1' (LIKE escape)") {
+    FakeClickHouse.reset()
+    FakeClickHouse.tables.put("temp_1", Seq(("value", "Float64")))
+    FakeClickHouse.tables.put("tempX1", Seq(("other", "String")))
+    assert(catalog.describe("temp_1") == Seq(ColumnDef("value", "Float64")))
+  }
+
+  test("append batches typed INSERTs with quoted identifiers") {
+    FakeClickHouse.reset()
+    import spark.implicits._
+    val df = Seq(("c1", "d1", 27.8), ("c1", "d2", 19.1), ("c2", "d1", 3.0))
+      .toDF("client", "device", "value")
+    catalog.append("temp_out", df)
+    assert(FakeClickHouse.insertSql.peek() ==
+      "INSERT INTO `temp_out` (`client`, `device`, `value`) VALUES (?, ?, ?)")
+    val rows = {
+      val it = FakeClickHouse.inserted.iterator()
+      val b = ArrayBuffer.empty[Seq[Any]]
+      while (it.hasNext) b += it.next()
+      b.sortBy(_.toString())
+    }
+    assert(rows.toSeq == Seq(
+      Seq("c1", "d1", 27.8), Seq("c1", "d2", 19.1), Seq("c2", "d1", 3.0)))
+    // Float64 went through setDouble (a Double, not a string)
+    assert(rows.head(2).isInstanceOf[java.lang.Double])
+  }
+}
