@@ -14,7 +14,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    scatter(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Parallelism floor for pathological inputs. A parquet scan's
+    * parallelism comes from file/row-group splits; the fixtures are
+    * single-row-group files, so every per-row stage (regex parse, minhash,
+    * scoring) would otherwise run on ONE core until the first shuffle. A
+    * production 100 TB input has thousands of row groups and takes the
+    * no-op branch here — the repartition only fires when the scan yields
+    * fewer splits than half the cores, i.e. exactly the
+    * single-huge-row-group shape a real pipeline also re-splits. Results
+    * are unaffected: every query ends in an aggregation or a total
+    * ORDER BY, and all aggregations used are commutative. */
+  private def scatter(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

@@ -98,12 +98,16 @@ object Relational {
         col("l_quantity") >= 48)
       .select(col("l_orderkey"), col("l_linenumber"),
         D(dec(col("l_extendedprice"))).as("price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber")),
+      // ORDER BY every output column: (l_orderkey, l_linenumber) is NOT
+      // unique in the synthetic fixture, and a partial sort key leaves
+      // tie order up to input partitioning; full-row ordering makes any
+      // remaining ties byte-identical rows, which hash the same
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("price")),
     """SELECT l_orderkey, l_linenumber,
       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity >= 48
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |ORDER BY l_orderkey, l_linenumber, price""".stripMargin)
 
   // ---------------------------------------------------------------- q03
   // TPC-H Q3 shape: 3-way join, agg, top-10. customer/orders shuffle-join
