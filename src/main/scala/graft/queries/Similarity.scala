@@ -225,10 +225,60 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY probe_id, rank""".stripMargin)
 
+  // ------------------------------------------------------------- q43b
+  // MULTI-PROBE hyperplane LSH: each probe scans its own sign-bucket
+  // PLUS the 4 buckets at Hamming distance 1 (one flipped hyperplane
+  // bit) — the standard recall dial: near-misses that fall just across
+  // one hyperplane are recovered at 5/16 of the corpus per probe
+  // instead of 1/16. A neighbor lives in exactly one bucket, so the
+  // 5 probe buckets yield no duplicate pairs (no distinct needed).
+  private val q43b = QueryDef.of(
+    (s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", expr(bucketExprSpark("embedding")))
+        .withColumn("emb_norm", expr("vec_norm(embedding)"))
+      val probes = e.filter(col("vec_id") < 20).select(
+        col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("emb_norm").as("probe_norm"),
+        explode(expr("array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)"))
+          .as("bucket"))
+      topK(
+        e.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("score", expr(
+            "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("score")),
+        5)
+    },
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketExprSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, p.b AS bucket
+       |  FROM bucketed, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+       |    xor(bucket, 4), xor(bucket, 8)]) AS p(b)
+       |  WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("pe", "e.embedding")} AS score
+       |  FROM probes JOIN bucketed e USING (bucket)
+       |  WHERE e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT probe_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q34_embed_neardup" -> q34,
     "q40_ann_bruteforce" -> q40,
     "q41_ann_ivf" -> q41,
     "q42_ann_ivf_kmeans" -> q42,
-    "q43_ann_lsh_hyperplane" -> q43)
+    "q43_ann_lsh_hyperplane" -> q43,
+    "q43b_ann_lsh_multiprobe" -> q43b)
 }
