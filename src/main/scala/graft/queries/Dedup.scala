@@ -317,17 +317,24 @@ object Dedup {
   // id-list against the (tiny) verified-pair set — the corpus never
   // shuffles its bodies, and at 100 TB the pair set is the ~10^-6
   // candidate fraction that survived verification.
+  /** Verified near-dup pairs: LSH candidates whose exact shingle Jaccard
+    * clears 0.5 — the pair set q33 emits, shared by q64/q65. */
+  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sets = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
+      .select(col("doc_id"), col("shset"))
+    val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
+    val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
+    candidates(s, d).join(a, "doc1").join(b, "doc2")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= 0.5)
+      .select(col("doc1"), col("doc2"))
+  }
+
   private val q64 = QueryDef.of(
     (s, d) => {
-      val sets = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
-        .select(col("doc_id"), col("shset"))
-      val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
-      val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
-      val verified = candidates(s, d).join(a, "doc1").join(b, "doc2")
-        .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))) >= 0.5)
+      val verified = verifiedPairs(s, d)
         .groupBy(col("doc2").as("doc_id"))
         .agg(min(col("doc1")).as("dup_of"))
       Tables.documents(s, d).select(col("doc_id"))
@@ -354,6 +361,48 @@ object Dedup {
        |FROM documents d LEFT JOIN verified v ON d.doc_id = v.doc_id
        |ORDER BY d.doc_id""".stripMargin)
 
+  // ------------------------------------------------------------- q65
+  // Duplicate CLUSTERS: connected components over the verified pair
+  // graph ([[graft.operators.ConnectedComponents]], min-label
+  // propagation — pairs say a≈b, b≈c; the cluster {a,b,c} needs
+  // transitive closure). q64's 1-hop rule answers keep/drop; this
+  // answers "which docs are the same document" — the cluster report a
+  // production dedup job ships. Oracle: DuckDB recursive CTE computes
+  // the same closure (the candidate graph is the tiny verified-pair set,
+  // so closure blowup is bounded by cluster size²).
+  private val q65 = QueryDef.of(
+    (s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = verifiedPairs(s, d)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      graft.operators.ConnectedComponents.labels(nodes, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+        .orderBy(col("doc_id"))
+    },
+    s"""$sqlShingled,
+       |$sqlMinhash,
+       |sets AS (
+       |  SELECT doc_id, list_distinct(sh) AS shset FROM shingled),
+       |verified AS (
+       |  SELECT doc1, doc2
+       |  FROM cand JOIN sets a ON cand.doc1 = a.doc_id
+       |            JOIN sets b ON cand.doc2 = b.doc_id
+       |  WHERE CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x))) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5),
+       |edges AS (
+       |  SELECT doc1 AS a, doc2 AS b FROM verified
+       |  UNION SELECT doc2, doc1 FROM verified),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |    WHERE e.b <> r.a)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+       |FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE "))
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
@@ -361,5 +410,6 @@ object Dedup {
     "q33_ngram_jaccard" -> q33,
     "q35_lang_minhash_union" -> q35,
     "q37_edit_distance" -> q37,
-    "q64_dedup_decision" -> q64)
+    "q64_dedup_decision" -> q64,
+    "q65_dedup_clusters" -> q65)
 }

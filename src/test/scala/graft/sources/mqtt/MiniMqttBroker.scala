@@ -15,10 +15,11 @@ import MqttCodec._
   * and lets tests push server-side publishes and sever connections to
   * exercise the reconnect path. Auth: a configured (user, pass) pair is
   * enforced with CONNACK rc=4 (bad user name or password) on mismatch. */
-final class MiniMqttBroker(requireAuth: Option[(String, String)] = None)
+final class MiniMqttBroker(requireAuth: Option[(String, String)] = None,
+    serverSocket: () => ServerSocket = () => new ServerSocket(0))
     extends AutoCloseable {
 
-  private val server = new ServerSocket(0)
+  private val server = serverSocket()
   def port: Int = server.getLocalPort
 
   @volatile private var running = true
