@@ -64,20 +64,8 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
   override def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(s"$root/$table")
 
-  /** Inverse of Spark's partition-path escaping: %XX sequences only.
-    * NOT URLDecoder — that also maps '+' to space, silently splitting a
-    * table named "a+b" into a phantom directory "a b". */
-  private def unescapePartitionName(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 3 <= s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapePartitionName(s: String): String =
+    WarehouseCatalog.unescapePartitionName(s)
 
   /** One dynamic-partitioned write job for ALL tables in the slice, then
     * per-file renames from the staging dir into each table dir (parquet
@@ -161,6 +149,23 @@ final class WarehouseCatalog(spark: SparkSession, root: String)
     Option(new java.io.File(s"$root/$table").listFiles())
       .getOrElse(Array.empty)
       .count(f => f.getName.endsWith(".parquet"))
+}
+
+object WarehouseCatalog {
+  /** Inverse of Spark's partition-path escaping: %XX sequences only.
+    * NOT URLDecoder — that also maps '+' to space, silently splitting a
+    * table named "a+b" into a phantom directory "a b". */
+  def unescapePartitionName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 }
 
 /** SQL-text generation for a ClickHouse (JDBC) catalog. Connection handling
