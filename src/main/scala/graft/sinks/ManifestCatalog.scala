@@ -105,6 +105,35 @@ final class ManifestCatalog(spark: SparkSession, root: String)
     ()
   }
 
+  // ------------------------------------------------- deferred batch mode
+
+  // Between beginBatch and commitBatch every append only STAGES file
+  // moves and records the adds here; commitBatch publishes them together
+  // with the batch id in one atomic rename. Guarded by `this` — the
+  // router's append pool calls appendRouted concurrently.
+  private val pendingAdds =
+    scala.collection.mutable.Map.empty[String, Seq[String]]
+  private var deferring = false
+
+  override def beginBatch(batchId: Long): Unit = synchronized {
+    // pending adds from a previous FAILED batch are dropped — their
+    // part files are unreachable orphans until vacuum()
+    pendingAdds.clear()
+    deferring = true
+  }
+
+  /** Record adds into the open batch; false → caller commits directly. */
+  private def recordPending(added: Map[String, Seq[String]]): Boolean =
+    synchronized {
+      if (!deferring) false
+      else {
+        added.foreach { case (t, fs) =>
+          pendingAdds(t) = pendingAdds.getOrElse(t, Nil) ++ fs
+        }
+        true
+      }
+    }
+
   // -------------------------------------------------------- TableCatalog
 
   override def listTables(): Seq[String] = snapshot().keys.toSeq.sorted
@@ -150,7 +179,8 @@ final class ManifestCatalog(spark: SparkSession, root: String)
       rm(staging)
       table -> moved
     }.filter(_._2.nonEmpty)
-    if (added.nonEmpty || batchId.isDefined) commitVersion(batchId, added)
+    if ((added.nonEmpty || batchId.isDefined) && !recordPending(added))
+      commitVersion(batchId, added)
   }
 
   override def appendRouted(df: DataFrame, tables: Seq[String]): Boolean = {
@@ -172,19 +202,25 @@ final class ManifestCatalog(spark: SparkSession, root: String)
         table -> moved
       }.toMap
     rm(staging)
-    if (added.nonEmpty) commitVersion(None, added)
+    if (added.nonEmpty && !recordPending(added)) commitVersion(None, added)
     true
   }
 
   override def batchCommitted(batchId: Long): Boolean =
     readLog().exists(_.batchId.contains(batchId))
 
-  /** The marker is a manifest version like any other — atomic with
-    * whatever the batch added (callers that append per-table then commit
-    * get marker-after-data; callers using [[appendBatch]] get both in
-    * ONE rename). */
-  override def commitBatch(batchId: Long): Unit =
-    commitVersion(Some(batchId), Map.empty)
+  /** Publish the open batch (rows staged since [[beginBatch]]) together
+    * with the batch id in ONE atomic rename — outside a batch this is
+    * just the bare marker version. */
+  override def commitBatch(batchId: Long): Unit = {
+    val adds = synchronized {
+      val a = pendingAdds.toMap
+      pendingAdds.clear()
+      deferring = false
+      a
+    }
+    commitVersion(Some(batchId), adds)
+  }
 
   /** Exactly-once batch append: all tables' rows AND the batch id become
     * visible in one atomic commit — no marker-vs-data window at all. */
@@ -216,13 +252,18 @@ final class ManifestCatalog(spark: SparkSession, root: String)
   def vacuum(): Int = {
     val live = snapshot()
     var removed = 0
-    live.keys.foreach { table =>
-      val liveSet = live(table).toSet
-      Option(new File(rootDir, table).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !liveSet.contains(f.getName))
-        .foreach { f => if (f.delete()) removed += 1 }
-    }
+    // scan every table directory on disk, not just committed tables — a
+    // crashed first-append leaves orphans under a table no manifest knows
+    Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_") &&
+        !d.getName.startsWith("."))
+      .foreach { dir =>
+        val liveSet = live.getOrElse(dir.getName, Nil).toSet
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !liveSet.contains(f.getName))
+          .foreach { f => if (f.delete()) removed += 1 }
+      }
     removed
   }
 

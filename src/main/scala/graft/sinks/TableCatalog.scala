@@ -37,6 +37,12 @@ trait TableCatalog {
   def batchCommitted(batchId: Long): Boolean = false
   /** Record `batchId` as fully appended (called after all appends). */
   def commitBatch(batchId: Long): Unit = ()
+  /** Transactional catalogs may DEFER visibility of appends between
+    * [[beginBatch]] and [[commitBatch]] so a batch's rows and its commit
+    * record land atomically (no marker-vs-data replay window). Default:
+    * no-op — appends are visible immediately (at-least-once on the exact
+    * crash boundary, as WarehouseCatalog documents). */
+  def beginBatch(batchId: Long): Unit = ()
 }
 
 /** Parquet-directory catalog: one subdirectory per sensor table. Durable

@@ -93,6 +93,9 @@ final class TableRouter(registry: SchemaRegistry, catalog: TableCatalog,
   def routeBatch(batch: DataFrame, batchId: Long = -1L): RouteStats = {
     if (batchId >= 0 && catalog.batchCommitted(batchId))
       return RouteStats(Map.empty, Map.empty, alreadyCommitted = true)
+    // transactional catalogs defer append visibility until the single
+    // commitBatch below — rows + batch id become visible atomically
+    if (batchId >= 0) catalog.beginBatch(batchId)
     val recs = batch.persist()
     try {
       // (tableName, value_type) -> count; tiny, driver-side by design.

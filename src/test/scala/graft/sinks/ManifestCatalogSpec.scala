@@ -70,6 +70,40 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(cat.read("s").count() == 4)          // live data untouched
   }
 
+  test("router batch protocol: rows and batch id land in ONE atomic commit") {
+    val cat = freshCatalog()
+    val registry = new graft.registry.SchemaRegistry
+    val router = new TableRouter(registry, cat)
+    val recs = Seq(
+      ("temp", "c1", "d1", "Float64", Some(27.8), None: Option[String]),
+      ("temp", "c1", "d2", "Float64", Some(19.1), None),
+      ("label", "c2", "d1", "String", None, Some("on")))
+      .toDF("tableName", "client", "device", "value_type", "value_d", "value_s")
+    val stats = router.routeBatch(recs, batchId = 3L)
+    assert(stats.appended == Map("temp" -> 2L, "label" -> 1L))
+    assert(cat.batchCommitted(3L))
+    assert(cat.read("temp").count() == 2 && cat.read("label").count() == 1)
+    // replay of the same batch is skipped entirely
+    val replay = router.routeBatch(recs, batchId = 3L)
+    assert(replay.alreadyCommitted && cat.read("temp").count() == 2)
+  }
+
+  test("crashed batch (no commit) leaves NOTHING visible; vacuum reclaims") {
+    val cat = freshCatalog()
+    cat.beginBatch(5L)
+    val routed = Seq(("t", "c", 1.0)).toDF("tableName", "client", "value")
+    cat.appendRouted(routed, Seq("t")) // staged, not committed
+    // "crash": beginBatch of the retry drops the stale pending adds
+    assert(!cat.batchCommitted(5L))
+    assert(cat.listTables().isEmpty) // nothing ever became visible
+    cat.beginBatch(5L)
+    cat.appendRouted(routed, Seq("t"))
+    cat.commitBatch(5L)
+    assert(cat.batchCommitted(5L) && cat.read("t").count() == 1)
+    assert(cat.vacuum() >= 1) // first attempt's orphans reclaimed
+    assert(cat.read("t").count() == 1)
+  }
+
   test("describe maps schema through the ClickHouse bijection") {
     val cat = freshCatalog()
     cat.append("m", Seq(("c", "d", 1.5)).toDF("client", "device", "value"))
