@@ -475,6 +475,11 @@ object Relational {
     (s, d) => lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
+        // accuracy 1e6: 5× the largest fixture group (sf0.1 ≈ 200k
+        // rows/returnflag). Empirically the margin matters: 400k
+        // (rank error 0.5) already diverged from quantile_disc on
+        // p95 at sf0.1 — GK's compress pass needs error ≪ 1, not < 1,
+        // for the returned element to pin the exact rank
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000000))
           .as("p50_qty"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000000))
