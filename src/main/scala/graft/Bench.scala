@@ -48,22 +48,33 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds keep the metric line compact enough for the
+    // driver's tail-capture window (r01/r02 both hit parsed=null because
+    // the full-precision line overflowed it).
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
     // sbt prefixes stdout with [info], which breaks the driver's JSON
     // parse (BENCH_r01 parsed=null) — write the bare line to a file and
-    // echo on both streams.
+    // echo on both streams AFTER spark.stop() so it is the last line the
+    // process emits (nothing from Spark shutdown can push it out of the
+    // driver's tail window).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench out write failed: $e") }
+    // resource hygiene: release shared-index caches before shutdown
+    try {
+      graft.queries.Dedup.releaseCandidateIndex(spark)
+      Resources.releaseAll()
+    } catch { case _: Throwable => () }
+    spark.stop()
     println(line)
     System.err.println(line)
-    spark.stop()
   }
 }

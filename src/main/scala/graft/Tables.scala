@@ -16,6 +16,17 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     scatter(spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Scan WITHOUT the parallelism floor — for queries whose first wide
+    * operator is already a key shuffle (shuffle joins, shuffle aggs over
+    * cheap projections). There the pre-shuffle work is scan+project+
+    * filter+shuffle-write; inserting a round-robin exchange first would
+    * move the same bytes twice for no parallelism the key shuffle doesn't
+    * already provide. Per-row-compute pipelines (ingest parse, minhash,
+    * text scoring, vector math, cube expansion, broadcast-probe) keep
+    * [[table]]'s floor, where pre-shuffle work dominates. */
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
   /** Parallelism floor for pathological inputs. A parquet scan's
     * parallelism comes from file/row-group splits; the fixtures are
     * single-row-group files, so every per-row stage (regex parse, minhash,

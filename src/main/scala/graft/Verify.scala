@@ -40,6 +40,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // resource hygiene: no persisted frame may outlive the run
+    graft.queries.Dedup.releaseCandidateIndex(spark)
+    Resources.releaseAll()
+    val leftover = spark.sparkContext.getPersistentRDDs
+    if (leftover.nonEmpty)
+      System.err.println(
+        s"[verify] WARNING: ${leftover.size} persisted RDDs at exit")
     spark.stop()
   }
 }

@@ -56,6 +56,8 @@ object ConnectedComponents {
       i += 1
     }
     sym.unpersist()
-    labels
+    // the caller consumes the persisted fixpoint lazily, so release is
+    // deferred to the session owner via the retained-frames registry
+    graft.Resources.retain(labels)
   }
 }

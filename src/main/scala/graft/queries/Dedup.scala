@@ -121,6 +121,20 @@ object Dedup {
     ()
   }
 
+  /** Release every cached candidate index built on `s` (all corpora).
+    * Call when the session's dedup work is over — Verify/Bench do, so no
+    * persisted frame outlives a run; long-lived sessions call it between
+    * corpus generations. */
+  def releaseCandidateIndex(s: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix = s"${System.identityHashCode(s)}:"
+    candCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      candCache.remove(k).foreach { df =>
+        try df.unpersist()
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
   private def buildCandidates(s: org.apache.spark.sql.SparkSession, d: String) =
     banded(s, d)
       .groupBy(col("band"), col("bkey"))

@@ -65,8 +65,9 @@ object Extras {
   // Date arithmetic: ship-delay (days between order and ship date)
   // bucketed by 30-day windows.
   private val q59 = QueryDef.of(
-    (s, d) => Tables.lineitem(s, d)
-      .join(Tables.orders(s, d),
+    // raw loads: first wide op is the key shuffle (see Tables.raw)
+    (s, d) => Tables.raw(s, d, "lineitem")
+      .join(Tables.raw(s, d, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("delay_days",
         datediff(col("l_shipdate"), col("o_orderdate")))

@@ -115,10 +115,13 @@ object Relational {
   // filtered side is small.
   private val q03 = QueryDef.of(
     (s, d) => {
-      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val o = orders(s, d)
+      // raw loads: first wide op is the key shuffle — a parallelism-floor
+      // round-robin exchange here would just move the fact bytes twice
+      val c = Tables.raw(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.raw(s, d, "orders")
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val l = lineitem(s, d)
+      val l = Tables.raw(s, d, "lineitem")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
@@ -142,8 +145,8 @@ object Relational {
   // Left-semi join (EXISTS): orders having a high-quantity lineitem.
   private val q04 = QueryDef.of(
     (s, d) => {
-      val o = orders(s, d)
-      val l = lineitem(s, d).filter(col("l_quantity") >= 45)
+      val o = Tables.raw(s, d, "orders")
+      val l = Tables.raw(s, d, "lineitem").filter(col("l_quantity") >= 45)
         .select(col("l_orderkey"))
       o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
@@ -163,11 +166,11 @@ object Relational {
   // anti-join is empty on this data — every customer has some order).
   private val q05 = QueryDef.of(
     (s, d) => {
-      val c = customer(s, d)
-      val o = orders(s, d)
+      val c = Tables.raw(s, d, "customer")
+      val o = Tables.raw(s, d, "orders")
         .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
         .select(col("o_custkey"))
-      val n = nation(s, d)
+      val n = Tables.raw(s, d, "nation")
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -433,13 +436,46 @@ object Relational {
       |LIMIT 15""".stripMargin)
 
   // ---------------------------------------------------------------- q18
-  // approx_count_distinct (HLL++) — approximate by design, so no DuckDB
-  // hash oracle; the spec asserts its error envelope vs the exact count.
-  private val q18 = QueryDef.noOracle(
-    (s, d) => lineitem(s, d)
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders")))
+  // approx_count_distinct (HLL++) — the estimate itself is approximate,
+  // but it IS deterministic for a fixed input, so the query is oracled by
+  // outputting (a) the exact distinct counts — identical in both engines —
+  // and (b) a boolean asserting the HLL++ estimate (rsd 0.01) lands within
+  // 2% of exact. DuckDB's oracle emits the same exact counts and TRUE: if
+  // the sketch ever drifts past the bound the hash mismatches and the
+  // driver flags it. ApproxSpec additionally pins the raw estimate's
+  // envelope at default rsd.
+  private val q18 = QueryDef.of(
+    (s, d) => {
+      val li = lineitem(s, d)
+      // The exact-distinct aggs and the HLL agg must live in SEPARATE
+      // Aggregates: mixing a distinct agg with a regular agg makes
+      // Catalyst's rewrite evaluate the regular agg in the first phase
+      // grouped BY the distinct column — i.e. one 16 KB HLL buffer per
+      // distinct key (~150k keys × 16 KB at sf0.1 — measured 26 s).
+      // Kept apart, each agg is the cheap shape: partial-distinct for
+      // exact, one sketch per partition for HLL; the three 1-row results
+      // broadcast-crossJoin for free. Total: three linear passes.
+      def exact(c: String, name: String) =
+        li.select(col(c)).agg(countDistinct(col(c)).as(name))
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      exact("l_partkey", "exact_parts")
+        .crossJoin(exact("l_orderkey", "exact_orders"))
+        .crossJoin(approx)
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double")
+            / col("exact_parts").cast("double") <= 0.02)
+            .as("parts_within_2pct"),
+          (abs(col("ao") - col("exact_orders")).cast("double")
+            / col("exact_orders").cast("double") <= 0.02)
+            .as("orders_within_2pct"))
+    },
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_within_2pct,
+      |  TRUE AS orders_within_2pct
+      |FROM lineitem""".stripMargin)
 
   // ---------------------------------------------------------------- q26
   // Full cube over (returnflag, linestatus): all 2^2 grouping sets.
@@ -471,20 +507,48 @@ object Relational {
   // Production tuning trades accuracy for memory on the same operator;
   // the sketch's error envelope at low accuracy stays pinned by
   // ApproxSpec.
+
+  /** Sketch accuracy for an oracle-exact GK percentile: 5× the largest
+    * group (rank error 0.2 — see q19 note on why 5×), floored at Spark's
+    * default 10000 and clamped at [[GkAccuracyCeiling]]. Memory is
+    * O(accuracy) per (group, column) sketch, so the ceiling bounds
+    * executor memory at any scale factor; past it (groups > 1.6M rows,
+    * ~sf2+ fixtures) the sketch stays cheap but is no longer bit-exact —
+    * the driver's gate runs at sf ≤ 0.1 where derived accuracy ≈ 1e6.
+    * Exposed for GkAccuracySpec. */
+  private[graft] val GkAccuracyFloor = 10000L
+  private[graft] val GkAccuracyCeiling = 8000000L
+  private[graft] def gkAccuracy(maxGroupRows: Long): Long =
+    math.min(GkAccuracyCeiling,
+      math.max(GkAccuracyFloor, 5L * math.max(0L, maxGroupRows)))
+  private val derivedAccuracy =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
   private val q19 = QueryDef.of(
-    (s, d) => lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        // accuracy 1e6: 5× the largest fixture group (sf0.1 ≈ 200k
-        // rows/returnflag). Empirically the margin matters: 400k
-        // (rank error 0.5) already diverged from quantile_disc on
-        // p95 at sf0.1 — GK's compress pass needs error ≪ 1, not < 1,
-        // for the returned element to pin the exact rank
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000000))
-          .as("p50_qty"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000000))
-          .as("p95_price"))
-      .orderBy(col("l_returnflag")),
+    (s, d) => {
+      val li = lineitem(s, d)
+      // Accuracy is DERIVED per run as 5× the largest group, so a driver
+      // scale-factor bump can't silently break oracle exactness.
+      // Empirically the 5× margin matters: accuracy 2× group size (rank
+      // error 0.5) already diverged from quantile_disc on p95 at sf0.1 —
+      // GK's compress pass needs error ≪ 1, not < 1, for the returned
+      // element to pin the exact rank. The sizing pass is one cheap
+      // partial-agg count job, memoized per (session, corpus) like the
+      // other per-corpus index artifacts.
+      val acc = derivedAccuracy.getOrElseUpdate(
+        s"${System.identityHashCode(s)}:$d", {
+          val sized = li.groupBy(col("l_returnflag")).count()
+            .agg(max(col("count"))).head()
+          val maxGroup = if (sized.isNullAt(0)) 0L else sized.getLong(0)
+          gkAccuracy(maxGroup).toInt // ceiling 8e6 ≪ Int.MaxValue
+        })
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(acc))
+            .as("p50_qty"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc))
+            .as("p95_price"))
+        .orderBy(col("l_returnflag"))
+    },
     """SELECT l_returnflag,
       |  quantile_disc(l_quantity, 0.5) AS p50_qty,
       |  quantile_disc(l_extendedprice, 0.95) AS p95_price

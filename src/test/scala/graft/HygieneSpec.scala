@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted-frame hygiene: the shared-index caches (LSH candidates) and
+  * operator-returned persisted frames (connected-components labels) must
+  * all be released by the session-owner cleanup path, leaving ZERO
+  * persisted RDDs — the invariant Verify/Bench assert before stop(). */
+class HygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("release paths leave no persisted RDDs behind") {
+    // build the two in-memory cached artifacts a run can leave behind
+    graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
+    val nodes = spark.range(6).toDF("id")
+    val edges = spark.createDataFrame(Seq((0L, 1L), (1L, 2L), (4L, 5L)))
+      .toDF("src", "dst")
+    val labels = operators.ConnectedComponents.labels(nodes, edges)
+    assert(labels.count() === 6)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "precondition: caches exist before release")
+
+    graft.queries.Dedup.releaseCandidateIndex(spark)
+    Resources.releaseAll()
+    // unpersist(blocking=false) unregisters synchronously; block removal
+    // is async but getPersistentRDDs reflects unregistration immediately
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leftover: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("release is idempotent and frames stay usable after release") {
+    graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
+    graft.queries.Dedup.releaseCandidateIndex(spark)
+    graft.queries.Dedup.releaseCandidateIndex(spark)
+    Resources.releaseAll()
+    Resources.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // a post-release query rebuilds the index transparently
+    graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    graft.queries.Dedup.releaseCandidateIndex(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
