@@ -38,12 +38,27 @@ object PlanAudit {
       s"nullTokOk=${ext.getBoolean(4)}")
 
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q02_filter_project", "q06_scan_filter_agg",
+      else Seq("q02_filter_project", "q03_top_revenue_orders",
+        "q04_semi_join_priority", "q05_anti_join_no_orders",
+        "q06_scan_filter_agg",
         "q07_broadcast_brand_volume", "q08_star_join_region_revenue",
-        "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans")
+        "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
+        "q59_date_arith")
 
     case class Check(name: String, test: String => Boolean, why: String)
+    // shuffle-join queries load via Tables.raw: their only exchanges must
+    // be key shuffles (hash) or broadcasts — a RoundRobinPartitioning
+    // would mean the parallelism floor leaked back in and the fact bytes
+    // move twice
+    val noRoundRobin = Check("no-round-robin",
+      p => !p.contains("RoundRobinPartitioning"),
+      "join-only pipelines must not round-robin the fact table")
+
     val checks = Map(
+      "q03_top_revenue_orders" -> Seq(noRoundRobin),
+      "q04_semi_join_priority" -> Seq(noRoundRobin),
+      "q05_anti_join_no_orders" -> Seq(noRoundRobin),
+      "q59_date_arith" -> Seq(noRoundRobin),
       "q02_filter_project" -> Seq(
         Check("pushed-filters", _.contains("PushedFilters: [IsNotNull"),
           "filters must reach the parquet scan"),
