@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.registry.SchemaRegistry
-import graft.sinks.{TableRouter, WarehouseCatalog}
+import graft.sinks.{TableCatalog, TableRouter}
 import graft.sources.mqtt.{InMemoryBroker, MqttSource}
 import graft.streaming.IngestPipeline
 import java.nio.file.Files
@@ -24,7 +24,7 @@ object MqttDemo {
 
     val wh = Files.createTempDirectory("demo-wh").toString
     val rej = Files.createTempDirectory("demo-rej").toString
-    val catalog = new WarehouseCatalog(spark, wh)
+    val catalog = TableCatalog.default(spark, wh)
     val router = new TableRouter(new SchemaRegistry, catalog)
     val cid = "demo"
     InMemoryBroker.reset(cid)

@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.registry.SchemaRegistry
-import graft.sinks.{TableRouter, WarehouseCatalog}
+import graft.sinks.{TableCatalog, TableRouter}
 import graft.sources.mqtt.InMemoryBroker
 import graft.streaming.IngestPipeline
 import java.nio.file.Files
@@ -51,7 +51,7 @@ object StreamBench {
     }
 
     val wh = Files.createTempDirectory("sb-wh").toString
-    val catalog = new WarehouseCatalog(spark, wh)
+    val catalog = TableCatalog.default(spark, wh)
     val router = new TableRouter(new SchemaRegistry, catalog)
     val q = IngestPipeline.start(
       IngestPipeline.mqttStream(spark, cid, Seq("#")),

@@ -29,12 +29,28 @@ import org.apache.spark.sql.types.StructType
   * driver): `_manifest/v<20-digit>.json`, each version holding only the
   * delta — `add` (files appended per table), `replace` (compaction), and
   * an optional `batchId`. Readers fold the log into a per-table file
-  * list. At 100 TB the fold is periodically checkpointed (a `replace`
-  * of every table is exactly that); the single-writer assumption is the
-  * same one `foreachBatch` already provides.
+  * list. The single-writer assumption is the same one `foreachBatch`
+  * already provides.
+  *
+  * **Checkpointing** (long-running streams): every [[checkpointInterval]]
+  * versions the fold is materialized to `_manifest/c<20-digit>.json` —
+  * the full per-table file lists plus the most recent
+  * [[ManifestCatalog.MaxRetainedBatchIds]] committed batch ids. Readers
+  * start the fold from the latest checkpoint and read only the ≤interval
+  * delta versions after it, so snapshot cost is O(interval), not
+  * O(stream lifetime); commits are O(1) (the next version number is
+  * tracked in memory — valid under single-writer). [[vacuum]] reclaims
+  * delta files at-or-before the latest checkpoint and superseded
+  * checkpoints. A checkpoint is derived data: if its write fails or it
+  * is deleted, readers fall back to folding the full delta log.
+  * Batch-idempotence lookups older than the retained window return
+  * "not committed" — `foreachBatch` replays at most the LAST batch, so
+  * the window is ~1000× wider than the protocol needs.
   */
-final class ManifestCatalog(spark: SparkSession, root: String)
+final class ManifestCatalog(spark: SparkSession, root: String,
+    checkpointInterval: Int = 20)
     extends TableCatalog {
+  require(checkpointInterval >= 2, "checkpointInterval must be >= 2")
   private val rootDir = new File(root)
   private val manifestDir = new File(rootDir, "_manifest")
   rootDir.mkdirs()
@@ -44,9 +60,17 @@ final class ManifestCatalog(spark: SparkSession, root: String)
   private final case class Version(n: Long, batchId: Option[Long],
       add: Map[String, Seq[String]], replace: Map[String, Seq[String]])
 
+  private final case class Checkpoint(n: Long,
+      tables: Map[String, Seq[String]], batchIds: Seq[Long])
+
   private def versionFiles(): Seq[File] =
     Option(manifestDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+      .sortBy(_.getName).toSeq
+
+  private def checkpointFiles(): Seq[File] =
+    Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("c") && f.getName.endsWith(".json"))
       .sortBy(_.getName).toSeq
 
   // minimal JSON — the shapes are fixed and writer-controlled, so a
@@ -60,50 +84,127 @@ final class ManifestCatalog(spark: SparkSession, root: String)
       s""""add":${files(v.add)},"replace":${files(v.replace)}}"""
   }
 
+  // a "files section" is {"table":["f1","f2"],...} — table directories
+  // and part files never contain `}`/`]`, so the non-greedy regexes hold
+  private def filesSection(s: String, name: String): Map[String, Seq[String]] = {
+    val m = (s""""$name":\\{(.*?)\\}""").r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(m).map { g =>
+      g.group(1) -> """"([^"]+)"""".r.findAllMatchIn(g.group(2))
+        .map(_.group(1)).toSeq
+    }.toMap
+  }
+
   private def parse(n: Long, s: String): Version = {
-    def section(name: String): Map[String, Seq[String]] = {
-      val m = (s""""$name":\\{(.*?)\\}""").r.findFirstMatchIn(s)
-        .map(_.group(1)).getOrElse("")
-      """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(m).map { g =>
-        g.group(1) -> """"([^"]+)"""".r.findAllMatchIn(g.group(2))
-          .map(_.group(1)).toSeq
-      }.toMap
-    }
     val bid = """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).filter(_ >= 0)
-    Version(n, bid, section("add"), section("replace"))
+    Version(n, bid, filesSection(s, "add"), filesSection(s, "replace"))
   }
 
-  private def readLog(): Seq[Version] = versionFiles().map { f =>
-    parse(f.getName.stripPrefix("v").stripSuffix(".json").toLong,
-      new String(Files.readAllBytes(f.toPath), UTF_8))
+  private def renderCheckpoint(c: Checkpoint): String = {
+    val tables = c.tables.toSeq.sortBy(_._1).map { case (t, fs) =>
+      "\"" + t + "\":[" + fs.map("\"" + _ + "\"").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    s"""{"checkpoint":${c.n},"tables":$tables,""" +
+      s""""batchIds":[${c.batchIds.mkString(",")}]}"""
   }
 
-  /** Fold the delta log into the live per-table file lists. */
-  private def snapshot(): Map[String, Seq[String]] =
-    readLog().foldLeft(Map.empty[String, Seq[String]]) { (acc, v) =>
+  private def parseCheckpoint(n: Long, s: String): Checkpoint = {
+    val bids = """"batchIds":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("").split(",").toSeq
+      .filter(_.nonEmpty).map(_.trim.toLong)
+    Checkpoint(n, filesSection(s, "tables"), bids)
+  }
+
+  private def latestCheckpoint(): Option[Checkpoint] =
+    checkpointFiles().lastOption.map { f =>
+      parseCheckpoint(
+        f.getName.stripPrefix("c").stripSuffix(".json").toLong,
+        new String(Files.readAllBytes(f.toPath), UTF_8))
+    }
+
+  /** Delta versions strictly after `after` (all of them for -1). */
+  private def readDeltas(after: Long): Seq[Version] = versionFiles()
+    .map(f => f.getName.stripPrefix("v").stripSuffix(".json").toLong -> f)
+    .filter(_._1 > after)
+    .map { case (n, f) =>
+      parse(n, new String(Files.readAllBytes(f.toPath), UTF_8))
+    }
+
+  private def foldInto(base: Map[String, Seq[String]],
+      deltas: Seq[Version]): Map[String, Seq[String]] =
+    deltas.foldLeft(base) { (acc, v) =>
       val replaced = acc ++ v.replace
       v.add.foldLeft(replaced) { case (a, (t, fs)) =>
         a.updated(t, a.getOrElse(t, Nil) ++ fs)
       }
     }
 
+  /** Fold checkpoint + post-checkpoint deltas into the live per-table
+    * file lists — O(checkpointInterval) files, not O(stream lifetime). */
+  private def snapshot(): Map[String, Seq[String]] = {
+    val ckpt = latestCheckpoint()
+    foldInto(ckpt.map(_.tables).getOrElse(Map.empty),
+      readDeltas(ckpt.map(_.n).getOrElse(-1L)))
+  }
+
+  /** (latest checkpoint version, delta files a fold reads) — exposed so
+    * ManifestCheckpointSpec can assert the O(interval) bound. */
+  private[sinks] def logStats(): (Option[Long], Int) = {
+    val ckpt = latestCheckpoint().map(_.n)
+    (ckpt, readDeltas(ckpt.getOrElse(-1L)).size)
+  }
+
+  // Next version number, tracked in memory after the first disk read —
+  // O(1) commits under the single-writer assumption. -2 = not yet read.
+  private var nextVersion: Long = -2L
+
   /** Atomic commit: write tmp in `_manifest/`, rename to the next
     * version. Same-directory rename is atomic on POSIX; REPLACE_EXISTING
     * is deliberately absent — colliding with an existing version (a
-    * second writer) must fail, not clobber. */
-  private def commitVersion(batchId: Option[Long],
+    * second writer) must fail, not clobber. Every
+    * `checkpointInterval`-th version also materializes a checkpoint. */
+  private[sinks] def commitVersion(batchId: Option[Long],
       add: Map[String, Seq[String]],
-      replace: Map[String, Seq[String]] = Map.empty): Unit = {
+      replace: Map[String, Seq[String]] = Map.empty): Unit = synchronized {
     manifestDir.mkdirs()
-    val next = readLog().lastOption.map(_.n + 1).getOrElse(0L)
+    if (nextVersion < 0)
+      nextVersion = versionFiles().lastOption
+        .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong + 1)
+        .orElse(latestCheckpoint().map(_.n + 1))
+        .getOrElse(0L)
+    val next = nextVersion
     val body = render(Version(next, batchId, add, replace))
     val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-v", ".json")
     Files.write(tmp, body.getBytes(UTF_8))
     Files.move(tmp, manifestDir.toPath.resolve(f"v$next%020d.json"),
       StandardCopyOption.ATOMIC_MOVE)
-    ()
+    nextVersion = next + 1
+    if ((next + 1) % checkpointInterval == 0) writeCheckpoint(next)
   }
+
+  /** Materialize the fold at version `n` to `c<n>.json` (tmp + atomic
+    * rename). Failure is non-fatal: the checkpoint is derived data and
+    * readers fall back to the delta fold. */
+  private def writeCheckpoint(n: Long): Unit =
+    try {
+      val prev = latestCheckpoint()
+      val deltas = readDeltas(prev.map(_.n).getOrElse(-1L)).filter(_.n <= n)
+      val tables = foldInto(prev.map(_.tables).getOrElse(Map.empty), deltas)
+      val bids = (prev.map(_.batchIds).getOrElse(Nil) ++
+        deltas.flatMap(_.batchId))
+        .takeRight(ManifestCatalog.MaxRetainedBatchIds)
+      val body = renderCheckpoint(Checkpoint(n, tables, bids))
+      val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-c", ".json")
+      Files.write(tmp, body.getBytes(UTF_8))
+      Files.move(tmp, manifestDir.toPath.resolve(f"c$n%020d.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[manifest] checkpoint at v$n failed " +
+          s"(non-fatal, fold continues from deltas): $e")
+    }
 
   // ------------------------------------------------- deferred batch mode
 
@@ -206,8 +307,12 @@ final class ManifestCatalog(spark: SparkSession, root: String)
     true
   }
 
-  override def batchCommitted(batchId: Long): Boolean =
-    readLog().exists(_.batchId.contains(batchId))
+  override def batchCommitted(batchId: Long): Boolean = {
+    val ckpt = latestCheckpoint()
+    ckpt.exists(_.batchIds.contains(batchId)) ||
+      readDeltas(ckpt.map(_.n).getOrElse(-1L))
+        .exists(_.batchId.contains(batchId))
+  }
 
   /** Publish the open batch (rows staged since [[beginBatch]]) together
     * with the batch id in ONE atomic rename — outside a batch this is
@@ -247,11 +352,22 @@ final class ManifestCatalog(spark: SparkSession, root: String)
   }
 
   /** Remove data files no manifest version can reach (compacted-away or
-    * orphaned by a crashed append). Run after a grace period longer than
-    * the longest reader. */
+    * orphaned by a crashed append), delta versions already folded into
+    * the latest checkpoint, and superseded checkpoints. Run after a
+    * grace period longer than the longest reader. */
   def vacuum(): Int = {
     val live = snapshot()
     var removed = 0
+    // log reclamation: deltas ≤ checkpoint are folded in; older
+    // checkpoints are superseded by the latest
+    latestCheckpoint().foreach { ckpt =>
+      versionFiles()
+        .filter(_.getName.stripPrefix("v").stripSuffix(".json")
+          .toLong <= ckpt.n)
+        .foreach { f => if (f.delete()) removed += 1 }
+      checkpointFiles().dropRight(1)
+        .foreach { f => if (f.delete()) removed += 1 }
+    }
     // scan every table directory on disk, not just committed tables — a
     // crashed first-append leaves orphans under a table no manifest knows
     Option(rootDir.listFiles()).getOrElse(Array.empty)
@@ -273,4 +389,12 @@ final class ManifestCatalog(spark: SparkSession, root: String)
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
     f.delete(); ()
   }
+}
+
+object ManifestCatalog {
+  /** Committed batch ids a checkpoint carries forward for idempotent
+    * replay detection. `foreachBatch` replays at most the last batch, so
+    * any value ≥ 2 satisfies the protocol; 1000 leaves three orders of
+    * magnitude of slack at ~20 bytes per id. */
+  val MaxRetainedBatchIds = 1000
 }

@@ -45,6 +45,18 @@ trait TableCatalog {
   def beginBatch(batchId: Long): Unit = ()
 }
 
+object TableCatalog {
+  /** The DEFAULT pipeline catalog: the [[ManifestCatalog]] commit log.
+    * It closes both crash windows the plain parquet-directory layout has
+    * (batch-marker-vs-data replay, compaction swap) at the cost of one
+    * tiny manifest rename per batch; periodic checkpointing keeps log
+    * folds O(checkpointInterval) on long streams. [[WarehouseCatalog]]
+    * remains available as an explicit opt-in for the
+    * simple-directory layout. */
+  def default(spark: SparkSession, root: String): ManifestCatalog =
+    new ManifestCatalog(spark, root)
+}
+
 /** Parquet-directory catalog: one subdirectory per sensor table. Durable
   * (unlike the reference's `engine=Memory`, /root/reference/db/db.go:233),
   * partition-parallel, and what a lakehouse deployment would use. */

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.TestSpark
 import graft.registry.SchemaRegistry
-import graft.sinks.{TableRouter, WarehouseCatalog}
+import graft.sinks.{TableCatalog, TableRouter}
 import graft.sources.mqtt.InMemoryBroker
 import java.nio.file.Files
 import org.apache.spark.sql.types.DoubleType
@@ -17,7 +17,7 @@ class IngestPipelineSpec extends AnyFunSuite {
   private def pipeline(cid: String, dedup: Option[String] = None) = {
     val wh = Files.createTempDirectory("wh").toString
     val rej = Files.createTempDirectory("rej").toString
-    val catalog = new WarehouseCatalog(spark, wh)
+    val catalog = TableCatalog.default(spark, wh)
     val router = new TableRouter(new SchemaRegistry, catalog)
     val q = IngestPipeline.start(
       IngestPipeline.mqttStream(spark, cid, Seq("#")),
@@ -74,7 +74,7 @@ class IngestPipelineSpec extends AnyFunSuite {
     InMemoryBroker.setSubscriptions(cid, Seq("#"))
     val wh = Files.createTempDirectory("wh").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
-    val catalog = new WarehouseCatalog(spark, wh)
+    val catalog = TableCatalog.default(spark, wh)
     def newQuery() = IngestPipeline.start(
       IngestPipeline.mqttStream(spark, cid, Seq("#")),
       new TableRouter(new SchemaRegistry, catalog), ckpt)
@@ -98,7 +98,7 @@ class IngestPipelineSpec extends AnyFunSuite {
 
   test("committed batch replay is skipped (idempotent routeBatch)") {
     val wh = Files.createTempDirectory("wh").toString
-    val catalog = new WarehouseCatalog(spark, wh)
+    val catalog = TableCatalog.default(spark, wh)
     val router = new TableRouter(new SchemaRegistry, catalog)
     val batch = {
       import spark.implicits._
@@ -119,7 +119,7 @@ class IngestPipelineSpec extends AnyFunSuite {
     InMemoryBroker.setSubscriptions(cid, Seq("#"))
     val wh = Files.createTempDirectory("wh").toString
     val router = new TableRouter(new SchemaRegistry,
-      new WarehouseCatalog(spark, wh))
+      TableCatalog.default(spark, wh))
     val q = IngestPipeline.start(
       IngestPipeline.mqttStream(spark, cid, Seq("#")),
       router, Files.createTempDirectory("ckpt").toString,
