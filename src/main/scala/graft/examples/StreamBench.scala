@@ -30,8 +30,13 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val cid = "streambench"
-    InMemoryBroker.reset(cid)
-    InMemoryBroker.setSubscriptions(cid, Seq("#"))
+    // sharded source: each filter owns one connector session → one input
+    // partition each, so the parse stage starts 4-wide at the scan
+    val shards = 4
+    val filters = Seq("/c0/#", "/c1/#", "/c2/#", "c/#")
+    graft.sources.mqtt.MqttSource.shardIds(cid, shards)
+      .foreach(InMemoryBroker.reset)
+    graft.sources.mqtt.MqttSource.reconfigure(cid, filters, shards)
 
     // 20 sensors, mixed payload shapes incl. poison (~9%)
     var i = 0
@@ -54,7 +59,7 @@ object StreamBench {
     val catalog = TableCatalog.default(spark, wh)
     val router = new TableRouter(new SchemaRegistry, catalog)
     val q = IngestPipeline.start(
-      IngestPipeline.mqttStream(spark, cid, Seq("#")),
+      IngestPipeline.mqttStream(spark, cid, filters, connectors = shards),
       router, Files.createTempDirectory("sb-ckpt").toString,
       rejectedDir = Some(Files.createTempDirectory("sb-rej").toString))
 
@@ -67,7 +72,7 @@ object StreamBench {
       .map(t => catalog.read(t).count()).sum
     println(s"""{"metric":"ingest_throughput","messages":$n,""" +
       s""""routed_rows":$routed,"seconds":${f"$secs%.2f"},""" +
-      s""""msgs_per_sec":${(n / secs).toInt}}""")
+      s""""msgs_per_sec":${(n / secs).toInt},"source_shards":$shards}""")
     spark.stop()
   }
 }

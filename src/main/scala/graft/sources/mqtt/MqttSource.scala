@@ -28,11 +28,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   the swap takes effect between micro-batches (reference drops messages
   *   during its unsubscribe/subscribe window, main.go:104-107 — here the
   *   boundary is atomic).
-  * - One input partition per micro-batch: an MQTT connection is a single
-  *   ordered feed (the reference's single channel, message.go:17).
-  *   Parallelism begins immediately downstream at the parse/route stages,
-  *   which repartition by tableName; for 100 TB-scale fan-in you run many
-  *   sources (one per broker shard) and union the streams.
+  * - **Connector sharding** (`option("connectors", N)`): the topic-filter
+  *   set is round-robin sharded across N connector sessions
+  *   (`<clientId>#0..N-1`), each an independent ordered feed emitting its
+  *   OWN input partition per micro-batch — the ingest stage starts N-wide
+  *   instead of re-splitting one feed. Offsets are a per-shard sequence
+  *   vector in the checkpoint. Per-topic order is preserved: a topic's
+  *   messages ride the shard(s) whose filter matches it, and each shard
+  *   is ordered end-to-end (an MQTT connection is a single ordered feed —
+  *   the reference's single channel, message.go:17). Changing N requires
+  *   a new checkpoint (shard count is part of the offset shape). The
+  *   default N=1 is the reference's exact single-connection layout; for
+  *   multi-BROKER fan-in you still union sources.
   */
 class MqttDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mqtt"
@@ -49,10 +56,32 @@ object MqttSource {
     StructField("payload", StringType),
     StructField("receivedAt", TimestampType)))
 
+  /** Connector-session ids for a sharded source: the bare `clientId` for
+    * a single connector (exact back-compat), `<clientId>#i` otherwise. */
+  private[graft] def shardIds(clientId: String, connectors: Int): Seq[String] =
+    if (connectors <= 1) Seq(clientId)
+    else (0 until connectors).map(i => s"$clientId#$i")
+
+  /** Round-robin assignment of topic FILTERS to connector shards. A
+    * filter lives on exactly one shard; a topic matching filters on two
+    * shards is delivered by both — the same semantics two overlapping
+    * real MQTT subscriptions on separate connections have. */
+  private[graft] def shardFilters(filters: Seq[String], connectors: Int,
+      shard: Int): Seq[String] =
+    filters.zipWithIndex.collect {
+      case (f, i) if i % math.max(1, connectors) == shard => f
+    }
+
   /** S2/S3 — dynamic reconfiguration entry point (what the reference's
-    * Consul watcher calls on a topic-map change, main.go:97-108). */
-  def reconfigure(clientId: String, topicFilters: Seq[String]): Unit =
-    InMemoryBroker.setSubscriptions(clientId, topicFilters)
+    * Consul watcher calls on a topic-map change, main.go:97-108). For a
+    * sharded source pass the same `connectors` the query was started
+    * with, so the new filter set lands on the same shard sessions. */
+  def reconfigure(clientId: String, topicFilters: Seq[String],
+      connectors: Int = 1): Unit =
+    shardIds(clientId, connectors).zipWithIndex.foreach { case (sid, i) =>
+      InMemoryBroker.setSubscriptions(sid,
+        shardFilters(topicFilters, connectors, i))
+    }
 }
 
 final class MqttTable(options: CaseInsensitiveStringMap)
@@ -70,41 +99,67 @@ final class MqttTable(options: CaseInsensitiveStringMap)
         val topics = Option(opts.get("topics"))
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
+        val connectors =
+          math.max(1, Option(opts.get("connectors")).map(_.toInt).getOrElse(1))
         val connector = MqttConnectors.resolve(k => Option(opts.get(k)))
+        val ids = MqttSource.shardIds(clientId, connectors)
         // Apply the option set only on FIRST connect: a query restart
         // re-runs this with the original (possibly stale) option string,
         // which must not revert a later dynamic reconfigure() — including
         // an explicit unsubscribe-all (hence "configured", not "nonEmpty").
-        if (!connector.isConfigured(clientId))
-          connector.setSubscriptions(clientId, topics)
-        new MqttMicroBatchStream(connector, clientId)
+        ids.zipWithIndex.foreach { case (sid, i) =>
+          if (!connector.isConfigured(sid))
+            connector.setSubscriptions(sid,
+              MqttSource.shardFilters(topics, connectors, i))
+        }
+        new MqttMicroBatchStream(connector, ids)
       }
     }
 }
 
-final case class MqttOffset(seq: Long) extends Offset {
-  override def json(): String = seq.toString
+/** Per-shard sequence vector; `json` is comma-joined so a single-shard
+  * offset serializes exactly as the pre-sharding scalar did (old
+  * checkpoints keep working). */
+final case class MqttOffset(seqs: Seq[Long]) extends Offset {
+  override def json(): String = seqs.mkString(",")
 }
 
-final class MqttMicroBatchStream(connector: MqttConnector, clientId: String)
-    extends MicroBatchStream {
-  override def initialOffset(): Offset = MqttOffset(0L)
+object MqttOffset {
+  def single(seq: Long): MqttOffset = MqttOffset(Seq(seq))
+  def parse(json: String): MqttOffset =
+    MqttOffset(json.trim.split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong))
+}
+
+final class MqttMicroBatchStream(connector: MqttConnector,
+    shardIds: Seq[String]) extends MicroBatchStream {
+  // missing vector entries read as 0: a restart that GREW the shard count
+  // starts the new shards from the beginning of their (new) feeds
+  private def seqAt(o: Offset, i: Int): Long =
+    o.asInstanceOf[MqttOffset].seqs.lift(i).getOrElse(0L)
+
+  override def initialOffset(): Offset =
+    MqttOffset(Seq.fill(shardIds.size)(0L))
   override def latestOffset(): Offset =
-    MqttOffset(connector.latestSeq(clientId))
+    MqttOffset(shardIds.map(connector.latestSeq))
   override def deserializeOffset(json: String): Offset =
-    MqttOffset(json.trim.toLong)
+    MqttOffset.parse(json)
   override def commit(end: Offset): Unit =
     // committed prefix is never re-read (the checkpoint owns replay from
-    // here) — drop it so the broker buffer stays bounded
-    connector.truncate(clientId, end.asInstanceOf[MqttOffset].seq)
+    // here) — drop it so each shard's buffer stays bounded
+    shardIds.zipWithIndex.foreach { case (sid, i) =>
+      connector.truncate(sid, seqAt(end, i))
+    }
   override def stop(): Unit = ()
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val msgs = connector.fetch(clientId,
-      start.asInstanceOf[MqttOffset].seq, end.asInstanceOf[MqttOffset].seq)
-    if (msgs.isEmpty) Array.empty
-    else Array(MqttInputPartition(msgs.toArray))
-  }
+  /** One input partition per shard with pending messages — each an
+    * ordered slice of that shard's feed, so per-topic order survives the
+    * parallel read. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    shardIds.zipWithIndex.flatMap { case (sid, i) =>
+      val msgs = connector.fetch(sid, seqAt(start, i), seqAt(end, i))
+      if (msgs.isEmpty) None else Some(MqttInputPartition(msgs.toArray))
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {

@@ -29,13 +29,19 @@ object IngestPipeline {
   /** Build the streaming frame from the MQTT source. Subscribes eagerly —
     * the reference connects+subscribes at startup before consuming
     * (main.go:68-70, :95); waiting until the query's first micro-batch
-    * plans would drop everything published in between. */
+    * plans would drop everything published in between.
+    *
+    * @param connectors shard the topic-filter set across N connector
+    *        sessions, one source input partition each (default 1 — the
+    *        reference's single-connection layout) */
   def mqttStream(spark: SparkSession, clientId: String,
-      topicFilters: Seq[String]): DataFrame = {
-    graft.sources.mqtt.MqttSource.reconfigure(clientId, topicFilters)
+      topicFilters: Seq[String], connectors: Int = 1): DataFrame = {
+    graft.sources.mqtt.MqttSource.reconfigure(clientId, topicFilters,
+      connectors)
     spark.readStream.format("mqtt")
       .option("clientId", clientId)
       .option("topics", topicFilters.mkString(","))
+      .option("connectors", connectors.toString)
       .load()
   }
 

@@ -104,6 +104,75 @@ class MqttSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sharded connectors: one ordered input partition per shard, vector offsets") {
+    val cid = s"shard-${System.nanoTime()}"
+    MqttSource.shardIds(cid, 2).foreach(InMemoryBroker.reset)
+    // filters round-robin: shard0 ← /s0/#, shard1 ← /s1/#
+    MqttSource.reconfigure(cid, Seq("/s0/#", "/s1/#"), connectors = 2)
+    // interleave publishes across shards, two per topic, to check order
+    InMemoryBroker.publish("/s0/a/b/c/t", "s0-first")
+    InMemoryBroker.publish("/s1/a/b/c/t", "s1-first")
+    InMemoryBroker.publish("/s0/a/b/c/t", "s0-second")
+    InMemoryBroker.publish("/s1/a/b/c/t", "s1-second")
+
+    val stream = new MqttMicroBatchStream(InMemoryBroker,
+      MqttSource.shardIds(cid, 2))
+    val start = stream.initialOffset().asInstanceOf[MqttOffset]
+    assert(start.seqs == Seq(0L, 0L))
+    val end = stream.latestOffset().asInstanceOf[MqttOffset]
+    assert(end.seqs == Seq(2L, 2L))
+    // checkpointed offsets: vector json round-trips, and the scalar form
+    // written by pre-sharding checkpoints still parses
+    assert(stream.deserializeOffset(end.json()) == end)
+    assert(stream.deserializeOffset("7") == MqttOffset(Seq(7L)))
+
+    val parts = stream.planInputPartitions(start, end)
+    assert(parts.length == 2, "one input partition per shard")
+    val payloads = parts.map(_.asInstanceOf[MqttInputPartition]
+      .msgs.map(_.payload).toSeq).toSeq
+    // per-topic (= per-shard here) publish order preserved inside each
+    // partition
+    assert(payloads.contains(Seq("s0-first", "s0-second")))
+    assert(payloads.contains(Seq("s1-first", "s1-second")))
+
+    // commit truncates EVERY shard's buffer
+    stream.commit(end)
+    assert(stream.latestOffset().asInstanceOf[MqttOffset].seqs ==
+      Seq(2L, 2L))
+    assert(stream.planInputPartitions(end, stream.latestOffset()).isEmpty)
+  }
+
+  test("sharded query restarts from checkpointed vector offsets without replay") {
+    val cid = s"shardq-${System.nanoTime()}"
+    MqttSource.shardIds(cid, 2).foreach(InMemoryBroker.reset)
+    val ckpt = Files.createTempDirectory("ck").toString
+    val out = Files.createTempDirectory("out").toString
+    MqttSource.reconfigure(cid, Seq("/s0/#", "/s1/#"), connectors = 2)
+    def newQuery() = spark.readStream.format("mqtt")
+      .option("clientId", cid)
+      .option("topics", "/s0/#,/s1/#")
+      .option("connectors", "2")
+      .load()
+      // file sink: recovers from a checkpoint (memory sink can't)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    val q1 = newQuery()
+    InMemoryBroker.publish("/s0/a/b/c/t", "p0")
+    InMemoryBroker.publish("/s1/a/b/c/t", "p1")
+    q1.processAllAvailable(); q1.stop()
+
+    InMemoryBroker.publish("/s1/a/b/c/t", "p2")
+    val q2 = newQuery()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).select("payload")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("p0", "p1", "p2"),
+        s"exactly-once across restart on vector offsets, got $got")
+    } finally q2.stop()
+  }
+
   test("subscription swap applies between micro-batches (no loss window)") {
     val cid = s"swap-${System.nanoTime()}"
     InMemoryBroker.reset(cid)
