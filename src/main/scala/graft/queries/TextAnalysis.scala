@@ -322,8 +322,149 @@ object TextAnalysis {
       |WHERE g.i <= greatest(CAST(ceil((n - 32) / 16.0) AS INT), 0)
       |ORDER BY doc_id, chunk_idx""".stripMargin)
 
+  // ------------------------------------------------------------- q68
+  // PII scan + redaction: regex detection of email / IPv4 / phone-shaped
+  // spans, counts per class, and an md5 fingerprint of the REDACTED text
+  // (the pretraining-pipeline shape: detect → replace with a class tag →
+  // hash for downstream exact-dedup of the sanitized corpus). The fixture
+  // corpus contains no PII by construction, so the scanned column embeds
+  // deterministic doc_id-derived positives — every row exercises all
+  // three detectors at every SF, and the oracle is exact.
+  // Per-row regex maps: no shuffle, stays in codegen. At 100 TB this is
+  // the same embarrassingly-parallel scan shape as q50-q53.
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val Ipv4Re = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+  private val PhoneRe = "\\+1-555-\\d{4}"
+  private val q68 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("scan_text", concat_ws(" ", col("text"),
+        concat(lit("user"), col("doc_id"), lit("@example.com")),
+        concat(lit("10.0."), pmod(col("doc_id"), lit(256)), lit(".7")),
+        concat(lit("+1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))))
+      .select(
+        col("doc_id"),
+        regexp_count(col("scan_text"), lit(EmailRe)).as("n_email"),
+        regexp_count(col("scan_text"), lit(Ipv4Re)).as("n_ip"),
+        regexp_count(col("scan_text"), lit(PhoneRe)).as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("scan_text"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+          .as("redacted_md5"))
+      .orderBy(col("doc_id")),
+    s"""WITH scanned AS (
+      |  SELECT doc_id,
+      |    text || ' user' || doc_id || '@example.com' ||
+      |    ' 10.0.' || (doc_id % 256) || '.7' ||
+      |    ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      AS scan_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(scan_text, '$EmailRe')) AS n_email,
+      |  len(regexp_extract_all(scan_text, '$Ipv4Re')) AS n_ip,
+      |  len(regexp_extract_all(scan_text, '$PhoneRe')) AS n_phone,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(scan_text,
+      |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+      |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+      |FROM scanned
+      |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q69
+  // Gopher-style quality gate: alpha-token fraction, mean word length,
+  // max word length, and the composite keep/drop boolean a pretraining
+  // filter applies (Rae et al. 2021 §A1.1 shape — thresholds are the
+  // operator's dials, not the point). Pure per-row maps.
+  private val q69 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("n_alpha", expr(
+        "size(filter(tokens, t -> t rlike '^[a-z]+$'))"))
+      .withColumn("alpha_frac",
+        col("n_alpha").cast("double") / col("n_tokens"))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_tokens"))
+      .withColumn("max_word_len", expr(
+        "array_max(transform(tokens, t -> length(t)))"))
+      .select(col("doc_id"), col("alpha_frac"), col("mean_word_len"),
+        col("max_word_len"),
+        (col("n_tokens").between(10, 100000) &&
+          col("alpha_frac") > 0.8 &&
+          col("mean_word_len").between(2.0, 12.0)).as("gopher_keep"))
+      .orderBy(col("doc_id")),
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_word_len
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(tokens,
+      |    t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+      |    / n_tokens AS alpha_frac,
+      |  mean_word_len,
+      |  list_max(list_transform(tokens, t -> length(t))) AS max_word_len,
+      |  (n_tokens BETWEEN 10 AND 100000
+      |    AND CAST(len(list_filter(tokens,
+      |      t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+      |        / n_tokens > 0.8
+      |    AND mean_word_len BETWEEN 2.0 AND 12.0) AS gopher_keep
+      |FROM t
+      |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q70
+  // Repetition ratio: duplicate-bigram and duplicate-trigram fractions —
+  // the strongest single low-quality/generated-text signal in C4/Gopher
+  // filtering. dup_frac = 1 − distinct/total over rolling n-grams; the
+  // sequence() is guarded (Spark sequences run DESCENDING when end <
+  // start — an ANSI index error otherwise, same hazard TextExprs
+  // documents for shingles).
+  private val q70 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(tokens) >= 2 THEN
+          |  transform(sequence(0, size(tokens) - 2),
+          |    i -> concat_ws(' ', tokens[i], tokens[i+1]))
+          |ELSE array() END""".stripMargin))
+      .withColumn("trigrams", expr(TextExprs.shingles3("tokens")))
+      .select(
+        col("doc_id"),
+        when(size(col("bigrams")) > 0,
+          lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+            / size(col("bigrams"))).otherwise(0.0).as("dup_bigram_frac"),
+        when(size(col("trigrams")) > 0,
+          lit(1.0) - size(array_distinct(col("trigrams"))).cast("double")
+            / size(col("trigrams"))).otherwise(0.0).as("dup_trigram_frac"))
+      .orderBy(col("doc_id")),
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 2 THEN
+      |      list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END AS bigrams,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [] END AS trigrams
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN len(bigrams) > 0 THEN
+      |    1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+      |  ELSE 0.0 END AS dup_bigram_frac,
+      |  CASE WHEN len(trigrams) > 0 THEN
+      |    1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
+      |  ELSE 0.0 END AS dup_trigram_frac
+      |FROM g
+      |ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q63_term_salience" -> q63,
+    "q68_pii_redaction" -> q68,
+    "q69_gopher_quality" -> q69,
+    "q70_repetition_ratio" -> q70,
     "q66_contamination" -> q66,
     "q67_chunking" -> q67,
     "q50_token_stats" -> q50,
