@@ -22,7 +22,13 @@ import java.util.concurrent.atomic.AtomicBoolean
   */
 final class TopicConfigWatcher(backend: ConfigBackend, clientId: String,
     pollMillis: Long = 200L,
-    connector: MqttConnector = InMemoryBroker) {
+    connector: MqttConnector = InMemoryBroker,
+    /** Shard count of the source this watcher feeds — a config change is
+      * re-sharded with the same round-robin the source used, so each
+      * shard session's subscription set swaps consistently. (For TCP
+      * scale-out each shard is its own registered connector; this single-
+      * connector path shards sessions within one backend.) */
+    connectors: Int = 1) {
 
   /** File-backed convenience constructor (the shape round-1 callers use). */
   def this(path: Path, clientId: String, pollMillis: Long) =
@@ -41,7 +47,12 @@ final class TopicConfigWatcher(backend: ConfigBackend, clientId: String,
     // rewrite) — resubscribing is not free, so only do it on real change
     if (loaded.changed && loaded.topics != current) {
       current = loaded.topics
-      connector.setSubscriptions(clientId, loaded.topics.values.toSeq.sorted)
+      val filters = loaded.topics.values.toSeq.sorted
+      graft.sources.mqtt.MqttSource.shardIds(clientId, connectors)
+        .zipWithIndex.foreach { case (sid, i) =>
+          connector.setSubscriptions(sid, graft.sources.mqtt.MqttSource
+            .shardFilters(filters, connectors, i))
+        }
     }
   }
 
