@@ -42,6 +42,7 @@ object PlanAudit {
         "q04_semi_join_priority", "q05_anti_join_no_orders",
         "q06_scan_filter_agg",
         "q07_broadcast_brand_volume", "q08_star_join_region_revenue",
+        "q18_approx_distinct",
         "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
         "q59_date_arith")
 
@@ -55,6 +56,13 @@ object PlanAudit {
       "join-only pipelines must not round-robin the fact table")
 
     val checks = Map(
+      // exact-distinct and HLL aggs must stay in SEPARATE Aggregates: an
+      // Expand here means either the multi-distinct rewrite (row
+      // multiplication) or a per-key sketch buffer snuck back in —
+      // measured 26 s vs 4 s at sf0.1
+      "q18_approx_distinct" -> Seq(
+        Check("no-expand", p => !p.contains("Expand"),
+          "distinct + sketch aggs must not trigger the Expand rewrite")),
       "q03_top_revenue_orders" -> Seq(noRoundRobin),
       "q04_semi_join_priority" -> Seq(noRoundRobin),
       "q05_anti_join_no_orders" -> Seq(noRoundRobin),
