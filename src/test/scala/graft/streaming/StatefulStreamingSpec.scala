@@ -117,6 +117,43 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks on both sides") {
+    // readings and alerts are two independent MQTT streams; an alert
+    // enriches the latest reading of the SAME device when it arrives
+    // within 100ms — the canonical watermarked stream-stream equi+range
+    // join (state on both sides, bounded by the watermarks)
+    val rc = s"ssr-${System.nanoTime()}"
+    val ac = s"ssa-${System.nanoTime()}"
+    val name = s"t${rc.replace("-", "")}"
+    val readings = Ingest.parse(stream(rc)).filter(col("valid"))
+      .filter(col("client") === "r")
+      .select(col("device").as("r_dev"), col("receivedAt").as("r_ts"))
+      .withWatermark("r_ts", "1 second")
+    val alerts = Ingest.parse(stream(ac)).filter(col("valid"))
+      .filter(col("client") === "a")
+      .select(col("device").as("a_dev"), col("receivedAt").as("a_ts"))
+      .withWatermark("a_ts", "1 second")
+    val joined = readings.join(alerts, expr(
+      """r_dev = a_dev AND
+        |a_ts >= r_ts AND a_ts <= r_ts + interval 100 milliseconds"""
+        .stripMargin))
+      .select(col("r_dev"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      InMemoryBroker.publish("/r/d1/out/sensors/temp", """{"value":1.0}""")
+      InMemoryBroker.publish("/a/d1/out/sensors/alert", """{"value":9.0}""")
+      InMemoryBroker.publish("/a/d9/out/sensors/alert", """{"value":9.0}""")
+      InMemoryBroker.publish("/r/d2/out/sensors/temp", """{"value":2.0}""")
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(_.getString(0)).toSeq
+      assert(got == Seq("d1"),
+        s"only d1 has a reading AND an in-window alert, got $got")
+    } finally q.stop()
+  }
+
   test("streaming tumbling window with watermark over receivedAt") {
     val cid = s"win-${System.nanoTime()}"
     val name = s"t${cid.replace("-", "")}"
