@@ -274,7 +274,64 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY probe_id, rank""".stripMargin)
 
+  // ------------------------------------------------------------- q71
+  // Per-vector int8 scalar quantization — the embedding-STORAGE operator
+  // at 100 TB: 64 float32 dims → 64 uint8 codes + (min, max) per vector
+  // (4× smaller, and the shape IVF/disk-ANN systems store). Pure per-row
+  // HOF maps, no shuffle. Codes are exact in both engines: (x-mn)/scale
+  // is non-negative, where Spark HALF_UP rounding == DuckDB
+  // away-from-zero; the reconstruction-MSE fold is a left fold with
+  // identical operation order (0.0 + t == t bitwise for t ≥ 0), so the
+  // doubles hash-match bit-for-bit.
+  private val q71 = QueryDef.of(
+    (s, d) => Tables.embeddings(s, d)
+      .withColumn("dvec", expr(
+        "transform(embedding, x -> cast(x AS double))"))
+      .withColumn("mn", expr("array_min(dvec)"))
+      .withColumn("mx", expr("array_max(dvec)"))
+      .withColumn("scale", expr("(mx - mn) / 255.0D"))
+      .withColumn("codes", expr(
+        """CASE WHEN scale = 0D THEN transform(dvec, x -> 0L)
+          |ELSE transform(dvec,
+          |  x -> cast(round((x - mn) / scale, 0) AS bigint)) END"""
+          .stripMargin))
+      .withColumn("mse", expr(
+        """aggregate(sequence(0, size(dvec) - 1), 0D, (acc, i) ->
+          |  acc + (dvec[i] - (mn + cast(codes[i] AS double) * scale)) *
+          |        (dvec[i] - (mn + cast(codes[i] AS double) * scale)))
+          |/ size(dvec)""".stripMargin))
+      .select(col("vec_id"),
+        expr("codes[0]").as("c0"), expr("codes[1]").as("c1"),
+        expr("codes[31]").as("c31"), expr("codes[63]").as("c63"),
+        col("mn"), col("mx"), col("mse"))
+      .orderBy(col("vec_id")),
+    """WITH t AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, dvec, list_min(dvec) AS mn, list_max(dvec) AS mx,
+      |    (list_max(dvec) - list_min(dvec)) / CAST(255.0 AS DOUBLE) AS scale
+      |  FROM t),
+      |c AS (
+      |  SELECT vec_id, dvec, mn, mx, scale,
+      |    CASE WHEN scale = 0 THEN
+      |      list_transform(dvec, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(dvec,
+      |      x -> CAST(round((x - mn) / scale) AS BIGINT)) END AS codes
+      |  FROM s)
+      |SELECT vec_id,
+      |  codes[1] AS c0, codes[2] AS c1, codes[32] AS c31, codes[64] AS c63,
+      |  mn, mx,
+      |  list_reduce(list_transform(generate_series(1, len(dvec)),
+      |    i -> (dvec[i] - (mn + CAST(codes[i] AS DOUBLE) * scale)) *
+      |         (dvec[i] - (mn + CAST(codes[i] AS DOUBLE) * scale))),
+      |    (a, b) -> a + b) / len(dvec) AS mse
+      |FROM c
+      |ORDER BY vec_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q71_int8_quantization" -> q71,
     "q34_embed_neardup" -> q34,
     "q40_ann_bruteforce" -> q40,
     "q41_ann_ivf" -> q41,
