@@ -86,8 +86,43 @@ object Extras {
       |GROUP BY 1
       |ORDER BY delay_bucket""".stripMargin)
 
+  // ------------------------------------------------------------- q72
+  // Unpivot (wide→long): melt the lineitem measure columns into
+  // (metric, value) rows — Spark's Dataset.unpivot (Expand under the
+  // hood, no shuffle until the aggregate) vs DuckDB's UNPIVOT. Values go
+  // through DECIMAL so the re-aggregated totals are order-independent.
+  private val q72 = QueryDef.of(
+    (s, d) => {
+      val m = Tables.raw(s, d, "lineitem").select(
+        col("l_orderkey"),
+        col("l_quantity").cast("decimal(12,2)").as("quantity"),
+        col("l_extendedprice").cast("decimal(12,2)").as("extendedprice"),
+        col("l_discount").cast("decimal(12,2)").as("discount"))
+      m.unpivot(
+        Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "metric", "value")
+        .groupBy(col("metric"))
+        .agg(sum(col("value")).cast("double").as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("metric"))
+    },
+    """WITH m AS (
+      |  SELECT l_orderkey,
+      |    CAST(l_quantity AS DECIMAL(12,2)) AS quantity,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS extendedprice,
+      |    CAST(l_discount AS DECIMAL(12,2)) AS discount
+      |  FROM lineitem),
+      |u AS (
+      |  FROM m UNPIVOT (value FOR metric IN (quantity, extendedprice, discount)))
+      |SELECT metric, CAST(SUM(value) AS DOUBLE) AS total, COUNT(*) AS n
+      |FROM u
+      |GROUP BY metric
+      |ORDER BY metric""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q57_json_struct" -> q57,
     "q58_array_funcs" -> q58,
-    "q59_date_arith" -> q59)
+    "q59_date_arith" -> q59,
+    "q72_unpivot" -> q72)
 }
