@@ -102,7 +102,44 @@ final class JdbcCatalog(connect: () => Connection, dialect: SqlDialect)
     // identifiers are created quoted → stored case-sensitively; report and
     // look them up verbatim (no case normalization)
     while (rs.next()) out += rs.getString("TABLE_NAME")
-    out.toSeq.sorted
+    // the batch-marker table is catalog-internal — exposing it would make
+    // the router bootstrap it as a sensor table
+    out.toSeq.filterNot(_ == JdbcCatalog.BatchTable).sorted
+  }
+
+  // ---- batch-commit markers: effectively-once across foreachBatch
+  // replays. The marker INSERT runs after all appends (commitBatch is
+  // called last by the router), leaving the same marker-after-data crash
+  // window WarehouseCatalog documents — ClickHouse has no cross-statement
+  // transactions, so ManifestCatalog remains the airtight default; this
+  // closes the COMMON path (clean restart replaying the last batch).
+  private def ensureBatchTable(c: Connection): Unit = {
+    val st = c.createStatement()
+    try st.execute(dialect.createTable(JdbcCatalog.BatchTable,
+      Seq(ColumnDef("batch_id", "Int64"))))
+    catch { case e: SQLException if dialect.alreadyExists(e) => () }
+    finally st.close()
+  }
+
+  override def batchCommitted(batchId: Long): Boolean = withConn { c =>
+    ensureBatchTable(c)
+    val ps = c.prepareStatement(
+      s"SELECT COUNT(*) FROM ${dialect.quote(JdbcCatalog.BatchTable)} " +
+        s"WHERE ${dialect.quote("batch_id")} = ?")
+    try {
+      ps.setLong(1, batchId)
+      val rs = ps.executeQuery()
+      rs.next() && rs.getLong(1) > 0
+    } finally ps.close()
+  }
+
+  override def commitBatch(batchId: Long): Unit = withConn { c =>
+    ensureBatchTable(c)
+    val ps = c.prepareStatement(
+      s"INSERT INTO ${dialect.quote(JdbcCatalog.BatchTable)} " +
+        s"(${dialect.quote("batch_id")}) VALUES (?)")
+    try { ps.setLong(1, batchId); ps.executeUpdate(); () }
+    finally ps.close()
   }
 
   override def describe(table: String): Seq[ColumnDef] = withConn { c =>
@@ -164,4 +201,10 @@ final class JdbcCatalog(connect: () => Connection, dialect: SqlDialect)
       }
     }
   }
+}
+
+object JdbcCatalog {
+  /** Batch-commit marker table (catalog-internal, hidden from
+    * [[JdbcCatalog.listTables]]). */
+  val BatchTable = "graft_batches"
 }

@@ -64,6 +64,30 @@ class JdbcCatalogSpec extends AnyFunSuite {
       Seq("String", "String", "Float64"))
   }
 
+  test("batch replay is skipped via the JDBC marker table (effectively-once)") {
+    val (catalog, url) = freshDb()
+    val router = new TableRouter(new SchemaRegistry, catalog)
+    val batch = batchOf(("/c/d/out/sensors/once", """{"value":5.0}"""))
+    assert(!catalog.batchCommitted(42))
+    val first = router.routeBatch(batch, batchId = 42L)
+    assert(first.appended == Map("once" -> 1L))
+    assert(catalog.batchCommitted(42))
+    // foreachBatch replay after restart: same batch id → no duplicate rows
+    val replay = router.routeBatch(batch, batchId = 42L)
+    assert(replay.appended.isEmpty)
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement()
+        .executeQuery("""SELECT COUNT(*) FROM "once"""")
+      rs.next(); assert(rs.getInt(1) == 1)
+    } finally c.close()
+    // the marker table is catalog-internal: not listed, not bootstrapped
+    assert(catalog.listTables() == Seq("once"))
+    val registry2 = new SchemaRegistry
+    new TableRouter(registry2, catalog).bootstrap()
+    assert(!registry2.contains(JdbcCatalog.BatchTable))
+  }
+
   test("second batch appends without re-DDL; mismatch rejected") {
     val (catalog, url) = freshDb()
     val router = new TableRouter(new SchemaRegistry, catalog)
