@@ -34,9 +34,31 @@ object Bench {
     try graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"lsh warmup failed: $e") }
 
+    // Shuffle-byte profile (bench_profile.json, separate from the
+    // driver's metric line): a query whose wall time looks fine but
+    // whose shuffle bytes balloon is a scale regression this catches.
+    // Stage-completion events are async, so per-query attribution is
+    // settled with a short drain pause — profile-grade, not audit-grade.
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            ()
+          }
+        }
+      })
+
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val profile = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        val (w0, r0) = (shuffleWrite.get(), shuffleRead.get())
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
         // (count() would let Catalyst skip computing projections)
@@ -46,7 +68,10 @@ object Bench {
             failed += name
             System.err.println(s"BENCH FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(50) // let stage-completion events drain
+        profile(name) = (shuffleWrite.get() - w0, shuffleRead.get() - r0)
+        name -> secs
     }
     // 3-decimal seconds keep the metric line compact enough for the
     // driver's tail-capture window (r01/r02 both hit parsed=null because
@@ -67,6 +92,14 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val profJson = profile.map { case (k, (w, r)) =>
+        s""""$k":{"shuffle_write_mb":${"%.1f".formatLocal(
+          java.util.Locale.ROOT, w / 1e6)},"shuffle_read_mb":${
+          "%.1f".formatLocal(java.util.Locale.ROOT, r / 1e6)}}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_profile.json"),
+        (profJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench out write failed: $e") }
     // resource hygiene: release shared-index caches before shutdown
     try {
