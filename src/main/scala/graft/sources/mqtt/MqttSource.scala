@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -112,7 +112,8 @@ final class MqttTable(options: CaseInsensitiveStringMap)
             connector.setSubscriptions(sid,
               MqttSource.shardFilters(topics, connectors, i))
         }
-        new MqttMicroBatchStream(connector, ids)
+        val maxRows = Option(opts.get("maxRowsPerTrigger")).map(_.toLong)
+        new MqttMicroBatchStream(connector, ids, maxRows)
       }
     }
 }
@@ -131,8 +132,14 @@ object MqttOffset {
       .map(_.trim).filter(_.nonEmpty).map(_.toLong))
 }
 
+/** @param maxRowsPerTrigger S4's bounded-buffer analog (SURVEY §2.1):
+  *        caps each micro-batch's admitted rows so a broker burst (or a
+  *        large backlog on restart) becomes several bounded batches
+  *        instead of one giant one. The budget splits evenly across
+  *        shards; None = admit everything available. */
 final class MqttMicroBatchStream(connector: MqttConnector,
-    shardIds: Seq[String]) extends MicroBatchStream {
+    shardIds: Seq[String], maxRowsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   // missing vector entries read as 0: a restart that GREW the shard count
   // starts the new shards from the beginning of their (new) feeds
   private def seqAt(o: Offset, i: Int): Long =
@@ -144,6 +151,22 @@ final class MqttMicroBatchStream(connector: MqttConnector,
     MqttOffset(shardIds.map(connector.latestSeq))
   override def deserializeOffset(json: String): Offset =
     MqttOffset.parse(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = shardIds.map(connector.latestSeq)
+    limit match {
+      case rl: ReadMaxRows =>
+        val per = math.max(1L, rl.maxRows() / shardIds.size)
+        MqttOffset(latest.zipWithIndex.map { case (l, i) =>
+          math.min(l, seqAt(start, i) + per)
+        })
+      case _ => MqttOffset(latest)
+    }
+  }
   override def commit(end: Offset): Unit =
     // committed prefix is never re-read (the checkpoint owns replay from
     // here) — drop it so each shard's buffer stays bounded

@@ -173,6 +173,33 @@ class MqttSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxRowsPerTrigger bounds each micro-batch (S4 bounded buffer)") {
+    val cid = s"cap-${System.nanoTime()}"
+    InMemoryBroker.reset(cid)
+    InMemoryBroker.setSubscriptions(cid, Seq("/a/#"))
+    (1 to 10).foreach(i => InMemoryBroker.publish("/a/1/2/3/s", s"m$i"))
+    val name = s"t${cid.replace("-", "")}"
+    val q = spark.readStream.format("mqtt")
+      .option("clientId", cid).option("topics", "/a/#")
+      .option("maxRowsPerTrigger", "4")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // everything arrives — the cap splits the backlog, it drops nothing
+      assert(spark.table(name).count() == 10)
+      // and no single micro-batch admitted more than the cap
+      val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.nonEmpty && batchSizes.forall(_ <= 4),
+        s"batch sizes: ${batchSizes.toSeq}")
+      assert(batchSizes.length >= 3, // 10 rows / cap 4 → ≥3 batches
+        s"expected the backlog split across batches: ${batchSizes.toSeq}")
+    } finally q.stop()
+  }
+
   test("subscription swap applies between micro-batches (no loss window)") {
     val cid = s"swap-${System.nanoTime()}"
     InMemoryBroker.reset(cid)
