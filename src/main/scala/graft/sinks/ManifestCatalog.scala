@@ -21,13 +21,15 @@ import org.apache.spark.sql.types.StructType
   * commit is ONE atomic same-directory rename of a version file into
   * `_manifest/` covering every table the batch touched plus the batch id
   * — so "rows visible" and "batch committed" cannot diverge, closing
-  * window 1. Compaction commits a version that REPLACES a table's file
-  * list while old files stay on disk for in-flight readers (removed
-  * later by [[vacuum]]), closing window 2.
+  * window 1. Compaction commits a version that precisely REMOVES the
+  * files it consumed and ADDS the compacted ones (concurrent appends
+  * survive the fold) while old files stay on disk for in-flight readers
+  * (reclaimed later by [[vacuum]]), closing window 2.
   *
   * Log format (Delta-style delta log, single-writer — the streaming
   * driver): `_manifest/v<20-digit>.json`, each version holding only the
-  * delta — `add` (files appended per table), `replace` (compaction), and
+  * delta — `add` (files appended per table), `removed` (files a
+  * compaction consumed), `replace` (legacy full-list swap), and
   * an optional `batchId`. Readers fold the log into a per-table file
   * list. The single-writer assumption is the same one `foreachBatch`
   * already provides.
@@ -58,7 +60,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   // ------------------------------------------------------------ log I/O
 
   private final case class Version(n: Long, batchId: Option[Long],
-      add: Map[String, Seq[String]], replace: Map[String, Seq[String]])
+      add: Map[String, Seq[String]], replace: Map[String, Seq[String]],
+      removed: Map[String, Seq[String]])
 
   private final case class Checkpoint(n: Long,
       tables: Map[String, Seq[String]], batchIds: Seq[Long])
@@ -81,7 +84,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         "\"" + t + "\":[" + fs.map("\"" + _ + "\"").mkString(",") + "]"
       }.mkString("{", ",", "}")
     s"""{"version":${v.n},"batchId":${v.batchId.getOrElse(-1L)},""" +
-      s""""add":${files(v.add)},"replace":${files(v.replace)}}"""
+      s""""add":${files(v.add)},"replace":${files(v.replace)},""" +
+      s""""removed":${files(v.removed)}}"""
   }
 
   // a "files section" is {"table":["f1","f2"],...} — table directories
@@ -98,7 +102,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   private def parse(n: Long, s: String): Version = {
     val bid = """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).filter(_ >= 0)
-    Version(n, bid, filesSection(s, "add"), filesSection(s, "replace"))
+    Version(n, bid, filesSection(s, "add"), filesSection(s, "replace"),
+      filesSection(s, "removed"))
   }
 
   private def renderCheckpoint(c: Checkpoint): String = {
@@ -134,8 +139,17 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   private def foldInto(base: Map[String, Seq[String]],
       deltas: Seq[Version]): Map[String, Seq[String]] =
     deltas.foldLeft(base) { (acc, v) =>
+      // order matters: replace (full-list, legacy) → removed (precise —
+      // compaction consumes exactly the files it read, so adds committed
+      // DURING the compaction window survive the fold) → add
       val replaced = acc ++ v.replace
-      v.add.foldLeft(replaced) { case (a, (t, fs)) =>
+      val removed = v.removed.foldLeft(replaced) { case (a, (t, fs)) =>
+        a.get(t) match {
+          case Some(cur) => a.updated(t, cur.filterNot(fs.toSet))
+          case None => a
+        }
+      }
+      v.add.foldLeft(removed) { case (a, (t, fs)) =>
         a.updated(t, a.getOrElse(t, Nil) ++ fs)
       }
     }
@@ -166,7 +180,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * `checkpointInterval`-th version also materializes a checkpoint. */
   private[sinks] def commitVersion(batchId: Option[Long],
       add: Map[String, Seq[String]],
-      replace: Map[String, Seq[String]] = Map.empty): Unit = synchronized {
+      replace: Map[String, Seq[String]] = Map.empty,
+      removed: Map[String, Seq[String]] = Map.empty): Unit = synchronized {
     manifestDir.mkdirs()
     if (nextVersion < 0)
       nextVersion = versionFiles().lastOption
@@ -174,7 +189,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         .orElse(latestCheckpoint().map(_.n + 1))
         .getOrElse(0L)
     val next = nextVersion
-    val body = render(Version(next, batchId, add, replace))
+    val body = render(Version(next, batchId, add, replace, removed))
     val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-v", ".json")
     Files.write(tmp, body.getBytes(UTF_8))
     Files.move(tmp, manifestDir.toPath.resolve(f"v$next%020d.json"),
@@ -332,13 +347,22 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   def appendBatch(batchId: Long, tables: Map[String, DataFrame]): Unit =
     appendAll(tables, Some(batchId))
 
-  /** ONLINE compaction: write compacted files, commit a `replace`
-    * version. Readers holding the old snapshot keep reading the old
-    * files (still on disk until [[vacuum]]); a crash anywhere leaves
-    * either the old or the new manifest — never a missing table. */
+  /** ONLINE compaction: snapshot the table's file list, rewrite exactly
+    * those files, then commit ONE version that removes the consumed
+    * files and adds the compacted ones. Removal is PRECISE (not a
+    * full-list replace): an append that commits while the rewrite runs
+    * lands as a later `add` of a file this version never touches, so
+    * the fold keeps it — compaction and the stream need no coordination
+    * beyond the serialized manifest commit. Readers holding the old
+    * snapshot keep reading the old files (on disk until [[vacuum]]); a
+    * crash anywhere leaves either the old or the new manifest — never a
+    * missing table. */
   def compact(table: String, targetFiles: Int = 1): Unit = {
+    val consumed = snapshot().getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
     val staging = new File(rootDir, s".compact-${java.util.UUID.randomUUID()}")
-    read(table).coalesce(math.max(1, targetFiles))
+    spark.read.parquet(consumed.map(f => s"$root/$table/$f"): _*)
+      .coalesce(math.max(1, targetFiles))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val dest = new File(rootDir, table)
     val moved = Option(staging.listFiles()).getOrElse(Array.empty)
@@ -348,7 +372,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         f.getName
       }.toSeq
     rm(staging)
-    commitVersion(None, Map.empty, replace = Map(table -> moved))
+    commitVersion(None, add = Map(table -> moved),
+      removed = Map(table -> consumed))
   }
 
   /** Remove data files no manifest version can reach (compacted-away or

@@ -98,6 +98,45 @@ class ManifestCheckpointSpec extends AnyFunSuite {
     assert(cat.read("t").count() == 7) // old handle sees the new commit too
   }
 
+  test("append committed during a compaction window survives the fold") {
+    // the race compaction must tolerate: it snapshots [f1, f2], rewrites
+    // them, and while the rewrite runs a batch commits f3; the
+    // compaction version removes EXACTLY {f1, f2}, so f3 stays live
+    val (cat, _) = mk()
+    cat.commitVersion(None, Map("t" -> Seq("f1.parquet")))
+    cat.commitVersion(None, Map("t" -> Seq("f2.parquet")))
+    // compaction committed AFTER a concurrent add, removing only what it
+    // consumed
+    cat.commitVersion(None, Map("t" -> Seq("f3.parquet"))) // concurrent add
+    cat.commitVersion(None, add = Map("t" -> Seq("c1.parquet")),
+      removed = Map("t" -> Seq("f1.parquet", "f2.parquet")))
+    assert(cat.fileCount("t") == 2) // c1 + the concurrently-added f3
+  }
+
+  test("concurrent appends during live compactions lose no rows") {
+    val (cat, _) = mk(interval = 8)
+    val writer = new Thread(() => {
+      (1 to 30).foreach { i =>
+        cat.appendBatch(i.toLong,
+          Map("t" -> Seq((s"c$i", i.toDouble)).toDF("client", "value")))
+      }
+    })
+    writer.start()
+    // maintenance loop racing the stream: compact whenever files pile up
+    while (writer.isAlive) {
+      if (cat.listTables().contains("t") && cat.fileCount("t") > 4)
+        cat.compact("t", targetFiles = 2)
+      else Thread.sleep(10)
+    }
+    writer.join()
+    cat.compact("t", targetFiles = 1)
+    assert(cat.read("t").count() == 30,
+      "every concurrently-appended row must survive compaction")
+    assert(cat.read("t").agg(org.apache.spark.sql.functions.sum("value"))
+      .head.getDouble(0) == 465.0) // 1+2+...+30
+    (1 to 30).foreach(b => assert(cat.batchCommitted(b)))
+  }
+
   test("soak: commit cost stays bounded by the checkpoint interval") {
     val (cat, _) = mk(interval = 10)
     // a manifest-only soak (no parquet writes — commitVersion is the
