@@ -57,21 +57,61 @@ object ScaleStress {
         .groupBy(col("bkey")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).count()
 
+    // per-row text quality pipeline à la q69/q70 (alpha fraction +
+    // duplicate-bigram fraction) — pure map, should be exactly linear
+    def qualityRun(docs: DataFrame): Long =
+      docs.withColumn("toks", split(col("text"), " "))
+        .withColumn("alpha", expr(
+          "size(filter(toks, t -> t rlike '^[a-z]+$'))"))
+        .withColumn("bigrams", expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2),
+            |    i -> concat_ws(' ', toks[i], toks[i+1]))
+            |ELSE array() END""".stripMargin))
+        // aggregate over every derived column so the per-row compute
+        // cannot be pruned away
+        .agg(sum(col("alpha") + size(col("bigrams")) -
+          size(array_distinct(col("bigrams")))))
+        .head().getLong(0)
+
+    // per-vector int8 quantization à la q71 — HOF-heavy per-row map
+    def quantRun(embs: DataFrame): Long =
+      embs.withColumn("dvec", expr(
+        "transform(embedding, x -> cast(x AS double))"))
+        .withColumn("mn", expr("array_min(dvec)"))
+        .withColumn("mx", expr("array_max(dvec)"))
+        .withColumn("scale", expr("(mx - mn) / 255.0D"))
+        .withColumn("codes", expr(
+          """CASE WHEN scale = 0D THEN transform(dvec, x -> 0L)
+            |ELSE transform(dvec,
+            |  x -> cast(round((x - mn) / scale, 0) AS bigint)) END"""
+            .stripMargin))
+        .agg(sum(expr("aggregate(codes, 0L, (a, c) -> a + c)")))
+        .head().getLong(0)
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
     val d10 = replicate(d1, 10, "doc_id", 1000000000L)
+    val e1 = Tables.embeddings(spark, sfDir)
+    val e10 = replicate(e1, 10, "vec_id", 1000000000L)
 
-    aggRun(li1); lshRun(d1) // warm up JIT + file listing
+    aggRun(li1); lshRun(d1); qualityRun(d1); quantRun(e1) // warm up JIT
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
     val (lshT1, _) = time(lshRun(d1))
     val (lshT10, _) = time(lshRun(d10))
+    val (quT1, _) = time(qualityRun(d1))
+    val (quT10, _) = time(qualityRun(d10))
+    val (qzT1, _) = time(quantRun(e1))
+    val (qzT10, _) = time(quantRun(e10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
-      f""""lsh_1x_s":$lshT1%.2f,"lsh_10x_s":$lshT10%.2f,"lsh_ratio":${lshT10 / lshT1}%.1f}""")
+      f""""lsh_1x_s":$lshT1%.2f,"lsh_10x_s":$lshT10%.2f,"lsh_ratio":${lshT10 / lshT1}%.1f,""" +
+      f""""quality_1x_s":$quT1%.2f,"quality_10x_s":$quT10%.2f,"quality_ratio":${quT10 / quT1}%.1f,""" +
+      f""""quant_1x_s":$qzT1%.2f,"quant_10x_s":$qzT10%.2f,"quant_ratio":${qzT10 / qzT1}%.1f}""")
     spark.stop()
   }
 }
