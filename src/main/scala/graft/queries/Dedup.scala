@@ -76,11 +76,15 @@ object Dedup {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("mh", expr("minhash_sig(toks)"))
       .filter(col("mh").isNotNull)
+      // array_distinct is a semantic no-op (band indices are unique) that
+      // acts as a materialization barrier: exploding a bare lambda chain
+      // re-pays the transform per emitted row — measured 1.17 s vs 0.49 s
+      // at sf0.1 (same trap as q73's shingles, TextAnalysis.scala)
       .select(col("doc_id"), expr(
-        s"""explode(transform(sequence(0, ${Bands - 1}), b ->
+        s"""explode(array_distinct(transform(sequence(0, ${Bands - 1}), b ->
            |  struct(b AS band,
            |    concat_ws(',', slice(mh, b * $RowsPerBand + 1, $RowsPerBand))
-           |      AS bkey)))""".stripMargin).as("bb"))
+           |      AS bkey))))""".stripMargin).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bkey").as("bkey"))
   }
@@ -141,10 +145,12 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
       .filter(size(col("all_ids")) >= 2)
       .withColumn("ids", slice(col("all_ids"), 1, MaxBucket))
+      // array_distinct barrier (pairs are unique by i<j construction) —
+      // see banded() above for why exploding a bare lambda chain is slow
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2), i ->
+        """array_distinct(flatten(transform(sequence(0, size(ids) - 2), i ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    d2 -> struct(ids[i] AS doc1, d2 AS doc2))))""".stripMargin))
+          |    d2 -> struct(ids[i] AS doc1, d2 AS doc2)))))""".stripMargin))
         .as("p"))
       .select(col("p.doc1"), col("p.doc2")).distinct()
 

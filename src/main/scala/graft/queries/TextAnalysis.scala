@@ -301,11 +301,14 @@ object TextAnalysis {
     (s, d) => Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
+      // array_distinct barrier (chunk_idx is unique) — exploding a bare
+      // lambda chain re-pays the transform per emitted row (see q73 note)
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, int(greatest(ceil((n - 32) / 16.0), 0))), i ->
+        """array_distinct(transform(
+          |  sequence(0, int(greatest(ceil((n - 32) / 16.0), 0))), i ->
           |  struct(i AS chunk_idx,
           |    size(slice(toks, i * 16 + 1, 32)) AS n_tokens,
-          |    md5(concat_ws(' ', slice(toks, i * 16 + 1, 32))) AS chunk_md5))"""
+          |    md5(concat_ws(' ', slice(toks, i * 16 + 1, 32))) AS chunk_md5)))"""
           .stripMargin)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.n_tokens"),
         col("c.chunk_md5"))
@@ -460,11 +463,89 @@ object TextAnalysis {
       |FROM g
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------- q73
+  // Train/test decontamination: split the corpus deterministically
+  // (md5-hash split, the q55 idiom — 80/20), then flag test documents
+  // whose 3-token shingles overlap the train side — the decontamination
+  // sweep an eval-set owner runs before training. Distinct from q66
+  // (which scans for a FIXED probe-phrase list): here the "probes" are
+  // the entire train corpus, so the check is a distributed shingle join.
+  // Scale shape: both sides explode to (shingle, doc_id) — the shuffle
+  // carries shingle strings + ids only, never documents; train shingles
+  // dedupe before the join (map-side partials); at 100 TB you'd md5 the
+  // shingles to fix the key width and bucket both sides — same plan,
+  // narrower keys. Docs with <3 tokens have no shingles and drop out
+  // identically in both engines.
+  private val q73 = QueryDef.of(
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("sh", expr(TextExprs.shingles3("toks")))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)"))
+      // explode(array_distinct(...)), never explode(transform-chain):
+      // CollapseProject folds the shingle-building lambda INTO the
+      // generator, where it re-evaluates per emitted row — measured 7.1 s
+      // vs 0.45 s at sf0.1. array_distinct is a cheap barrier that also
+      // shrinks the exploded row count.
+      val train = t.filter(col("h") % 10 < 8)
+        .select(explode(array_distinct(col("sh"))).as("shingle")).distinct()
+      val testDocs = t.filter(col("h") % 10 >= 8)
+        .withColumn("dsh", array_distinct(col("sh")))
+      // per-doc totals come straight from the array — no explode, no
+      // shuffle; only the shared-count join needs the exploded form
+      val totals = testDocs.filter(size(col("dsh")) > 0)
+        .select(col("doc_id"),
+          size(col("dsh")).cast("bigint").as("n_shingles"))
+      val test = testDocs
+        .select(col("doc_id"), explode(col("dsh")).as("shingle"))
+      val shared = test.join(train, "shingle")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      totals.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_shingles")).as("overlap_frac"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_shingles") >= 0.5).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |        i -> string_split(text, ' ')[i] || ' ' ||
+      |             string_split(text, ' ')[i+1] || ' ' ||
+      |             string_split(text, ' ')[i+2])
+      |    ELSE [] END AS sh,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS h
+      |  FROM documents),
+      |train AS (
+      |  SELECT DISTINCT shingle FROM (
+      |    SELECT unnest(sh) AS shingle FROM t WHERE h % 10 < 8)),
+      |test AS (
+      |  SELECT doc_id, unnest(list_distinct(sh)) AS shingle
+      |  FROM t WHERE h % 10 >= 8),
+      |totals AS (
+      |  SELECT doc_id, CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+      |  FROM t WHERE h % 10 >= 8 AND len(list_distinct(sh)) > 0),
+      |shared AS (
+      |  SELECT test.doc_id, COUNT(*) AS n_shared
+      |  FROM test JOIN train USING (shingle) GROUP BY test.doc_id)
+      |SELECT totals.doc_id AS doc_id, n_shingles,
+      |  COALESCE(n_shared, 0) AS n_shared,
+      |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles AS overlap_frac,
+      |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles >= 0.5
+      |    AS contaminated
+      |FROM totals LEFT JOIN shared ON totals.doc_id = shared.doc_id
+      |ORDER BY totals.doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q63_term_salience" -> q63,
     "q68_pii_redaction" -> q68,
     "q69_gopher_quality" -> q69,
     "q70_repetition_ratio" -> q70,
+    "q73_decontaminate" -> q73,
     "q66_contamination" -> q66,
     "q67_chunking" -> q67,
     "q50_token_stats" -> q50,
