@@ -44,7 +44,8 @@ object PlanAudit {
         "q07_broadcast_brand_volume", "q08_star_join_region_revenue",
         "q18_approx_distinct",
         "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
-        "q59_date_arith")
+        "q59_date_arith",
+        "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -94,7 +95,21 @@ object PlanAudit {
       "q42_ann_ivf_kmeans" -> Seq(
         Check("partition-pruned-index", p =>
           "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
-          "prebuilt IVF probe must read only the probed cell partitions")))
+          "prebuilt IVF probe must read only the probed cell partitions")),
+      "q73_decontaminate" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "shingle overlap must be a key join, never a cross product")),
+      // the groupBy(shard) must reuse the window's hashpartitioning(shard)
+      // — a second hash exchange would mean the shard stream shuffles twice
+      "q74_sequence_packing" -> Seq(
+        Check("one-hash-exchange", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+          "window partitioning must be reused by the per-shard aggregate")),
+      // "the"-sized token groups must shrink via map-side partials at the
+      // (token, doc) pre-aggregation before anything wider runs
+      "q75_inverted_index" -> Seq(
+        Check("partial-preagg", _.contains("partial_count"),
+          "per-(token,doc) pre-aggregation needs map-side partials")))
 
     var failed = 0
     names.foreach { n =>
@@ -102,11 +117,18 @@ object PlanAudit {
       // collect() (not count()) — count() spawns a separate query
       // execution; this df's own AQE plan must finalize for codegen ids
       df.collect()
+      // executedPlan.toString appends the pre-AQE "Initial Plan" tree with
+      // full arguments — drop it so exchange-count checks see only the
+      // final (adaptive) plan; the formatted section's initial tree is
+      // bare node names and can't false-match argument patterns
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode) + "\n" +
-        df.queryExecution.executedPlan.toString
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       println(s"\n════════ $n ════════")
       println(plan.take(4000))
+      // full plan (the print is truncated) for offline inspection
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/tmp/planaudit_$n.txt"), plan)
       checks.getOrElse(n, Nil).foreach { c =>
         val ok = c.test(plan)
         if (!ok) failed += 1

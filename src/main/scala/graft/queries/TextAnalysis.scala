@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the training-data-pipeline
@@ -490,24 +491,22 @@ object TextAnalysis {
       // shrinks the exploded row count.
       val train = t.filter(col("h") % 10 < 8)
         .select(explode(array_distinct(col("sh"))).as("shingle")).distinct()
-      val testDocs = t.filter(col("h") % 10 >= 8)
-        .withColumn("dsh", array_distinct(col("sh")))
-      // per-doc totals come straight from the array — no explode, no
-      // shuffle; only the shared-count join needs the exploded form
-      val totals = testDocs.filter(size(col("dsh")) > 0)
-        .select(col("doc_id"),
-          size(col("dsh")).cast("bigint").as("n_shingles"))
-      val test = testDocs
-        .select(col("doc_id"), explode(col("dsh")).as("shingle"))
-      val shared = test.join(train, "shingle")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      totals.join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          (coalesce(col("n_shared"), lit(0L)).cast("double")
-            / col("n_shingles")).as("overlap_frac"),
-          (coalesce(col("n_shared"), lit(0L)).cast("double")
-            / col("n_shingles") >= 0.5).as("contaminated"))
+        .withColumn("hit", lit(1))
+      // single pass over the test side: left-join the marked train set,
+      // then ONE aggregate yields both the per-doc total (count of all
+      // exploded shingles) and the shared count (count of join hits) —
+      // no second corpus scan for totals, no totals-vs-shared join.
+      // The left join is 1:1 at most (train is distinct), so no fan-out.
+      val test = t.filter(col("h") % 10 >= 8)
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+      test.join(train, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_shingles"))
+            .as("overlap_frac"),
+          (col("n_shared").cast("double") / col("n_shingles") >= 0.5)
+            .as("contaminated"))
         .orderBy(col("doc_id"))
     },
     """WITH t AS (
@@ -540,12 +539,127 @@ object TextAnalysis {
       |FROM totals LEFT JOIN shared ON totals.doc_id = shared.doc_id
       |ORDER BY totals.doc_id""".stripMargin)
 
+  // ------------------------------------------------------------- q74
+  // Sequence packing (concat-and-split): the pre-training batching op —
+  // concatenate every document's tokens within a shard and cut the stream
+  // every 512 tokens. Reports per-shard packing stats: sequence count,
+  // fill fraction of the (partial) last sequence, and how many documents
+  // straddle a cut boundary (those need cross-sequence attention masking).
+  // Scale shape: the running sum is windowed PER SHARD — shards are
+  // independent, so at 100 TB you raise the shard count to the cluster's
+  // parallelism and each shard's cumsum is a single sorted partition
+  // stream; nothing is global. All math is integer (ceil-div via
+  // (x+511) div 512); the one ratio is a single IEEE division.
+  private val q74 = QueryDef.of(
+    (s, d) => {
+      val t = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 32")
+          .as("shard"))
+      val cum = t.withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("cum")).as("n_tokens"),
+          expr("(max(cum) + 511) div 512").as("n_sequences"),
+          expr("sum((cum - 1) div 512 - (cum - n) div 512)").as("n_crossings"))
+        .withColumn("fill_frac",
+          col("n_tokens").cast("double") / (col("n_sequences") * lit(512)))
+        .orderBy(col("shard"))
+    },
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+      |      % 32 AS shard
+      |  FROM documents),
+      |w AS (
+      |  SELECT shard, n, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |g AS (
+      |  SELECT shard,
+      |    COUNT(*) AS n_docs,
+      |    MAX(cum) AS n_tokens,
+      |    (MAX(cum) + 511) // 512 AS n_sequences,
+      |    SUM((cum - 1) // 512 - (cum - n) // 512) AS n_crossings
+      |  FROM w GROUP BY shard)
+      |SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_sequences AS BIGINT) AS n_sequences,
+      |  CAST(n_crossings AS BIGINT) AS n_crossings,
+      |  CAST(n_tokens AS DOUBLE) / (n_sequences * 512) AS fill_frac
+      |FROM g ORDER BY shard""".stripMargin)
+
+  // ------------------------------------------------------------- q75
+  // Inverted-index build: token → (df, total tf, capped posting list of
+  // per-doc stats) — the search/BM25 index-construction op. Scale shape:
+  // occurrences pre-aggregate per (token, doc) FIRST (map-side partials
+  // shrink "the"-sized token groups to one row per doc before anything
+  // is collected), df/tf come from that compact frame, and the posting
+  // array is capped at 64 entries via a rank filter BEFORE collect_list —
+  // no unbounded array ever materializes, unlike a naive
+  // collect-then-slice. Postings serialize to an ordered string so the
+  // output is hash-stable.
+  private val q75 = QueryDef.of(
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .filter(col("token") =!= "")
+      val perDoc = tok.groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf_d"), min(col("pos")).as("first_pos"))
+      val stats = perDoc.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf_d")).as("tf"))
+      val top = perDoc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("token")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 64)
+        .groupBy(col("token"))
+        .agg(sort_array(collect_list(struct(
+          col("doc_id"), col("tf_d"), col("first_pos")))).as("p"))
+      stats.join(top, Seq("token"))
+        .select(col("token"), col("df"), col("tf"),
+          expr("""concat_ws(';', transform(p,
+                 |  x -> concat_ws(':', x.doc_id, x.tf_d, x.first_pos)))"""
+            .stripMargin).as("postings"))
+        .orderBy(col("token"))
+    },
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ex AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+      |    i -> {'token': toks[i], 'pos': i - 1})) AS u
+      |  FROM base),
+      |tok AS (
+      |  SELECT doc_id, u.token AS token, u.pos AS pos
+      |  FROM ex WHERE u.token <> ''),
+      |perdoc AS (
+      |  SELECT token, doc_id, COUNT(*) AS tf_d, MIN(pos) AS first_pos
+      |  FROM tok GROUP BY token, doc_id),
+      |stats AS (
+      |  SELECT token, COUNT(*) AS df, CAST(SUM(tf_d) AS BIGINT) AS tf
+      |  FROM perdoc GROUP BY token),
+      |top AS (
+      |  SELECT token, string_agg(
+      |      doc_id || ':' || tf_d || ':' || first_pos, ';'
+      |      ORDER BY doc_id) AS postings
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY token ORDER BY doc_id) AS rn FROM perdoc)
+      |  WHERE rn <= 64 GROUP BY token)
+      |SELECT token, df, tf, postings
+      |FROM stats JOIN top USING (token) ORDER BY token""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q63_term_salience" -> q63,
     "q68_pii_redaction" -> q68,
     "q69_gopher_quality" -> q69,
     "q70_repetition_ratio" -> q70,
     "q73_decontaminate" -> q73,
+    "q74_sequence_packing" -> q74,
+    "q75_inverted_index" -> q75,
     "q66_contamination" -> q66,
     "q67_chunking" -> q67,
     "q50_token_stats" -> q50,
