@@ -652,6 +652,71 @@ object TextAnalysis {
       |SELECT token, df, tf, postings
       |FROM stats JOIN top USING (token) ORDER BY token""".stripMargin)
 
+  // ------------------------------------------------------------- q76
+  // Temperature-based mixture sampling: the data-mixing op — re-weight
+  // per-language document counts by sqrt (temperature 0.5 flattening),
+  // derive per-language target counts for a 1000-doc budget, then draw a
+  // deterministic hash sample hitting those targets. Bit-exactness notes:
+  // sqrt is IEEE-correctly-rounded in both engines; the cross-language
+  // weight sum folds in sorted lang order on BOTH sides (Spark
+  // `aggregate` over sort_array vs DuckDB list_reduce over
+  // list(ORDER BY lang) — same strict left fold); the sampling predicate
+  // is pure integer math (h * c < n_target * 2^32). Scale shape: the
+  // per-lang table is tiny and broadcast; the corpus is scanned once and
+  // never shuffled (the summary agg moves one row per lang per task).
+  private val q76 = QueryDef.of(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val lc = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val z = lc.agg(expr(
+        """aggregate(sort_array(collect_list(struct(lang, c))),
+          |  cast(0.0 as double), (acc, x) -> acc + sqrt(cast(x.c as double)))"""
+          .stripMargin).as("z"))
+      val tgt = lc.crossJoin(z)
+        .withColumn("p", expr("sqrt(cast(c as double))") / col("z"))
+        // epoch cap: never target more docs than a language has (at small
+        // corpora the flattened share can exceed the group; a single-pass
+        // sampler caps rather than redistributing the excess)
+        .withColumn("n_target",
+          least(floor(lit(1000) * col("p")).cast("long"), col("c")))
+      val sampled = docs
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+        .join(broadcast(tgt.select(col("lang"), col("c"), col("n_target"))),
+          Seq("lang"))
+        .filter(col("h") * col("c") < col("n_target") * lit(4294967296L))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      tgt.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("c").as("n_docs"), col("p").as("target_frac"),
+          col("n_target"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+    """WITH lc AS (
+      |  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+      |z AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(list(c ORDER BY lang),
+      |      x -> sqrt(CAST(x AS DOUBLE)))), (a, b) -> a + b) AS z
+      |  FROM lc),
+      |tgt AS (
+      |  SELECT lang, c, sqrt(CAST(c AS DOUBLE)) / z AS p,
+      |    LEAST(CAST(floor(1000 * (sqrt(CAST(c AS DOUBLE)) / z)) AS BIGINT),
+      |      c) AS n_target
+      |  FROM lc, z),
+      |sampled AS (
+      |  SELECT d.lang, COUNT(*) AS n_sampled
+      |  FROM (SELECT lang,
+      |          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |            AS BIGINT) AS h
+      |        FROM documents) d
+      |  JOIN tgt ON d.lang = tgt.lang
+      |  WHERE d.h * tgt.c < tgt.n_target * 4294967296
+      |  GROUP BY d.lang)
+      |SELECT tgt.lang AS lang, c AS n_docs, p AS target_frac, n_target,
+      |  COALESCE(n_sampled, 0) AS n_sampled
+      |FROM tgt LEFT JOIN sampled ON tgt.lang = sampled.lang
+      |ORDER BY tgt.lang""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q63_term_salience" -> q63,
     "q68_pii_redaction" -> q68,
@@ -660,6 +725,7 @@ object TextAnalysis {
     "q73_decontaminate" -> q73,
     "q74_sequence_packing" -> q74,
     "q75_inverted_index" -> q75,
+    "q76_mixture_sample" -> q76,
     "q66_contamination" -> q66,
     "q67_chunking" -> q67,
     "q50_token_stats" -> q50,
