@@ -89,6 +89,36 @@ object ScaleStress {
         .agg(sum(expr("aggregate(codes, 0L, (a, c) -> a + c)")))
         .head().getLong(0)
 
+    // distributed shingle-overlap join à la q73 — the shuffle carries
+    // (shingle, id) pairs and grows with the corpus; expected ~linear
+    def decontRun(docs: DataFrame): Long = {
+      val t = docs.withColumn("toks", split(col("text"), " "))
+        .withColumn("sh",
+          array_distinct(expr(graft.queries.TextExprs.shingles3("toks"))))
+        .withColumn("h", pmod(hash(col("doc_id")), lit(10)))
+      val train = t.filter(col("h") < 8)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val test = t.filter(col("h") >= 8)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      test.join(train, Seq("shingle"), "left")
+        .groupBy(col("doc_id")).count().count()
+    }
+
+    // per-shard packing cumsum à la q74 — windows must parallelize across
+    // shards; a serializing (single-partition) window would go superlinear
+    def packRun(docs: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"),
+          pmod(hash(col("doc_id")), lit(64)).as("shard"))
+        .withColumn("cum", sum(col("n")).over(
+          Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("shard"))
+        .agg(max(col("cum")).as("tok"), count(lit(1)).as("nd"))
+        .agg(sum(expr("(tok + 511) div 512"))).head().getLong(0)
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -97,6 +127,7 @@ object ScaleStress {
     val e10 = replicate(e1, 10, "vec_id", 1000000000L)
 
     aggRun(li1); lshRun(d1); qualityRun(d1); quantRun(e1) // warm up JIT
+    decontRun(d1); packRun(d1)
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
@@ -106,12 +137,18 @@ object ScaleStress {
     val (quT10, _) = time(qualityRun(d10))
     val (qzT1, _) = time(quantRun(e1))
     val (qzT10, _) = time(quantRun(e10))
+    val (dcT1, _) = time(decontRun(d1))
+    val (dcT10, _) = time(decontRun(d10))
+    val (pkT1, _) = time(packRun(d1))
+    val (pkT10, _) = time(packRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
       f""""lsh_1x_s":$lshT1%.2f,"lsh_10x_s":$lshT10%.2f,"lsh_ratio":${lshT10 / lshT1}%.1f,""" +
       f""""quality_1x_s":$quT1%.2f,"quality_10x_s":$quT10%.2f,"quality_ratio":${quT10 / quT1}%.1f,""" +
-      f""""quant_1x_s":$qzT1%.2f,"quant_10x_s":$qzT10%.2f,"quant_ratio":${qzT10 / qzT1}%.1f}""")
+      f""""quant_1x_s":$qzT1%.2f,"quant_10x_s":$qzT10%.2f,"quant_ratio":${qzT10 / qzT1}%.1f,""" +
+      f""""decont_1x_s":$dcT1%.2f,"decont_10x_s":$dcT10%.2f,"decont_ratio":${dcT10 / dcT1}%.1f,""" +
+      f""""pack_1x_s":$pkT1%.2f,"pack_10x_s":$pkT10%.2f,"pack_ratio":${pkT10 / pkT1}%.1f}""")
     spark.stop()
   }
 }
