@@ -25,7 +25,20 @@ object Resources {
     retained.foreach { df =>
       try df.unpersist()
       catch { case _: Throwable => () }
+      releaseCheckpoint(df)
     }
     retained.clear()
   }
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * frame. `Dataset.unpersist` only talks to the CacheManager, which
+    * never hears about checkpoint RDDs — they are persisted at the RDD
+    * layer — so a checkpointed frame needs its `LogicalRDD` leaves
+    * unpersisted directly or the blocks outlive the job. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 }

@@ -42,16 +42,21 @@ object ConnectedComponents {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("component")).as("nbr_min"))
+      // eager localCheckpoint, not persist: each round's frame embeds the
+      // previous round's plan twice (the join here + the changed-count
+      // join below), so logical-plan size doubles per round and the
+      // optimizer OOMs near ~15 rounds even on tiny data
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))
         .count() // bounded driver read: one long
       labels.unpersist()
+      graft.Resources.releaseCheckpoint(labels) // checkpoint RDDs bypass the CacheManager
       labels = next
       i += 1
     }
@@ -59,5 +64,72 @@ object ConnectedComponents {
     // the caller consumes the persisted fixpoint lazily, so release is
     // deferred to the session owner via the retained-frames registry
     graft.Resources.retain(labels)
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the O(log n)-round variant for graphs whose diameter is NOT small:
+    * min-label propagation above needs diameter rounds (a 10^6-node
+    * chain = 10^6 joins), star contraction collapses any graph in
+    * ~log n alternations by repeatedly re-pointing nodes at their
+    * neighborhood minimum.
+    *
+    * Per round: large-star connects every node's larger neighbors to its
+    * neighborhood min (one groupBy + join on the symmetrized list);
+    * small-star re-points the smaller neighbors (one groupBy + join on
+    * the oriented list). The fixpoint is the star forest (node →
+    * component min), unique and partitioning-independent, so the result
+    * is deterministic and identical to [[labels]].
+    *
+    * The convergence probe is an exact two-sided `except` — right for
+    * dedup-scale graphs; at billions of edges swap it for a
+    * (count, ordered hash) signature to save the extra shuffles.
+    *
+    * @return (labels frame as in [[labels]], rounds used) */
+  def labelsStar(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    // eager localCheckpoint, NOT persist: each round's edge set refers to
+    // the previous round's several times (sym, ls, and the convergence
+    // except), so the LOGICAL plan grows ~4× per round — by round 8 the
+    // optimizer OOMs on the tree even though the data is tiny. Truncating
+    // lineage per round keeps plan size O(1); this is the same reason
+    // GraphX/GraphFrames checkpoint inside Pregel loops.
+    var cur = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = cur.isEmpty
+    while (!done && rounds < maxIters) {
+      // large-star: for each u, attach strictly-larger neighbors to
+      // m = min(N(u) ∪ {u}); every output edge points bigger → smaller
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val nMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = sym.join(nMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // small-star: edges now orient bigger → smaller; re-point each
+      // node's smaller neighbors (and itself) at their minimum
+      val sMin = ls.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val next = ls.join(sMin, Seq("u"))
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(sMin.select(col("u"), col("mn").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      done = next.except(cur).union(cur.except(next)).isEmpty
+      graft.Resources.releaseCheckpoint(cur)
+      cur = next
+      rounds += 1
+    }
+    val lbl = nodes
+      .join(cur.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    lbl.count() // materialize before releasing the edge frame
+    graft.Resources.releaseCheckpoint(cur)
+    (graft.Resources.retain(lbl), rounds)
   }
 }

@@ -390,15 +390,7 @@ object Dedup {
   // production dedup job ships. Oracle: DuckDB recursive CTE computes
   // the same closure (the candidate graph is the tiny verified-pair set,
   // so closure blowup is bounded by cluster size²).
-  private val q65 = QueryDef.of(
-    (s, d) => {
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val edges = verifiedPairs(s, d)
-        .select(col("doc1").as("src"), col("doc2").as("dst"))
-      graft.operators.ConnectedComponents.labels(nodes, edges)
-        .select(col("id").as("doc_id"), col("component").as("cluster"))
-        .orderBy(col("doc_id"))
-    },
+  private val clustersSql =
     s"""$sqlShingled,
        |$sqlMinhash,
        |sets AS (
@@ -421,7 +413,36 @@ object Dedup {
        |  least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
        |GROUP BY d.doc_id
-       |ORDER BY d.doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE "))
+       |ORDER BY d.doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")
+
+  private val q65 = QueryDef.of(
+    (s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = verifiedPairs(s, d)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      graft.operators.ConnectedComponents.labels(nodes, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+        .orderBy(col("doc_id"))
+    },
+    clustersSql)
+
+  // ------------------------------------------------------------- q65b
+  // Same clusters via alternating large-star / small-star contraction
+  // ([[graft.operators.ConnectedComponents.labelsStar]]): O(log n)
+  // rounds regardless of graph diameter, vs diameter rounds for q65's
+  // min-label propagation. Identical fixpoint → identical oracle; at
+  // 100 TB this is the variant to run when clusters can be long chains
+  // (boilerplate families, templated spam) rather than tight cliques.
+  private val q65b = QueryDef.of(
+    (s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = verifiedPairs(s, d)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      graft.operators.ConnectedComponents.labelsStar(nodes, edges)._1
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+        .orderBy(col("doc_id"))
+    },
+    clustersSql)
 
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30,
@@ -431,5 +452,6 @@ object Dedup {
     "q35_lang_minhash_union" -> q35,
     "q37_edit_distance" -> q37,
     "q64_dedup_decision" -> q64,
-    "q65_dedup_clusters" -> q65)
+    "q65_dedup_clusters" -> q65,
+    "q65b_dedup_clusters_star" -> q65b)
 }

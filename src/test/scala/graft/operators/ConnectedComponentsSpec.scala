@@ -32,4 +32,39 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val a = run(1L to 3L, Seq((3L, 1L), (2L, 3L)))
     assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  private def runStar(nodes: Seq[Long],
+      edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (df, rounds) = ConnectedComponents.labelsStar(
+      nodes.toDF("id"), edges.toDF("src", "dst"))
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("large-star/small-star matches propagation on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val nodes = 0L until 120L
+    val edges = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = run(nodes, edges)
+    val (got, _) = runStar(nodes, edges)
+    assert(got == expected)
+  }
+
+  test("star contraction collapses a 200-node chain in O(log n) rounds") {
+    // diameter 199: min-label propagation would need 199 join rounds;
+    // star contraction must finish in ~log2(200) alternations
+    val nodes = 0L until 200L
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val (got, rounds) = runStar(nodes, edges)
+    assert(got.values.forall(_ == 0L), "single component labeled 0")
+    assert(got.size == 200)
+    assert(rounds <= 12, s"expected logarithmic convergence, used $rounds")
+  }
+
+  test("star variant: isolated nodes and empty edge sets label themselves") {
+    val (got, rounds) = runStar(Seq(5L, 9L), Seq.empty)
+    assert(got == Map(5L -> 5L, 9L -> 9L))
+    assert(rounds == 0)
+  }
 }
