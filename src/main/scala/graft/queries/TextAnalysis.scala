@@ -717,8 +717,186 @@ object TextAnalysis {
       |FROM tgt LEFT JOIN sampled ON tgt.lang = sampled.lang
       |ORDER BY tgt.lang""".stripMargin)
 
+  // ------------------------------------------------------------- q77
+  // BM25 ranked retrieval: score a fixed query set against the corpus
+  // and return top-10 docs per query — the eval/retrieval op that sits
+  // on q75's inverted-index statistics. Scale shape: the query-term set
+  // is kilobytes and BROADCAST into the per-(doc,term) tf frame, so the
+  // only wide shuffles key on (doc, term)/(doc) — never on bodies; the
+  // top-k is a per-query window over the (tiny) matched set.
+  //
+  // Bit-exactness: idf uses the raw Robertson–Sparck-Jones odds
+  // (N - df + 0.5)/(df + 0.5) rather than its ln — Java Math.log and
+  // DuckDB ln disagree by 1 ulp on ~0.1% of inputs (measured), so the
+  // oracle pins the rational form; rankings are identical whenever
+  // per-term idf ordering is all that matters, and the ln swap is one
+  // line in production. Saturation term k1=1.2, b=0.75 is rational
+  // arithmetic with identical literal parse and operation order on both
+  // engines; the per-(query,doc) term sum folds in sorted term order on
+  // both sides (same strict left fold as q76).
+  private val BmQueries = Seq(
+    (1, "spark window agg"), (2, "customer stream table"),
+    (3, "vector hash join"))
+  private val q77 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      val qterms = BmQueries.toDF("query_id", "qtext")
+        .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("n_dt"))
+      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfT = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val avg = dl.agg(sum(col("dl")).as("tot")).crossJoin(n)
+        .select(col("n_docs"),
+          (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+      val scoredTerms = tf
+        .join(broadcast(qterms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(dfT.join(broadcast(qterms).select(col("term")).distinct(),
+          Seq("term"))), Seq("term"))
+        .crossJoin(broadcast(avg))
+        .withColumn("w", expr(
+          """((cast(n_docs as double) - cast(df_t as double) + 0.5) / (cast(df_t as double) + 0.5))
+            | * ((cast(n_dt as double) * 2.2)
+            |    / (cast(n_dt as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))))"""
+            .stripMargin))
+      val perDoc = scoredTerms.groupBy(col("query_id"), col("doc_id"))
+        .agg(expr(
+          """aggregate(sort_array(collect_list(struct(term, w))),
+            |  cast(0.0 as double), (acc, x) -> acc + x.w)""".stripMargin)
+          .as("score"),
+          count(lit(1)).as("n_hit"))
+      val w10 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      perDoc.withColumn("rank", row_number().over(w10))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score"), col("n_hit"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    s"""WITH q AS (
+       |  SELECT query_id, u.term FROM (VALUES ${BmQueries
+            .map { case (i, t) => s"($i, '$t')" }.mkString(", ")}) v(query_id, qtext),
+       |    unnest(string_split(qtext, ' ')) u(term)),
+       |terms AS (
+       |  SELECT doc_id, u.term FROM documents,
+       |    unnest(string_split(text, ' ')) u(term) WHERE u.term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS n_dt FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM terms GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |avg AS (SELECT n_docs, CAST(SUM(dl) AS DOUBLE) / n_docs AS avgdl
+       |        FROM dl, n GROUP BY n_docs),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id, tf.term,
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) / (CAST(df_t AS DOUBLE) + 0.5))
+       |     * ((CAST(n_dt AS DOUBLE) * 2.2)
+       |        / (CAST(n_dt AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS w
+       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       |       JOIN df USING (term) CROSS JOIN avg),
+       |perdoc AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY term)),
+       |      (a, b) -> a + b) AS score,
+       |    COUNT(*) AS n_hit
+       |  FROM scored GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank
+       |  FROM perdoc)
+       |SELECT query_id, rank, doc_id, score, n_hit
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+
+  // ------------------------------------------------------------- q78
+  // Per-source frequency cap (RefinedWeb/C4-style domain balancing):
+  // keep at most 15 docs per source, chosen by deterministic content
+  // hash so the survivor set is stable under re-runs and partitioning.
+  // Scale shape: one hash shuffle keyed on source; the cap bounds every
+  // group's survivors, and heavy domains (the web's head) are trimmed
+  // without a global sort. At 100 TB the rank is a window over the
+  // source key — AQE splits skewed source partitions.
+  private val q78 = QueryDef.of(
+    (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hkey"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("hkey"))
+        .withColumn("c_source",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("keep_rank", row_number().over(w))
+        .filter(col("keep_rank") <= 15)
+        .select(col("source"), col("keep_rank"), col("doc_id"),
+          col("c_source"))
+        .orderBy(col("source"), col("keep_rank"))
+    },
+    """WITH h AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hkey,
+      |    COUNT(*) OVER (PARTITION BY source) AS c_source
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY hkey, doc_id) AS keep_rank
+      |  FROM h)
+      |SELECT source, keep_rank, doc_id, c_source
+      |FROM ranked WHERE keep_rank <= 15
+      |ORDER BY source, keep_rank""".stripMargin)
+
+  // ------------------------------------------------------------- q79
+  // Deterministic global shuffle into training shards: every pretraining
+  // run needs the corpus randomized then split into N writer shards with
+  // stable positions (so a resumed job re-emits identical shards). Shard
+  // = hash(doc_id) mod 8; within-shard order = an INDEPENDENT second
+  // hash (bytes 9-16 of the md5) so shard assignment and ordering are
+  // uncorrelated; char_offset = exclusive running sum of doc length =
+  // the byte offset a shard writer seeks to. Scale shape: one shuffle
+  // keyed on shard (8 balanced md5 buckets), window sum is integer and
+  // per-shard — no global sort, no driver collect.
+  private val q79 = QueryDef.of(
+    (s, d) => {
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+            .as("h1"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 9, 8), 16, 10) as bigint)")
+            .as("h2"))
+        .withColumn("shard", pmod(col("h1"), lit(8)))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id"))
+      hashed
+        .withColumn("pos", row_number().over(w))
+        .withColumn("char_offset",
+          coalesce(sum(col("n_chars")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_chars"),
+          col("char_offset"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+      |  FROM documents),
+      |sharded AS (
+      |  SELECT doc_id, n_chars, h1 % 8 AS shard, h2 FROM h),
+      |placed AS (
+      |  SELECT shard, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos,
+      |    COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY h2, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_offset
+      |  FROM sharded)
+      |SELECT shard, pos, doc_id, n_chars, char_offset
+      |FROM placed ORDER BY shard, pos""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q63_term_salience" -> q63,
+    "q77_bm25_retrieval" -> q77,
+    "q78_source_cap" -> q78,
+    "q79_shard_shuffle" -> q79,
     "q68_pii_redaction" -> q68,
     "q69_gopher_quality" -> q69,
     "q70_repetition_ratio" -> q70,
