@@ -213,6 +213,8 @@ object VectorFunctions {
       arity("minhash_sig", 1)(e => MinHashSig(e.head)), "built-in")
     reg.createOrReplaceTempFunction("simhash_sig",
       arity("simhash_sig", 1)(e => SimHash(e.head)), "built-in")
+    reg.createOrReplaceTempFunction("simhash_wide",
+      arity("simhash_wide", 1)(e => SimHashWide(e.head)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       arity("vec_norm", 1)(e => VecNorm(e.head)), "built-in")
   }

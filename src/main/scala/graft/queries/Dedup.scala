@@ -139,8 +139,12 @@ object Dedup {
     }
   }
 
-  private def buildCandidates(s: org.apache.spark.sql.SparkSession, d: String) =
-    banded(s, d)
+  /** Intra-bucket pair emission shared by the MinHash (q31) and SimHash
+    * (q80) LSH paths: group each (band, bkey) bucket, emit sorted
+    * all-pairs capped at [[MaxBucket]] members — one shuffle carrying
+    * only keys and ids, never documents. */
+  private def bucketPairs(bandedFrame: org.apache.spark.sql.DataFrame) =
+    bandedFrame
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
       .filter(size(col("all_ids")) >= 2)
@@ -153,6 +157,9 @@ object Dedup {
           |    d2 -> struct(ids[i] AS doc1, d2 AS doc2)))))""".stripMargin))
         .as("p"))
       .select(col("p.doc1"), col("p.doc2")).distinct()
+
+  private def buildCandidates(s: org.apache.spark.sql.SparkSession, d: String) =
+    bucketPairs(banded(s, d))
 
   // ------------------------------------------------------------- q30
   // Exact dedup: group on full text, keep the smallest doc_id as the
@@ -444,6 +451,76 @@ object Dedup {
     },
     clustersSql)
 
+  // ------------------------------------------------------------- q80
+  // SimHash Hamming near-dup: the OTHER classic near-dup path (Manku et
+  // al., WWW'07 — Google's web crawl dedup), complementary to MinHash+LSH
+  // (q31/q33): one 60-bit sketch per doc instead of a 16-long signature,
+  // Hamming distance instead of Jaccard estimate. Pipeline: 60-bit
+  // shingle-feature sketch (native codegen'd [[graft.functions
+  // .SimHashWide]]) → band the sketch into 4×15-bit keys → intra-bucket
+  // pairs (shared [[bucketPairs]]) → verify hamming ≤ 3 via xor+bit_count.
+  // The 4×15 banding is exact, not probabilistic: by pigeonhole any pair
+  // within hamming 3 agrees on ≥1 band, so recall over the verify
+  // predicate is 1 — the bands only bound the candidate count.
+  // Scale shape: sketches are per-row maps; the shuffle carries
+  // (band, 15-bit key, id); verification joins the 8-byte sketch, never
+  // text. At 100 TB widen to a 64-bit sketch via 4×16-bit tables —
+  // one constant in the expression.
+  private def simSigs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr("simhash_wide(toks)").as("sig"))
+  }
+  private val sqlSimWide =
+    s"""$sqlShingled,
+       |ths AS (
+       |  SELECT doc_id, list_transform(list_distinct(sh),
+       |    tk -> CAST('0x' || substring(md5(tk), 1, 15) AS BIGINT)) AS hs
+       |  FROM shingled),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(list_sum(list_transform(range(0, 60), j ->
+       |      CASE WHEN list_sum(list_transform(hs,
+       |             h -> CAST((h >> j) & 1 AS INT) * 2 - 1)) > 0
+       |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT)
+       |      AS sig
+       |  FROM ths),
+       |sbanded AS (
+       |  SELECT doc_id, b.b AS band, (sig >> (15 * b.b)) & 32767 AS bkey
+       |  FROM sigs CROSS JOIN generate_series(0, 3) AS b(b)),
+       |scand AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM sbanded x JOIN sbanded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+      .stripMargin
+  private val q80 = QueryDef.of(
+    (s, d) => {
+      val sigs = graft.Resources.retain(simSigs(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bandedSigs = sigs.select(col("doc_id"), expr(
+        """explode(array_distinct(transform(sequence(0, 3), b ->
+          |  struct(b AS band, shiftright(sig, 15 * b) & 32767 AS bkey))))"""
+          .stripMargin).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
+      bucketPairs(bandedSigs)
+        .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), "doc1")
+        .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), "doc2")
+        .withColumn("hamming",
+          expr("cast(bit_count(sig1 ^ sig2) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc1"), col("doc2"), col("hamming"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    s"""$sqlSimWide
+       |SELECT doc1, doc2,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM scand JOIN sigs a ON scand.doc1 = a.doc_id
+       |           JOIN sigs b ON scand.doc2 = b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY doc1, doc2""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
@@ -453,5 +530,6 @@ object Dedup {
     "q37_edit_distance" -> q37,
     "q64_dedup_decision" -> q64,
     "q65_dedup_clusters" -> q65,
-    "q65b_dedup_clusters_star" -> q65b)
+    "q65b_dedup_clusters_star" -> q65b,
+    "q80_simhash_neardup" -> q80)
 }

@@ -82,6 +82,33 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.filter("fast <> slow").count() == 0)
   }
 
+  test("simhash_wide matches the HOF shingle majority-vote pipeline") {
+    VectorFunctions.register(spark)
+    val docs = Seq.fill(30)(
+      Seq.fill(5 + rnd.nextInt(60))(s"w${rnd.nextInt(40)}").mkString(" "))
+    val df = docs.toDF("text")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("fast", expr("simhash_wide(toks)"))
+      .withColumn("slow", expr(
+        """cast(aggregate(transform(sequence(0, 59), j ->
+          |  IF(aggregate(
+          |       transform(array_distinct(transform(sequence(1, size(toks) - 2),
+          |           i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))),
+          |         t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+          |       0L, (acc, h) ->
+          |       acc + (CAST(shiftright(h, j) & 1 AS INT) * 2 - 1)) > 0,
+          |     shiftleft(1L, j), 0L)),
+          |  0L, (acc, x) -> acc + x) as bigint)""".stripMargin))
+    assert(df.filter("fast <> slow").count() == 0)
+  }
+
+  test("simhash_wide yields 0 below 3 tokens and skips null slots") {
+    VectorFunctions.register(spark)
+    val df = Seq("one two", "one", "").toDF("text")
+      .withColumn("sig", expr("simhash_wide(split(text, ' '))"))
+    assert(df.filter($"sig" =!= 0L).count() == 0)
+  }
+
   test("minhash_sig yields null below 3 tokens") {
     VectorFunctions.register(spark)
     val df = Seq("one two", "one", "").toDF("text")
