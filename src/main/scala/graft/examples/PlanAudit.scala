@@ -45,7 +45,8 @@ object PlanAudit {
         "q18_approx_distinct",
         "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
         "q59_date_arith",
-        "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index")
+        "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index",
+        "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -109,7 +110,25 @@ object PlanAudit {
       // (token, doc) pre-aggregation before anything wider runs
       "q75_inverted_index" -> Seq(
         Check("partial-preagg", _.contains("partial_count"),
-          "per-(token,doc) pre-aggregation needs map-side partials")))
+          "per-(token,doc) pre-aggregation needs map-side partials")),
+      // the kilobyte query-term set must broadcast into the tf frame;
+      // the corpus-side stats must never hash-shuffle to meet it
+      "q77_bm25_retrieval" -> Seq(
+        Check("broadcast-terms", _.contains("BroadcastHashJoin"),
+          "query terms are kilobytes — must broadcast")),
+      // shard placement is one hash shuffle on the shard key; the window
+      // sum and row_number share that partitioning
+      "q79_shard_shuffle" -> Seq(
+        Check("one-hash-exchange", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+          "rank + running offset must share the shard partitioning")),
+      // the sketch kernel must stay codegen'd; candidate generation
+      // must be the bucket groupBy, never a cartesian self-join
+      "q80_simhash_neardup" -> Seq(
+        Check("codegen-sketch", _.contains("simhash_wide"),
+          "sketch kernel must appear as the native expression"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "candidates come from bucket grouping, not all-pairs")))
 
     var failed = 0
     names.foreach { n =>
