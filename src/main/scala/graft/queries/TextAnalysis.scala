@@ -892,9 +892,85 @@ object TextAnalysis {
       |SELECT shard, pos, doc_id, n_chars, char_offset
       |FROM placed ORDER BY shard, pos""".stripMargin)
 
+  // ------------------------------------------------------------- q81
+  // Heavy hitters via count-min sketch: top-25 tokens with BOTH the
+  // exact count and the CMS point estimate from the mergeable
+  // [[graft.functions.CountMinAgg]] Aggregator. The oracle is the full
+  // sketch datapath, not an error bound: because the row hashes are the
+  // same md5-derived universal family the MinHash oracle mirrors, DuckDB
+  // reconstructs every sketch cell from exact token counts (cell = sum
+  // of counts of tokens hashing there) and takes the same D-way min —
+  // the estimates must match bit-for-bit. `sound` (est ≥ exact) is a
+  // structural CMS property and must be uniformly true.
+  // Scale shape: the sketch is one 32 KB buffer per partition merged on
+  // the driver side of a 1-row aggregate; exact counts exist here only
+  // because the gate wants them — production reads the sketch alone, and
+  // the top-k would come from a heap beside the sketch (or q54's
+  // partial-agg path).
+  private val q81 = QueryDef.of(
+    (s, d) => {
+      val cms = udaf(graft.functions.CountMinAgg)
+      val A = graft.functions.MinHashSig.A
+      val B = graft.functions.MinHashSig.B
+      val P = graft.functions.MinHashSig.P
+      val W = graft.functions.CountMinAgg.W
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val sketch = tok.agg(cms(col("token")).as("sk"))
+      val top = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("exact_count").desc, col("token"))))
+        .filter(col("rank") <= 25)
+      val estExpr = (0 until graft.functions.CountMinAgg.D).map { i =>
+        s"element_at(sk, cast($i * $W + ((${A(i)} * h20 + ${B(i)}) % $P) % $W as int) + 1)"
+      }.mkString("least(", ", ", ")")
+      top.crossJoin(broadcast(sketch))
+        .withColumn("h20", expr(
+          "cast(conv(substring(md5(token), 1, 5), 16, 10) as bigint)"))
+        .withColumn("cms_est", expr(estExpr))
+        .select(col("rank"), col("token"), col("exact_count"),
+          col("cms_est"),
+          (col("cms_est") >= col("exact_count")).as("sound"))
+        .orderBy(col("rank"))
+    },
+    {
+      val A = graft.functions.MinHashSig.A
+      val B = graft.functions.MinHashSig.B
+      val P = graft.functions.MinHashSig.P
+      val W = graft.functions.CountMinAgg.W
+      val aL = A.take(4).mkString(", ")
+      val bL = B.take(4).mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT u.t AS token FROM documents,
+         |    unnest(string_split(text, ' ')) u(t) WHERE u.t <> ''),
+         |cnt AS (SELECT token, COUNT(*) AS exact_count FROM tok GROUP BY 1),
+         |h AS (
+         |  SELECT token, exact_count,
+         |    CAST('0x' || substring(md5(token), 1, 5) AS BIGINT) AS h20
+         |  FROM cnt),
+         |buck AS (
+         |  SELECT token, exact_count, i.i AS i,
+         |    ((([$aL])[i.i + 1] * h20 + ([$bL])[i.i + 1]) % $P) % $W AS b
+         |  FROM h CROSS JOIN generate_series(0, 3) i(i)),
+         |cell AS (SELECT i, b, SUM(exact_count) AS cell_count
+         |         FROM buck GROUP BY 1, 2),
+         |est AS (SELECT token, CAST(MIN(cell_count) AS BIGINT) AS cms_est
+         |        FROM buck JOIN cell USING (i, b) GROUP BY 1),
+         |ranked AS (
+         |  SELECT token, exact_count,
+         |    ROW_NUMBER() OVER (ORDER BY exact_count DESC, token) AS rank
+         |  FROM cnt)
+         |SELECT rank, token, exact_count, cms_est,
+         |  cms_est >= exact_count AS sound
+         |FROM ranked JOIN est USING (token)
+         |WHERE rank <= 25 ORDER BY rank""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q63_term_salience" -> q63,
     "q77_bm25_retrieval" -> q77,
+    "q81_cms_heavy_hitters" -> q81,
     "q78_source_cap" -> q78,
     "q79_shard_shuffle" -> q79,
     "q68_pii_redaction" -> q68,
