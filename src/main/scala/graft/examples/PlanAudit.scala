@@ -46,7 +46,8 @@ object PlanAudit {
         "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
         "q59_date_arith",
         "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index",
-        "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup")
+        "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
+        "q82_bloom_join_filter")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -128,7 +129,15 @@ object PlanAudit {
         Check("codegen-sketch", _.contains("simhash_wide"),
           "sketch kernel must appear as the native expression"),
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
-          "candidates come from bucket grouping, not all-pairs")))
+          "candidates come from bucket grouping, not all-pairs")),
+      // the 128 KB filter must broadcast onto the probe scan; the fact
+      // table must not round-robin or hash-shuffle to be pruned
+      "q82_bloom_join_filter" -> Seq(
+        Check("broadcast-bloom", p =>
+          p.contains("BroadcastNestedLoopJoin") ||
+            p.contains("BroadcastHashJoin"),
+          "the Bloom array must reach probes via broadcast"),
+        noRoundRobin))
 
     var failed = 0
     names.foreach { n =>
