@@ -119,6 +119,46 @@ object ScaleStress {
         .agg(sum(expr("(tok + 511) div 512"))).head().getLong(0)
     }
 
+    // 60-bit simhash sketch + band bucketing à la q80 — sketch is a
+    // per-row map, buckets shuffle (band, 15-bit key) only
+    def simhashRun(docs: DataFrame): Long =
+      docs.withColumn("toks", split(col("text"), " "))
+        .withColumn("sig", expr("simhash_wide(toks)"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  struct(b AS band, shiftright(sig, 15 * b) & 32767 AS bkey))"""
+            .stripMargin)).as("bb"))
+        .groupBy(col("bb.band"), col("bb.bkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).count()
+
+    // mergeable count-min sketch à la q81 — the shuffle carries one
+    // 32 KB buffer per partition regardless of row count
+    def cmsRun(docs: DataFrame): Long = {
+      val cms = udaf(graft.functions.CountMinAgg)
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .agg(cms(col("token"))).head().getSeq[Long](0).sum
+    }
+
+    // bloom build + pre-shuffle probe pruning à la q82
+    def bloomRun(li: DataFrame): Long = {
+      val bloom = udaf(graft.functions.BloomAgg)
+      val bf = li.filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+        .agg(bloom(col("l_orderkey")).as("bf"))
+      val admitted = (0 until 4).map { i =>
+        val pos = s"pmod(h1 + $i * h2, 1048576)"
+        s"(shiftright(element_at(bf, cast(shiftright($pos, 6) as int) + 1), " +
+          s"cast(($pos & 63) as int)) & 1) = 1"
+      }.mkString("(", ") AND (", ")")
+      li.select(col("l_orderkey")).crossJoin(broadcast(bf))
+        .withColumn("h1", expr(
+          "cast(conv(substring(md5(cast(l_orderkey as string)), 1, 5), 16, 10) as bigint)"))
+        .withColumn("h2", expr(
+          "cast(conv(substring(md5(cast(l_orderkey as string)), 6, 5), 16, 10) as bigint)"))
+        .filter(expr(admitted)).count()
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -127,7 +167,7 @@ object ScaleStress {
     val e10 = replicate(e1, 10, "vec_id", 1000000000L)
 
     aggRun(li1); lshRun(d1); qualityRun(d1); quantRun(e1) // warm up JIT
-    decontRun(d1); packRun(d1)
+    decontRun(d1); packRun(d1); simhashRun(d1); cmsRun(d1); bloomRun(li1)
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
@@ -141,6 +181,12 @@ object ScaleStress {
     val (dcT10, _) = time(decontRun(d10))
     val (pkT1, _) = time(packRun(d1))
     val (pkT10, _) = time(packRun(d10))
+    val (shT1, _) = time(simhashRun(d1))
+    val (shT10, _) = time(simhashRun(d10))
+    val (cmT1, _) = time(cmsRun(d1))
+    val (cmT10, _) = time(cmsRun(d10))
+    val (blT1, _) = time(bloomRun(li1))
+    val (blT10, _) = time(bloomRun(li10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -148,7 +194,10 @@ object ScaleStress {
       f""""quality_1x_s":$quT1%.2f,"quality_10x_s":$quT10%.2f,"quality_ratio":${quT10 / quT1}%.1f,""" +
       f""""quant_1x_s":$qzT1%.2f,"quant_10x_s":$qzT10%.2f,"quant_ratio":${qzT10 / qzT1}%.1f,""" +
       f""""decont_1x_s":$dcT1%.2f,"decont_10x_s":$dcT10%.2f,"decont_ratio":${dcT10 / dcT1}%.1f,""" +
-      f""""pack_1x_s":$pkT1%.2f,"pack_10x_s":$pkT10%.2f,"pack_ratio":${pkT10 / pkT1}%.1f}""")
+      f""""pack_1x_s":$pkT1%.2f,"pack_10x_s":$pkT10%.2f,"pack_ratio":${pkT10 / pkT1}%.1f,""" +
+      f""""simhash_1x_s":$shT1%.2f,"simhash_10x_s":$shT10%.2f,"simhash_ratio":${shT10 / shT1}%.1f,""" +
+      f""""cms_1x_s":$cmT1%.2f,"cms_10x_s":$cmT10%.2f,"cms_ratio":${cmT10 / cmT1}%.1f,""" +
+      f""""bloom_1x_s":$blT1%.2f,"bloom_10x_s":$blT10%.2f,"bloom_ratio":${blT10 / blT1}%.1f}""")
     spark.stop()
   }
 }
