@@ -648,6 +648,38 @@ object Relational {
       |       WHERE c3.c_nationkey = c1.c_nationkey)
       |ORDER BY c_custkey""".stripMargin)
 
+  // ------------------------------------------------------------- q84
+  // Explicit GROUPING SETS (the general form rollup/cube specialize):
+  // per-(priority, status), per-priority, and grand total in ONE pass —
+  // Catalyst's Expand replays each row once per matching set, so the
+  // scan runs once and partial aggregation still applies per set.
+  // grouping_id disambiguates the set; NULL group keys coalesce to a
+  // sentinel (q11's trick) so null-ordering differences between engines
+  // can't perturb the total order.
+  private val q84 = QueryDef.of(
+    (s, d) => Tables.raw(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        D(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .select(col("gid"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("priority"), col("status")),
+    """SELECT GROUPING(o_orderpriority, o_orderstatus) AS gid,
+      |  COALESCE(o_orderpriority, '(all)') AS priority,
+      |  COALESCE(o_orderstatus, '(all)') AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), ())
+      |ORDER BY gid, priority, status""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_approx_quantiles" -> q19,
     "q26_cube" -> q26,
@@ -672,5 +704,6 @@ object Relational {
     "q15_string_funcs" -> q15,
     "q16_case_math" -> q16,
     "q17_global_topk" -> q17,
-    "q18_approx_distinct" -> q18)
+    "q18_approx_distinct" -> q18,
+    "q84_grouping_sets" -> q84)
 }

@@ -208,8 +208,38 @@ object Windows {
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin)
 
+  // ------------------------------------------------------------- q83
+  // Sliding windows (2-hour size, 1-hour slide) — the third windowing
+  // mode beside tumbling (q23) and session (q24); each event lands in
+  // exactly size/slide = 2 windows. Same plan shape as tumbling (the
+  // window() expression explodes to window instances BEFORE the
+  // aggregate, so partial aggregation still applies); the oracle
+  // materializes each event's two covering windows explicitly — epoch
+  // alignment makes them hour-floor and hour-floor minus one hour.
+  private val q83 = QueryDef.of(
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), fmt).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type")),
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, "value" FROM events),
+      |w AS (
+      |  SELECT date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS win_start,
+      |    event_type, "value"
+      |  FROM e CROSS JOIN (VALUES (0), (1)) o(o))
+      |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q23_tumbling_hourly" -> q23,
+    "q83_sliding_windows" -> q83,
     "q24_session_windows" -> q24,
     "q25_asof_join" -> q25,
     "q27_lag_lead_ntile" -> q27,
