@@ -92,6 +92,35 @@ object RuntimeFilter {
        |JOIN adm ON lineitem.l_orderkey = adm.k
        |LEFT JOIN truth ON lineitem.l_orderkey = truth.k""".stripMargin)
 
+  // ------------------------------------------------------------- q85
+  // Skew-resistant salted join ([[graft.operators.SaltedJoin]]) run as a
+  // driver-contract query: the fact side salts deterministically from
+  // row content (retry-safe — recompute re-derives the same salt), the
+  // dim side replicates across all 8 salts, and the join key becomes
+  // (key, salt) so a hot key spreads over 8 reducers. The oracle is the
+  // PLAIN join's SQL: salting must be result-invariant, so any
+  // duplicate/dropped row under the rewrite is a hash mismatch.
+  private val q85 = QueryDef.of(
+    (s, d) => {
+      val fact = Tables.raw(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"))
+      val dim = Tables.raw(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SaltedJoin.inner(fact, dim, "l_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
-    "q82_bloom_join_filter" -> q82)
+    "q82_bloom_join_filter" -> q82,
+    "q85_salted_join" -> q85)
 }
