@@ -44,7 +44,7 @@ object PlanAudit {
         "q07_broadcast_brand_volume", "q08_star_join_region_revenue",
         "q18_approx_distinct",
         "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
-        "q59_date_arith",
+        "q42b_ann_ivf_deterministic", "q59_date_arith",
         "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index",
         "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
         "q82_bloom_join_filter")
@@ -98,6 +98,16 @@ object PlanAudit {
         Check("partition-pruned-index", p =>
           "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
           "prebuilt IVF probe must read only the probed cell partitions")),
+      // deterministic k-means: the argmin is a per-row fold over the
+      // broadcast centroid array — the corpus must NEVER hash-shuffle on
+      // vec_id (a rank-window assign would); the training iterations must
+      // be invisible here, collapsed into a localCheckpoint RDD leaf
+      // (otherwise the per-iteration plan doubles into the query)
+      "q42b_ann_ivf_deterministic" -> Seq(
+        Check("no-vecid-shuffle", p => !p.contains("hashpartitioning(vec_id"),
+          "assign is a broadcast fold — corpus never shuffles on vec_id"),
+        Check("checkpointed-centroids", _.contains("Scan ExistingRDD"),
+          "trained centroids enter as a checkpoint leaf, not inline lineage")),
       "q73_decontaminate" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "shingle overlap must be a key join, never a cross product")),

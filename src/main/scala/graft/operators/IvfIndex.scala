@@ -122,6 +122,98 @@ object IvfIndex {
       .select(col("probe_id"), col("probe_emb"), col("cell"))
   }
 
+  /** Bit-reproducible Lloyd's k-means over 2^20-quantized embeddings —
+    * the oracle-exact twin of [[build]] (q42b). Spark ML's k-means|| is
+    * seeded but its float centroid sums fold in partition order, so no
+    * external engine can replay it; this trainer removes every
+    * order-dependence instead of pinning one:
+    *
+    *  - features quantize to `round(x * 2^20)` longs (round-away-from-
+    *    zero — identical in Spark and DuckDB, the q71 precedent), so
+    *    centroid sums are EXACT integer adds: associative, commutative,
+    *    partition-count-invariant;
+    *  - init is the `nCells` vectors with smallest md5(vec_id) — a
+    *    deterministic pseudo-random draw both engines order identically;
+    *  - centroid means are one correctly-rounded double division of two
+    *    exact integers; distances fold (x_d - c_d)^2 in dimension order
+    *    on both engines; argmin ties break on cell id.
+    *
+    * Scale shape: init is a distributed top-nCells (TakeOrdered), never
+    * a global sort; each iteration is one broadcast of nCells×dims
+    * doubles, one SHUFFLE-FREE assign pass (argmin folded per row over
+    * the broadcast centroid array), and one posexplode + (cell, dim)
+    * integer-sum shuffle whose map-side partials collapse to
+    * nCells×dims rows. No collect of vectors, no order-sensitive float
+    * math anywhere.
+    *
+    * @return (vec_id, cell) assignment under the final centroids. */
+  def trainDeterministic(embeddings: DataFrame, nCells: Int, iters: Int)
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.register(spark)
+    val q = embeddings.select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
+      .as("qv"))
+    // orderBy+limit → TakeOrderedAndProject: per-partition top-nCells
+    // then a driver merge of nCells rows — the full corpus is never
+    // globally sorted. The unpartitioned row_number window after it
+    // ranks only the nCells surviving rows.
+    val init = q
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(nCells)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("hk"), col("vec_id"))))
+      .select((col("r") - 1).cast("int").as("cell"),
+        expr("transform(qv, x -> cast(x as double))").as("c"))
+
+    // Zero-shuffle argmin: the centroid table folds into ONE broadcast
+    // row holding a cell-sorted struct array, and each vector picks its
+    // cell with array_min over per-centroid (dist, cell) structs —
+    // struct ordering IS the (dist, cell) tie-break, so the result is
+    // identical to a rank-1 window without moving the corpus.
+    def assign(cents: DataFrame): DataFrame = {
+      val centArr = cents.groupBy()
+        .agg(expr("sort_array(collect_list(struct(cell, c)))").as("cs"))
+      q.crossJoin(broadcast(centArr))
+        .withColumn("cell", expr(
+          """array_min(transform(cs, cc -> struct(
+            |  aggregate(zip_with(qv, cc.c, (x, y) ->
+            |    (cast(x as double) - y) * (cast(x as double) - y)),
+            |    cast(0.0 as double), (acc, v) -> acc + v) AS dist,
+            |  cc.cell AS cell))).cell""".stripMargin))
+        .select(col("vec_id"), col("qv"), col("cell"))
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(expr(
+          """transform(sort_array(collect_list(struct(pos,
+            |  cast(s as double) / cast(n as double) AS m))), t -> t.m)"""
+            .stripMargin).as("c"))
+
+    var cents = init
+    var i = 0
+    while (i < iters) {
+      // localCheckpoint truncates the per-iteration lineage (the same
+      // plan-doubling hazard as ConnectedComponents) and materializes
+      // the tiny nCells×dims frame so each round is one job; a local
+      // checkpoint is NOT recomputable, so the previous round's blocks
+      // release only after the next round materialized, and the FINAL
+      // frame stays alive (retained) until the caller consumed the lazy
+      // assignment and the session owner releases
+      val next = update(assign(cents)).localCheckpoint(true)
+      graft.Resources.releaseCheckpoint(cents) // no-op on init (no checkpoint)
+      cents = next
+      i += 1
+    }
+    graft.Resources.retain(cents)
+    assign(cents).select(col("vec_id"), col("cell"))
+  }
+
   /** Scan the (already cell-restricted) corpus against the probe cells. */
   private def score(corpus: DataFrame, probeCells: DataFrame, k: Int)
       : DataFrame = {

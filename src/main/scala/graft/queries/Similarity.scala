@@ -330,7 +330,73 @@ object Similarity {
       |FROM c
       |ORDER BY vec_id""".stripMargin)
 
+  // ------------------------------------------------------------- q42b
+  // Deterministic-trained k-means cell assignment
+  // ([[graft.operators.IvfIndex.trainDeterministic]]): the oracle-exact
+  // twin of q42's Spark-ML training. Features quantize to round(x*2^20)
+  // longs so centroid sums are exact integer adds (order- and
+  // partition-invariant); init is the 8 vectors with smallest
+  // md5(vec_id); 2 full Lloyd iterations, then assignment under the
+  // final centroids. The DuckDB oracle replays the identical training —
+  // same init, same integer sums, same correctly-rounded mean division,
+  // same dimension-order distance folds, same (dist, cell) tie-break —
+  // so every one of the corpus's cell labels must match bit-for-bit.
+  // This closes the one no-oracle gap: ML-library training is
+  // unreplayable (partition-order float sums), deterministic training
+  // is a first-class alternative a reproducible pipeline would pick.
+  private val KCells = 8
+  private val KIters = 2
+  private def sqlAssign(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, qv, cell FROM (
+       |    SELECT vec_id, qv, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+       |    FROM (
+       |      SELECT qz.vec_id, qz.qv, i.cell,
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 65), j ->
+       |            (CAST(qv[j] AS DOUBLE) - c[j]) * (CAST(qv[j] AS DOUBLE) - c[j]))),
+       |          (acc, v) -> acc + v) AS dist
+       |      FROM qz CROSS JOIN $cents i))
+       |  WHERE r = 1)""".stripMargin
+  private def sqlUpdate(name: String, assigned: String): String =
+    s"""$name AS (
+       |  SELECT cell, list_transform(range(1, 65), j ->
+       |    CAST(list_sum(list_transform(vecs, v -> v[j])) AS DOUBLE)
+       |      / CAST(len(vecs) AS DOUBLE)) AS c
+       |  FROM (SELECT cell, list(qv) AS vecs FROM $assigned GROUP BY cell))"""
+      .stripMargin
+  private val q42b = QueryDef.of(
+    (s, d) => {
+      val assigned = graft.operators.IvfIndex.trainDeterministic(
+        Tables.embeddings(s, d), KCells, KIters)
+      assigned
+        .withColumn("cell_size",
+          count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .orderBy(col("vec_id"))
+    },
+    s"""WITH qz AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |init AS (
+       |  SELECT CAST(r - 1 AS INT) AS cell,
+       |    list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT qv, ROW_NUMBER() OVER (
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+       |        FROM qz)
+       |  WHERE r <= $KCells),
+       |${sqlAssign("a1", "init")},
+       |${sqlUpdate("c1", "a1")},
+       |${sqlAssign("a2", "c1")},
+       |${sqlUpdate("c2", "a2")},
+       |${sqlAssign("af", "c2")}
+       |SELECT vec_id, cell,
+       |  COUNT(*) OVER (PARTITION BY cell) AS cell_size
+       |FROM af ORDER BY vec_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q42b_ann_ivf_deterministic" -> q42b,
     "q71_int8_quantization" -> q71,
     "q34_embed_neardup" -> q34,
     "q40_ann_bruteforce" -> q40,

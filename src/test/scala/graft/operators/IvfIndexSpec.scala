@@ -83,4 +83,16 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(sig1 == sig2)
     assert(c1.count() == 8)
   }
+
+  test("deterministic training is partition-invariant and covers the corpus") {
+    val base = IvfIndex.trainDeterministic(corpus, nCells = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val repart = IvfIndex.trainDeterministic(corpus.repartition(17),
+        nCells = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(base == repart, "assignment must not depend on partitioning")
+    assert(base.size == corpus.count())
+    assert(base.values.toSet.size > 1, "training collapsed to one cell")
+    graft.Resources.releaseAll()
+  }
 }
