@@ -44,7 +44,7 @@ object PlanAudit {
         "q07_broadcast_brand_volume", "q08_star_join_region_revenue",
         "q18_approx_distinct",
         "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
-        "q42b_ann_ivf_deterministic", "q59_date_arith",
+        "q42b_ann_ivf_deterministic", "q44_ann_ivfpq", "q59_date_arith",
         "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index",
         "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
         "q82_bloom_join_filter")
@@ -108,6 +108,17 @@ object PlanAudit {
           "assign is a broadcast fold — corpus never shuffles on vec_id"),
         Check("checkpointed-centroids", _.contains("Scan ExistingRDD"),
           "trained centroids enter as a checkpoint leaf, not inline lineage")),
+      // IVF-PQ: the encoded corpus is scanned once against broadcast
+      // probe LUTs — it must never hash-shuffle on vec_id (encoding and
+      // ADC scoring are per-row folds); the trained codebooks enter as
+      // checkpoint leaves
+      "q44_ann_ivfpq" -> Seq(
+        Check("no-vecid-shuffle", p => !p.contains("hashpartitioning(vec_id"),
+          "encode + ADC are narrow passes — corpus never shuffles on vec_id"),
+        Check("broadcast-probes", _.contains("BroadcastNestedLoopJoin"),
+          "probe LUTs broadcast onto the codes scan"),
+        Check("checkpointed-codebooks", _.contains("Scan ExistingRDD"),
+          "codebooks enter as checkpoint leaves, not inline training lineage")),
       "q73_decontaminate" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "shingle overlap must be a key join, never a cross product")),

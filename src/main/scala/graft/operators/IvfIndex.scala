@@ -149,11 +149,51 @@ object IvfIndex {
     * @return (vec_id, cell) assignment under the final centroids. */
   def trainDeterministic(embeddings: DataFrame, nCells: Int, iters: Int)
       : DataFrame = {
-    val spark = embeddings.sparkSession
-    VectorFunctions.register(spark)
-    val q = embeddings.select(col("vec_id"), expr(
+    val cents = trainCentroids(embeddings, nCells, iters)
+    quantize(embeddings)
+      .crossJoin(broadcast(centroidArray(cents, "cs")))
+      .withColumn("cell", expr(argminCell("cs", "qv")))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** round(x·2^20) feature quantization — the shared contract between
+    * trainer, encoder, and the DuckDB oracle replay. */
+  private[operators] def quantize(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), expr(
       "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
       .as("qv"))
+
+  /** Fold the (tiny) centroid table into ONE row holding a cell-sorted
+    * (cell, c) struct array — the broadcast side of every assign pass. */
+  private[operators] def centroidArray(cents: DataFrame, as: String): DataFrame =
+    cents.groupBy()
+      .agg(expr("sort_array(collect_list(struct(cell, c)))").as(as))
+
+  /** Exact-integer squared L2 fold between feature expr `fv` (bigint
+    * array) and centroid expr `cv` (double array), in dimension order —
+    * the replayable distance kernel. */
+  private[operators] def distSql(fv: String, cv: String): String =
+    s"""aggregate(zip_with($fv, $cv, (x, y) ->
+       |  (cast(x as double) - y) * (cast(x as double) - y)),
+       |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin
+
+  /** Shuffle-free argmin over centroid-array column `cs` for feature
+    * expr `fv`: struct ordering IS the (dist, cell) tie-break, so this
+    * equals a rank-1 window without moving the corpus. */
+  private[operators] def argminCell(cs: String, fv: String): String =
+    s"""array_min(transform($cs, cc -> struct(
+       |  ${distSql(fv, "cc.c")} AS dist,
+       |  cc.cell AS cell))).cell""".stripMargin
+
+  /** The training loop behind [[trainDeterministic]]: returns the FINAL
+    * (cell, c) centroid table as a retained localCheckpoint frame —
+    * callers must release via [[graft.Resources]]. Exposed so composite
+    * indexes (product quantization) can train per-subspace codebooks. */
+  private[operators] def trainCentroids(embeddings: DataFrame, nCells: Int,
+      iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.register(spark)
+    val q = quantize(embeddings)
     // orderBy+limit → TakeOrderedAndProject: per-partition top-nCells
     // then a driver merge of nCells rows — the full corpus is never
     // globally sorted. The unpartitioned row_number window after it
@@ -167,23 +207,11 @@ object IvfIndex {
       .select((col("r") - 1).cast("int").as("cell"),
         expr("transform(qv, x -> cast(x as double))").as("c"))
 
-    // Zero-shuffle argmin: the centroid table folds into ONE broadcast
-    // row holding a cell-sorted struct array, and each vector picks its
-    // cell with array_min over per-centroid (dist, cell) structs —
-    // struct ordering IS the (dist, cell) tie-break, so the result is
-    // identical to a rank-1 window without moving the corpus.
-    def assign(cents: DataFrame): DataFrame = {
-      val centArr = cents.groupBy()
-        .agg(expr("sort_array(collect_list(struct(cell, c)))").as("cs"))
-      q.crossJoin(broadcast(centArr))
-        .withColumn("cell", expr(
-          """array_min(transform(cs, cc -> struct(
-            |  aggregate(zip_with(qv, cc.c, (x, y) ->
-            |    (cast(x as double) - y) * (cast(x as double) - y)),
-            |    cast(0.0 as double), (acc, v) -> acc + v) AS dist,
-            |  cc.cell AS cell))).cell""".stripMargin))
+    // Zero-shuffle argmin: see [[argminCell]].
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(centroidArray(cents, "cs")))
+        .withColumn("cell", expr(argminCell("cs", "qv")))
         .select(col("vec_id"), col("qv"), col("cell"))
-    }
 
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
@@ -211,7 +239,7 @@ object IvfIndex {
       i += 1
     }
     graft.Resources.retain(cents)
-    assign(cents).select(col("vec_id"), col("cell"))
+    cents
   }
 
   /** Scan the (already cell-restricted) corpus against the probe cells. */

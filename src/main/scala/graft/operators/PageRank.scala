@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Fixed-point (all-integer) PageRank — link-graph authority scoring,
+  * the curation primitive behind "rank sources/domains by link
+  * structure" in training-data pipelines.
+  *
+  * Float PageRank cannot be bit-exact across engines: per-node sums of
+  * double contributions fold in partition order. This variant makes
+  * every step order-free, so an external engine replays it exactly:
+  *
+  *  - ranks are BIGINT micro-units (init 1,000,000 per node);
+  *  - a node's per-edge contribution is `rank div outdeg` (floor
+  *    division — deterministic, and the dropped remainder is bounded
+  *    by outdeg micro-units per node per round);
+  *  - the damped update is `150000 + (85 * sum_in) div 100` — the
+  *    classic 0.15/0.85 split in exact integer arithmetic;
+  *  - nodes with no in-edges keep the teleport term only (left join).
+  *
+  * This is OUR fixed-point semantics, documented, not an approximation
+  * of someone else's float run: both engines compute the identical
+  * integer sequence.
+  *
+  * Scale shape per iteration: one key shuffle of the rank frame onto
+  * the edge list (AQE broadcasts ranks while they fit — at web scale
+  * this is the standard Pregel join) and one (dst) integer-sum shuffle
+  * with map-side partials. The edge list + out-degrees are computed
+  * once and persisted; per-iteration lineage is truncated via eager
+  * localCheckpoint (the ConnectedComponents lesson). Rank skew is
+  * inherent to authority scoring — the sum is a partial-aggregated
+  * integer add, so hot dst keys cost bandwidth, not correctness.
+  *
+  * @param edges directed (src, dst) string-keyed edge list (callers
+  *              dedup; multi-edges would double-count contributions)
+  * @param iters fixed iteration count (unrolled in the oracle replay)
+  * @return (node, rank) — BIGINT micro-units
+  */
+object PageRank {
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    graft.Resources.retain(e)
+    graft.Resources.retain(deg)
+    graft.Resources.retain(nodes)
+
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    var i = 0
+    while (i < iters) {
+      val contribs = ranks.join(deg, col("node") === col("src"))
+        .select(col("node"), expr("r div deg").as("contrib"))
+      val sums = contribs
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      val next = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr("150000L + (85 * coalesce(m, 0L)) div 100").as("r"))
+        .localCheckpoint(true)
+      graft.Resources.releaseCheckpoint(ranks) // no-op on the init frame
+      ranks = next
+      i += 1
+    }
+    graft.Resources.retain(ranks)
+    ranks
+  }
+}

@@ -346,26 +346,62 @@ object Similarity {
   // is a first-class alternative a reproducible pipeline would pick.
   private val KCells = 8
   private val KIters = 2
-  private def sqlAssign(name: String, cents: String): String =
+
+  // -- shared DuckDB replay generators for the deterministic trainer --
+  // (q42b trains one 64-dim quantizer; q44 adds a coarse + M subspace
+  // codebooks — all the same unrolled-Lloyd's CTE chain)
+  /** Exact replay of IvfIndex.distSql: dimension-order left fold of
+    * (feature - centroid)^2 over `dims` dims. */
+  private def sqlKmDist(fv: String, cv: String, dims: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, ${dims + 1}), j ->
+       |            (CAST($fv[j] AS DOUBLE) - $cv[j]) * (CAST($fv[j] AS DOUBLE) - $cv[j]))),
+       |          (acc, v) -> acc + v)""".stripMargin
+  /** md5-ordered draw of the nCells seed centroids from `src`. */
+  private def sqlKmInit(name: String, src: String, nCells: Int): String =
+    s"""$name AS (
+       |  SELECT CAST(r - 1 AS INT) AS cell,
+       |    list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT qv, ROW_NUMBER() OVER (
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+       |        FROM $src)
+       |  WHERE r <= $nCells)""".stripMargin
+  /** argmin-cell assignment of `src` under centroid table `cents`. */
+  private def sqlKmAssign(name: String, src: String, cents: String,
+      dims: Int): String =
     s"""$name AS (
        |  SELECT vec_id, qv, cell FROM (
        |    SELECT vec_id, qv, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
        |    FROM (
-       |      SELECT qz.vec_id, qz.qv, i.cell,
-       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |          list_transform(range(1, 65), j ->
-       |            (CAST(qv[j] AS DOUBLE) - c[j]) * (CAST(qv[j] AS DOUBLE) - c[j]))),
-       |          (acc, v) -> acc + v) AS dist
-       |      FROM qz CROSS JOIN $cents i))
+       |      SELECT s.vec_id, s.qv, i.cell,
+       |        ${sqlKmDist("s.qv", "i.c", dims)} AS dist
+       |      FROM $src s CROSS JOIN $cents i))
        |  WHERE r = 1)""".stripMargin
-  private def sqlUpdate(name: String, assigned: String): String =
+  /** Exact-integer centroid mean recompute from `assigned`. */
+  private def sqlKmUpdate(name: String, assigned: String, dims: Int): String =
     s"""$name AS (
-       |  SELECT cell, list_transform(range(1, 65), j ->
+       |  SELECT cell, list_transform(range(1, ${dims + 1}), j ->
        |    CAST(list_sum(list_transform(vecs, v -> v[j])) AS DOUBLE)
        |      / CAST(len(vecs) AS DOUBLE)) AS c
        |  FROM (SELECT cell, list(qv) AS vecs FROM $assigned GROUP BY cell))"""
       .stripMargin
+  /** The full unrolled training chain: init + iters×(assign, update).
+    * Returns (cte block, final-centroid CTE name). */
+  private def sqlKmTrain(prefix: String, src: String, dims: Int,
+      nCells: Int, iters: Int): (String, String) = {
+    val parts = Seq.newBuilder[String]
+    parts += sqlKmInit(s"${prefix}i", src, nCells)
+    var cents = s"${prefix}i"
+    (1 to iters).foreach { k =>
+      parts += sqlKmAssign(s"${prefix}a$k", src, cents, dims)
+      parts += sqlKmUpdate(s"${prefix}c$k", s"${prefix}a$k", dims)
+      cents = s"${prefix}c$k"
+    }
+    (parts.result().mkString(",\n"), cents)
+  }
+
+  private val q42bTrain = sqlKmTrain("", "qz", 64, KCells, KIters)
   private val q42b = QueryDef.of(
     (s, d) => {
       val assigned = graft.operators.IvfIndex.trainDeterministic(
@@ -379,24 +415,106 @@ object Similarity {
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qv
        |  FROM embeddings),
-       |init AS (
-       |  SELECT CAST(r - 1 AS INT) AS cell,
-       |    list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM (SELECT qv, ROW_NUMBER() OVER (
-       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
-       |        FROM qz)
-       |  WHERE r <= $KCells),
-       |${sqlAssign("a1", "init")},
-       |${sqlUpdate("c1", "a1")},
-       |${sqlAssign("a2", "c1")},
-       |${sqlUpdate("c2", "a2")},
-       |${sqlAssign("af", "c2")}
+       |${q42bTrain._1},
+       |${sqlKmAssign("af", "qz", q42bTrain._2, 64)}
        |SELECT vec_id, cell,
        |  COUNT(*) OVER (PARTITION BY cell) AS cell_size
        |FROM af ORDER BY vec_id""".stripMargin)
 
+  // ------------------------------------------------------------- q44
+  // IVF-PQ (product quantization, no-residual IVF-ADC) over the
+  // deterministic trainer ([[graft.operators.PqIndex]]): a coarse
+  // 8-cell quantizer prunes each probe to its 2 nearest cells, and
+  // within them distances are approximated as the sum of 4 per-subspace
+  // codebook distances (16 dims × 8 codes each) — the canonical 100 TB
+  // ANN layout, where the scan reads 4 small codes per vector instead
+  // of 64 floats. Because every codebook comes from the bit-reproducible
+  // quantized-Lloyd's trainer, the DuckDB oracle replays ALL FIVE
+  // training chains, the encoding, the probe-cell choice, and every
+  // ADC distance bit-for-bit.
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqKSub = 8
+  private val PqNProbe = 2
+  private val PqK = 5
+  private val q44 = {
+    // per-subspace slice CTEs + unrolled training chains + final assigns
+    val subBlocks = (0 until PqM).map { i =>
+      val srcCte = s"s${i}z"
+      val (train, cFinal) = sqlKmTrain(s"s$i", srcCte, PqSubDim, PqKSub, KIters)
+      val block =
+        s"""$srcCte AS (
+           |  SELECT vec_id, qv[${i * PqSubDim + 1}:${(i + 1) * PqSubDim}] AS qv
+           |  FROM qz),
+           |$train,
+           |${sqlKmAssign(s"s${i}af", srcCte, cFinal, PqSubDim)}""".stripMargin
+      (block, cFinal)
+    }
+    val (coTrain, coFinal) = sqlKmTrain("co", "qz", 64, KCells, KIters)
+    val luts = (0 until PqM).map { i =>
+      s"""pl$i AS (
+         |  SELECT p.probe_id, i.cell AS code,
+         |    ${sqlKmDist(s"p.q$i", "i.c", PqSubDim)} AS d
+         |  FROM pz p CROSS JOIN ${subBlocks(i)._2} i)""".stripMargin
+    }
+    QueryDef.of(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = graft.operators.PqIndex.train(
+          emb, KCells, PqM, PqSubDim, PqKSub, KIters)
+        val codes = graft.operators.PqIndex.encode(emb, cb)
+        val probes = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.PqIndex.search(codes, cb, probes, PqK, PqNProbe)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      s"""WITH qz AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |$coTrain,
+         |${sqlKmAssign("coaf", "qz", coFinal, 64)},
+         |${subBlocks.map(_._1).mkString(",\n")},
+         |codes AS (
+         |  SELECT co.vec_id, co.cell,
+         |    a0.cell AS c0, a1.cell AS c1, a2.cell AS c2, a3.cell AS c3
+         |  FROM coaf co
+         |  JOIN s0af a0 USING (vec_id) JOIN s1af a1 USING (vec_id)
+         |  JOIN s2af a2 USING (vec_id) JOIN s3af a3 USING (vec_id)),
+         |pz AS (
+         |  SELECT vec_id AS probe_id, qv,
+         |    qv[1:16] AS q0, qv[17:32] AS q1, qv[33:48] AS q2, qv[49:64] AS q3
+         |  FROM qz WHERE vec_id < 20),
+         |pco AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT probe_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, cell) AS r
+         |    FROM (SELECT p.probe_id, i.cell,
+         |            ${sqlKmDist("p.qv", "i.c", 64)} AS dist
+         |          FROM pz p CROSS JOIN $coFinal i))
+         |  WHERE r <= $PqNProbe),
+         |${luts.mkString(",\n")},
+         |sc AS (
+         |  SELECT pc.probe_id, cd.vec_id AS neighbor_id,
+         |    l0.d + l1.d + l2.d + l3.d AS approx_dist
+         |  FROM codes cd
+         |  JOIN pco pc ON cd.cell = pc.cell AND cd.vec_id <> pc.probe_id
+         |  JOIN pl0 l0 ON l0.probe_id = pc.probe_id AND l0.code = cd.c0
+         |  JOIN pl1 l1 ON l1.probe_id = pc.probe_id AND l1.code = cd.c1
+         |  JOIN pl2 l2 ON l2.probe_id = pc.probe_id AND l2.code = cd.c2
+         |  JOIN pl3 l3 ON l3.probe_id = pc.probe_id AND l3.code = cd.c3),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY approx_dist, neighbor_id) AS rank
+         |  FROM sc)
+         |SELECT probe_id, neighbor_id, approx_dist, rank FROM ranked
+         |WHERE rank <= $PqK
+         |ORDER BY probe_id, rank""".stripMargin)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q42b_ann_ivf_deterministic" -> q42b,
+    "q44_ann_ivfpq" -> q44,
     "q71_int8_quantization" -> q71,
     "q34_embed_neardup" -> q34,
     "q40_ann_bruteforce" -> q40,
