@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Graph-analytic queries over the transaction graph (customers ↔
+  * suppliers via order lineitems) — the authority-scoring primitive a
+  * curation pipeline uses to rank sources/domains by link structure.
+  * Transitive-closure graph ops (connected components) live with the
+  * dedup pipeline in [[Dedup]] (q65/q65b); this file holds the
+  * iterative-numeric ones.
+  */
+object Graph {
+
+  private val PrIters = 3
+
+  // ------------------------------------------------------------- q86
+  // Fixed-point PageRank ([[graft.operators.PageRank]]): all-integer
+  // damped iteration (rank div outdeg contributions, 0.15/0.85 damping
+  // as 150000 + (85*sum) div 100 micro-units), so the per-node sums are
+  // order- and partition-invariant and the DuckDB oracle replays all
+  // three unrolled iterations bit-for-bit. The graph: distinct
+  // customer↔supplier pairs that share an order, both directions, so
+  // every node has out-degree ≥ 1 (no dangling-mass term needed).
+  private def sqlPrIter(name: String, prev: String): String =
+    s"""$name AS (
+       |  SELECT n.node,
+       |    150000 + (85 * COALESCE(s.m, 0)) // 100 AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS m
+       |    FROM $prev p
+       |    JOIN deg d ON p.node = d.src
+       |    JOIN e2 e ON e.src = p.node
+       |    GROUP BY e.dst) s USING (node))""".stripMargin
+  private val q86 = QueryDef.of(
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val bidir = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      // retained frames (edge/deg/node caches + the final checkpoint)
+      // are released by the harness-level Resources.releaseAll()
+      graft.operators.PageRank.run(bidir, PrIters)
+        .orderBy(col("node"))
+    },
+    s"""WITH e1 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e2 AS (
+       |  SELECT src, dst FROM e1
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM e1),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e2),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${sqlPrIter("r1", "r0")},
+       |${sqlPrIter("r2", "r1")},
+       |${sqlPrIter("r3", "r2")}
+       |SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
+      .stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q86_pagerank" -> q86)
+}

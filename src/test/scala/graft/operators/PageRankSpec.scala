@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def star() = {
+    import spark.implicits._
+    // a <-> b, a <-> c
+    Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+  }
+
+  test("3-iteration fixed-point ranks match the hand computation") {
+    // r0 = 1e6 each; deg(a)=2, deg(b)=deg(c)=1
+    // r1: a = 150000 + 85*(2*10^6) div 100 = 1850000; b = c = 575000
+    // r2: a = 1127500; b = c = 936250
+    // r3: a = 150000 + (85*1872500) div 100 = 1741625
+    //     b = c = 150000 + (85*(1127500 div 2)) div 100 = 629187
+    val out = PageRank.run(star(), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1741625L, "b" -> 629187L, "c" -> 629187L))
+    graft.Resources.releaseAll()
+  }
+
+  test("ranks are partition-invariant and floored at the teleport term") {
+    val e = star()
+    val base = PageRank.run(e, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val repart = PageRank.run(e.repartition(7), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base == repart)
+    assert(base.values.forall(_ >= 150000L),
+      "every node keeps at least the teleport mass")
+    // floor division only ever LOSES mass: total stays under N * 1e6
+    assert(base.values.sum <= 3000000L)
+    graft.Resources.releaseAll()
+  }
+
+  test("a node with no in-edges gets exactly the teleport term") {
+    import spark.implicits._
+    // d -> a only: d never receives, a never gives (deg(a) missing is
+    // fine — a has no out-edges, so it contributes nothing)
+    val e = Seq(("d", "a")).toDF("src", "dst")
+    val out = PageRank.run(e, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("d") == 150000L)
+    graft.Resources.releaseAll()
+  }
+}
