@@ -45,6 +45,7 @@ object PlanAudit {
         "q18_approx_distinct",
         "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
         "q42b_ann_ivf_deterministic", "q44_ann_ivfpq", "q59_date_arith",
+        "q86_pagerank",
         "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index",
         "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
         "q82_bloom_join_filter")
@@ -119,6 +120,11 @@ object PlanAudit {
           "probe LUTs broadcast onto the codes scan"),
         Check("checkpointed-codebooks", _.contains("Scan ExistingRDD"),
           "codebooks enter as checkpoint leaves, not inline training lineage")),
+      // PageRank output: the 3 training iterations must be collapsed
+      // into a checkpoint leaf (inline lineage would double per round)
+      "q86_pagerank" -> Seq(
+        Check("checkpointed-ranks", _.contains("Scan ExistingRDD"),
+          "iterated ranks enter as a checkpoint leaf, not inline lineage")),
       "q73_decontaminate" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "shingle overlap must be a key join, never a cross product")),

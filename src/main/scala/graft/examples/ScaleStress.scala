@@ -159,6 +159,24 @@ object ScaleStress {
         .filter(expr(admitted)).count()
     }
 
+    // PQ encoding à la q44 — codebooks are trained ONCE (offline job in
+    // production; corpus-size-independent broadcast state) and the
+    // per-row encode pass is what scales with the corpus
+    lazy val pqCb = graft.operators.PqIndex.train(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      nCells = 8, m = 4, subDim = 16, kSub = 8, iters = 2)
+    def pqRun(embs: DataFrame): Long =
+      graft.operators.PqIndex.encode(embs, pqCb)
+        .agg(sum(expr("cell + codes[0] + codes[1] + codes[2] + codes[3]")))
+        .head().getLong(0)
+
+    // fixed-point PageRank à la q86 — per iteration one rank-onto-edges
+    // key shuffle + one integer-sum shuffle; 10× disjoint graph copies
+    // should scale ~linearly
+    def prRun(edges: DataFrame): Long =
+      graft.operators.PageRank.run(edges, iters = 2)
+        .agg(sum(col("r"))).head().getLong(0)
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -166,8 +184,22 @@ object ScaleStress {
     val e1 = Tables.embeddings(spark, sfDir)
     val e10 = replicate(e1, 10, "vec_id", 1000000000L)
 
+    val ed1 = Tables.orders(spark, sfDir)
+      .join(li1, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val ed1bi = ed1.union(ed1.select(col("dst").as("src"), col("src").as("dst")))
+    def edCopies(n: Int): DataFrame = ed1bi
+      .crossJoin(broadcast(spark.range(n).toDF("copy")))
+      .select(concat(col("src"), lit("_"), col("copy")).as("src"),
+        concat(col("dst"), lit("_"), col("copy")).as("dst"))
+    val ed1x = edCopies(1)
+    val ed10x = edCopies(10)
+
     aggRun(li1); lshRun(d1); qualityRun(d1); quantRun(e1) // warm up JIT
     decontRun(d1); packRun(d1); simhashRun(d1); cmsRun(d1); bloomRun(li1)
+    pqRun(e1); prRun(ed1x)
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
@@ -187,6 +219,10 @@ object ScaleStress {
     val (cmT10, _) = time(cmsRun(d10))
     val (blT1, _) = time(bloomRun(li1))
     val (blT10, _) = time(bloomRun(li10))
+    val (pqT1, _) = time(pqRun(e1))
+    val (pqT10, _) = time(pqRun(e10))
+    val (prT1, _) = time(prRun(ed1x))
+    val (prT10, _) = time(prRun(ed10x))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -197,7 +233,10 @@ object ScaleStress {
       f""""pack_1x_s":$pkT1%.2f,"pack_10x_s":$pkT10%.2f,"pack_ratio":${pkT10 / pkT1}%.1f,""" +
       f""""simhash_1x_s":$shT1%.2f,"simhash_10x_s":$shT10%.2f,"simhash_ratio":${shT10 / shT1}%.1f,""" +
       f""""cms_1x_s":$cmT1%.2f,"cms_10x_s":$cmT10%.2f,"cms_ratio":${cmT10 / cmT1}%.1f,""" +
-      f""""bloom_1x_s":$blT1%.2f,"bloom_10x_s":$blT10%.2f,"bloom_ratio":${blT10 / blT1}%.1f}""")
+      f""""bloom_1x_s":$blT1%.2f,"bloom_10x_s":$blT10%.2f,"bloom_ratio":${blT10 / blT1}%.1f,""" +
+      f""""pq_1x_s":$pqT1%.2f,"pq_10x_s":$pqT10%.2f,"pq_ratio":${pqT10 / pqT1}%.1f,""" +
+      f""""pagerank_1x_s":$prT1%.2f,"pagerank_10x_s":$prT10%.2f,"pagerank_ratio":${prT10 / prT1}%.1f}""")
+    graft.Resources.releaseAll()
     spark.stop()
   }
 }

@@ -39,22 +39,24 @@ import org.apache.spark.sql.DataFrame
   */
 object PageRank {
   def run(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val e = edges.select(col("src"), col("dst"))
+    // out-degrees are joined into the edge list ONCE and the result is
+    // persisted pre-partitioned on src: every iteration's rank join
+    // then reuses that partitioning (only the small rank frame moves —
+    // or none of it, when AQE broadcasts it), and `r div deg` is a
+    // per-edge expression instead of a per-iteration extra join.
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e2 = e.join(deg, "src").repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    graft.Resources.retain(e)
-    graft.Resources.retain(deg)
+    graft.Resources.retain(e2)
     graft.Resources.retain(nodes)
 
     var ranks = nodes.withColumn("r", lit(1000000L))
     var i = 0
     while (i < iters) {
-      val contribs = ranks.join(deg, col("node") === col("src"))
-        .select(col("node"), expr("r div deg").as("contrib"))
-      val sums = contribs
-        .join(e, col("node") === col("src"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      val sums = ranks.join(e2, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(expr("r div deg")).as("m"))
       val next = nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           expr("150000L + (85 * coalesce(m, 0L)) div 100").as("r"))

@@ -34,8 +34,11 @@ object Graph {
        |    GROUP BY e.dst) s USING (node))""".stripMargin
   private val q86 = QueryDef.of(
     (s, d) => {
-      val edges = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
+      // raw (no parallelism-floor scatter): the edge build is
+      // join-first, so the tables' only movement should be the join's
+      // own key shuffle
+      val edges = Tables.raw(s, d, "orders")
+        .join(Tables.raw(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))

@@ -512,9 +512,67 @@ object Similarity {
          |ORDER BY probe_id, rank""".stripMargin)
   }
 
+  // ------------------------------------------------------------- q87
+  // Per-dimension embedding statistics (feature/drift profile): mean,
+  // std, min, max for each of the 64 dims — the monitoring table a
+  // pipeline compares across corpus snapshots to catch embedding-model
+  // or preprocessing drift. Sums run over the 2^20-quantized integers
+  // (exact, order-invariant; x² ≤ 2^42 so the sum holds ~2^21 rows per
+  // dim before BIGINT overflow — document-scale corpora need DECIMAL
+  // sums, same trade-off as q01b); mean/var/std are then fixed-order
+  // double expressions both engines evaluate identically (sqrt is
+  // IEEE-correctly-rounded everywhere; var clamps at 0 against
+  // catastrophic-cancellation negatives).
+  private val q87 = QueryDef.of(
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .select(posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("s"),
+          sum(expr("x * x")).as("s2"),
+          min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+        .select(col("pos"), col("n"),
+          expr("cast(s as double) / cast(n as double)").as("mean"),
+          expr(
+            """sqrt(greatest(
+              |  cast(s2 as double) / cast(n as double)
+              |    - (cast(s as double) / cast(n as double))
+              |      * (cast(s as double) / cast(n as double)),
+              |  cast(0.0 as double)))""".stripMargin).as("std"),
+          col("vmin"), col("vmax"))
+        .orderBy(col("pos"))
+    },
+    """WITH qz AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT CAST(unnest(range(0, len(qv))) AS INT) AS pos,
+      |    unnest(qv) AS x
+      |  FROM qz),
+      |ag AS (
+      |  SELECT pos, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s,
+      |    CAST(SUM(x * x) AS BIGINT) AS s2,
+      |    MIN(x) AS vmin, MAX(x) AS vmax
+      |  FROM ex GROUP BY pos)
+      |SELECT pos, n,
+      |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |  sqrt(greatest(
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+      |    CAST(0.0 AS DOUBLE))) AS std,
+      |  vmin, vmax
+      |FROM ag ORDER BY pos""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q42b_ann_ivf_deterministic" -> q42b,
     "q44_ann_ivfpq" -> q44,
+    "q87_embed_dim_stats" -> q87,
     "q71_int8_quantization" -> q71,
     "q34_embed_neardup" -> q34,
     "q40_ann_bruteforce" -> q40,

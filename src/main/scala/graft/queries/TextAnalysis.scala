@@ -967,7 +967,79 @@ object TextAnalysis {
          |WHERE rank <= 25 ORDER BY rank""".stripMargin
     })
 
+  // ------------------------------------------------------------- q88
+  // BPE tokenizer vocabulary training ([[graft.operators.BpeTrainer]]):
+  // 3 greedy merge steps over the frequency-weighted distinct-word
+  // frame, then the resulting vocabulary (top 30 symbols by weighted
+  // count). The DuckDB oracle replays the FULL training — pair counting,
+  // (count DESC, p1, p2) winner selection, and greedy merge application
+  // via the double-space replace encoding — bit-for-bit: both the
+  // learned merges and the final vocabulary must match exactly.
+  private val BpeSteps = 3
+  private def bpeRound(k: Int, prev: String): String =
+    s"""tk$k AS (
+       |  SELECT freq, list_filter(string_split(s, '  '), x -> x <> '') AS t
+       |  FROM $prev),
+       |pc$k AS (
+       |  SELECT p.p1 AS p1, p.p2 AS p2, CAST(SUM(freq) AS BIGINT) AS w
+       |  FROM (SELECT freq, unnest(list_transform(range(1, len(t)),
+       |          i -> {'p1': t[i], 'p2': t[i + 1]})) AS p
+       |        FROM tk$k WHERE len(t) >= 2)
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT p1, p2, w FROM pc$k ORDER BY w DESC, p1, p2 LIMIT 1),
+       |s$k AS (
+       |  SELECT word, freq,
+       |    replace(s, ' ' || b.p1 || '  ' || b.p2 || ' ',
+       |               ' ' || b.p1 || '~' || b.p2 || ' ') AS s
+       |  FROM $prev, b$k b)""".stripMargin
+  private val q88 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val (merges, fin) =
+        graft.operators.BpeTrainer.train(words, BpeSteps)
+      val mergeRows = merges
+        .map(m => ("merge", m.step, s"${m.p1}~${m.p2}", m.weight))
+        .toDF("kind", "step", "token", "weight")
+      val vocab = fin
+        .select(col("freq"),
+          explode(expr("filter(split(s, '  '), x -> x != '')")).as("token"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("token")).limit(30)
+        .select(lit("vocab").as("kind"), lit(0).as("step"),
+          col("token"), col("weight"))
+      mergeRows.unionByName(vocab)
+        .orderBy(col("kind"), col("step"), col("token"))
+    },
+    s"""WITH w0 AS (
+       |  SELECT word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (
+       |  SELECT word, freq,
+       |    '  ' || array_to_string(list_transform(
+       |      range(1, len(word) + 1), i -> word[i]), '  ') || '  ' AS s
+       |  FROM w0),
+       |${(1 to BpeSteps).map(k => bpeRound(k, s"s${k - 1}")).mkString(",\n")},
+       |vocab AS (
+       |  SELECT token, CAST(SUM(freq) AS BIGINT) AS weight
+       |  FROM (SELECT freq,
+       |          unnest(list_filter(string_split(s, '  '), x -> x <> '')) AS token
+       |        FROM s$BpeSteps)
+       |  GROUP BY token),
+       |top AS (SELECT token, weight FROM vocab ORDER BY weight DESC, token LIMIT 30)
+       |SELECT * FROM (
+       |  ${(1 to BpeSteps).map(k =>
+            s"SELECT 'merge' AS kind, $k AS step, p1 || '~' || p2 AS token, w AS weight FROM b$k")
+            .mkString("\n  UNION ALL ")}
+       |  UNION ALL SELECT 'vocab' AS kind, 0 AS step, token, weight FROM top)
+       |ORDER BY kind, step, token""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q88_bpe_vocab" -> q88,
     "q63_term_salience" -> q63,
     "q77_bm25_retrieval" -> q77,
     "q81_cms_heavy_hitters" -> q81,

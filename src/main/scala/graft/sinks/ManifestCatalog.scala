@@ -272,6 +272,47 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     spark.read.parquet(files.map(f => s"$root/$table/$f"): _*)
   }
 
+  /** Highest committed manifest version, or -1 for an empty log. */
+  def latestVersion(): Long =
+    versionFiles().lastOption
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      .orElse(latestCheckpoint().map(_.n))
+      .getOrElse(-1L)
+
+  /** Snapshot pinned at `version` (time travel): fold from the newest
+    * retained checkpoint ≤ version plus the deltas in (ckpt, version].
+    * Versions are consecutive, so a fold that comes up short means
+    * [[vacuum]] reclaimed part of the chain — that fails LOUDLY here
+    * rather than returning a silently incomplete file list. */
+  def snapshotAt(version: Long): Map[String, Seq[String]] = {
+    if (version > latestVersion())
+      throw new IllegalArgumentException(s"unknown version: $version")
+    val base = checkpointFiles()
+      .map(f => f.getName.stripPrefix("c").stripSuffix(".json").toLong -> f)
+      .filter(_._1 <= version).lastOption
+      .map { case (n, f) =>
+        parseCheckpoint(n, new String(Files.readAllBytes(f.toPath), UTF_8))
+      }
+    val after = base.map(_.n).getOrElse(-1L)
+    val deltas = readDeltas(after).filter(_.n <= version)
+    if (deltas.size != version - after)
+      throw new IllegalStateException(
+        s"version $version is no longer reachable: expected " +
+          s"${version - after} deltas after checkpoint $after, found " +
+          s"${deltas.size} (reclaimed by vacuum)")
+    foldInto(base.map(_.tables).getOrElse(Map.empty), deltas)
+  }
+
+  /** Time-travel read: the table as of manifest `version`. Valid while
+    * the version's delta chain and data files are retained — [[vacuum]]
+    * trims the travel window to what the latest checkpoint + live
+    * snapshot still reference (the same contract a Delta VACUUM has). */
+  def readAt(table: String, version: Long): DataFrame = {
+    val files = snapshotAt(version).getOrElse(table,
+      throw new IllegalArgumentException(s"no such table at v$version: $table"))
+    spark.read.parquet(files.map(f => s"$root/$table/$f"): _*)
+  }
+
   override def append(table: String, df: DataFrame): Unit =
     appendAll(Map(table -> df), batchId = None)
 
