@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/event analytics over the `events` table — the OLAP surface a
+  * warehouse fed by the reference's MQTT→ClickHouse pipeline is actually
+  * queried with (the reference stores events and leaves analysis to the
+  * database; SURVEY.md §2.2 makes the analysis layer part of the engine
+  * surface): ordered funnel conversion, time-series resampling with
+  * forward fill, and cohort retention.
+  *
+  * Scale design notes (100 TB events):
+  *  - Every wide operator keys on `user_id` (or (user, bucket)) — never on
+  *    payloads; events are filtered to the relevant types *before* any
+  *    shuffle, so the funnel shuffles only the ~3 stage-event subsets.
+  *  - Per-user stage frames (one row per user) are orders of magnitude
+  *    smaller than the event log; Spark broadcasts them onto the filtered
+  *    streams (AQE picks broadcast automatically at real scale when the
+  *    user dimension fits; at fixture scale the plans show it).
+  *  - The hourly grid (q91) explodes at most `hours-in-range` rows per
+  *    user — bounded fan-out, same shape as q67's chunking explode.
+  *
+  * Determinism: timestamps are compared/bucketed in µs (Spark reads the
+  * fixture's TIMESTAMP(NANOS) as ns-longs and truncates to µs — exactly
+  * DuckDB's `CAST(ts AS TIMESTAMP)`, see Tables.events); outputs format
+  * time as strings per QueryDef rules; `value` doubles are copied, never
+  * re-accumulated, so float order cannot diverge.
+  */
+object EventAnalytics {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Events scan WITHOUT the parallelism floor (Tables.raw rationale:
+    * these queries' first wide op is a user-key shuffle over a filtered
+    * projection). Keeps Tables.events' ns→µs contract. */
+  private def eventsRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.raw(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ------------------------------------------------------------- q90
+  // Ordered funnel: signup → click (≤7d after signup) → purchase (≤7d
+  // after that click). Classic conversion analysis; the ordering
+  // constraint is what makes it more than three filters — each stage's
+  // timestamp must be the FIRST qualifying event after the previous
+  // stage. Three user-keyed aggregates chained by broadcast-sized
+  // per-user frames; the event log itself is scanned once per stage
+  // subset and never joined to itself.
+  private val q90 = QueryDef.of(
+    (s, d) => {
+      val ev = eventsRaw(s, d)
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val s1 = stage("signup").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("signup_ts"))
+      val c1 = stage("click")
+        .join(broadcast(s1), Seq("user_id"))
+        .filter(col("ts") > col("signup_ts") &&
+          col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val p1 = stage("purchase")
+        .join(broadcast(c1), Seq("user_id"))
+        .filter(col("ts") > col("click_ts") &&
+          col("ts") <= col("click_ts") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      s1.join(c1, Seq("user_id"), "left")
+        .join(p1, Seq("user_id"), "left")
+        .select(col("user_id"),
+          date_format(col("signup_ts"), fmt).as("signup_at"),
+          date_format(col("click_ts"), fmt).as("click_at"),
+          date_format(col("purchase_ts"), fmt).as("purchase_at"),
+          (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0) +
+            when(col("purchase_ts").isNotNull, 1).otherwise(0))
+            .as("stage"))
+        .orderBy(col("user_id"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(ts) AS signup_ts FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c1 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS click_ts
+      |  FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > signup_ts
+      |    AND e.ts <= signup_ts + INTERVAL 7 DAY
+      |  GROUP BY e.user_id),
+      |p1 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      |  FROM e JOIN c1 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > click_ts
+      |    AND e.ts <= click_ts + INTERVAL 7 DAY
+      |  GROUP BY e.user_id)
+      |SELECT s1.user_id,
+      |  strftime(signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_at,
+      |  strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+      |  strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+      |  1 + CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM s1 LEFT JOIN c1 USING (user_id) LEFT JOIN p1 USING (user_id)
+      |ORDER BY user_id""".stripMargin)
+
+  // ------------------------------------------------------------- q91
+  // Time-series resample to an hourly grid with forward fill: per user,
+  // the last `value` seen in each hour; hours with no event carry the
+  // previous hour's value (LOCF — the gauge/sensor downsampling every
+  // metrics pipeline runs). The grid is generated per user between that
+  // user's first and last event hour (bounded explode), left-joined to
+  // the per-hour last-value frame, then gap-filled with an
+  // ignore-nulls running `last` window.
+  private val q91 = QueryDef.of(
+    (s, d) => {
+      val ev = eventsRaw(s, d)
+      val wLast = Window.partitionBy(col("user_id"), col("hour"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hourly = ev
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("hour"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("filled", last(col("value"), ignoreNulls = true)
+          .over(wFill))
+        .select(col("user_id"), date_format(col("hour"), fmt).as("hour"),
+          col("filled"), col("value").isNotNull.cast("int").as("had_event"))
+        .orderBy(col("user_id"), col("hour"))
+    },
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+      |  FROM events),
+      |hourly AS (
+      |  SELECT user_id, hour, "value" FROM (
+      |    SELECT user_id, date_trunc('hour', ts) AS hour, "value",
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1),
+      |grid AS (
+      |  -- scalar (list) generate_series: the table-function form cannot
+      |  -- take lateral column args in DuckDB
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+      |    AS hour
+      |  FROM (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+      |          date_trunc('hour', MAX(ts)) AS h1
+      |        FROM e GROUP BY user_id))
+      |SELECT grid.user_id,
+      |  strftime(grid.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  last_value("value" IGNORE NULLS) OVER (
+      |    PARTITION BY grid.user_id ORDER BY grid.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  CAST("value" IS NOT NULL AS INT) AS had_event
+      |FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id
+      |  AND grid.hour = hourly.hour
+      |ORDER BY grid.user_id, hour""".stripMargin)
+
+  // ------------------------------------------------------------- q95
+  // Cohort retention: users grouped by first-seen week (cohort), counted
+  // as retained in week N if they have any event N weeks after their
+  // first. Week offset is pure integer date math ((event_date −
+  // first_date) div 7) — no calendar-week truncation ambiguity in the
+  // offset; the cohort label uses date_trunc('week') which is
+  // Monday-based in both engines. Two user-keyed aggregates; the
+  // retention matrix is (weeks × weeks) tiny.
+  private val q95 = QueryDef.of(
+    (s, d) => {
+      val ev = eventsRaw(s, d)
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+      ev.join(broadcast(first), Seq("user_id"))
+        .select(col("user_id"),
+          date_format(date_trunc("week", col("first_ts")), "yyyy-MM-dd")
+            .as("cohort_week"),
+          expr("CAST(datediff(to_date(ts), to_date(first_ts)) AS BIGINT)" +
+            " div 7").as("week_n"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_n"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_n"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |first AS (
+      |  SELECT user_id, MIN(ts) AS first_ts FROM e GROUP BY user_id),
+      |marks AS (
+      |  SELECT DISTINCT e.user_id,
+      |    strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+      |    (CAST(e.ts AS DATE) - CAST(first_ts AS DATE)) // 7 AS week_n
+      |  FROM e JOIN first USING (user_id))
+      |SELECT cohort_week, week_n, COUNT(*) AS n_users
+      |FROM marks
+      |GROUP BY cohort_week, week_n
+      |ORDER BY cohort_week, week_n""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q90_funnel" -> q90,
+    "q91_resample_ffill" -> q91,
+    "q95_retention_cohorts" -> q95)
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid (lexical + dense) retrieval with reciprocal-rank fusion — the
+  * retrieval stack a RAG/eval pipeline runs: BM25 over text and cosine
+  * over embeddings produce independent rankings, fused by RRF
+  * (Cormack et al., SIGIR'09: score = Σ 1/(k + rank), k = 60).
+  *
+  * Query model is "more-like-this": each probe is a document that has an
+  * embedding; its lexical query is the probe's first 5 distinct tokens
+  * and its dense query is the probe's embedding. The fused corpus is
+  * `documents ⋈ embeddings` (docs that have vectors — at sf0.1 the
+  * embedding table covers 2000 of 5000 docs, so the join IS the corpus
+  * definition, not an optimization).
+  *
+  * Scale shape: both rankers broadcast the 3-probe frame onto corpus
+  * scans (bodies/vectors never shuffle); the per-ranker top-50 lists are
+  * tiny, so the fusion join is a kilobyte-scale shuffle. At 100 TB the
+  * dense side swaps in the IVF-pruned scan (q42b/q44) without touching
+  * the fusion — ranks are the interface.
+  *
+  * Determinism: RRF contributions are integer micro-units
+  * (1000000 div (60 + rank)) — pure BIGINT math, no float fusion; the
+  * BM25 side inherits q77's rational-idf + sorted-term-fold contract and
+  * the dense side q40's left-fold cosine, both bit-exact vs DuckDB.
+  */
+object Retrieval {
+
+  private val ProbeIds = Seq(1, 2, 3)
+  private val TopPerRanker = 50
+
+  // ------------------------------------------------------------- q89
+  private val q89 = QueryDef.of(
+    (s, d) => {
+      VectorFunctions.register(s)
+      val corpus = Tables.documents(s, d)
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .withColumn("emb_norm", expr("vec_norm(embedding)"))
+        .select(col("doc_id"), col("text"), col("embedding"),
+          col("emb_norm"))
+      val probes = corpus
+        .filter(col("doc_id").isin(ProbeIds.map(Int.box): _*))
+        .select(col("doc_id").as("query_id"),
+          expr("array_sort(array_distinct(slice(split(text, ' '), 1, 5)))")
+            .as("qtokens"),
+          col("embedding").as("qemb"), col("emb_norm").as("qnorm"))
+
+      // ---- lexical: BM25 (q77 contract) over the joined corpus
+      val qterms = probes
+        .select(col("query_id"), explode(col("qtokens")).as("term"))
+      val terms = corpus
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("n_dt"))
+      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfT = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      val n = corpus.agg(count(lit(1)).as("n_docs"))
+      val avg = dl.agg(sum(col("dl")).as("tot")).crossJoin(n)
+        .select(col("n_docs"),
+          (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+      val lexScored = tf
+        .join(broadcast(qterms), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(dfT.join(
+          broadcast(qterms.select(col("term")).distinct()), Seq("term"))),
+          Seq("term"))
+        .crossJoin(broadcast(avg))
+        .withColumn("w", expr(
+          """((cast(n_docs as double) - cast(df_t as double) + 0.5) / (cast(df_t as double) + 0.5))
+            | * ((cast(n_dt as double) * 2.2)
+            |    / (cast(n_dt as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))))"""
+            .stripMargin))
+      val wLex = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = lexScored.groupBy(col("query_id"), col("doc_id"))
+        .agg(expr(
+          """aggregate(sort_array(collect_list(struct(term, w))),
+            |  cast(0.0 as double), (acc, x) -> acc + x.w)""".stripMargin)
+          .as("score"))
+        .withColumn("rank_lex", row_number().over(wLex))
+        .filter(col("rank_lex") <= TopPerRanker)
+        .select(col("query_id"), col("doc_id"), col("rank_lex"))
+
+      // ---- dense: brute-force cosine (q40 contract)
+      val wDen = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val dense = corpus
+        .join(broadcast(probes.select(col("query_id"), col("qemb"),
+          col("qnorm"))), col("doc_id") =!= col("query_id"))
+        .withColumn("score",
+          expr("dot_product(qemb, embedding) / (qnorm * emb_norm)"))
+        .withColumn("rank_dense", row_number().over(wDen))
+        .filter(col("rank_dense") <= TopPerRanker)
+        .select(col("query_id"), col("doc_id"), col("rank_dense"))
+
+      // ---- reciprocal-rank fusion (integer micro-units)
+      val wRrf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro", expr(
+          "coalesce(1000000 div (60 + rank_lex), cast(0 as bigint)) + " +
+            "coalesce(1000000 div (60 + rank_dense), cast(0 as bigint))"))
+        .withColumn("rrf_rank", row_number().over(wRrf))
+        .filter(col("rrf_rank") <= 10)
+        .select(col("query_id"), col("rrf_rank"), col("doc_id"),
+          col("rrf_micro"),
+          coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+          coalesce(col("rank_dense"), lit(0)).as("rank_dense"))
+        .orderBy(col("query_id"), col("rrf_rank"))
+    },
+    s"""WITH corpus AS (
+       |  SELECT d.doc_id, d.text, e.embedding
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |probes AS (
+       |  SELECT doc_id AS query_id,
+       |    list_sort(list_distinct((string_split(text, ' '))[1:5])) AS qtokens,
+       |    embedding AS qe
+       |  FROM corpus WHERE doc_id IN (${ProbeIds.mkString(", ")})),
+       |q AS (SELECT query_id, unnest(qtokens) AS term FROM probes),
+       |terms AS (
+       |  SELECT doc_id, u.term FROM corpus,
+       |    unnest(string_split(text, ' ')) u(term) WHERE u.term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS n_dt FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM terms GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM corpus),
+       |avg AS (SELECT n_docs, CAST(SUM(dl) AS DOUBLE) / n_docs AS avgdl
+       |        FROM dl, n GROUP BY n_docs),
+       |lexscored AS (
+       |  SELECT q.query_id, tf.doc_id, tf.term,
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) / (CAST(df_t AS DOUBLE) + 0.5))
+       |     * ((CAST(n_dt AS DOUBLE) * 2.2)
+       |        / (CAST(n_dt AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS w
+       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       |       JOIN df USING (term) CROSS JOIN avg
+       |  WHERE tf.doc_id <> q.query_id),
+       |lexdoc AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY term)),
+       |      (a, b) -> a + b) AS score
+       |  FROM lexscored GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, doc_id, rank_lex FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank_lex FROM lexdoc)
+       |  WHERE rank_lex <= $TopPerRanker),
+       |densescored AS (
+       |  SELECT p.query_id, c.doc_id,
+       |    ${Similarity.sqlCos("qe", "c.embedding")} AS score
+       |  FROM probes p CROSS JOIN corpus c WHERE c.doc_id <> p.query_id),
+       |dense AS (
+       |  SELECT query_id, doc_id, rank_dense FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank_dense FROM densescored)
+       |  WHERE rank_dense <= $TopPerRanker),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, de.query_id) AS query_id,
+       |    COALESCE(l.doc_id, de.doc_id) AS doc_id,
+       |    COALESCE(1000000 // (60 + rank_lex), 0)
+       |      + COALESCE(1000000 // (60 + rank_dense), 0) AS rrf_micro,
+       |    COALESCE(rank_lex, 0) AS rank_lex,
+       |    COALESCE(rank_dense, 0) AS rank_dense
+       |  FROM lex l FULL JOIN dense de
+       |    ON l.query_id = de.query_id AND l.doc_id = de.doc_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id) AS rrf_rank FROM fused)
+       |SELECT query_id, rrf_rank, doc_id, rrf_micro, rank_lex, rank_dense
+       |FROM ranked WHERE rrf_rank <= 10
+       |ORDER BY query_id, rrf_rank""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q89_hybrid_rrf" -> q89)
+}

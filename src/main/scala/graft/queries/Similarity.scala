@@ -22,11 +22,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Similarity {
 
-  /** DuckDB left-fold cosine, bit-compatible with CosineSim's codegen. */
-  private def sqlDot(a: String, b: String): String =
+  /** DuckDB left-fold cosine, bit-compatible with CosineSim's codegen.
+    * Shared with [[Retrieval]] (q89's dense ranker) — single definition
+    * so the fold contract can't drift between modules. */
+  private[queries] def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
-  private def sqlCos(a: String, b: String): String =
+  private[queries] def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
   private def scored(s: SparkSession, d: String,
