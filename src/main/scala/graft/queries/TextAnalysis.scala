@@ -1038,7 +1038,118 @@ object TextAnalysis {
        |  UNION ALL SELECT 'vocab' AS kind, 0 AS step, token, weight FROM top)
        |ORDER BY kind, step, token""".stripMargin)
 
+  // ------------------------------------------------------------- q92
+  // Bigram language-model quality scoring (the CCNet/KenLM filtering
+  // shape): train corpus bigram statistics, score each doc by its mean
+  // conditional bigram probability, keep docs above a fluency floor.
+  // All integer fixed-point — p(w2|w1) ≈ (1e6·c12) div c1 micro-units,
+  // doc score = Σp div n — so the oracle replays training AND scoring
+  // bit-for-bit (a log-prob variant is the one-line production swap; ln
+  // is 1-ulp engine-divergent, q77 precedent). Scale shape: one bigram
+  // explode, two (w1,w2)/(w1)-keyed count aggs with map-side partials,
+  // two key-only shuffle joins of the doc bigram stream against the
+  // count tables, one doc-keyed sum. Headroom: 1e6·c12 overflows BIGINT
+  // only past ~9e12 occurrences of ONE bigram.
+  private val q92 = QueryDef.of(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+      val bg = toks
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  transform(sequence(0, size(tk) - 2),
+            |    i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+            |ELSE array() END""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val scored = bg
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("(1000000L * c12) div c1")).as("p_sum"))
+      toks.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(expr("p_sum div n_bigrams"), lit(0L))
+            .as("lm_score_micro"))
+        .withColumn("keep",
+          (col("lm_score_micro") >= 34000L).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> {'w1': tk[i], 'w2': tk[i + 1]}), recursive := true)
+      |  FROM toks),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    SUM((1000000 * c12.c12) // c1.c1) AS p_sum
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |  GROUP BY doc_id)
+      |SELECT toks.doc_id,
+      |  COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(p_sum // n_bigrams, 0) AS lm_score_micro,
+      |  CAST(COALESCE(p_sum // n_bigrams, 0) >= 34000 AS INT) AS keep
+      |FROM toks LEFT JOIN scored USING (doc_id)
+      |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- q93
+  // Linear text-classifier inference with the hashing trick (the
+  // fastText/quality-classifier serving shape): token → 2^18-bucket md5
+  // feature index, per-feature weight, doc score = mean feature weight.
+  // Weights here are derived deterministically from the feature index
+  // (Knuth multiplicative hash → [-1000, 1000] micro-units) so the
+  // oracle replays inference exactly; production swaps in a broadcast
+  // learned-weight table keyed by the same index — the plan shape
+  // (per-row map + explode + doc-keyed sum, NO weight shuffle) is what
+  // this query pins. Prediction = sign of the mean weight.
+  private val q93 = QueryDef.of(
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')"))
+            .as("term"))
+        .withColumn("fidx", expr(
+          "cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint) % 262144"))
+        .withColumn("w_micro",
+          expr("(fidx * 2654435761L) % 2001L - 1000L"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("w_micro")).as("w_sum"))
+      scored
+        .select(col("doc_id"), col("n_tokens"),
+          expr("w_sum div n_tokens").as("score_micro"),
+          expr("cast(w_sum > 0 as int)").as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 262144 AS fidx
+      |  FROM t),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM((fidx * 2654435761) % 2001 - 1000) AS w_sum
+      |  FROM f GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, w_sum // n_tokens AS score_micro,
+      |  CAST(w_sum > 0 AS INT) AS predicted
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q92_lm_quality" -> q92,
+    "q93_linear_classifier" -> q93,
     "q88_bpe_vocab" -> q88,
     "q63_term_salience" -> q63,
     "q77_bm25_retrieval" -> q77,
