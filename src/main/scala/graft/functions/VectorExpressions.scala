@@ -217,5 +217,7 @@ object VectorFunctions {
       arity("simhash_wide", 1)(e => SimHashWide(e.head)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       arity("vec_norm", 1)(e => VecNorm(e.head)), "built-in")
+    reg.createOrReplaceTempFunction("z_value",
+      arity("z_value", 2)(e => ZValue(e(0), e(1))), "built-in")
   }
 }
