@@ -201,8 +201,104 @@ object EventAnalytics {
       |GROUP BY cohort_week, week_n
       |ORDER BY cohort_week, week_n""".stripMargin)
 
+  // ------------------------------------------------------------- q96
+  // Incremental aggregate maintenance (materialized-view upkeep): a
+  // per-(user, event_type) state table built from the base window is
+  // merged with a delta batch's partial aggregate, and the merge must
+  // equal a full recompute — the invariant that lets a 100 TB warehouse
+  // refresh an aggregate by touching only the delta. State here is the
+  // classic mergeable triple (count, sum, max); sums are exact cents
+  // (q01b pattern) so merge order cannot matter. The oracle IS the full
+  // recompute — equality is what's checked.
+  private val q96 = QueryDef.of(
+    (s, d) => {
+      val ev = eventsRaw(s, d)
+        .withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val cutoff = "2024-01-21 00:00:00"
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+            max(col("cents")).as("max_cents"))
+      val base  = partial(ev.filter(col("ts") <  lit(cutoff).cast("timestamp")))
+      val delta = partial(ev.filter(col("ts") >= lit(cutoff).cast("timestamp")))
+      base.select(col("user_id"), col("event_type"), col("n"),
+          col("sum_cents"), col("max_cents"))
+        .join(delta.select(col("user_id"), col("event_type"),
+          col("n").as("dn"), col("sum_cents").as("dsum"),
+          col("max_cents").as("dmax")), Seq("user_id", "event_type"),
+          "full_outer")
+        .select(col("user_id"), col("event_type"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("sum_cents"), lit(0L)) +
+            coalesce(col("dsum"), lit(0L))).as("sum_cents"),
+          greatest(coalesce(col("max_cents"), lit(Long.MinValue)),
+            coalesce(col("dmax"), lit(Long.MinValue))).as("max_cents"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    """SELECT user_id, event_type, COUNT(*) AS n,
+      |  SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sum_cents,
+      |  MAX(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) AS max_cents
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin)
+
+  // ------------------------------------------------------------- q97
+  // Last-touch attribution: each purchase is credited to the most
+  // recent prior engagement (click/view) by the same user within 24 h.
+  // Composed as the q25 as-of pattern — tagged union + one user-keyed
+  // sort + a running "last engagement" window — so the event log
+  // shuffles ONCE and is never self-joined; the oracle uses a literal
+  // correlated subquery (the semantics, stated naively).
+  private val q97 = QueryDef.of(
+    (s, d) => {
+      val ev = eventsRaw(s, d)
+      val tagged = ev
+        .filter(col("event_type").isin("purchase", "click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"),
+          when(col("event_type") === "purchase", 0).otherwise(1)
+            .as("is_touch"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_touch").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // At the same µs, engagements sort BEFORE the purchase (is_touch
+      // desc with purchase=0) so a same-timestamp touch is attributable;
+      // the frame ends one row back so a purchase can't credit itself.
+      val attributed = tagged
+        .withColumn("last_touch_id", last(
+          when(col("is_touch") === 1, col("event_id")), ignoreNulls = true)
+          .over(w))
+        .withColumn("last_touch_ts", last(
+          when(col("is_touch") === 1, col("ts")), ignoreNulls = true)
+          .over(w))
+        .filter(col("event_type") === "purchase")
+      attributed.select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), fmt).as("purchase_at"),
+          when(col("last_touch_ts") >=
+            col("ts") - expr("INTERVAL 24 HOURS"), col("last_touch_id"))
+            .as("touch_id"))
+        .orderBy(col("purchase_id"))
+    },
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+      |  (SELECT t.event_id FROM e t
+      |   WHERE t.user_id = p.user_id
+      |     AND t.event_type IN ('click', 'view')
+      |     AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 24 HOUR
+      |   ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS touch_id
+      |FROM p
+      |ORDER BY purchase_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q90_funnel" -> q90,
     "q91_resample_ffill" -> q91,
-    "q95_retention_cohorts" -> q95)
+    "q95_retention_cohorts" -> q95,
+    "q96_incremental_agg" -> q96,
+    "q97_attribution" -> q97)
 }
