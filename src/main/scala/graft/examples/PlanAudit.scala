@@ -48,7 +48,9 @@ object PlanAudit {
         "q86_pagerank",
         "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index",
         "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
-        "q82_bloom_join_filter")
+        "q82_bloom_join_filter",
+        "q89_hybrid_rrf", "q90_funnel", "q93_linear_classifier",
+        "q94_zorder_zonemap", "q96_incremental_agg", "q97_attribution")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -164,7 +166,53 @@ object PlanAudit {
           p.contains("BroadcastNestedLoopJoin") ||
             p.contains("BroadcastHashJoin"),
           "the Bloom array must reach probes via broadcast"),
-        noRoundRobin))
+        noRoundRobin),
+      // both rankers broadcast the probe frame; the corpus (text AND
+      // vectors) must never shuffle to meet a probe
+      "q89_hybrid_rrf" -> Seq(
+        Check("broadcast-lex-terms", _.contains("BroadcastHashJoin"),
+          "query terms broadcast into the tf frame"),
+        Check("broadcast-dense-probes", _.contains("BroadcastNestedLoopJoin"),
+          "dense probes broadcast onto the corpus scan")),
+      // per-stage event subsets are filtered AT THE SCAN (pushed
+      // event_type equality) and the per-user stage frames broadcast
+      "q90_funnel" -> Seq(
+        Check("pushed-stage-filter", p =>
+          p.contains("EqualTo(event_type,signup)"),
+          "stage filters must reach the parquet scan"),
+        Check("broadcast-stage-frames", _.contains("BroadcastHashJoin"),
+          "per-user stage frames broadcast onto filtered streams")),
+      // inference is explode → ONE doc-keyed aggregate; weights are
+      // derived per row (or broadcast in production) — never shuffled
+      "q93_linear_classifier" -> Seq(
+        Check("one-hash-exchange", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+          "classifier inference is a single doc-keyed aggregate")),
+      // z computation is a narrow codegen'd pass; the 1-row bounds frame
+      // broadcasts back; the only key shuffle is the 64-bucket aggregate
+      "q94_zorder_zonemap" -> Seq(
+        Check("codegen-zvalue", _.contains("z_value"),
+          "interleave must run as the native expression"),
+        Check("one-hash-exchange", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+          "zone-map stats are one bucket-keyed aggregate"),
+        Check("broadcast-bounds", _.contains("BroadcastNestedLoopJoin"),
+          "global z-bounds broadcast, never joined by shuffle")),
+      // base and delta partials are the only exchanges; the full-outer
+      // merge must REUSE their (user, event_type) partitioning
+      "q96_incremental_agg" -> Seq(
+        Check("merge-reuses-partitioning", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+          "state merge must not re-shuffle the partial aggregates")),
+      // the as-of attribution is ONE user-keyed window over the tagged
+      // union; the log is never self-joined
+      "q97_attribution" -> Seq(
+        Check("pushed-type-filter", p =>
+          p.contains("In(event_type, [click,purchase,view]"),
+          "touch/purchase filter must reach the parquet scan"),
+        Check("one-hash-exchange", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+          "attribution is one user-keyed window, no self-join")))
 
     var failed = 0
     names.foreach { n =>
