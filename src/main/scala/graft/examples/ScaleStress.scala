@@ -177,6 +177,54 @@ object ScaleStress {
       graft.operators.PageRank.run(edges, iters = 2)
         .agg(sum(col("r"))).head().getLong(0)
 
+    // ordered funnel à la q90 — three stage-filtered user-keyed aggs
+    // chained by joins; ratio probes the stage-frame join path
+    def funnelRun(ev: DataFrame): Long = {
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val s1 = stage("signup").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t1"))
+      val c1 = stage("click").join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p1 = stage("purchase").join(c1, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      p1.count()
+    }
+
+    // z-order zone-map stats à la q94 — narrow codegen'd interleave +
+    // broadcast bounds + one 64-key aggregate; should be exactly linear
+    def zorderRun(li: DataFrame): Long = {
+      val z = li.select(expr(
+        "z_value(cast(l_orderkey as bigint), cast(l_partkey as bigint))")
+        .as("z"))
+      val b = z.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      z.crossJoin(broadcast(b))
+        .groupBy(expr("(z - zmin) div ((zmax - zmin) div 64 + 1)")
+          .as("bucket"))
+        .count().count()
+    }
+
+    // bigram-LM scoring à la q92 — two count aggs + two key joins of
+    // the bigram stream; the heaviest new shuffle shape
+    def lmRun(docs: DataFrame): Long = {
+      val bg = docs
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  transform(sequence(0, size(tk) - 2),
+            |    i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+            |ELSE array() END""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("(1000000L * c12) div c1")).as("p"))
+        .count()
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -197,9 +245,12 @@ object ScaleStress {
     val ed1x = edCopies(1)
     val ed10x = edCopies(10)
 
+    val ev1 = Tables.events(spark, sfDir)
+    val ev10 = replicate(ev1, 10, "user_id", 1000000L)
+
     aggRun(li1); lshRun(d1); qualityRun(d1); quantRun(e1) // warm up JIT
     decontRun(d1); packRun(d1); simhashRun(d1); cmsRun(d1); bloomRun(li1)
-    pqRun(e1); prRun(ed1x)
+    pqRun(e1); prRun(ed1x); funnelRun(ev1); zorderRun(li1); lmRun(d1)
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
@@ -223,6 +274,12 @@ object ScaleStress {
     val (pqT10, _) = time(pqRun(e10))
     val (prT1, _) = time(prRun(ed1x))
     val (prT10, _) = time(prRun(ed10x))
+    val (fnT1, _) = time(funnelRun(ev1))
+    val (fnT10, _) = time(funnelRun(ev10))
+    val (zoT1, _) = time(zorderRun(li1))
+    val (zoT10, _) = time(zorderRun(li10))
+    val (lmT1, _) = time(lmRun(d1))
+    val (lmT10, _) = time(lmRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -235,7 +292,10 @@ object ScaleStress {
       f""""cms_1x_s":$cmT1%.2f,"cms_10x_s":$cmT10%.2f,"cms_ratio":${cmT10 / cmT1}%.1f,""" +
       f""""bloom_1x_s":$blT1%.2f,"bloom_10x_s":$blT10%.2f,"bloom_ratio":${blT10 / blT1}%.1f,""" +
       f""""pq_1x_s":$pqT1%.2f,"pq_10x_s":$pqT10%.2f,"pq_ratio":${pqT10 / pqT1}%.1f,""" +
-      f""""pagerank_1x_s":$prT1%.2f,"pagerank_10x_s":$prT10%.2f,"pagerank_ratio":${prT10 / prT1}%.1f}""")
+      f""""pagerank_1x_s":$prT1%.2f,"pagerank_10x_s":$prT10%.2f,"pagerank_ratio":${prT10 / prT1}%.1f,""" +
+      f""""funnel_1x_s":$fnT1%.2f,"funnel_10x_s":$fnT10%.2f,"funnel_ratio":${fnT10 / fnT1}%.1f,""" +
+      f""""zorder_1x_s":$zoT1%.2f,"zorder_10x_s":$zoT10%.2f,"zorder_ratio":${zoT10 / zoT1}%.1f,""" +
+      f""""lm_1x_s":$lmT1%.2f,"lm_10x_s":$lmT10%.2f,"lm_ratio":${lmT10 / lmT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
