@@ -33,6 +33,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"ivf warmup failed: $e") }
     try graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"lsh warmup failed: $e") }
+    try graft.queries.Warehouse.ensureMerged(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"cow warmup failed: $e") }
 
     // Shuffle-byte profile (bench_profile.json, separate from the
     // driver's metric line): a query whose wall time looks fine but

@@ -388,6 +388,124 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   def appendBatch(batchId: Long, tables: Map[String, DataFrame]): Unit =
     appendAll(tables, Some(batchId))
 
+  // ------------------------------------------------- row-level operations
+
+  /** Copy-on-write MERGE (upsert): source rows REPLACE table rows sharing
+    * the same `keys` values; source rows with unseen keys are inserts.
+    *
+    * Only data files that actually CONTAIN a matched key are rewritten —
+    * located via the `_metadata.file_name` column and a semi-join against
+    * the source keys (at scale that join broadcasts the source side; the
+    * table never shuffles). The rewrite output is
+    * (touched-file rows ANTI-JOIN source keys) ∪ source, published in ONE
+    * manifest version that removes the consumed files and adds the
+    * rewritten ones — concurrent appends survive the fold exactly as for
+    * [[compact]], readers holding the old snapshot keep their files, and
+    * the pre-merge version stays time-travelable until [[vacuum]].
+    *
+    * Contract: `source` must carry the table's columns (extra columns are
+    * dropped, order is aligned), key columns must be non-null, and at most
+    * one source row may match a given key (same single-match rule Delta's
+    * MERGE enforces — duplicate source keys make the upsert ambiguous).
+    */
+  def merge(table: String, source: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val files = snapshot().getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val live = spark.read.parquet(files.map(f => s"$root/$table/$f"): _*)
+    val cols = live.schema.fieldNames.toSeq
+    val src = source.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val keyFrame = src
+      .select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
+    // bounded control-plane read: at most one row per live data file
+    val fileCol = org.apache.spark.sql.functions
+      .col("_metadata.file_name").as("_file")
+    val touched = live
+      .select(fileCol +: keys.map(org.apache.spark.sql.functions.col): _*)
+      .join(keyFrame, keys, "left_semi")
+      .select("_file").distinct().collect().map(_.getString(0)).toSeq
+    val rewritten =
+      if (touched.isEmpty) src
+      else spark.read.parquet(touched.map(f => s"$root/$table/$f"): _*)
+        .join(keyFrame, keys, "left_anti")
+        .unionByName(src)
+    val moved = writeParts(table, rewritten)
+    commitVersion(None, add = Map(table -> moved),
+      removed = Map(table -> touched))
+  }
+
+  /** Copy-on-write DELETE: remove rows where `predicate` is TRUE (rows
+    * where it is FALSE or NULL are kept — SQL DELETE semantics). Only
+    * files containing at least one matching row are rewritten; a
+    * predicate matching nothing commits nothing. Same atomicity /
+    * time-travel / vacuum story as [[merge]]. */
+  def delete(table: String,
+      predicate: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val files = snapshot().getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val live = spark.read.parquet(files.map(f => s"$root/$table/$f"): _*)
+    val touched = live.filter(predicate)
+      .select(col("_metadata.file_name").as("_file"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (touched.nonEmpty) {
+      val keep = spark.read
+        .parquet(touched.map(f => s"$root/$table/$f"): _*)
+        .filter(not(coalesce(predicate, lit(false))))
+      val moved = writeParts(table, keep)
+      commitVersion(None, add = Map(table -> moved),
+        removed = Map(table -> touched))
+    }
+  }
+
+  /** Row-level change feed between two committed versions (CDC): each
+    * output row is a table row tagged `_op` = "insert" (present at `toV`,
+    * absent at `fromV`) or "delete" (the reverse); an update appears as
+    * its delete + insert pair. Computed as a MULTISET diff over only the
+    * files that CHANGED between the snapshots — files present in both
+    * versions contribute identical rows to both sides and cancel, so they
+    * are never read: the cost is proportional to the data the versions
+    * disagree on, not to table size. */
+  def changes(table: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val before = snapshotAt(fromV).getOrElse(table, Seq.empty[String])
+    val after = snapshotAt(toV).getOrElse(table, Seq.empty[String])
+    val removedF = before.filterNot(after.toSet)
+    val addedF = after.filterNot(before.toSet)
+    def readFiles(fs: Seq[String], schemaFrom: Seq[String]): DataFrame =
+      if (fs.nonEmpty) spark.read.parquet(fs.map(f => s"$root/$table/$f"): _*)
+      else if (schemaFrom.nonEmpty) spark.read
+        .parquet(schemaFrom.map(f => s"$root/$table/$f"): _*).limit(0)
+      else throw new IllegalArgumentException(
+        s"no such table in either version: $table")
+    if (removedF.isEmpty && addedF.isEmpty)
+      return readFiles(Nil, before ++ after)
+        .withColumn("_op", lit("")).limit(0)
+    val schemaDonor = if (addedF.nonEmpty) addedF else removedF
+    val newSide = readFiles(addedF, schemaDonor)
+    val oldSide = readFiles(removedF, schemaDonor)
+    newSide.exceptAll(oldSide).withColumn("_op", lit("insert"))
+      .unionByName(oldSide.exceptAll(newSide).withColumn("_op", lit("delete")))
+      .select(col("_op") +: newSide.columns.toSeq.map(col): _*)
+  }
+
+  /** Write `df` to a staging dir and move the part files into the table
+    * directory (invisible until a manifest commit references them). */
+  private def writeParts(table: String, df: DataFrame): Seq[String] = {
+    val staging = new File(rootDir, s".rewrite-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val dest = new File(rootDir, table)
+    dest.mkdirs()
+    val moved = Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        if (!f.renameTo(new File(dest, f.getName)))
+          throw new java.io.IOException(s"move failed: $f")
+        f.getName
+      }.toSeq
+    rm(staging)
+    moved
+  }
+
   /** ONLINE compaction: snapshot the table's file list, rewrite exactly
     * those files, then commit ONE version that removes the consumed
     * files and adds the compacted ones. Removal is PRECISE (not a
@@ -401,18 +519,9 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   def compact(table: String, targetFiles: Int = 1): Unit = {
     val consumed = snapshot().getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
-    val staging = new File(rootDir, s".compact-${java.util.UUID.randomUUID()}")
-    spark.read.parquet(consumed.map(f => s"$root/$table/$f"): _*)
-      .coalesce(math.max(1, targetFiles))
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val dest = new File(rootDir, table)
-    val moved = Option(staging.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map { f =>
-        if (!f.renameTo(new File(dest, f.getName)))
-          throw new java.io.IOException(s"move failed: $f")
-        f.getName
-      }.toSeq
-    rm(staging)
+    val moved = writeParts(table,
+      spark.read.parquet(consumed.map(f => s"$root/$table/$f"): _*)
+        .coalesce(math.max(1, targetFiles)))
     commitVersion(None, add = Map(table -> moved),
       removed = Map(table -> consumed))
   }
