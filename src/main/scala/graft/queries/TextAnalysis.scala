@@ -992,15 +992,32 @@ object TextAnalysis {
        |    replace(s, ' ' || b.p1 || '  ' || b.p2 || ' ',
        |               ' ' || b.p1 || '~' || b.p2 || ' ') AS s
        |  FROM $prev, b$k b)""".stripMargin
+  /** The corpus distinct-word frequency frame BPE trains on. */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Training CTE chain shared by q88 (vocab output) and q100 (encode):
+    * w0 distinct words → s0 char symbolization → s1..sN merge rounds. */
+  private val bpeTrainCtes =
+    s"""w0 AS (
+       |  SELECT word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (
+       |  SELECT word, freq,
+       |    '  ' || array_to_string(list_transform(
+       |      range(1, len(word) + 1), i -> word[i]), '  ') || '  ' AS s
+       |  FROM w0),
+       |${(1 to BpeSteps).map(k => bpeRound(k, s"s${k - 1}")).mkString(",\n")}""".stripMargin
+
   private val q88 = QueryDef.of(
     (s, d) => {
       import s.implicits._
-      val words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       val (merges, fin) =
-        graft.operators.BpeTrainer.train(words, BpeSteps)
+        graft.operators.BpeTrainer.train(bpeWords(s, d), BpeSteps)
       val mergeRows = merges
         .map(m => ("merge", m.step, s"${m.p1}~${m.p2}", m.weight))
         .toDF("kind", "step", "token", "weight")
@@ -1014,16 +1031,7 @@ object TextAnalysis {
       mergeRows.unionByName(vocab)
         .orderBy(col("kind"), col("step"), col("token"))
     },
-    s"""WITH w0 AS (
-       |  SELECT word, COUNT(*) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE word <> '' GROUP BY word),
-       |s0 AS (
-       |  SELECT word, freq,
-       |    '  ' || array_to_string(list_transform(
-       |      range(1, len(word) + 1), i -> word[i]), '  ') || '  ' AS s
-       |  FROM w0),
-       |${(1 to BpeSteps).map(k => bpeRound(k, s"s${k - 1}")).mkString(",\n")},
+    s"""WITH $bpeTrainCtes,
        |vocab AS (
        |  SELECT token, CAST(SUM(freq) AS BIGINT) AS weight
        |  FROM (SELECT freq,
@@ -1037,6 +1045,61 @@ object TextAnalysis {
             .mkString("\n  UNION ALL ")}
        |  UNION ALL SELECT 'vocab' AS kind, 0 AS step, token, weight FROM top)
        |ORDER BY kind, step, token""".stripMargin)
+
+  // ------------------------------------------------------------- q100
+  // BPE ENCODE — the serving half of q88: the trained symbolization
+  // frame (word → merged symbols) IS the encoder table; tokenizing the
+  // corpus is one word-keyed join of the exploded documents against it,
+  // then a doc-keyed sum. Scale shape: the encoder table is |distinct
+  // words| (tiny vs the corpus — it broadcasts at scale), the shuffle
+  // carries (word, counts) pairs, and document text never moves after
+  // the explode. The oracle replays the FULL training chain (shared
+  // CTEs with q88) and then the same join — so a single drifted merge
+  // decision or token count fails the gate. Output: per-doc word /
+  // char / post-BPE token counts (all integers — order-proof).
+  private val q100 = QueryDef.of(
+    (s, d) => {
+      val (_, fin) =
+        graft.operators.BpeTrainer.train(bpeWords(s, d), BpeSteps)
+      val encoder = fin.select(col("word"),
+        expr("cast(size(filter(split(s, '  '), x -> x != '')) as bigint)")
+          .as("w_tokens"))
+      val docWords = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val perDoc = docWords.join(encoder, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).as("n_chars"),
+          sum(col("w_tokens")).as("n_tokens"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH $bpeTrainCtes,
+       |wt AS (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(s, '  '), x -> x <> ''))
+       |      AS BIGINT) AS w_tokens
+       |  FROM s$BpeSteps),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(w_tokens) AS BIGINT) AS n_tokens
+       |  FROM (SELECT * FROM dw WHERE word <> '') JOIN wt USING (word)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+       |  COALESCE(perdoc.n_chars, 0) AS n_chars,
+       |  COALESCE(n_tokens, 0) AS n_tokens
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin)
 
   // ------------------------------------------------------------- q92
   // Bigram language-model quality scoring (the CCNet/KenLM filtering
@@ -1151,6 +1214,7 @@ object TextAnalysis {
     "q92_lm_quality" -> q92,
     "q93_linear_classifier" -> q93,
     "q88_bpe_vocab" -> q88,
+    "q100_bpe_encode" -> q100,
     "q63_term_salience" -> q63,
     "q77_bm25_retrieval" -> q77,
     "q81_cms_heavy_hitters" -> q81,
