@@ -50,7 +50,8 @@ object PlanAudit {
         "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
         "q82_bloom_join_filter",
         "q89_hybrid_rrf", "q90_funnel", "q93_linear_classifier",
-        "q94_zorder_zonemap", "q96_incremental_agg", "q97_attribution")
+        "q94_zorder_zonemap", "q96_incremental_agg", "q97_attribution",
+        "q101_bucketed_join")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -69,6 +70,13 @@ object PlanAudit {
       "q18_approx_distinct" -> Seq(
         Check("no-expand", p => !p.contains("Expand"),
           "distinct + sketch aggs must not trigger the Expand rewrite")),
+      // the join inputs are pre-bucketed on the key — the only exchange
+      // allowed in the whole plan is the final (tiny) segment aggregate
+      "q101_bucketed_join" -> Seq(
+        Check("colocated-join", p =>
+          p.contains("SortMergeJoin") &&
+            "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+          "bucketed join inputs must not shuffle")),
       "q03_top_revenue_orders" -> Seq(noRoundRobin),
       "q04_semi_join_priority" -> Seq(noRoundRobin),
       "q05_anti_join_no_orders" -> Seq(noRoundRobin),
