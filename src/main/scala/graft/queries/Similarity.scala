@@ -571,8 +571,62 @@ object Similarity {
       |  vmin, vmax
       |FROM ag ORDER BY pos""".stripMargin)
 
+  // ------------------------------------------------------------- q102
+  // Random projection (Johnson–Lindenstrauss) — the dimensionality-
+  // reduction operator of the embedding pipeline: 64-dim vectors × a
+  // ±1 sign matrix → 8-dim sketches (production uses k = 64–256; k = 8
+  // keeps the oracle compact). The sign matrix is DERIVED, not stored:
+  // s[j][i] = ±1 from an md5 bit of (j, i) — data-independent, so it is
+  // built ONCE in a 1-row frame and broadcast onto the corpus
+  // (recomputing 512 md5s per row would be the naive mistake). Inputs
+  // quantize to round(x·2^20) longs (q42b/q87 contract), making every
+  // projected coordinate an exact integer dot product — order- and
+  // partition-invariant, replayed bit-for-bit by the oracle. Per-row
+  // cost after the broadcast: 512 multiply-adds inside one codegen'd
+  // HOF; the corpus never shuffles. Headroom: |qv·s| ≤ 64·2^20·2^20 =
+  // 2^46 per coordinate — five orders below BIGINT.
+  private val RpDims = 8
+  private val q102 = QueryDef.of(
+    (s, d) => {
+      val signs = s.range(1).select(expr(
+        s"""transform(sequence(0, ${RpDims - 1}), j ->
+           |  transform(sequence(0, 63), i ->
+           |    2L * (cast(conv(substring(md5(concat(cast(j as string), '_',
+           |      cast(i as string))), 1, 8), 16, 10) as bigint) % 2L)
+           |    - 1L))""".stripMargin).as("S"))
+      val qz = Tables.embeddings(s, d).select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
+        .as("qv"))
+      val proj = qz.crossJoin(broadcast(signs))
+        .select(col("vec_id"), expr(
+          s"""transform(sequence(0, ${RpDims - 1}), j ->
+             |  aggregate(sequence(0, size(qv) - 1), 0L,
+             |    (acc, i) -> acc + qv[i] * S[j][i]))""".stripMargin).as("p"))
+      proj.select(col("vec_id") +:
+          (0 until RpDims).map(j => expr(s"p[$j]").as(s"p$j")): _*)
+        .orderBy(col("vec_id"))
+    },
+    s"""WITH sm AS (
+       |  SELECT list_transform(range(0, $RpDims), j ->
+       |    list_transform(range(0, 64), i ->
+       |      2 * (CAST('0x' || substring(md5(CAST(j AS VARCHAR) || '_' ||
+       |        CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 2) - 1)) AS S),
+       |qz AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT vec_id, list_transform(range(0, $RpDims), j ->
+       |    CAST(list_sum(list_transform(range(0, 64),
+       |      i -> qv[i + 1] * S[j + 1][i + 1])) AS BIGINT)) AS p
+       |  FROM qz, sm)
+       |SELECT vec_id, ${(0 until RpDims)
+          .map(j => s"p[${j + 1}] AS p$j").mkString(", ")}
+       |FROM pr ORDER BY vec_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q42b_ann_ivf_deterministic" -> q42b,
+    "q102_random_projection" -> q102,
     "q44_ann_ivfpq" -> q44,
     "q87_embed_dim_stats" -> q87,
     "q71_int8_quantization" -> q71,

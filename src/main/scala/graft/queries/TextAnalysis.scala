@@ -1101,6 +1101,64 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN perdoc USING (doc_id)
        |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------- q103
+  // Corpus drift detection: compare one source's token distribution
+  // against the rest of the corpus (the data-quality monitor that
+  // catches a crawler/source going off the rails between snapshots).
+  // Per-token micro-unit frequencies f = (1e6·count) div N on each side,
+  // per-token drift = |f_a − f_b|, global drift = Σ|f_a − f_b| (L1 /
+  // total-variation distance in micro-units — rational arithmetic, so
+  // the oracle replays it exactly; chi²/KL need engine-divergent
+  // logs/divisions). ONE pass over the corpus: a conditional aggregate
+  // splits the sides (no self-join), the 1-row totals and L1 frames
+  // broadcast back, and the top-25 report is a TakeOrdered. Headroom:
+  // f ≤ 1e6, L1 ≤ 2e6·|vocab| — BIGINT-safe to ~4e12 distinct tokens.
+  private val q103 = QueryDef.of(
+    (s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("o_a"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("o_b"))
+      val tot = cnt.agg(sum(col("o_a")).as("na"), sum(col("o_b")).as("nb"))
+      val scored = cnt.crossJoin(broadcast(tot))
+        .select(col("token"), col("o_a"), col("o_b"),
+          expr("(1000000L * o_a) div na").as("f_a_micro"),
+          expr("(1000000L * o_b) div nb").as("f_b_micro"))
+        .withColumn("diff_micro",
+          abs(col("f_a_micro") - col("f_b_micro")))
+      val l1 = scored.agg(sum(col("diff_micro")).as("total_l1_micro"))
+      scored.crossJoin(broadcast(l1))
+        .orderBy(col("diff_micro").desc, col("token"))
+        .limit(25)
+    },
+    """WITH cnt AS (
+      |  SELECT token,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS o_a,
+      |    CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS o_b
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> '' GROUP BY token),
+      |tot AS (
+      |  SELECT CAST(SUM(o_a) AS BIGINT) AS na,
+      |    CAST(SUM(o_b) AS BIGINT) AS nb FROM cnt),
+      |scored AS (
+      |  SELECT token, o_a, o_b,
+      |    (1000000 * o_a) // na AS f_a_micro,
+      |    (1000000 * o_b) // nb AS f_b_micro,
+      |    abs((1000000 * o_a) // na - (1000000 * o_b) // nb) AS diff_micro
+      |  FROM cnt, tot),
+      |l1 AS (SELECT CAST(SUM(diff_micro) AS BIGINT) AS total_l1_micro
+      |       FROM scored)
+      |SELECT token, o_a, o_b, f_a_micro, f_b_micro, diff_micro,
+      |  total_l1_micro
+      |FROM scored, l1
+      |ORDER BY diff_micro DESC, token LIMIT 25""".stripMargin)
+
   // ------------------------------------------------------------- q92
   // Bigram language-model quality scoring (the CCNet/KenLM filtering
   // shape): train corpus bigram statistics, score each doc by its mean
@@ -1215,6 +1273,7 @@ object TextAnalysis {
     "q93_linear_classifier" -> q93,
     "q88_bpe_vocab" -> q88,
     "q100_bpe_encode" -> q100,
+    "q103_token_drift" -> q103,
     "q63_term_salience" -> q63,
     "q77_bm25_retrieval" -> q77,
     "q81_cms_heavy_hitters" -> q81,
