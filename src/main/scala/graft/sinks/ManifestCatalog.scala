@@ -30,9 +30,15 @@ import org.apache.spark.sql.types.StructType
   * driver): `_manifest/v<20-digit>.json`, each version holding only the
   * delta — `add` (files appended per table), `removed` (files a
   * compaction consumed), `replace` (legacy full-list swap), and
-  * an optional `batchId`. Readers fold the log into a per-table file
-  * list. The single-writer assumption is the same one `foreachBatch`
-  * already provides.
+  * an optional `batchId` — plus a `schemas` section recording the
+  * table's schema (base64 StructType JSON) whenever an append changes
+  * it. Readers fold the log into per-table file lists + latest schemas,
+  * pin reads to the recorded schema (no footer scans), and therefore
+  * support ADD-COLUMN evolution without rewriting old files (they
+  * surface NULL for later columns; time travel reads each version under
+  * the schema recorded AT that version). `appendRouted` (the dynamic
+  * router path) keeps schema-inference reads. The single-writer
+  * assumption is the same one `foreachBatch` already provides.
   *
   * **Checkpointing** (long-running streams): every [[checkpointInterval]]
   * versions the fold is materialized to `_manifest/c<20-digit>.json` —
@@ -61,10 +67,17 @@ final class ManifestCatalog(spark: SparkSession, root: String,
 
   private final case class Version(n: Long, batchId: Option[Long],
       add: Map[String, Seq[String]], replace: Map[String, Seq[String]],
-      removed: Map[String, Seq[String]])
+      removed: Map[String, Seq[String]],
+      schemas: Map[String, String])
 
   private final case class Checkpoint(n: Long,
-      tables: Map[String, Seq[String]], batchIds: Seq[Long])
+      tables: Map[String, Seq[String]], batchIds: Seq[Long],
+      schemas: Map[String, String])
+
+  /** A folded view of the log: per-table file lists + the latest
+    * recorded schema (base64 StructType JSON) per table. */
+  private final case class Snap(files: Map[String, Seq[String]],
+      schemas: Map[String, String])
 
   private def versionFiles(): Seq[File] =
     Option(manifestDir.listFiles()).getOrElse(Array.empty)
@@ -85,7 +98,20 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       }.mkString("{", ",", "}")
     s"""{"version":${v.n},"batchId":${v.batchId.getOrElse(-1L)},""" +
       s""""add":${files(v.add)},"replace":${files(v.replace)},""" +
-      s""""removed":${files(v.removed)}}"""
+      s""""removed":${files(v.removed)},"schemas":${strs(v.schemas)}}"""
+  }
+
+  // schema payloads are base64 (StructType JSON contains the very
+  // quotes/braces the hand-rolled regex codec cannot tolerate)
+  private def strs(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (t, s) => "\"" + t + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+
+  private def strsSection(s: String, name: String): Map[String, String] = {
+    val m = (s""""$name":\\{(.*?)\\}""").r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(m)
+      .map(g => g.group(1) -> g.group(2)).toMap
   }
 
   // a "files section" is {"table":["f1","f2"],...} — table directories
@@ -103,7 +129,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     val bid = """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).filter(_ >= 0)
     Version(n, bid, filesSection(s, "add"), filesSection(s, "replace"),
-      filesSection(s, "removed"))
+      filesSection(s, "removed"), strsSection(s, "schemas"))
   }
 
   private def renderCheckpoint(c: Checkpoint): String = {
@@ -111,14 +137,19 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       "\"" + t + "\":[" + fs.map("\"" + _ + "\"").mkString(",") + "]"
     }.mkString("{", ",", "}")
     s"""{"checkpoint":${c.n},"tables":$tables,""" +
-      s""""batchIds":[${c.batchIds.mkString(",")}]}"""
+      s""""batchIds":[${c.batchIds.mkString(",")}],""" +
+      s""""schemas":${strs(c.schemas)}}"""
   }
 
   private def parseCheckpoint(n: Long, s: String): Checkpoint = {
     val bids = """"batchIds":\[([^\]]*)\]""".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("").split(",").toSeq
       .filter(_.nonEmpty).map(_.trim.toLong)
-    Checkpoint(n, filesSection(s, "tables"), bids)
+    // "tables" must not greedily swallow the later "schemas" section —
+    // filesSection's non-greedy regex stops at the first `}`, which is
+    // the end of the tables map because file lists contain no braces
+    Checkpoint(n, filesSection(s, "tables"), bids,
+      strsSection(s, "schemas"))
   }
 
   private def latestCheckpoint(): Option[Checkpoint] =
@@ -136,31 +167,36 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       parse(n, new String(Files.readAllBytes(f.toPath), UTF_8))
     }
 
-  private def foldInto(base: Map[String, Seq[String]],
-      deltas: Seq[Version]): Map[String, Seq[String]] =
+  private def foldInto(base: Snap, deltas: Seq[Version]): Snap =
     deltas.foldLeft(base) { (acc, v) =>
       // order matters: replace (full-list, legacy) → removed (precise —
       // compaction consumes exactly the files it read, so adds committed
       // DURING the compaction window survive the fold) → add
-      val replaced = acc ++ v.replace
+      val replaced = acc.files ++ v.replace
       val removed = v.removed.foldLeft(replaced) { case (a, (t, fs)) =>
         a.get(t) match {
           case Some(cur) => a.updated(t, cur.filterNot(fs.toSet))
           case None => a
         }
       }
-      v.add.foldLeft(removed) { case (a, (t, fs)) =>
+      val added = v.add.foldLeft(removed) { case (a, (t, fs)) =>
         a.updated(t, a.getOrElse(t, Nil) ++ fs)
       }
+      Snap(added, acc.schemas ++ v.schemas) // latest recorded schema wins
     }
 
   /** Fold checkpoint + post-checkpoint deltas into the live per-table
-    * file lists — O(checkpointInterval) files, not O(stream lifetime). */
-  private def snapshot(): Map[String, Seq[String]] = {
+    * file lists + schemas — O(checkpointInterval) files, not O(stream
+    * lifetime). */
+  private def snapshotFull(): Snap = {
     val ckpt = latestCheckpoint()
-    foldInto(ckpt.map(_.tables).getOrElse(Map.empty),
+    foldInto(
+      ckpt.map(c => Snap(c.tables, c.schemas)).getOrElse(Snap(Map.empty,
+        Map.empty)),
       readDeltas(ckpt.map(_.n).getOrElse(-1L)))
   }
+
+  private def snapshot(): Map[String, Seq[String]] = snapshotFull().files
 
   /** (latest checkpoint version, delta files a fold reads) — exposed so
     * ManifestCheckpointSpec can assert the O(interval) bound. */
@@ -181,7 +217,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   private[sinks] def commitVersion(batchId: Option[Long],
       add: Map[String, Seq[String]],
       replace: Map[String, Seq[String]] = Map.empty,
-      removed: Map[String, Seq[String]] = Map.empty): Unit = synchronized {
+      removed: Map[String, Seq[String]] = Map.empty,
+      schemas: Map[String, String] = Map.empty): Unit = synchronized {
     manifestDir.mkdirs()
     if (nextVersion < 0)
       nextVersion = versionFiles().lastOption
@@ -189,7 +226,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         .orElse(latestCheckpoint().map(_.n + 1))
         .getOrElse(0L)
     val next = nextVersion
-    val body = render(Version(next, batchId, add, replace, removed))
+    val body = render(Version(next, batchId, add, replace, removed, schemas))
     val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-v", ".json")
     Files.write(tmp, body.getBytes(UTF_8))
     Files.move(tmp, manifestDir.toPath.resolve(f"v$next%020d.json"),
@@ -205,11 +242,14 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     try {
       val prev = latestCheckpoint()
       val deltas = readDeltas(prev.map(_.n).getOrElse(-1L)).filter(_.n <= n)
-      val tables = foldInto(prev.map(_.tables).getOrElse(Map.empty), deltas)
+      val snap = foldInto(
+        prev.map(c => Snap(c.tables, c.schemas))
+          .getOrElse(Snap(Map.empty, Map.empty)), deltas)
       val bids = (prev.map(_.batchIds).getOrElse(Nil) ++
         deltas.flatMap(_.batchId))
         .takeRight(ManifestCatalog.MaxRetainedBatchIds)
-      val body = renderCheckpoint(Checkpoint(n, tables, bids))
+      val body = renderCheckpoint(Checkpoint(n, snap.files, bids,
+        snap.schemas))
       val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-c", ".json")
       Files.write(tmp, body.getBytes(UTF_8))
       Files.move(tmp, manifestDir.toPath.resolve(f"c$n%020d.json"),
@@ -229,23 +269,28 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   // router's append pool calls appendRouted concurrently.
   private val pendingAdds =
     scala.collection.mutable.Map.empty[String, Seq[String]]
+  private val pendingSchemas =
+    scala.collection.mutable.Map.empty[String, String]
   private var deferring = false
 
   override def beginBatch(batchId: Long): Unit = synchronized {
     // pending adds from a previous FAILED batch are dropped — their
     // part files are unreachable orphans until vacuum()
     pendingAdds.clear()
+    pendingSchemas.clear()
     deferring = true
   }
 
   /** Record adds into the open batch; false → caller commits directly. */
-  private def recordPending(added: Map[String, Seq[String]]): Boolean =
+  private def recordPending(added: Map[String, Seq[String]],
+      schemas: Map[String, String]): Boolean =
     synchronized {
       if (!deferring) false
       else {
         added.foreach { case (t, fs) =>
           pendingAdds(t) = pendingAdds.getOrElse(t, Nil) ++ fs
         }
+        schemas.foreach { case (t, s) => pendingSchemas(t) = s }
         true
       }
     }
@@ -265,11 +310,32 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   }
 
   /** Read ONLY the files the manifest lists — uncommitted (orphaned)
-    * part files in the directory are invisible by construction. */
+    * part files in the directory are invisible by construction. When the
+    * log records a schema, the read is PINNED to it (no footer scans,
+    * no mergeSchema): files written before a column was added surface
+    * NULL for it — add-column schema evolution without rewriting data. */
   def read(table: String): DataFrame = {
-    val files = snapshot().getOrElse(table,
+    val snap = snapshotFull()
+    val files = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
-    spark.read.parquet(files.map(f => s"$root/$table/$f"): _*)
+    readWithSchema(table, files, snap.schemas.get(table))
+  }
+
+  private def decodeSchema(b64: String): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(new String(
+      java.util.Base64.getDecoder.decode(b64), UTF_8))
+      .asInstanceOf[StructType]
+
+  private def encodeSchema(s: StructType): String =
+    java.util.Base64.getEncoder.encodeToString(s.json.getBytes(UTF_8))
+
+  private def readWithSchema(table: String, files: Seq[String],
+      schemaB64: Option[String]): DataFrame = {
+    val reader = schemaB64 match {
+      case Some(b) => spark.read.schema(decodeSchema(b))
+      case None => spark.read
+    }
+    reader.parquet(files.map(f => s"$root/$table/$f"): _*)
   }
 
   /** Highest committed manifest version, or -1 for an empty log. */
@@ -284,7 +350,10 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * Versions are consecutive, so a fold that comes up short means
     * [[vacuum]] reclaimed part of the chain — that fails LOUDLY here
     * rather than returning a silently incomplete file list. */
-  def snapshotAt(version: Long): Map[String, Seq[String]] = {
+  def snapshotAt(version: Long): Map[String, Seq[String]] =
+    snapFullAt(version).files
+
+  private def snapFullAt(version: Long): Snap = {
     if (version > latestVersion())
       throw new IllegalArgumentException(s"unknown version: $version")
     val base = checkpointFiles()
@@ -300,44 +369,76 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         s"version $version is no longer reachable: expected " +
           s"${version - after} deltas after checkpoint $after, found " +
           s"${deltas.size} (reclaimed by vacuum)")
-    foldInto(base.map(_.tables).getOrElse(Map.empty), deltas)
+    foldInto(base.map(c => Snap(c.tables, c.schemas))
+      .getOrElse(Snap(Map.empty, Map.empty)), deltas)
   }
 
-  /** Time-travel read: the table as of manifest `version`. Valid while
-    * the version's delta chain and data files are retained — [[vacuum]]
-    * trims the travel window to what the latest checkpoint + live
-    * snapshot still reference (the same contract a Delta VACUUM has). */
+  /** Time-travel read: the table as of manifest `version`, under the
+    * schema RECORDED at that version (a later add-column does not leak
+    * into the past). Valid while the version's delta chain and data
+    * files are retained — [[vacuum]] trims the travel window to what the
+    * latest checkpoint + live snapshot still reference (the same
+    * contract a Delta VACUUM has). */
   def readAt(table: String, version: Long): DataFrame = {
-    val files = snapshotAt(version).getOrElse(table,
+    val snap = snapFullAt(version)
+    val files = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table at v$version: $table"))
-    spark.read.parquet(files.map(f => s"$root/$table/$f"): _*)
+    readWithSchema(table, files, snap.schemas.get(table))
   }
 
   override def append(table: String, df: DataFrame): Unit =
     appendAll(Map(table -> df), batchId = None)
 
+  /** Align `df` to the table's recorded schema with ADD-COLUMN evolution:
+    * new columns extend the schema (recorded in the commit — old files
+    * read NULL for them), missing columns are filled with NULL, and a
+    * type conflict on a shared column fails loudly. First append records
+    * the schema as-is. */
+  private def evolveFor(stored: Option[StructType],
+      df: DataFrame): (DataFrame, Option[StructType]) = stored match {
+    case None => (df, Some(df.schema))
+    case Some(old) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      df.schema.fields.foreach { f =>
+        old.fields.find(_.name == f.name).foreach { o =>
+          if (o.dataType != f.dataType)
+            throw new IllegalArgumentException(
+              s"schema evolution supports adding columns only: column " +
+                s"'${f.name}' is ${o.dataType.sql} in the table but " +
+                s"${f.dataType.sql} in the append")
+        }
+      }
+      val oldNames = old.fieldNames.toSet
+      val evolved = StructType(old.fields ++
+        df.schema.fields.filterNot(f => oldNames.contains(f.name)))
+      val aligned = df.select(evolved.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      (aligned, if (evolved != old) Some(evolved) else None)
+  }
+
   /** Stage part files for every table, then make them ALL visible in one
-    * atomic manifest commit that also records `batchId`. */
+    * atomic manifest commit that also records `batchId` and any schema
+    * changes (so "rows visible" and "schema evolved" cannot diverge). */
   private def appendAll(tables: Map[String, DataFrame],
       batchId: Option[Long]): Unit = {
-    val added = tables.map { case (table, df) =>
-      val staging = new File(rootDir, s".staging-${java.util.UUID.randomUUID()}")
-      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val dest = new File(rootDir, table)
-      dest.mkdirs()
-      val moved = Option(staging.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).map { f =>
-          // part-file names carry the write UUID → no collisions; the
-          // file is INVISIBLE until the manifest commit below
-          if (!f.renameTo(new File(dest, f.getName)))
-            throw new java.io.IOException(s"move failed: $f")
-          f.getName
-        }.toSeq
-      rm(staging)
-      table -> moved
-    }.filter(_._2.nonEmpty)
-    if ((added.nonEmpty || batchId.isDefined) && !recordPending(added))
-      commitVersion(batchId, added)
+    val stored = snapshotFull().schemas
+    val prepared = tables.map { case (t, df) =>
+      val (aligned, recorded) = evolveFor(stored.get(t).map(decodeSchema), df)
+      (t, aligned, recorded)
+    }
+    val schemas = prepared.collect {
+      case (t, _, Some(sch)) => t -> encodeSchema(sch)
+    }.toMap
+    val added = prepared.map { case (table, df, _) =>
+      // part-file names carry the write UUID → no collisions; files are
+      // INVISIBLE until the manifest commit below
+      table -> writeParts(table, df)
+    }.filter(_._2.nonEmpty).toMap
+    if ((added.nonEmpty || batchId.isDefined || schemas.nonEmpty) &&
+        !recordPending(added, schemas))
+      commitVersion(batchId, added, schemas = schemas)
   }
 
   override def appendRouted(df: DataFrame, tables: Seq[String]): Boolean = {
@@ -359,7 +460,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         table -> moved
       }.toMap
     rm(staging)
-    if (added.nonEmpty && !recordPending(added)) commitVersion(None, added)
+    if (added.nonEmpty && !recordPending(added, Map.empty))
+      commitVersion(None, added)
     true
   }
 
@@ -374,13 +476,14 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * with the batch id in ONE atomic rename — outside a batch this is
     * just the bare marker version. */
   override def commitBatch(batchId: Long): Unit = {
-    val adds = synchronized {
-      val a = pendingAdds.toMap
+    val (adds, schs) = synchronized {
+      val a = (pendingAdds.toMap, pendingSchemas.toMap)
       pendingAdds.clear()
+      pendingSchemas.clear()
       deferring = false
       a
     }
-    commitVersion(Some(batchId), adds)
+    commitVersion(Some(batchId), adds, schemas = schs)
   }
 
   /** Exactly-once batch append: all tables' rows AND the batch id become
@@ -410,9 +513,11 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     */
   def merge(table: String, source: DataFrame, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "merge needs at least one key column")
-    val files = snapshot().getOrElse(table,
+    val snap = snapshotFull()
+    val files = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
-    val live = spark.read.parquet(files.map(f => s"$root/$table/$f"): _*)
+    val schemaB64 = snap.schemas.get(table)
+    val live = readWithSchema(table, files, schemaB64)
     val cols = live.schema.fieldNames.toSeq
     val src = source.select(cols.map(org.apache.spark.sql.functions.col): _*)
     val keyFrame = src
@@ -426,7 +531,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       .select("_file").distinct().collect().map(_.getString(0)).toSeq
     val rewritten =
       if (touched.isEmpty) src
-      else spark.read.parquet(touched.map(f => s"$root/$table/$f"): _*)
+      else readWithSchema(table, touched, schemaB64)
         .join(keyFrame, keys, "left_anti")
         .unionByName(src)
     val moved = writeParts(table, rewritten)
@@ -442,15 +547,16 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   def delete(table: String,
       predicate: org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val files = snapshot().getOrElse(table,
+    val snap = snapshotFull()
+    val files = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
-    val live = spark.read.parquet(files.map(f => s"$root/$table/$f"): _*)
+    val schemaB64 = snap.schemas.get(table)
+    val live = readWithSchema(table, files, schemaB64)
     val touched = live.filter(predicate)
       .select(col("_metadata.file_name").as("_file"))
       .distinct().collect().map(_.getString(0)).toSeq
     if (touched.nonEmpty) {
-      val keep = spark.read
-        .parquet(touched.map(f => s"$root/$table/$f"): _*)
+      val keep = readWithSchema(table, touched, schemaB64)
         .filter(not(coalesce(predicate, lit(false))))
       val moved = writeParts(table, keep)
       commitVersion(None, add = Map(table -> moved),
@@ -468,14 +574,20 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * disagree on, not to table size. */
   def changes(table: String, fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val before = snapshotAt(fromV).getOrElse(table, Seq.empty[String])
-    val after = snapshotAt(toV).getOrElse(table, Seq.empty[String])
+    val toSnap = snapFullAt(toV)
+    val fromSnap = snapFullAt(fromV)
+    val before = fromSnap.files.getOrElse(table, Seq.empty[String])
+    val after = toSnap.files.getOrElse(table, Seq.empty[String])
+    // both sides read under the `toV` schema so the diff's columns line
+    // up across an add-column evolution (old files surface NULLs)
+    val schemaB64 = toSnap.schemas.get(table)
+      .orElse(fromSnap.schemas.get(table))
     val removedF = before.filterNot(after.toSet)
     val addedF = after.filterNot(before.toSet)
     def readFiles(fs: Seq[String], schemaFrom: Seq[String]): DataFrame =
-      if (fs.nonEmpty) spark.read.parquet(fs.map(f => s"$root/$table/$f"): _*)
-      else if (schemaFrom.nonEmpty) spark.read
-        .parquet(schemaFrom.map(f => s"$root/$table/$f"): _*).limit(0)
+      if (fs.nonEmpty) readWithSchema(table, fs, schemaB64)
+      else if (schemaFrom.nonEmpty)
+        readWithSchema(table, schemaFrom, schemaB64).limit(0)
       else throw new IllegalArgumentException(
         s"no such table in either version: $table")
     if (removedF.isEmpty && addedF.isEmpty)
@@ -517,10 +629,11 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * crash anywhere leaves either the old or the new manifest — never a
     * missing table. */
   def compact(table: String, targetFiles: Int = 1): Unit = {
-    val consumed = snapshot().getOrElse(table,
+    val snap = snapshotFull()
+    val consumed = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
     val moved = writeParts(table,
-      spark.read.parquet(consumed.map(f => s"$root/$table/$f"): _*)
+      readWithSchema(table, consumed, snap.schemas.get(table))
         .coalesce(math.max(1, targetFiles)))
     commitVersion(None, add = Map(table -> moved),
       removed = Map(table -> consumed))
