@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining scalar-function coverage: structured JSON parsing
@@ -120,9 +121,62 @@ object Extras {
       |GROUP BY metric
       |ORDER BY metric""".stripMargin)
 
+  // ------------------------------------------------------------- q109
+  // Exact equi-depth histogram (the optimizer-statistics op: ANALYZE
+  // computes these) WITHOUT a single-partition sort. A bare
+  // `row_number() OVER (ORDER BY …)` collapses the table onto one task —
+  // the classic global-rank scale killer. The distributed-ranking pattern
+  // instead: range-repartition on the sort key, rank WITHIN each
+  // partition (window partitioned by partition id — fully parallel), and
+  // add per-partition prefix offsets computed from a bounded driver read
+  // (one row per shuffle partition). The frame is pinned with an eager
+  // `localCheckpoint` because `repartitionByRange` SAMPLES its bounds per
+  // execution — the offsets must describe the same partitioning the
+  // ranking pass reads (two executions may split differently). At 100 TB
+  // the checkpoint holds only the 16-byte (key, value) projection.
+  private val q109 = QueryDef.of(
+    (s, d) => {
+      val buckets = 16
+      val o = graft.Resources.retain(Tables.raw(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("pc"))
+        .repartitionByRange(col("pc"), col("k"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint())
+      // bounded control-plane read: one row per range partition
+      val counts = o.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      var acc = 0L
+      val offsets = counts.map { case (p, c) =>
+        val start = acc; acc += c; (p, start)
+      }.toMap
+      val w = Window.partitionBy(col("pid")).orderBy(col("pc"), col("k"))
+      o.withColumn("r", row_number().over(w).cast("long") +
+          element_at(typedLit(offsets), col("pid")))
+        .groupBy(expr(s"CAST((r - 1) * $buckets DIV ${n}L AS INT)")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("pc")).as("lo"),
+          max(col("pc")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+      |  FROM orders),
+      |r AS (
+      |  SELECT pc, ROW_NUMBER() OVER (ORDER BY pc, k) AS r,
+      |    COUNT(*) OVER () AS n
+      |  FROM o)
+      |SELECT CAST((r - 1) * 16 // n AS INT) AS bucket,
+      |  COUNT(*) AS n_rows, MIN(pc) AS lo, MAX(pc) AS hi
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q57_json_struct" -> q57,
     "q58_array_funcs" -> q58,
     "q59_date_arith" -> q59,
-    "q72_unpivot" -> q72)
+    "q72_unpivot" -> q72,
+    "q109_equidepth_histogram" -> q109)
 }

@@ -138,7 +138,28 @@ object Warehouse {
        |  CAST(SUM(pc) AS BIGINT) AS sum_price_cents
        |FROM feed GROUP BY _op, st ORDER BY _op, st""".stripMargin)
 
+  // ------------------------------------------------------------- q104
+  // Time travel: read the table AS OF the pre-merge version. The merge
+  // rewrote files copy-on-write, so the old snapshot's file list is fully
+  // intact — `readAt` folds the manifest log only up to `pre` and must
+  // reproduce the base table exactly, byte-for-byte, AFTER the merge
+  // committed. The oracle is the base table itself: any post-merge file
+  // leaking into (or missing from) the old snapshot shifts a count or an
+  // exact-cents total.
+  private val q104 = QueryDef.of(
+    (s, d) => {
+      val (cat, pre, _) = ensureMerged(s, d)
+      cat.readAt("orders_cow", pre)
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_price_cents"))
+        .orderBy(col("st"))
+    },
+    s"""SELECT st, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_price_cents
+       |FROM ($baseSql)
+       |GROUP BY st ORDER BY st""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q98_merge_upsert" -> q98,
-    "q99_cdc_changes" -> q99)
+    "q99_cdc_changes" -> q99,
+    "q104_time_travel" -> q104)
 }
