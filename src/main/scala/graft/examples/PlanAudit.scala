@@ -51,7 +51,9 @@ object PlanAudit {
         "q82_bloom_join_filter",
         "q89_hybrid_rrf", "q90_funnel", "q93_linear_classifier",
         "q94_zorder_zonemap", "q96_incremental_agg", "q97_attribution",
-        "q101_bucketed_join")
+        "q101_bucketed_join",
+        "q105_kmv_distinct", "q106_ann_recall", "q107_pmi_collocations",
+        "q108_media_phash_neardup", "q109_equidepth_histogram")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -212,6 +214,38 @@ object PlanAudit {
         Check("merge-reuses-partitioning", p =>
           "Exchange hashpartitioning".r.findAllIn(p).size <= 2,
           "state merge must not re-shuffle the partial aggregates")),
+      // KMV sketch and exact-distinct run in SEPARATE Aggregates (the
+      // q18 lesson) — an Expand means one leaked into the other
+      "q105_kmv_distinct" -> Seq(
+        Check("no-expand", p => !p.contains("Expand"),
+          "sketch and distinct aggs must stay in separate Aggregates")),
+      // both rankings reuse the broadcast-probe scan: nested-loop for
+      // brute force, hash for the label-pruned side; the corpus must
+      // never shuffle to meet a probe
+      "q106_ann_recall" -> Seq(
+        Check("broadcast-bf-probes", _.contains("BroadcastNestedLoopJoin"),
+          "brute-force probes broadcast onto the corpus scan"),
+        Check("broadcast-ivf-probes", _.contains("BroadcastHashJoin"),
+          "cell-pruned probes broadcast via the label hash join")),
+      // the unigram table joins the GROUPED bigram frame; top-50 must
+      // plan as TakeOrdered, never a global sort of the vocabulary
+      "q107_pmi_collocations" -> Seq(
+        Check("take-ordered", _.contains("TakeOrderedAndProject"),
+          "bounded top-k must not globally sort the collocation table")),
+      // candidates come from bucket grouping (shared bucketPairs), and
+      // the verify join moves 8-byte hashes, never blobs or text
+      "q108_media_phash_neardup" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "candidates come from bucket grouping, not all-pairs"),
+        Check("pruned-schema", p => !p.contains("text") ||
+            !p.split("Exchange").drop(1).mkString.contains("text,"),
+          "shuffles must carry hashes and ids, never document text")),
+      // the whole point: global ranks WITHOUT collapsing onto one task —
+      // a SinglePartition exchange means the naive window leaked back in
+      "q109_equidepth_histogram" -> Seq(
+        Check("no-single-partition-sort",
+          p => !p.contains("Exchange SinglePartition"),
+          "ranking must stay distributed (pid windows + offsets)")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

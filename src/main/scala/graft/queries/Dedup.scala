@@ -143,7 +143,7 @@ object Dedup {
     * (q80) LSH paths: group each (band, bkey) bucket, emit sorted
     * all-pairs capped at [[MaxBucket]] members — one shuffle carrying
     * only keys and ids, never documents. */
-  private def bucketPairs(bandedFrame: org.apache.spark.sql.DataFrame) =
+  private[queries] def bucketPairs(bandedFrame: org.apache.spark.sql.DataFrame) =
     bandedFrame
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))

@@ -117,8 +117,102 @@ object Multimodal {
       |WHERE i % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin)
 
+  // ------------------------------------------------------------- q108
+  // Perceptual-hash media dedup: the image-dedup pass of a multimodal
+  // training pipeline (re-crawled/re-encoded copies of the same image
+  // must collapse even when their bytes differ). The aHash recipe over
+  // the decoded 60-"pixel" thumbnail — bit j set iff pixel j is brighter
+  // than the thumbnail mean — with the thumbnail synthesized
+  // deterministically from the doc text (md5 chain, the [[MediaDecode]]
+  // stub seam: a real build swaps in resize-to-8×8-grayscale and NOTHING
+  // downstream changes). Near-dup = Hamming ≤ 3 over the 60-bit hash via
+  // q80's machinery: 4×15-bit bands (pigeonhole-exact) → shared
+  // [[Dedup.bucketPairs]] → xor+bit_count verify. The fixture corpus has
+  // no re-encoded copies, so the media set embeds doc_id-derived
+  // positives (q68 precedent): an exact duplicate blob for every
+  // doc_id ≡ 7 (mod 50) and a one-bit-perturbed re-encode for
+  // doc_id ≡ 19 (mod 50); random 60-bit hashes collide within Hamming 3
+  // with probability ~3e-14 per pair, so the output is exactly the
+  // planted structure (plus any true text dups).
+  // Scale shape: hash is a per-row map; shuffle carries
+  // (band, 15-bit key, id); verify joins 8-byte hashes, never blobs.
+  private val q108 = QueryDef.of(
+    (s, d) => {
+      val phash = graft.Resources.retain(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("thumb", concat(md5(col("text")),
+          md5(concat(col("text"), lit("r1"))),
+          md5(concat(col("text"), lit("r2"))),
+          md5(concat(col("text"), lit("r3")))))
+        .withColumn("bytes", expr(
+          "transform(sequence(0, 59), j -> " +
+            "cast(conv(substring(thumb, 2 * j + 1, 2), 16, 10) as int))"))
+        .withColumn("mean", expr("aggregate(bytes, 0, (a, x) -> a + x) div 60"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 59), 0L, (acc, j) ->
+            |  acc + CASE WHEN get(bytes, j) > mean
+            |             THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin)
+          .as("ph"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dups = phash.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("ph"))
+      val reenc = phash.filter(col("doc_id") % 50 === 19)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("ph ^ shiftleft(1L, cast(doc_id % 60 as int))").as("ph"))
+      val allm = phash.unionByName(dups).unionByName(reenc)
+      val bandedM = allm.select(col("doc_id"), expr(
+        """explode(array_distinct(transform(sequence(0, 3), b ->
+          |  struct(b AS band, shiftright(ph, 15 * b) & 32767 AS bkey))))"""
+          .stripMargin).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
+      Dedup.bucketPairs(bandedM)
+        .join(allm.select(col("doc_id").as("doc1"), col("ph").as("ph1")), "doc1")
+        .join(allm.select(col("doc_id").as("doc2"), col("ph").as("ph2")), "doc2")
+        .withColumn("hamming", expr("cast(bit_count(ph1 ^ ph2) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc1"), col("doc2"), col("hamming"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    """WITH th AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'r1') || md5(text || 'r2')
+      |    || md5(text || 'r3') AS thumb
+      |  FROM documents),
+      |pb AS (
+      |  SELECT doc_id, list_transform(range(0, 60),
+      |    j -> CAST('0x' || substring(thumb, 2 * j + 1, 2) AS BIGINT)) AS bytes
+      |  FROM th),
+      |pm AS (SELECT doc_id, bytes, list_sum(bytes) // 60 AS mean FROM pb),
+      |phash AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 60), j ->
+      |      CASE WHEN bytes[j + 1] > mean THEN (CAST(1 AS BIGINT) << j)
+      |           ELSE 0 END)) AS BIGINT) AS ph
+      |  FROM pm),
+      |allm AS (
+      |  SELECT doc_id, ph FROM phash
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, ph FROM phash WHERE doc_id % 50 = 7
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    xor(ph, CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+      |  FROM phash WHERE doc_id % 50 = 19),
+      |banded AS (
+      |  SELECT doc_id, b.b AS band, (ph >> (15 * b.b)) & 32767 AS bkey
+      |  FROM allm CROSS JOIN generate_series(0, 3) AS b(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      |SELECT doc1, doc2, CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+      |FROM cand JOIN allm a ON cand.doc1 = a.doc_id
+      |          JOIN allm b ON cand.doc2 = b.doc_id
+      |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+      |ORDER BY doc1, doc2""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q60_multimodal_meta" -> q60,
     "q61_multimodal_decode" -> q61,
-    "q62_frame_sample" -> q62)
+    "q62_frame_sample" -> q62,
+    "q108_media_phash_neardup" -> q108)
 }

@@ -624,7 +624,52 @@ object Similarity {
           .map(j => s"p[${j + 1}] AS p$j").mkString(", ")}
        |FROM pr ORDER BY vec_id""".stripMargin)
 
+  // ------------------------------------------------------------- q106
+  // ANN quality evaluation: recall@5 of the IVF cell-pruned search (q41's
+  // pruning) against brute-force ground truth (q40), per probe — the eval
+  // harness every ANN deployment runs before turning pruning on (recall
+  // is THE accuracy/cost dial readout; q43b's multi-probe is the knob).
+  // Both rankings are deterministic (score-then-id tie-break), so the
+  // oracle replays them exactly. Scale shape: both sides reuse
+  // [[scored]]'s broadcast-probes/corpus-never-shuffles scan; the fusion
+  // LEFT join touches only the two top-5 lists (k × probes rows each).
+  private val q106 = QueryDef.of(
+    (s, d) => {
+      val gt = topK(scored(s, d, "vec_id < 20", sameLabelOnly = false), 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ivf = topK(scored(s, d, "vec_id < 20", sameLabelOnly = true), 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      gt.join(ivf, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .withColumn("recall", col("n_hits").cast("double") / lit(5.0d))
+        .orderBy(col("probe_id"))
+    },
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, label AS plabel, embedding AS pe
+       |  FROM embeddings WHERE vec_id < 20),
+       |bf AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY probe_id
+       |      ORDER BY ${sqlCos("pe", "e.embedding")} DESC, e.vec_id) AS rank
+       |  FROM probes CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> probe_id),
+       |iv AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY probe_id
+       |      ORDER BY ${sqlCos("pe", "e.embedding")} DESC, e.vec_id) AS rank
+       |  FROM probes JOIN embeddings e ON e.label = probes.plabel
+       |  WHERE e.vec_id <> probe_id)
+       |SELECT g.probe_id, COUNT(i.neighbor_id) AS n_hits,
+       |  CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT probe_id, neighbor_id FROM bf WHERE rank <= 5) g
+       |LEFT JOIN (SELECT probe_id, neighbor_id FROM iv WHERE rank <= 5) i
+       |  USING (probe_id, neighbor_id)
+       |GROUP BY g.probe_id
+       |ORDER BY probe_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q106_ann_recall" -> q106,
     "q42b_ann_ivf_deterministic" -> q42b,
     "q102_random_projection" -> q102,
     "q44_ann_ivfpq" -> q44,

@@ -1268,7 +1268,142 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------- q107
+  // Collocation extraction by pointwise mutual information (phrase
+  // mining — the multi-word-expression pass a tokenizer-training
+  // pipeline runs before BPE, q88's upstream neighbor): corpus bigrams
+  // with support ≥ 5, scored by integer fixed-point PMI —
+  // (1e6·c12·N) div (c1·c2) micro-units, where N is the total bigram
+  // count and c1/c2 are unigram occurrence counts. Log-free so both
+  // engines replay the score bit-for-bit (ln is 1-ulp divergent, q77
+  // precedent); ranking by the ratio IS ranking by PMI (log is
+  // monotone). Headroom: 1e6·c12·N overflows BIGINT past c12·N ≈ 9e12 —
+  // production at that scale swaps to log-space and ranks approximately.
+  // Scale shape: one bigram explode + one token explode; the unigram
+  // table joins the GROUPED (vocab²-bounded) bigram frame, never the
+  // raw stream; top-50 is a TakeOrdered, not a global sort.
+  private val q107 = QueryDef.of(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+      val bg = toks
+        .select(explode(expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  transform(sequence(0, size(tk) - 2),
+            |    i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+            |ELSE array() END""".stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cw = toks.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val c12 = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      c12
+        .join(cw.withColumnsRenamed(Map("w" -> "w1", "c" -> "c1")), Seq("w1"))
+        .join(cw.withColumnsRenamed(Map("w" -> "w2", "c" -> "c2")), Seq("w2"))
+        .crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("(1000000L * c12 * nb) div (c1 * c2)").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |tok AS (SELECT unnest(tk) AS w FROM toks),
+      |cw AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(tk)),
+      |    i -> {'w1': tk[i], 'w2': tk[i + 1]}), recursive := true)
+      |  FROM toks),
+      |c12 AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 5)
+      |SELECT w1, w2, c12,
+      |  (1000000 * c12 * (SELECT COUNT(*) FROM bg)) // (a.c * b.c)
+      |    AS pmi_micro
+      |FROM c12 JOIN cw a ON c12.w1 = a.w JOIN cw b ON c12.w2 = b.w
+      |ORDER BY pmi_micro DESC, w1, w2
+      |LIMIT 50""".stripMargin)
+
+  // ------------------------------------------------------------- q105
+  // KMV (bottom-k) distinct-count sketch per language PLUS the merged
+  // all-corpus union estimate — the set-cardinality sketch whose state
+  // composes under set algebra ([[graft.functions.KmvAgg]]; HLL++ needs
+  // a fixed register layout, KMV is just "the k smallest hashes", which
+  // is why the union row here is the SAME aggregator run over the whole
+  // stream). The md5-derived 48-bit hash is SQL-expressible, so the
+  // DuckDB oracle rebuilds every sketch (ordered list prefix) and every
+  // estimate matches bit-for-bit — stronger than an error-bound check.
+  // Scale shape: the sketch consumes the RAW token stream (no distinct
+  // shuffle!) with O(K)-memory map-side partials; ≤ 512-byte buffers
+  // shuffle. The exact-distinct comparison column runs in its OWN
+  // Aggregate and joins on lang — mixing a distinct agg with a sketch
+  // agg re-groups the sketch per distinct value (the q18 lesson:
+  // measured 26 s). Headroom: rel_err_micro multiplies (est − exact) by
+  // 1e6 — safe while the estimate is within 9e12 of exact, i.e. always
+  // for a K=64 sketch whose error concentrates at ±13%.
+  private val q105 = QueryDef.of(
+    (s, d) => {
+      val kmv = udaf(graft.functions.KmvAgg)
+      val tok = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(w), 1, 12), 16, 10) as bigint)"))
+      val perSk = tok.groupBy(col("lang")).agg(kmv(col("h")).as("sk"))
+      val perEx = tok.groupBy(col("lang"))
+        .agg(countDistinct(col("w")).as("exact_distinct"))
+      val allSk = tok.agg(kmv(col("h")).as("sk"))
+      val allEx = tok.agg(countDistinct(col("w")).as("exact_distinct"))
+      val est = """CASE WHEN size(sk) < 64 THEN cast(size(sk) AS bigint)
+                  |ELSE (63L * 281474976710656L) div get(sk, 63) END"""
+        .stripMargin
+      perSk.join(perEx, Seq("lang"))
+        .unionByName(allSk.crossJoin(allEx)
+          .withColumn("lang", lit("*ALL*"))
+          .select(col("lang"), col("sk"), col("exact_distinct")))
+        .select(col("lang"), col("exact_distinct"), expr(est).as("kmv_est"))
+        .withColumn("rel_err_micro", expr(
+          "((kmv_est - exact_distinct) * 1000000L) div exact_distinct"))
+        .orderBy(col("lang"))
+    },
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+      |  FROM documents),
+      |th AS (
+      |  SELECT lang, w,
+      |    CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) AS h
+      |  FROM tok),
+      |hd AS (SELECT DISTINCT lang, h FROM th),
+      |sk AS (
+      |  SELECT lang, list_slice(list(h ORDER BY h), 1, 64) AS mins,
+      |    COUNT(*) AS cnt
+      |  FROM hd GROUP BY lang
+      |  UNION ALL
+      |  SELECT '*ALL*' AS lang,
+      |    list_slice(list(h ORDER BY h), 1, 64) AS mins, COUNT(*) AS cnt
+      |  FROM (SELECT DISTINCT h FROM th)),
+      |ex AS (
+      |  SELECT lang, COUNT(DISTINCT w) AS exact_distinct FROM th GROUP BY lang
+      |  UNION ALL
+      |  SELECT '*ALL*' AS lang, COUNT(DISTINCT w) AS exact_distinct FROM th)
+      |SELECT sk.lang, exact_distinct,
+      |  CASE WHEN cnt < 64 THEN cnt
+      |       ELSE (63 * 281474976710656) // mins[64] END AS kmv_est,
+      |  ((CASE WHEN cnt < 64 THEN cnt
+      |         ELSE (63 * 281474976710656) // mins[64] END
+      |    - exact_distinct) * 1000000) // exact_distinct AS rel_err_micro
+      |FROM sk JOIN ex ON sk.lang = ex.lang
+      |ORDER BY sk.lang""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q105_kmv_distinct" -> q105,
+    "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
     "q93_linear_classifier" -> q93,
     "q88_bpe_vocab" -> q88,
