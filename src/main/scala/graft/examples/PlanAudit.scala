@@ -53,7 +53,8 @@ object PlanAudit {
         "q94_zorder_zonemap", "q96_incremental_agg", "q97_attribution",
         "q101_bucketed_join",
         "q105_kmv_distinct", "q106_ann_recall", "q107_pmi_collocations",
-        "q108_media_phash_neardup", "q109_equidepth_histogram")
+        "q108_media_phash_neardup", "q109_equidepth_histogram",
+        "q110_ewma_fold", "q111_semantic_dedup")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -246,6 +247,19 @@ object PlanAudit {
         Check("no-single-partition-sort",
           p => !p.contains("Exchange SinglePartition"),
           "ranking must stay distributed (pid windows + offsets)")),
+      // the ordered fold is ONE user-keyed aggregate — a second exchange
+      // would mean the sort or fold planned as a window/self-join
+      "q110_ewma_fold" -> Seq(
+        Check("one-hash-exchange", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+          "per-entity fold is a single user-keyed aggregate")),
+      // within-cell pairs come from the label equi-join (AQE-splittable);
+      // an all-pairs cartesian would be the SemDeDup scale killer
+      "q111_semantic_dedup" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "pair generation must be the cell equi-join"),
+        Check("codegen-cosine", _.contains("dot_product"),
+          "pair scoring must run the native codegen'd kernel")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

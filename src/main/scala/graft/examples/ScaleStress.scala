@@ -225,6 +225,49 @@ object ScaleStress {
         .count()
     }
 
+    // KMV sketch over the raw token stream à la q105 — O(K) partials,
+    // ≤512-byte shuffle buffers; time should grow with scan cost only
+    def kmvRun(docs: DataFrame): Long = {
+      val kmv = udaf(graft.functions.KmvAgg)
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(w), 1, 12), 16, 10) as bigint)"))
+        .agg(kmv(col("h"))).head().getSeq[Long](0).sum
+    }
+
+    // per-user ordered fold à la q110 — one user-keyed aggregate whose
+    // per-group work is bounded by the per-user event count
+    def ewmaRun(ev: DataFrame): Long =
+      ev.select(col("user_id"), col("event_id"), col("ts"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            .as("vm"))
+        .groupBy(col("user_id"))
+        .agg(expr(
+          """aggregate(
+            |  transform(sort_array(collect_list(struct(ts, event_id, vm))),
+            |    x -> x.vm),
+            |  0L, (acc, v) -> (acc + v) div 2)""".stripMargin).as("e"))
+        .agg(sum(col("e"))).head().getLong(0)
+
+    // within-cell semantic-dedup pairs à la q111 — cells stay CONSTANT
+    // size under growth (the SemDeDup contract: k ~ sqrt(N)), so the
+    // quadratic term is per-cell-bounded and total work is linear
+    def semdedupRun(e: DataFrame): Long = {
+      // replicate() shifts ids by 1e9 per copy: folding the copy index
+      // into the cell key keeps cell size constant as the corpus grows
+      val n = e.withColumn("cell",
+        expr("concat(label, '_', cast(vec_id div 1000000000L as string))"))
+      val a = n.select(col("cell"), col("vec_id").as("id1"),
+        col("embedding").as("e1"))
+      val b = n.select(col("cell"), col("vec_id").as("id2"),
+        col("embedding").as("e2"))
+      a.join(b, Seq("cell")).filter(col("id1") < col("id2"))
+        .filter(expr("cosine_sim(e1, e2) >= 0.3"))
+        .groupBy(col("id2")).agg(min(col("id1")))
+        .count()
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -251,6 +294,7 @@ object ScaleStress {
     aggRun(li1); lshRun(d1); qualityRun(d1); quantRun(e1) // warm up JIT
     decontRun(d1); packRun(d1); simhashRun(d1); cmsRun(d1); bloomRun(li1)
     pqRun(e1); prRun(ed1x); funnelRun(ev1); zorderRun(li1); lmRun(d1)
+    kmvRun(d1); ewmaRun(ev1); semdedupRun(e1)
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
@@ -280,6 +324,12 @@ object ScaleStress {
     val (zoT10, _) = time(zorderRun(li10))
     val (lmT1, _) = time(lmRun(d1))
     val (lmT10, _) = time(lmRun(d10))
+    val (kvT1, _) = time(kmvRun(d1))
+    val (kvT10, _) = time(kmvRun(d10))
+    val (ewT1, _) = time(ewmaRun(ev1))
+    val (ewT10, _) = time(ewmaRun(ev10))
+    val (sdT1, _) = time(semdedupRun(e1))
+    val (sdT10, _) = time(semdedupRun(e10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -295,7 +345,10 @@ object ScaleStress {
       f""""pagerank_1x_s":$prT1%.2f,"pagerank_10x_s":$prT10%.2f,"pagerank_ratio":${prT10 / prT1}%.1f,""" +
       f""""funnel_1x_s":$fnT1%.2f,"funnel_10x_s":$fnT10%.2f,"funnel_ratio":${fnT10 / fnT1}%.1f,""" +
       f""""zorder_1x_s":$zoT1%.2f,"zorder_10x_s":$zoT10%.2f,"zorder_ratio":${zoT10 / zoT1}%.1f,""" +
-      f""""lm_1x_s":$lmT1%.2f,"lm_10x_s":$lmT10%.2f,"lm_ratio":${lmT10 / lmT1}%.1f}""")
+      f""""lm_1x_s":$lmT1%.2f,"lm_10x_s":$lmT10%.2f,"lm_ratio":${lmT10 / lmT1}%.1f,""" +
+      f""""kmv_1x_s":$kvT1%.2f,"kmv_10x_s":$kvT10%.2f,"kmv_ratio":${kvT10 / kvT1}%.1f,""" +
+      f""""ewma_1x_s":$ewT1%.2f,"ewma_10x_s":$ewT10%.2f,"ewma_ratio":${ewT10 / ewT1}%.1f,""" +
+      f""""semdedup_1x_s":$sdT1%.2f,"semdedup_10x_s":$sdT10%.2f,"semdedup_ratio":${sdT10 / sdT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }

@@ -295,7 +295,52 @@ object EventAnalytics {
       |FROM p
       |ORDER BY purchase_id""".stripMargin)
 
+  // ------------------------------------------------------------- q110
+  // Per-entity ordered fold: EWMA-style decayed value per user (the
+  // feature-engineering shape — decayed counters, session freshness,
+  // fraud velocity features — where each step depends on the PREVIOUS
+  // result, so no window frame expresses it). Recurrence in integer
+  // micro-units, ewma' = (ewma + v_micro) div 2: the halving decay makes
+  // every step exact integer arithmetic, so the oracle replays the fold
+  // bit-for-bit (a float alpha is the production one-liner; ln/pow-free
+  // per the q77 precedent). Scale shape: ONE user-keyed aggregate;
+  // collect_list is bounded by per-user event counts (feature pipelines
+  // window the lookback for exactly this reason — documented cap), and
+  // the fold runs over the sorted (ts, event_id) sequence so input
+  // partitioning can't reorder it.
+  private val q110 = QueryDef.of(
+    (s, d) => {
+      val ev = Tables.raw(s, d, "events").select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsus"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+          .as("vm"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("vm")).as("sum_micro"),
+          expr(
+            """aggregate(
+              |  transform(sort_array(collect_list(struct(tsus, event_id, vm))),
+              |    x -> x.vm),
+              |  0L, (acc, v) -> (acc + v) div 2)""".stripMargin)
+            .as("ewma_micro"))
+        .orderBy(col("user_id"))
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsus,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(vm) AS BIGINT) AS sum_micro,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list(vm ORDER BY tsus, event_id)),
+      |    (acc, v) -> (acc + v) // 2) AS ewma_micro
+      |FROM ev
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q110_ewma_fold" -> q110,
     "q90_funnel" -> q90,
     "q91_resample_ffill" -> q91,
     "q95_retention_cohorts" -> q95,

@@ -668,7 +668,52 @@ object Similarity {
        |GROUP BY g.probe_id
        |ORDER BY probe_id""".stripMargin)
 
+  // ------------------------------------------------------------- q111
+  // Semantic dedup decision (the SemDeDup shape, Abbas et al. '23):
+  // within each embedding cluster, drop every vector that is
+  // cosine-similar to a LOWER-id vector — keep/drop + provenance for the
+  // whole corpus, the embedding-space analog of q64's text survivorship.
+  // The within-cell all-pairs scan is the SemDeDup recipe itself — the
+  // clustering exists precisely to bound the quadratic term; production
+  // sizes k ~ sqrt(N) so each cell's pair count stays constant, and AQE
+  // skew-split handles an oversized cell (join-side skew IS splittable,
+  // unlike groupBy skew). Pairs carry ids + scores only; the corpus
+  // joins the tiny dropped-set at the end (bodies never move twice).
+  private val q111 = QueryDef.of(
+    (s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb_norm", expr("vec_norm(embedding)"))
+      val a = e.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("emb_norm").as("n1"))
+      val b = e.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("emb_norm").as("n2"))
+      val dropped = a.join(b, Seq("label"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("score", expr("dot_product(e1, e2) / (n1 * n2)"))
+        .filter(col("score") >= 0.3)
+        .groupBy(col("id2").as("vec_id"))
+        .agg(min(col("id1")).as("dup_of"))
+      e.select(col("vec_id")).join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("dup_of").isNull, 1).otherwise(0).as("keep"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy(col("vec_id"))
+    },
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |dropped AS (
+       |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3
+       |  GROUP BY b.vec_id)
+       |SELECT e.vec_id,
+       |  CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS keep,
+       |  COALESCE(dup_of, -1) AS dup_of
+       |FROM e LEFT JOIN dropped ON e.vec_id = dropped.vec_id
+       |ORDER BY e.vec_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q111_semantic_dedup" -> q111,
     "q106_ann_recall" -> q106,
     "q42b_ann_ivf_deterministic" -> q42b,
     "q102_random_projection" -> q102,
