@@ -54,7 +54,8 @@ object PlanAudit {
         "q101_bucketed_join",
         "q105_kmv_distinct", "q106_ann_recall", "q107_pmi_collocations",
         "q108_media_phash_neardup", "q109_equidepth_histogram",
-        "q110_ewma_fold", "q111_semantic_dedup")
+        "q110_ewma_fold", "q111_semantic_dedup",
+        "q112_dup_spans", "q113_stats_profile")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -260,6 +261,19 @@ object PlanAudit {
           "pair generation must be the cell equi-join"),
         Check("codegen-cosine", _.contains("dot_product"),
           "pair scoring must run the native codegen'd kernel")),
+      // the cross-doc test is min<>max extrema, NOT a COUNT(DISTINCT
+      // doc_id) per span hash — an Expand means the distinct snuck in
+      "q112_dup_spans" -> Seq(
+        Check("no-expand", p => !p.contains("Expand"),
+          "cross-doc span test must be extrema, not a distinct agg")),
+      // four NDV sketches from ONE scan and ONE Aggregate — an Expand
+      // means a COUNT(DISTINCT) multiplied the scan by the column count
+      "q113_stats_profile" -> Seq(
+        Check("no-expand", p => !p.contains("Expand"),
+          "multi-column NDV must be sketches, not the distinct rewrite"),
+        Check("single-scan", p =>
+          "FileScan parquet".r.findAllIn(p).size <= 1,
+          "the whole profile reads the table once")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

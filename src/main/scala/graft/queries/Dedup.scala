@@ -521,7 +521,71 @@ object Dedup {
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
        |ORDER BY doc1, doc2""".stripMargin)
 
+  // ------------------------------------------------------------- q112
+  // Substring-level duplication stats (the Lee et al. '22 "Deduplicating
+  // Training Data Makes Language Models Better" pass, at span
+  // granularity): an 8-token span is duplicated when it also occurs in
+  // ANOTHER document; per-doc output is the duplicated-span fraction —
+  // the boilerplate detector that doc-level dedup (q30/q31) cannot see.
+  // Cross-doc test is min(doc_id) <> max(doc_id) per span hash — NO
+  // distinct aggregate, just two cheap extrema with map-side partials.
+  // Scale shape: the explode emits (16-char hash, doc_id, pos) — spans
+  // themselves never shuffle; the span-hash groupBy is the one wide op
+  // and the dup-mark set joins back key-to-key. At 100 TB this is the
+  // published recipe's distributed form (they used a suffix array on one
+  // machine; the shingle-hash join is the cluster equivalent).
+  private val q112 = QueryDef.of(
+    (s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 8 THEN
+            |  transform(sequence(0, size(tk) - 8),
+            |    i -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16))
+            |ELSE array() END""".stripMargin)).as("h"))
+      val dups = spans.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .select(col("h"), lit(1).as("dup"))
+      val perDoc = spans.join(dups, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), count(col("dup")).as("n_dup_spans"))
+      Tables.documents(s, d).select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("n_dup_spans").cast("double") / col("n_spans"),
+            lit(0.0d)).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(tk) >= 8 THEN
+      |      list_transform(range(1, len(tk) - 6),
+      |        i -> substring(md5(array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 16))
+      |    ELSE [] END) AS h
+      |  FROM toks),
+      |dups AS (
+      |  SELECT h, 1 AS dup FROM spans
+      |  GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_spans, COUNT(dup) AS n_dup_spans
+      |  FROM spans LEFT JOIN dups USING (h)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_spans, 0) AS n_spans,
+      |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(CAST(n_dup_spans AS DOUBLE) / n_spans, 0.0) AS dup_frac
+      |FROM documents d LEFT JOIN perdoc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q112_dup_spans" -> q112,
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
     "q32_simhash" -> q32,

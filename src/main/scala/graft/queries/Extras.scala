@@ -173,10 +173,74 @@ object Extras {
       |  COUNT(*) AS n_rows, MIN(pc) AS lo, MAX(pc) AS hi
       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
 
+  // ------------------------------------------------------------- q113
+  // One-pass table statistics profile (the ANALYZE TABLE shape a CBO
+  // feeds on): per-column NDV estimates for four orders columns from
+  // ONE scan and ONE Aggregate, via four independent KMV sketches
+  // ([[graft.functions.KmvAgg]]). The naive form — four COUNT(DISTINCT)
+  // in one Aggregate — triggers Catalyst's Expand rewrite (row count ×
+  // #distinct-aggs: the q18 lesson at ×4); four sketches are regular
+  // mergeable aggs, so the scan stays single-pass and the shuffle
+  // carries four ≤512-byte buffers. The oracle rebuilds each sketch
+  // from exact data, pinning every estimate bit-for-bit.
+  private val q113 = QueryDef.of(
+    (s, d) => {
+      val kmv = udaf(graft.functions.KmvAgg)
+      def h(c: String) = expr(
+        s"cast(conv(substring(md5(cast($c as string)), 1, 12), 16, 10) as bigint)")
+      val est = (sk: String) =>
+        expr(s"""CASE WHEN size($sk) < 64 THEN cast(size($sk) AS bigint)
+                |ELSE (63L * 281474976710656L) div get($sk, 63) END"""
+          .stripMargin)
+      Tables.raw(s, d, "orders")
+        .select(h("o_custkey").as("hc"), h("o_orderstatus").as("hs"),
+          h("o_orderpriority").as("hp"), h("o_orderdate").as("hk"))
+        .agg(count(lit(1)).as("n_rows"),
+          kmv(col("hc")).as("skc"), kmv(col("hs")).as("sks"),
+          kmv(col("hp")).as("skp"), kmv(col("hk")).as("skk"))
+        .select(col("n_rows"),
+          est("skc").as("ndv_custkey"), est("sks").as("ndv_status"),
+          est("skp").as("ndv_priority"), est("skk").as("ndv_orderdate"))
+    },
+    """WITH
+      |sk AS (
+      |  SELECT c, list_slice(list(h ORDER BY h), 1, 64) AS mins,
+      |    COUNT(*) AS cnt
+      |  FROM (
+      |    SELECT DISTINCT c, h FROM (
+      |      SELECT 'custkey' AS c,
+      |        CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+      |          AS BIGINT) AS h FROM orders
+      |      UNION ALL
+      |      SELECT 'status',
+      |        CAST('0x' || substring(md5(o_orderstatus), 1, 12) AS BIGINT)
+      |      FROM orders
+      |      UNION ALL
+      |      SELECT 'priority',
+      |        CAST('0x' || substring(md5(o_orderpriority), 1, 12) AS BIGINT)
+      |      FROM orders
+      |      UNION ALL
+      |      SELECT 'orderdate',
+      |        CAST('0x' || substring(md5(CAST(o_orderdate AS VARCHAR)), 1, 12)
+      |          AS BIGINT)
+      |      FROM orders))
+      |  GROUP BY c),
+      |est AS (
+      |  SELECT c,
+      |    CASE WHEN cnt < 64 THEN cnt
+      |         ELSE (63 * 281474976710656) // mins[64] END AS ndv
+      |  FROM sk)
+      |SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+      |  (SELECT ndv FROM est WHERE c = 'custkey') AS ndv_custkey,
+      |  (SELECT ndv FROM est WHERE c = 'status') AS ndv_status,
+      |  (SELECT ndv FROM est WHERE c = 'priority') AS ndv_priority,
+      |  (SELECT ndv FROM est WHERE c = 'orderdate') AS ndv_orderdate""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q57_json_struct" -> q57,
     "q58_array_funcs" -> q58,
     "q59_date_arith" -> q59,
     "q72_unpivot" -> q72,
-    "q109_equidepth_histogram" -> q109)
+    "q109_equidepth_histogram" -> q109,
+    "q113_stats_profile" -> q113)
 }
