@@ -35,6 +35,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"lsh warmup failed: $e") }
     try graft.queries.Warehouse.ensureMerged(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"cow warmup failed: $e") }
+    try graft.queries.Warehouse.ensureStatsTable(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"stats warmup failed: $e") }
     try graft.queries.Layout.ensureBucketed(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bucket warmup failed: $e") }
 

@@ -158,8 +158,47 @@ object Warehouse {
        |FROM ($baseSql)
        |GROUP BY st ORDER BY st""".stripMargin)
 
+  /** Offline layout job for q114: the base table range-clustered on
+    * `pc` into 8 files with per-file min/max recorded in the manifest
+    * ([[ManifestCatalog.appendWithStats]]) — the write-side half of data
+    * skipping. Idempotent per sf dir; Bench runs it as setup. */
+  def ensureStatsTable(s: SparkSession, d: String): ManifestCatalog = {
+    val dir = cowDir(d) + "-zs"
+    val marker = new File(dir, "_READY")
+    val cat = new ManifestCatalog(s, dir)
+    if (!marker.exists()) {
+      cat.appendWithStats("orders_zoned",
+        baseFrame(s, d).repartitionByRange(8, col("pc"), col("k")),
+        Seq("pc"))
+      java.nio.file.Files.write(marker.toPath, "ok".getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  // ------------------------------------------------------------- q114
+  // Data-skipping range read: the price slice scans ONLY the files whose
+  // manifest-recorded [min, max] overlaps it — ~2 of 8 after the range
+  // clustering above (ManifestStatsSpec pins the pruning counts; this
+  // query pins that pruning NEVER changes results — the filter, not the
+  // file list, owns correctness). This is the read-side payoff of the
+  // z-order/range layout work (q94): cluster once offline, skip on every
+  // read after.
+  private val q114 = QueryDef.of(
+    (s, d) => {
+      val cat = ensureStatsTable(s, d)
+      cat.readBetween("orders_zoned", "pc", 10000000L, 20000000L)
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_price_cents"))
+        .orderBy(col("st"))
+    },
+    s"""SELECT st, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_price_cents
+       |FROM ($baseSql)
+       |WHERE pc BETWEEN 10000000 AND 20000000
+       |GROUP BY st ORDER BY st""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q98_merge_upsert" -> q98,
     "q99_cdc_changes" -> q99,
-    "q104_time_travel" -> q104)
+    "q104_time_travel" -> q104,
+    "q114_data_skipping" -> q114)
 }

@@ -68,16 +68,21 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   private final case class Version(n: Long, batchId: Option[Long],
       add: Map[String, Seq[String]], replace: Map[String, Seq[String]],
       removed: Map[String, Seq[String]],
-      schemas: Map[String, String])
+      schemas: Map[String, String],
+      stats: Map[String, String] = Map.empty)
 
   private final case class Checkpoint(n: Long,
       tables: Map[String, Seq[String]], batchIds: Seq[Long],
-      schemas: Map[String, String])
+      schemas: Map[String, String],
+      stats: Map[String, String] = Map.empty)
 
   /** A folded view of the log: per-table file lists + the latest
-    * recorded schema (base64 StructType JSON) per table. */
+    * recorded schema (base64 StructType JSON) per table + per-file
+    * column stats (`"table/file"` → base64 stats block) for data
+    * skipping. */
   private final case class Snap(files: Map[String, Seq[String]],
-      schemas: Map[String, String])
+      schemas: Map[String, String],
+      stats: Map[String, String] = Map.empty)
 
   private def versionFiles(): Seq[File] =
     Option(manifestDir.listFiles()).getOrElse(Array.empty)
@@ -98,7 +103,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       }.mkString("{", ",", "}")
     s"""{"version":${v.n},"batchId":${v.batchId.getOrElse(-1L)},""" +
       s""""add":${files(v.add)},"replace":${files(v.replace)},""" +
-      s""""removed":${files(v.removed)},"schemas":${strs(v.schemas)}}"""
+      s""""removed":${files(v.removed)},"schemas":${strs(v.schemas)},""" +
+      s""""stats":${strs(v.stats)}}"""
   }
 
   // schema payloads are base64 (StructType JSON contains the very
@@ -129,7 +135,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     val bid = """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).filter(_ >= 0)
     Version(n, bid, filesSection(s, "add"), filesSection(s, "replace"),
-      filesSection(s, "removed"), strsSection(s, "schemas"))
+      filesSection(s, "removed"), strsSection(s, "schemas"),
+      strsSection(s, "stats"))
   }
 
   private def renderCheckpoint(c: Checkpoint): String = {
@@ -138,7 +145,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     }.mkString("{", ",", "}")
     s"""{"checkpoint":${c.n},"tables":$tables,""" +
       s""""batchIds":[${c.batchIds.mkString(",")}],""" +
-      s""""schemas":${strs(c.schemas)}}"""
+      s""""schemas":${strs(c.schemas)},"stats":${strs(c.stats)}}"""
   }
 
   private def parseCheckpoint(n: Long, s: String): Checkpoint = {
@@ -149,7 +156,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     // filesSection's non-greedy regex stops at the first `}`, which is
     // the end of the tables map because file lists contain no braces
     Checkpoint(n, filesSection(s, "tables"), bids,
-      strsSection(s, "schemas"))
+      strsSection(s, "schemas"), strsSection(s, "stats"))
   }
 
   private def latestCheckpoint(): Option[Checkpoint] =
@@ -182,7 +189,16 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       val added = v.add.foldLeft(removed) { case (a, (t, fs)) =>
         a.updated(t, a.getOrElse(t, Nil) ++ fs)
       }
-      Snap(added, acc.schemas ++ v.schemas) // latest recorded schema wins
+      // stats follow their files: entries for removed/replaced files are
+      // dropped (a compacted file has no stats until a stats job re-runs
+      // — readers keep it conservatively, see statsPrunedFiles)
+      val deadKeys =
+        v.removed.flatMap { case (t, fs) => fs.map(f => s"$t/$f") }.toSet ++
+          v.replace.keySet.flatMap { t =>
+            acc.files.getOrElse(t, Nil).map(f => s"$t/$f")
+          }
+      val stats = (acc.stats -- deadKeys) ++ v.stats
+      Snap(added, acc.schemas ++ v.schemas, stats) // latest schema wins
     }
 
   /** Fold checkpoint + post-checkpoint deltas into the live per-table
@@ -191,7 +207,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   private def snapshotFull(): Snap = {
     val ckpt = latestCheckpoint()
     foldInto(
-      ckpt.map(c => Snap(c.tables, c.schemas)).getOrElse(Snap(Map.empty,
+      ckpt.map(c => Snap(c.tables, c.schemas, c.stats)).getOrElse(Snap(Map.empty,
         Map.empty)),
       readDeltas(ckpt.map(_.n).getOrElse(-1L)))
   }
@@ -218,7 +234,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       add: Map[String, Seq[String]],
       replace: Map[String, Seq[String]] = Map.empty,
       removed: Map[String, Seq[String]] = Map.empty,
-      schemas: Map[String, String] = Map.empty): Unit = synchronized {
+      schemas: Map[String, String] = Map.empty,
+      stats: Map[String, String] = Map.empty): Unit = synchronized {
     manifestDir.mkdirs()
     if (nextVersion < 0)
       nextVersion = versionFiles().lastOption
@@ -226,7 +243,8 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         .orElse(latestCheckpoint().map(_.n + 1))
         .getOrElse(0L)
     val next = nextVersion
-    val body = render(Version(next, batchId, add, replace, removed, schemas))
+    val body = render(Version(next, batchId, add, replace, removed, schemas,
+      stats))
     val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-v", ".json")
     Files.write(tmp, body.getBytes(UTF_8))
     Files.move(tmp, manifestDir.toPath.resolve(f"v$next%020d.json"),
@@ -243,13 +261,18 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       val prev = latestCheckpoint()
       val deltas = readDeltas(prev.map(_.n).getOrElse(-1L)).filter(_.n <= n)
       val snap = foldInto(
-        prev.map(c => Snap(c.tables, c.schemas))
+        prev.map(c => Snap(c.tables, c.schemas, c.stats))
           .getOrElse(Snap(Map.empty, Map.empty)), deltas)
       val bids = (prev.map(_.batchIds).getOrElse(Nil) ++
         deltas.flatMap(_.batchId))
         .takeRight(ManifestCatalog.MaxRetainedBatchIds)
+      // stats are pruned to files still live at the checkpoint, so the
+      // materialized fold never accumulates entries for vacuumed files
+      val liveKeys = snap.files.flatMap { case (t, fs) =>
+        fs.map(f => s"$t/$f")
+      }.toSet
       val body = renderCheckpoint(Checkpoint(n, snap.files, bids,
-        snap.schemas))
+        snap.schemas, snap.stats.filter(e => liveKeys.contains(e._1))))
       val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-c", ".json")
       Files.write(tmp, body.getBytes(UTF_8))
       Files.move(tmp, manifestDir.toPath.resolve(f"c$n%020d.json"),
@@ -369,7 +392,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         s"version $version is no longer reachable: expected " +
           s"${version - after} deltas after checkpoint $after, found " +
           s"${deltas.size} (reclaimed by vacuum)")
-    foldInto(base.map(c => Snap(c.tables, c.schemas))
+    foldInto(base.map(c => Snap(c.tables, c.schemas, c.stats))
       .getOrElse(Snap(Map.empty, Map.empty)), deltas)
   }
 
@@ -388,6 +411,100 @@ final class ManifestCatalog(spark: SparkSession, root: String,
 
   override def append(table: String, df: DataFrame): Unit =
     appendAll(Map(table -> df), batchId = None)
+
+  // --------------------------------------------- per-file stats / skipping
+
+  // stats block: one `col \t min \t max` line per column, base64'd (the
+  // same escape-free trick the schema section uses; min/max are the
+  // column's string form — numeric comparisons re-parse via BigDecimal)
+  private def encodeColStats(m: Map[String, (String, String)]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      m.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$c\t$mn\t$mx" }
+        .mkString("\n").getBytes(UTF_8))
+
+  private def decodeColStats(b64: String): Map[String, (String, String)] =
+    new String(java.util.Base64.getDecoder.decode(b64), UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(c, mn, mx) = line.split("\t", 3)
+        c -> (mn, mx)
+      }.toMap
+
+  /** Append with per-file min/max stats for `statsCols` recorded in the
+    * SAME commit (Delta-style data skipping: stats live in the log, so a
+    * reader plans its file list without touching any footer). One extra
+    * Spark job computes every file's extrema in a single pass over the
+    * freshly written parts — an offline/layout-job cost, which is where
+    * stats-bearing writes belong (after [[graft.operators.ZOrderLayout]]
+    * clustering, the recorded ranges are what make skipping effective).
+    * Streaming appends stay stats-free and are simply never pruned. */
+  def appendWithStats(table: String, df: DataFrame,
+      statsCols: Seq[String]): Unit = synchronized {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    val stored = snapshotFull().schemas
+    val (aligned, recorded) =
+      evolveFor(stored.get(table).map(decodeSchema), df)
+    val moved = writeParts(table, aligned)
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val perFile = spark.read.schema(aligned.schema)
+      .parquet(moved.map(f => s"$root/$table/$f"): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per freshly written part file
+      .map { r =>
+        val fname = r.getString(0).split('/').last
+        val cols = statsCols.map { c =>
+          c -> (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))
+        }.filter { case (_, (mn, mx)) => mn != null && mx != null }.toMap
+        s"$table/$fname" -> encodeColStats(cols)
+      }.toMap
+    commitVersion(None, Map(table -> moved),
+      schemas = recorded.fold(Map.empty[String, String])(sch =>
+        Map(table -> encodeSchema(sch))),
+      stats = perFile)
+  }
+
+  /** File list after zone-map pruning for `lo <= col <= hi`: a file is
+    * skipped only when its recorded stats PROVE no overlap; files
+    * without stats (streaming appends, fresh compactions) are always
+    * kept — skipping is an optimization, never a correctness input.
+    * @return (kept files, all files) */
+  def statsPrunedFiles(table: String, column: String,
+      lo: BigDecimal, hi: BigDecimal): (Seq[String], Seq[String]) = {
+    val snap = snapshotFull()
+    val files = snap.files.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val kept = files.filter { f =>
+      snap.stats.get(s"$table/$f")
+        .flatMap(b => decodeColStats(b).get(column)) match {
+        case Some((mn, mx)) =>
+          try BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+          catch { case _: NumberFormatException => true }
+        case None => true
+      }
+    }
+    (kept, files)
+  }
+
+  /** Data-skipping range read: prune the file list by recorded stats,
+    * then apply the predicate normally (the filter, not the pruning,
+    * owns correctness — identical semantics to `read(table).filter`,
+    * minus the skipped I/O). */
+  def readBetween(table: String, column: String, lo: Long,
+      hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) =
+      statsPrunedFiles(table, column, BigDecimal(lo), BigDecimal(hi))
+    val snap = snapshotFull()
+    if (kept.isEmpty) {
+      // empty relation under the recorded schema (filter keeps semantics)
+      read(table).filter(col(column) >= lo && col(column) <= hi)
+        .limit(0)
+    } else readWithSchema(table, kept, snap.schemas.get(table))
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
 
   /** Align `df` to the table's recorded schema with ADD-COLUMN evolution:
     * new columns extend the schema (recorded in the commit — old files

@@ -1,0 +1,109 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-file column stats in the manifest log + data-skipping reads:
+  * pruning must drop provably-disjoint files, NEVER change results, keep
+  * stats-free files conservatively, follow files through compaction, and
+  * survive the checkpoint fold. */
+class ManifestStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 1000 rows range-partitioned on k into ~8 files → each file covers a
+    * narrow k range, the layout data skipping exists for. */
+  private def layoutFrame() =
+    spark.range(1000).toDF("k")
+      .withColumn("v", col("k") * 7 % 100)
+      .repartitionByRange(8, col("k"))
+
+  test("pruned range read skips disjoint files and matches the full read") {
+    val root = Files.createTempDirectory("mstats").toString
+    val cat = new ManifestCatalog(spark, root)
+    cat.appendWithStats("t", layoutFrame(), Seq("k"))
+
+    val (kept, all) = cat.statsPrunedFiles("t", "k",
+      BigDecimal(100), BigDecimal(220))
+    assert(all.size >= 6, s"layout should write several files, got $all")
+    assert(kept.size < all.size,
+      s"a narrow range must skip files: kept ${kept.size} of ${all.size}")
+    assert(kept.nonEmpty)
+
+    val viaSkip = cat.readBetween("t", "k", 100, 220)
+      .agg(count(lit(1)), sum(col("v"))).head()
+    val viaFull = cat.read("t")
+      .filter(col("k") >= 100 && col("k") <= 220)
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(viaSkip == viaFull, "skipping must never change results")
+    assert(viaSkip.getLong(0) == 121)
+  }
+
+  test("files without stats are always kept (conservative pruning)") {
+    val root = Files.createTempDirectory("mstats").toString
+    val cat = new ManifestCatalog(spark, root)
+    cat.appendWithStats("t", layoutFrame(), Seq("k"))
+    // a streaming-style append with NO stats, out of the probed range
+    cat.append("t", Seq((5000L, 1L)).toDF("k", "v").repartition(1))
+
+    val (kept, all) = cat.statsPrunedFiles("t", "k",
+      BigDecimal(100), BigDecimal(220))
+    assert(kept.size < all.size)
+    // the stats-free file cannot be proven disjoint — it must be kept
+    val (keptFar, _) = cat.statsPrunedFiles("t", "k",
+      BigDecimal(100000), BigDecimal(200000))
+    assert(keptFar.size == 1, "only the stats-free file survives pruning")
+    assert(cat.readBetween("t", "k", 4000, 6000).count() == 1)
+  }
+
+  test("empty pruned set still returns correct (empty) results") {
+    val root = Files.createTempDirectory("mstats").toString
+    val cat = new ManifestCatalog(spark, root)
+    cat.appendWithStats("t", layoutFrame(), Seq("k"))
+    val (kept, _) = cat.statsPrunedFiles("t", "k",
+      BigDecimal(100000), BigDecimal(200000))
+    assert(kept.isEmpty)
+    assert(cat.readBetween("t", "k", 100000, 200000).count() == 0)
+  }
+
+  test("compaction drops consumed files' stats; compacted file is kept") {
+    val root = Files.createTempDirectory("mstats").toString
+    val cat = new ManifestCatalog(spark, root)
+    cat.appendWithStats("t", layoutFrame(), Seq("k"))
+    cat.compact("t", targetFiles = 1)
+    val (kept, all) = cat.statsPrunedFiles("t", "k",
+      BigDecimal(100), BigDecimal(220))
+    // no stats on the compacted file → nothing can be pruned, but reads
+    // stay correct and no stale stats refer to consumed files
+    assert(all.size == 1 && kept.size == 1)
+    assert(cat.readBetween("t", "k", 100, 220).count() == 121)
+    // a fresh stats-bearing re-layout restores skipping
+    val snap = cat.read("t")
+    cat.delete("t", col("k") >= 0) // clear via CoW delete
+    assert(cat.read("t").count() == 0)
+    cat.appendWithStats("t", snap.repartitionByRange(8, col("k")), Seq("k"))
+    val (kept2, all2) = cat.statsPrunedFiles("t", "k",
+      BigDecimal(100), BigDecimal(220))
+    assert(kept2.size < all2.size)
+  }
+
+  test("stats survive the checkpoint fold and vacuum") {
+    val root = Files.createTempDirectory("mstats").toString
+    val cat = new ManifestCatalog(spark, root, checkpointInterval = 3)
+    cat.appendWithStats("t", layoutFrame(), Seq("k"))
+    // push past a checkpoint boundary with unrelated commits
+    (0 until 4).foreach { i =>
+      cat.append("other", Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    }
+    assert(cat.vacuum() >= 0) // reclaim folded deltas
+    val cat2 = new ManifestCatalog(spark, root) // fresh reader, fresh fold
+    val (kept, all) = cat2.statsPrunedFiles("t", "k",
+      BigDecimal(100), BigDecimal(220))
+    assert(kept.size < all.size,
+      "stats must survive checkpoint materialization + vacuum")
+    assert(cat2.readBetween("t", "k", 100, 220).count() == 121)
+  }
+}
