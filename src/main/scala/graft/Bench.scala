@@ -37,6 +37,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"cow warmup failed: $e") }
     try graft.queries.Warehouse.ensureStatsTable(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"stats warmup failed: $e") }
+    try graft.queries.Warehouse.ensureZorderTable(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"zorder warmup failed: $e") }
     try graft.queries.Layout.ensureBucketed(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bucket warmup failed: $e") }
 

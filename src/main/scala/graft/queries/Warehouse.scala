@@ -196,9 +196,54 @@ object Warehouse {
        |WHERE pc BETWEEN 10000000 AND 20000000
        |GROUP BY st ORDER BY st""".stripMargin)
 
+  /** Offline OPTIMIZE-ZORDER job for q115: the base table z-order
+    * clustered on (ck, pc-in-dollars) into 16 files, per-file min/max
+    * for BOTH dims recorded in the manifest — the full write-side
+    * pipeline: [[graft.operators.ZOrderLayout]] clustering makes the
+    * zone maps tight, [[ManifestCatalog.appendWithStats]] publishes
+    * them. (pc is quantized to dollars only for the 21-bit z-interleave
+    * key; the recorded stats are exact cents.) */
+  def ensureZorderTable(s: SparkSession, d: String): ManifestCatalog = {
+    val dir = cowDir(d) + "-zo"
+    val marker = new File(dir, "_READY")
+    val cat = new ManifestCatalog(s, dir)
+    if (!marker.exists()) {
+      val clustered = graft.operators.ZOrderLayout.layout(
+        baseFrame(s, d).withColumn("pcd", expr("pc div 100")),
+        "ck", "pcd", nFiles = 16).drop("pcd")
+      cat.appendWithStats("orders_zo", clustered, Seq("ck", "pc"))
+      java.nio.file.Files.write(marker.toPath, "ok".getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  // ------------------------------------------------------------- q115
+  // Z-order + data skipping, the full loop: a BOX query (range on BOTH
+  // clustering dims) over the z-ordered table reads only files whose
+  // recorded per-dim ranges overlap the box — each conjunct prunes
+  // independently, which is exactly what Morton clustering buys (a
+  // single-dim sort makes the second dim's zone maps useless; q94 pins
+  // the tightening, ManifestStatsSpec pins the pruning mechanics, this
+  // query pins end-to-end correctness vs the plain-filter oracle).
+  private val q115 = QueryDef.of(
+    (s, d) => {
+      val cat = ensureZorderTable(s, d)
+      cat.readPruned("orders_zo",
+        Seq(("ck", 100L, 400L), ("pc", 10000000L, 25000000L)))
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_price_cents"))
+        .orderBy(col("st"))
+    },
+    s"""SELECT st, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_price_cents
+       |FROM ($baseSql)
+       |WHERE ck BETWEEN 100 AND 400
+       |  AND pc BETWEEN 10000000 AND 25000000
+       |GROUP BY st ORDER BY st""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q98_merge_upsert" -> q98,
     "q99_cdc_changes" -> q99,
     "q104_time_travel" -> q104,
-    "q114_data_skipping" -> q114)
+    "q114_data_skipping" -> q114,
+    "q115_zorder_skipping" -> q115)
 }

@@ -466,6 +466,15 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       stats = perFile)
   }
 
+  /** Folded per-file stats for a table (spec/introspection surface). */
+  private[sinks] def fileStats(
+      table: String): Map[String, Map[String, (String, String)]] = {
+    val snap = snapshotFull()
+    snap.files.getOrElse(table, Nil).flatMap { f =>
+      snap.stats.get(s"$table/$f").map(b => f -> decodeColStats(b))
+    }.toMap
+  }
+
   /** File list after zone-map pruning for `lo <= col <= hi`: a file is
     * skipped only when its recorded stats PROVE no overlap; files
     * without stats (streaming appends, fresh compactions) are always
@@ -493,17 +502,39 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * owns correctness — identical semantics to `read(table).filter`,
     * minus the skipped I/O). */
   def readBetween(table: String, column: String, lo: Long,
-      hi: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val (kept, _) =
-      statsPrunedFiles(table, column, BigDecimal(lo), BigDecimal(hi))
+      hi: Long): DataFrame =
+    readPruned(table, Seq((column, lo, hi)))
+
+  /** Multi-predicate data-skipping read (a "box query" after a z-order
+    * layout: with files tight in BOTH clustering dims, each conjunct
+    * prunes independently and the kept set is the intersection). A file
+    * is skipped when ANY conjunct's recorded range proves disjoint. */
+  def readPruned(table: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty)
     val snap = snapshotFull()
-    if (kept.isEmpty) {
+    val kept = preds.foldLeft(snap.files.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))) {
+      case (files, (c, lo, hi)) => files.filter { f =>
+        snap.stats.get(s"$table/$f")
+          .flatMap(b => decodeColStats(b).get(c)) match {
+          case Some((mn, mx)) =>
+            try BigDecimal(mx) >= BigDecimal(lo) &&
+              BigDecimal(mn) <= BigDecimal(hi)
+            catch { case _: NumberFormatException => true }
+          case None => true
+        }
+      }
+    }
+    val filterExpr = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (kept.isEmpty)
       // empty relation under the recorded schema (filter keeps semantics)
-      read(table).filter(col(column) >= lo && col(column) <= hi)
-        .limit(0)
-    } else readWithSchema(table, kept, snap.schemas.get(table))
-      .filter(col(column) >= lo && col(column) <= hi)
+      read(table).filter(filterExpr).limit(0)
+    else readWithSchema(table, kept, snap.schemas.get(table))
+      .filter(filterExpr)
   }
 
   /** Align `df` to the table's recorded schema with ADD-COLUMN evolution:

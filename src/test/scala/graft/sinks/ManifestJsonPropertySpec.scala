@@ -45,24 +45,40 @@ class ManifestJsonPropertySpec extends AnyFunSuite {
     sample(logGen, 40).foreach { case (_, versions) =>
       val cat = new ManifestCatalog(spark,
         Files.createTempDirectory("mprop").toString, checkpointInterval = 5)
-      // model: expected per-table file lists under the same fold rules
+      // model: expected per-table file lists + per-file stats under the
+      // same fold rules (stats follow their files; removal drops them)
       val model = scala.collection.mutable.Map.empty[String, Vector[String]]
+      val statsModel =
+        scala.collection.mutable.Map.empty[(String, String), (String, String)]
+      def mkStats(t: String, files: Seq[String], i: Int) =
+        if (i % 2 == 0) {
+          files.foreach(f => statsModel((t, f)) = (s"$i", s"${i + 10}"))
+          files.map(f => s"$t/$f" -> java.util.Base64.getEncoder
+            .encodeToString(s"k\t$i\t${i + 10}".getBytes("UTF-8"))).toMap
+        } else Map.empty[String, String]
       versions.zipWithIndex.foreach { case ((t, files), i) =>
         val existing = model.getOrElse(t, Vector.empty)
         if (i % 3 == 2 && existing.nonEmpty) {
           // a compaction-shaped version: consume current files, add new
           cat.commitVersion(None, add = Map(t -> files),
-            removed = Map(t -> existing))
+            removed = Map(t -> existing), stats = mkStats(t, files, i))
+          existing.foreach(f => statsModel.remove((t, f)))
           model(t) = files.toVector
         } else {
           val fresh = files.filterNot(existing.contains)
-          cat.commitVersion(Some(i.toLong), Map(t -> fresh))
+          cat.commitVersion(Some(i.toLong), Map(t -> fresh),
+            stats = mkStats(t, fresh, i))
           model(t) = existing ++ fresh
         }
       }
       model.foreach { case (t, expect) =>
         assert(cat.fileCount(t) == expect.size,
           s"table $t: expected ${expect.size} files, got ${cat.fileCount(t)}")
+        val folded = cat.fileStats(t)
+        val want = statsModel.collect {
+          case ((`t`, f), (mn, mx)) => f -> Map("k" -> (mn, mx))
+        }.toMap
+        assert(folded == want, s"table $t: stats fold diverged")
       }
       assert(cat.listTables() == model.keys.toSeq.sorted)
     }

@@ -90,6 +90,28 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(kept2.size < all2.size)
   }
 
+  test("z-order box query prunes on BOTH dims") {
+    val root = Files.createTempDirectory("mstats").toString
+    val cat = new ManifestCatalog(spark, root)
+    val grid = spark.range(4096).toDF("i")
+      .select((col("i") % 64).as("x"), (col("i") / 64).cast("long").as("y"))
+    cat.appendWithStats("g",
+      graft.operators.ZOrderLayout.layout(grid, "x", "y", 16),
+      Seq("x", "y"))
+    val viaBox = cat.readPruned("g", Seq(("x", 10L, 20L), ("y", 10L, 20L)))
+    assert(viaBox.count() == 121)
+    // each conjunct must prune beyond the other alone: the kept set of
+    // the box is strictly inside both single-dim kept sets
+    val (keptX, all) = cat.statsPrunedFiles("g", "x",
+      BigDecimal(10), BigDecimal(20))
+    val (keptY, _) = cat.statsPrunedFiles("g", "y",
+      BigDecimal(10), BigDecimal(20))
+    assert(keptX.size < all.size && keptY.size < all.size,
+      s"z-order must keep BOTH dims' zone maps tight " +
+        s"(x ${keptX.size}, y ${keptY.size} of ${all.size})")
+    assert(keptX.toSet.intersect(keptY.toSet).size < keptX.size.max(keptY.size))
+  }
+
   test("stats survive the checkpoint fold and vacuum") {
     val root = Files.createTempDirectory("mstats").toString
     val cat = new ManifestCatalog(spark, root, checkpointInterval = 3)
