@@ -35,17 +35,17 @@ object Dedup {
   /** Shared guarded 3-token shingle expression (see [[TextExprs]]); the
     * HOF md5/minhash pipeline the native MinHashSig replaces lives only in
     * ExpressionsSpec, where bit-equality is actually enforced. */
-  private val shinglesExpr = TextExprs.shingles3("toks")
+  private[queries] val shinglesExpr = TextExprs.shingles3("toks")
 
   /** DuckDB twins. */
-  private val sqlShingled =
+  private[queries] val sqlShingled =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |shingled AS (
       |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
       |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
       |  FROM toks)""".stripMargin
-  private val sqlMinhash =
+  private[queries] val sqlMinhash =
     s"""hashed AS (
        |  SELECT doc_id, list_transform(sh,
        |    s -> CAST('0x' || substring(md5(s), 1, 5) AS BIGINT)) AS hs
@@ -114,7 +114,7 @@ object Dedup {
     * entry point (bench calls it; first query otherwise pays the build). */
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-  private def candidates(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def candidates(s: org.apache.spark.sql.SparkSession, d: String) =
     candCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
       buildCandidates(s, d).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -397,7 +397,10 @@ object Dedup {
   // production dedup job ships. Oracle: DuckDB recursive CTE computes
   // the same closure (the candidate graph is the tiny verified-pair set,
   // so closure blowup is bounded by cluster size²).
-  private val clustersSql =
+  /** Recursive-closure CTE chain shared by q65/q65b/q117: candidates →
+    * Jaccard verify → bidirectional edges → transitive reachability →
+    * per-doc min-reachable cluster label (`labeled`). */
+  private val clustersCtes =
     s"""$sqlShingled,
        |$sqlMinhash,
        |sets AS (
@@ -415,12 +418,17 @@ object Dedup {
        |  SELECT a, b FROM edges
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-       |    WHERE e.b <> r.a)
-       |SELECT d.doc_id,
-       |  least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
-       |FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
-       |GROUP BY d.doc_id
-       |ORDER BY d.doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")
+       |    WHERE e.b <> r.a),
+       |labeled AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+       |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  private val clustersSql =
+    s"""$clustersCtes
+       |SELECT doc_id, cluster FROM labeled
+       |ORDER BY doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   private val q65 = QueryDef.of(
     (s, d) => {
@@ -584,7 +592,38 @@ object Dedup {
       |FROM documents d LEFT JOIN perdoc USING (doc_id)
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------- q117
+  // Dedup savings report: cluster-size distribution over the transitive
+  // near-dup clusters + redundant-doc counts — the report a pipeline
+  // owner reads before committing to a dedup pass ("how much does this
+  // buy?"). n_redundant = (size−1)·n_clusters is exactly the docs q64's
+  // survivorship would drop. Two tiny aggregates over the cluster
+  // labels; everything heavy is the shared q65 machinery.
+  private val q117 = QueryDef.of(
+    (s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = verifiedPairs(s, d)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      graft.operators.ConnectedComponents.labels(nodes, edges)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+        .orderBy(col("cluster_size"))
+    },
+    s"""$clustersCtes,
+       |cs AS (SELECT cluster, COUNT(*) AS sz FROM labeled GROUP BY cluster)
+       |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_redundant
+       |FROM cs GROUP BY sz
+       |ORDER BY cluster_size""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE "))
+
   val defs: Map[String, QueryDef] = Map(
+    "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,

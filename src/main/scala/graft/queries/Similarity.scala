@@ -712,7 +712,75 @@ object Similarity {
        |FROM e LEFT JOIN dropped ON e.vec_id = dropped.vec_id
        |ORDER BY e.vec_id""".stripMargin)
 
+  // ------------------------------------------------------------- q116
+  // Dedup-method agreement matrix: the text pipeline's verified pairs
+  // (q33 contract — Jaccard ≥ 0.5 on the shared LSH candidate index)
+  // against the embedding pipeline's pairs (q111 contract — same cell,
+  // cosine ≥ 0.3), as per-pair flags over their union — the eval a
+  // pipeline owner runs before switching dedup methods (q106's recall
+  // idea applied across modalities). Text pairs are restricted to docs
+  // that HAVE embeddings (doc_id ≡ vec_id where present, the q89 corpus
+  // rule) so both methods see the same population. Scale shape: both
+  // pair sets carry ids only and reuse their pipelines' index/broadcast
+  // layouts; the agreement FULL join touches just the two pair lists.
+  private val q116 = QueryDef.of(
+    (s, d) => {
+      VectorFunctions.register(s)
+      val sets = graft.Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shset", expr(s"array_distinct(${Dedup.shinglesExpr})"))
+        .select(col("doc_id"), col("shset"))
+      val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
+      val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb_norm", expr("vec_norm(embedding)"))
+      val ids = e.select(col("vec_id"))
+      val textPairs = Dedup.candidates(s, d).join(a, "doc1").join(b, "doc2")
+        .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))) >= 0.5)
+        .join(ids.withColumnRenamed("vec_id", "doc1"), "doc1")
+        .join(ids.withColumnRenamed("vec_id", "doc2"), "doc2")
+        .select(col("doc1"), col("doc2"), lit(1).as("t"))
+      val ea = e.select(col("label"), col("vec_id").as("doc1"),
+        col("embedding").as("e1"), col("emb_norm").as("n1"))
+      val eb = e.select(col("label"), col("vec_id").as("doc2"),
+        col("embedding").as("e2"), col("emb_norm").as("n2"))
+      val embPairs = ea.join(eb, Seq("label"))
+        .filter(col("doc1") < col("doc2"))
+        .filter(expr("dot_product(e1, e2) / (n1 * n2)") >= 0.3)
+        .select(col("doc1"), col("doc2"), lit(1).as("m"))
+      textPairs.join(embPairs, Seq("doc1", "doc2"), "full")
+        .select(col("doc1"), col("doc2"),
+          coalesce(col("t"), lit(0)).as("in_text"),
+          coalesce(col("m"), lit(0)).as("in_embed"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    s"""${Dedup.sqlShingled},
+       |${Dedup.sqlMinhash},
+       |sets AS (SELECT doc_id, list_distinct(sh) AS shset FROM shingled),
+       |tp AS (
+       |  SELECT doc1, doc2 FROM cand
+       |  JOIN sets a ON cand.doc1 = a.doc_id
+       |  JOIN sets b ON cand.doc2 = b.doc_id
+       |  WHERE CAST(len(list_filter(a.shset,
+       |          x -> list_contains(b.shset, x))) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
+       |    AND doc1 IN (SELECT vec_id FROM embeddings)
+       |    AND doc2 IN (SELECT vec_id FROM embeddings)),
+       |ep AS (
+       |  SELECT a.vec_id AS doc1, b.vec_id AS doc2
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3)
+       |SELECT COALESCE(tp.doc1, ep.doc1) AS doc1,
+       |  COALESCE(tp.doc2, ep.doc2) AS doc2,
+       |  CASE WHEN tp.doc1 IS NOT NULL THEN 1 ELSE 0 END AS in_text,
+       |  CASE WHEN ep.doc1 IS NOT NULL THEN 1 ELSE 0 END AS in_embed
+       |FROM tp FULL JOIN ep ON tp.doc1 = ep.doc1 AND tp.doc2 = ep.doc2
+       |ORDER BY doc1, doc2""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q116_dedup_agreement" -> q116,
     "q111_semantic_dedup" -> q111,
     "q106_ann_recall" -> q106,
     "q42b_ann_ivf_deterministic" -> q42b,
