@@ -32,10 +32,15 @@ object PlanAudit {
         // would corrupt top-k) and never a truncated-length score
         "cosine_sim(array(cast(0.0 as float)), array(cast(1.0 as float))) IS NULL, " +
         "cosine_sim(array(cast(1.0 as float)), array(cast(1.0 as float), cast(2.0 as float))) IS NULL, " +
-        "minhash_sig(array('a', NULL, 'b', 'c', 'd')) IS NOT NULL").head()
+        "minhash_sig(array('a', NULL, 'b', 'c', 'd')) IS NOT NULL, " +
+        "simhash_wide(array('a','b','c','d')) IS NOT NULL, " +
+        "z_value(3L, 5L) = 39L").head()
+    require(ext.getBoolean(5) && ext.getBoolean(6),
+      "simhash_wide/z_value must resolve and compute through the extension")
     println(s"extensions-ok: cosine=${ext.getDouble(0)} simhash=${ext.getLong(1)} " +
       s"zeroNull=${ext.getBoolean(2)} lenNull=${ext.getBoolean(3)} " +
-      s"nullTokOk=${ext.getBoolean(4)}")
+      s"nullTokOk=${ext.getBoolean(4)} wide=${ext.getBoolean(5)} " +
+      s"zval=${ext.getBoolean(6)}")
 
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q03_top_revenue_orders",

@@ -40,5 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of a float vector"),
       (exprs: Seq[Expression]) => VecNorm(exprs.head)))
+    e.injectFunction((FunctionIdentifier("simhash_wide"),
+      info("simhash_wide",
+        "simhash_wide(tokens) - 60-bit SimHash over distinct 3-token shingles"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SimHashWide(exprs.head)))
+    e.injectFunction((FunctionIdentifier("z_value"),
+      info("z_value",
+        "z_value(a, b) - 21+21-bit Morton (z-order) interleave of two non-negative longs"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ZValue(exprs(0), exprs(1))))
   }
 }
