@@ -992,19 +992,25 @@ object TextAnalysis {
        |    replace(s, ' ' || b.p1 || '  ' || b.p2 || ' ',
        |               ' ' || b.p1 || '~' || b.p2 || ' ') AS s
        |  FROM $prev, b$k b)""".stripMargin
-  /** The corpus distinct-word frequency frame BPE trains on. */
-  private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** The corpus distinct-word frequency frame BPE trains on; `docFilter`
+    * restricts the training split (q118 trains on 80% and evaluates
+    * fertility/OOV on the held-out 20%). */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String,
+      docFilter: org.apache.spark.sql.Column = lit(true)) =
     Tables.documents(s, d)
+      .filter(docFilter)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  /** Training CTE chain shared by q88 (vocab output) and q100 (encode):
-    * w0 distinct words → s0 char symbolization → s1..sN merge rounds. */
-  private val bpeTrainCtes =
+  /** Training CTE chain shared by q88 (vocab), q100 (encode) and q118
+    * (eval): w0 distinct words → s0 char symbolization → s1..sN merge
+    * rounds. `where` restricts the training documents. */
+  private def bpeTrainCtesWhere(where: String) =
     s"""w0 AS (
        |  SELECT word, COUNT(*) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents $where)
        |  WHERE word <> '' GROUP BY word),
        |s0 AS (
        |  SELECT word, freq,
@@ -1012,6 +1018,8 @@ object TextAnalysis {
        |      range(1, len(word) + 1), i -> word[i]), '  ') || '  ' AS s
        |  FROM w0),
        |${(1 to BpeSteps).map(k => bpeRound(k, s"s${k - 1}")).mkString(",\n")}""".stripMargin
+
+  private val bpeTrainCtes = bpeTrainCtesWhere("")
 
   private val q88 = QueryDef.of(
     (s, d) => {
@@ -1401,7 +1409,111 @@ object TextAnalysis {
       |FROM sk JOIN ex ON sk.lang = ex.lang
       |ORDER BY sk.lang""".stripMargin)
 
+  // ------------------------------------------------------------- q118
+  // Tokenizer evaluation (fertility / compression / OOV): train BPE on
+  // the 80% doc_id-split of the corpus, encode the HELD-OUT 20%, report
+  // per-language tokens-per-word and chars-per-token in integer
+  // micro-units plus the OOV count — the eval a tokenizer team runs
+  // before shipping a vocab (fertility spikes on a language = that
+  // language pays more sequence length per word). The oracle replays
+  // the whole split-trained merge chain (shared CTEs with q88/q100).
+  // Scale shape: the encoder table is |train vocab| (broadcasts at
+  // scale); held-out words join it key-to-key; one lang-keyed aggregate.
+  private val q118 = QueryDef.of(
+    (s, d) => {
+      val (_, fin) = graft.operators.BpeTrainer.train(
+        bpeWords(s, d, col("doc_id") % 10 < 8), BpeSteps)
+      val encoder = fin.select(col("word"),
+        expr("cast(size(filter(split(s, '  '), x -> x != '')) as bigint)")
+          .as("w_tokens"))
+      val heldout = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 >= 8)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      heldout.join(encoder, Seq("word"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          count(col("w_tokens")).as("n_known"),
+          sum(coalesce(col("w_tokens"), lit(0L))).as("n_tokens"),
+          sum(when(col("w_tokens").isNotNull, length(col("word")))
+            .otherwise(0)).cast("bigint").as("n_chars"))
+        .select(col("lang"), col("n_words"),
+          (col("n_words") - col("n_known")).as("n_oov"),
+          expr("""CASE WHEN n_known = 0 THEN 0L
+                 |ELSE (1000000L * n_tokens) div n_known END""".stripMargin)
+            .as("fertility_micro"),
+          expr("""CASE WHEN n_tokens = 0 THEN 0L
+                 |ELSE (1000000L * n_chars) div n_tokens END""".stripMargin)
+            .as("chars_per_token_micro"))
+        .orderBy(col("lang"))
+    },
+    s"""WITH ${bpeTrainCtesWhere("WHERE doc_id % 10 < 8")},
+       |wt AS (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(s, '  '), x -> x <> ''))
+       |      AS BIGINT) AS w_tokens
+       |  FROM s$BpeSteps),
+       |hw AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE doc_id % 10 >= 8),
+       |j AS (
+       |  SELECT lang, hw.word AS word, w_tokens
+       |  FROM (SELECT * FROM hw WHERE word <> '') hw
+       |  LEFT JOIN wt USING (word)),
+       |agg AS (
+       |  SELECT lang, COUNT(*) AS n_words, COUNT(w_tokens) AS n_known,
+       |    CAST(COALESCE(SUM(w_tokens), 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(SUM(CASE WHEN w_tokens IS NOT NULL
+       |      THEN len(word) ELSE 0 END), 0) AS BIGINT) AS n_chars
+       |  FROM j GROUP BY lang)
+       |SELECT lang, n_words, n_words - n_known AS n_oov,
+       |  CASE WHEN n_known = 0 THEN 0
+       |       ELSE (1000000 * n_tokens) // n_known END AS fertility_micro,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE (1000000 * n_chars) // n_tokens END
+       |    AS chars_per_token_micro
+       |FROM agg
+       |ORDER BY lang""".stripMargin)
+
+  // ------------------------------------------------------------- q119
+  // k-anonymity suppressed reporting: the (lang, source) breakdown a
+  // data-release pipeline publishes, with every cell under k = 6 docs
+  // folded into a '*OTHER*' bucket instead of being printed — small
+  // cells are the re-identification risk, but their MASS must be
+  // preserved (the *OTHER* row keeps totals auditable). Two grouped
+  // aggregates; the suppression predicate is pure column logic, so both
+  // engines derive the identical release.
+  private val q119 = QueryDef.of(
+    (s, d) => {
+      val k = 6
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          when(col("n") >= k, col("lang")).otherwise(lit("*OTHER*"))
+            .as("lang"),
+          when(col("n") >= k, col("source")).otherwise(lit("*OTHER*"))
+            .as("source"),
+          col("n"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_cells"))
+        .orderBy(col("lang"), col("source"))
+    },
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS n
+      |  FROM documents GROUP BY lang, source),
+      |rel AS (
+      |  SELECT CASE WHEN n >= 6 THEN lang ELSE '*OTHER*' END AS lang,
+      |    CASE WHEN n >= 6 THEN source ELSE '*OTHER*' END AS source, n
+      |  FROM cells)
+      |SELECT lang, source, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_cells
+      |FROM rel GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q119_k_anonymity" -> q119,
+    "q118_tokenizer_eval" -> q118,
     "q105_kmv_distinct" -> q105,
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
