@@ -622,7 +622,61 @@ object Dedup {
        |ORDER BY cluster_size""".stripMargin
       .replaceFirst("^WITH ", "WITH RECURSIVE "))
 
+  // ------------------------------------------------------------- q120
+  // INCREMENTAL near-dup: an incoming batch (doc_id ≡ 7 mod 10 plays
+  // the newly crawled slice) checked against the EXISTING corpus — the
+  // ingestion-time dedup path. Unlike q31's corpus-wide bucket pass,
+  // candidates here come from joining the batch's banded signatures
+  // against the standing band index key-to-key, so the cost is
+  // ∝ batch size, not corpus size — new data never triggers a corpus
+  // recompute (the standing index is the persisted artifact a stream
+  // appends to). Verify = exact Jaccard ≥ 0.5, same contract as q33.
+  private val q120 = QueryDef.of(
+    (s, d) => {
+      val all = banded(s, d)
+      val newSide = all.filter(col("doc_id") % 10 === 7)
+        .withColumnsRenamed(Map("doc_id" -> "new_doc"))
+      val oldSide = all.filter(col("doc_id") % 10 =!= 7)
+        .withColumnsRenamed(Map("doc_id" -> "old_doc"))
+      val cand = newSide.join(oldSide, Seq("band", "bkey"))
+        .select(col("new_doc"), col("old_doc")).distinct()
+      val sets = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
+        .select(col("doc_id"), col("shset"))
+      cand
+        .join(sets.withColumnsRenamed(
+          Map("doc_id" -> "new_doc", "shset" -> "sa")), "new_doc")
+        .join(sets.withColumnsRenamed(
+          Map("doc_id" -> "old_doc", "shset" -> "sb")), "old_doc")
+        .withColumn("jaccard",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("new_doc"), col("old_doc"), col("jaccard"))
+        .orderBy(col("new_doc"), col("old_doc"))
+    },
+    s"""$sqlShingled,
+       |$sqlMinhash,
+       |inc AS (
+       |  SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS old_doc
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS shset FROM shingled)
+       |SELECT new_doc, old_doc,
+       |  CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x)))
+       |    AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
+       |FROM inc JOIN sets a ON inc.new_doc = a.doc_id
+       |         JOIN sets b ON inc.old_doc = b.doc_id
+       |WHERE CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x)))
+       |    AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
+       |ORDER BY new_doc, old_doc""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q120_incremental_dedup" -> q120,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q30_dedup_exact" -> q30,
