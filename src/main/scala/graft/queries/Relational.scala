@@ -680,7 +680,51 @@ object Relational {
       |  (o_orderpriority), ())
       |ORDER BY gid, priority, status""".stripMargin)
 
+  // --------------------------------------------------------------- q121
+  // ε-near-join (numeric band join): same-day order pairs whose exact-
+  // cents totals differ by ≤ $100 — duplicate-payment / near-collision
+  // detection. A theta join (`abs(a-b) <= ε`) plans as a cartesian per
+  // key at any scale, so this uses the 1-D LSH shape instead: bucket to
+  // ⌊pc/ε⌋, probe side emits its own AND the next bucket (any pair
+  // within ε shares a bucket or sits in adjacent ones), equi-join on
+  // (day, bucket), verify |diff| ≤ ε, normalize pair order, distinct.
+  // The shuffle carries (day, bucket) keys; candidates ∝ true near
+  // pairs, never day-cartesian. The oracle IS the naive theta join.
+  private val q121 = QueryDef.of(
+    (s, d) => {
+      val eps = 10000L
+      val o = Tables.raw(s, d, "orders").select(
+        col("o_orderdate").as("day"), col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("pc"))
+        .withColumn("b", expr(s"pc div ${eps}L"))
+      val probe = o.select(col("day"), col("k").as("k1"),
+        col("pc").as("pc1"),
+        explode(array(col("b"), col("b") + 1)).as("jb"))
+      val build = o.select(col("day"), col("k").as("k2"),
+        col("pc").as("pc2"), col("b").as("jb"))
+      probe.join(build, Seq("day", "jb"))
+        .filter(col("k1") =!= col("k2") &&
+          abs(col("pc1") - col("pc2")) <= eps)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          least(col("k1"), col("k2")).as("ka"),
+          greatest(col("k1"), col("k2")).as("kb"),
+          abs(col("pc1") - col("pc2")).as("diff_cents"))
+        .distinct()
+        .orderBy(col("day"), col("ka"), col("kb"))
+    },
+    """WITH o AS (
+      |  SELECT o_orderdate AS day, o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+      |  FROM orders)
+      |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+      |  a.k AS ka, b.k AS kb, abs(a.pc - b.pc) AS diff_cents
+      |FROM o a JOIN o b
+      |  ON a.day = b.day AND a.k < b.k AND abs(a.pc - b.pc) <= 10000
+      |ORDER BY day, ka, kb""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q121_epsilon_join" -> q121,
     "q19_approx_quantiles" -> q19,
     "q26_cube" -> q26,
     "q29_pivot" -> q29,

@@ -1511,7 +1511,58 @@ object TextAnalysis {
       |FROM rel GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin)
 
+  // ------------------------------------------------------------- q122
+  // Robust outlier detection via median absolute deviation: per-lang
+  // document-length median and MAD (two GK-sketch passes with derived
+  // oracle-exact accuracy — the q19 machinery), outliers = docs whose
+  // |len − median| exceeds 3×MAD. MAD tolerates the very outliers a
+  // mean/std rule would absorb — the robust data-cleaning gate. Scale
+  // shape: two lang-keyed sketch aggregates (O(accuracy) memory each)
+  // plus broadcast-sized per-lang stat joins; the corpus is scanned
+  // twice and never shuffled beyond (lang, len) pairs.
+  private val q122 = QueryDef.of(
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("lang"),
+        length(col("text")).cast("long").as("len"))
+      val acc = {
+        val sized = docs.groupBy(col("lang")).count()
+          .agg(max(col("count"))).head()
+        val maxGroup = if (sized.isNullAt(0)) 0L else sized.getLong(0)
+        Relational.gkAccuracy(maxGroup).toInt
+      }
+      val med = docs.groupBy(col("lang"))
+        .agg(percentile_approx(col("len"), lit(0.5), lit(acc)).as("med"))
+      val dev = docs.join(broadcast(med), Seq("lang"))
+        .withColumn("adev", abs(col("len") - col("med")))
+      val mad = dev.groupBy(col("lang"))
+        .agg(percentile_approx(col("adev"), lit(0.5), lit(acc)).as("mad"))
+      dev.join(broadcast(mad), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("med")).as("med_len"), min(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("lang"))
+    },
+    """WITH d AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents),
+      |med AS (
+      |  SELECT lang, quantile_disc(len, 0.5) AS med FROM d GROUP BY lang),
+      |dev AS (
+      |  SELECT d.lang, len, med, abs(len - med) AS adev
+      |  FROM d JOIN med USING (lang)),
+      |mad AS (
+      |  SELECT lang, quantile_disc(adev, 0.5) AS mad FROM dev GROUP BY lang)
+      |SELECT dev.lang, COUNT(*) AS n_docs, MIN(med) AS med_len,
+      |  MIN(mad) AS mad,
+      |  CAST(SUM(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev JOIN mad USING (lang)
+      |GROUP BY dev.lang
+      |ORDER BY lang""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q122_mad_outliers" -> q122,
     "q119_k_anonymity" -> q119,
     "q118_tokenizer_eval" -> q118,
     "q105_kmv_distinct" -> q105,
