@@ -81,16 +81,24 @@ object Bench {
         profile(name) = (shuffleWrite.get() - w0, shuffleRead.get() - r0)
         name -> secs
     }
-    // 3-decimal seconds keep the metric line compact enough for the
-    // driver's tail-capture window (r01/r02 both hit parsed=null because
-    // the full-precision line overflowed it).
+    // The driver tail-captures ~2 KB of process output: at 120+ queries
+    // even a 3-decimal full-name line (~3.3 KB) starts mid-JSON in that
+    // window (r01/r02 both hit parsed=null this way). The STREAM line
+    // therefore uses the brief's own short-key form ("q1":sec — the qNN
+    // prefix before the first '_', unique across the suite), ~1.7 KB;
+    // the full-name line goes to $SPARK_GRAFT_BENCH_OUT for the judge.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qsJson(short: Boolean) = results.map { case (k, v) =>
+      val key = if (short) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + r3(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+    def mkLine(short: Boolean) =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${
+        qsJson(short)},"sf":"$sfDir","failed":$failedJson}"""
+    val line = mkLine(short = false)
+    val streamLine = mkLine(short = true)
     // sbt prefixes stdout with [info], which breaks the driver's JSON
     // parse (BENCH_r01 parsed=null) — write the bare line to a file and
     // echo on both streams AFTER spark.stop() so it is the last line the
@@ -115,7 +123,7 @@ object Bench {
       Resources.releaseAll()
     } catch { case _: Throwable => () }
     spark.stop()
-    println(line)
-    System.err.println(line)
+    println(streamLine)
+    System.err.println(streamLine)
   }
 }
