@@ -268,6 +268,41 @@ object ScaleStress {
         .count()
     }
 
+    // substring-dup span stats à la q112 — the span-hash groupBy is the
+    // one wide op; shuffle grows linearly with corpus tokens
+    def spanRun(docs: DataFrame): Long = {
+      val spans = docs
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 8 THEN
+            |  transform(sequence(0, size(tk) - 8),
+            |    i -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16))
+            |ELSE array() END""".stripMargin)).as("h"))
+      spans.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .filter(col("lo") =!= col("hi")).count()
+    }
+
+    // ε-near-join à la q121 — bucket + neighbor probe; candidates track
+    // true near pairs, so 10× rows ⇒ ~10× pairs per day-bucket density
+    def epsRun(o: DataFrame): Long = {
+      val eps = 10000L
+      val b = o.select(col("o_orderdate").as("day"),
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("pc"))
+        .withColumn("b", expr(s"pc div ${eps}L"))
+      val probe = b.select(col("day"), col("k").as("k1"),
+        col("pc").as("pc1"),
+        explode(array(col("b"), col("b") + 1)).as("jb"))
+      val build = b.select(col("day"), col("k").as("k2"),
+        col("pc").as("pc2"), col("b").as("jb"))
+      probe.join(build, Seq("day", "jb"))
+        .filter(col("k1") =!= col("k2") &&
+          abs(col("pc1") - col("pc2")) <= eps).count()
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -295,6 +330,9 @@ object ScaleStress {
     decontRun(d1); packRun(d1); simhashRun(d1); cmsRun(d1); bloomRun(li1)
     pqRun(e1); prRun(ed1x); funnelRun(ev1); zorderRun(li1); lmRun(d1)
     kmvRun(d1); ewmaRun(ev1); semdedupRun(e1)
+    val or1 = Tables.orders(spark, sfDir)
+    val or10 = replicate(or1, 10, "o_orderkey", 1000000000L)
+    spanRun(d1); epsRun(or1)
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
@@ -330,6 +368,10 @@ object ScaleStress {
     val (ewT10, _) = time(ewmaRun(ev10))
     val (sdT1, _) = time(semdedupRun(e1))
     val (sdT10, _) = time(semdedupRun(e10))
+    val (spT1, _) = time(spanRun(d1))
+    val (spT10, _) = time(spanRun(d10))
+    val (epT1, _) = time(epsRun(or1))
+    val (epT10, _) = time(epsRun(or10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -348,7 +390,9 @@ object ScaleStress {
       f""""lm_1x_s":$lmT1%.2f,"lm_10x_s":$lmT10%.2f,"lm_ratio":${lmT10 / lmT1}%.1f,""" +
       f""""kmv_1x_s":$kvT1%.2f,"kmv_10x_s":$kvT10%.2f,"kmv_ratio":${kvT10 / kvT1}%.1f,""" +
       f""""ewma_1x_s":$ewT1%.2f,"ewma_10x_s":$ewT10%.2f,"ewma_ratio":${ewT10 / ewT1}%.1f,""" +
-      f""""semdedup_1x_s":$sdT1%.2f,"semdedup_10x_s":$sdT10%.2f,"semdedup_ratio":${sdT10 / sdT1}%.1f}""")
+      f""""semdedup_1x_s":$sdT1%.2f,"semdedup_10x_s":$sdT10%.2f,"semdedup_ratio":${sdT10 / sdT1}%.1f,""" +
+      f""""spans_1x_s":$spT1%.2f,"spans_10x_s":$spT10%.2f,"spans_ratio":${spT10 / spT1}%.1f,""" +
+      f""""epsjoin_1x_s":$epT1%.2f,"epsjoin_10x_s":$epT10%.2f,"epsjoin_ratio":${epT10 / epT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
