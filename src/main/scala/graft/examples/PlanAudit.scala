@@ -60,7 +60,8 @@ object PlanAudit {
         "q105_kmv_distinct", "q106_ann_recall", "q107_pmi_collocations",
         "q108_media_phash_neardup", "q109_equidepth_histogram",
         "q110_ewma_fold", "q111_semantic_dedup",
-        "q112_dup_spans", "q113_stats_profile")
+        "q112_dup_spans", "q113_stats_profile",
+        "q121_epsilon_join", "q122_mad_outliers")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -279,6 +280,17 @@ object PlanAudit {
         Check("single-scan", p =>
           "FileScan parquet".r.findAllIn(p).size <= 1,
           "the whole profile reads the table once")),
+      // the ε-join must stay an equi-join on (day, bucket): a raw theta
+      // join would plan as a nested-loop cartesian per day
+      "q121_epsilon_join" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "near-pair candidates come from the bucket equi-join")),
+      // per-lang stat frames are tiny — they broadcast back onto the
+      // corpus scan, never shuffle it
+      "q122_mad_outliers" -> Seq(
+        Check("broadcast-stats", _.contains("BroadcastHashJoin"),
+          "median/MAD frames broadcast onto the corpus")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(
