@@ -236,7 +236,38 @@ object Extras {
       |  (SELECT ndv FROM est WHERE c = 'priority') AS ndv_priority,
       |  (SELECT ndv FROM est WHERE c = 'orderdate') AS ndv_orderdate""".stripMargin)
 
+  // ------------------------------------------------------------- q123
+  // The SQL-text entry path: fixture tables registered as temp views and
+  // the query expressed entirely as `spark.sql(...)` — including a
+  // native codegen'd expression (cosine_sim) resolved through the
+  // function registry — because SQL strings are how many engine users
+  // actually arrive (BI tools, notebooks). Same Catalyst plan as the
+  // DataFrame API; the 1-row probe subquery broadcasts.
+  private val q123 = QueryDef.of(
+    (s, d) => {
+      graft.Tables.All.foreach(t =>
+        graft.Tables.table(s, d, t).createOrReplaceTempView(t))
+      graft.functions.VectorFunctions.register(s)
+      s.sql("""
+        SELECT e.label, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN cosine_sim(e.embedding, p.embedding) >= 0.3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_similar
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        GROUP BY e.label
+        ORDER BY e.label""")
+    },
+    s"""SELECT e.label, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN ${Similarity.sqlCos(
+            "e.embedding", "p.embedding")} >= 0.3
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_similar
+       |FROM embeddings e
+       |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+       |GROUP BY e.label
+       |ORDER BY e.label""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q123_sql_text" -> q123,
     "q57_json_struct" -> q57,
     "q58_array_funcs" -> q58,
     "q59_date_arith" -> q59,
