@@ -42,4 +42,20 @@ class HygieneSpec extends AnyFunSuite {
     graft.queries.Dedup.releaseCandidateIndex(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("localCheckpoint-based queries release through Resources too") {
+    // q109 pins its range partitioning with an eager localCheckpoint and
+    // q108 persists the phash frame — both retained via Resources; the
+    // checkpoint RDD is only reclaimable through releaseCheckpoint
+    // (Dataset.unpersist never hears about RDD-layer persistence)
+    val q109 = graft.SparkEntry.queries("q109_equidepth_histogram")
+    assert(q109(spark, sfDir).count() == 16)
+    val q108 = graft.SparkEntry.queries("q108_media_phash_neardup")
+    assert(q108(spark, sfDir).count() >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "precondition: checkpoint/persisted frames exist")
+    Resources.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leftover: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }
