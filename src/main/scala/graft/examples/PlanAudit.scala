@@ -78,8 +78,22 @@ object PlanAudit {
       // multiplication) or a per-key sketch buffer snuck back in —
       // measured 26 s vs 4 s at sf0.1
       "q18_approx_distinct" -> Seq(
-        Check("no-expand", p => !p.contains("Expand"),
-          "distinct + sketch aggs must not trigger the Expand rewrite")),
+        // The exact pass INTENTIONALLY Expands (one double-width pass for
+        // two countDistinct, r3 judge item). The pathology to forbid is
+        // the HLL sketch evaluated in a KEYED aggregate (one buffer per
+        // distinct key — the round-2 26 s shape): every HashAggregate
+        // computing approx_count_distinct must be global (Keys [0]).
+        Check("hll-ungrouped", p =>
+          !("""Keys \[[1-9]""".r.findAllMatchIn(p).exists { m =>
+            // the Functions line of the same block sits within the next
+            // few lines; stop at the next block header "(NN)"
+            p.substring(m.start, math.min(p.length, m.start + 500))
+              .linesIterator.takeWhile(!_.startsWith("(")).take(5)
+              .exists(_.contains("approx_count_distinct"))
+          }),
+          "HLL sketch must aggregate globally, never per distinct key"),
+        Check("scan-reused", p => p.contains("ReusedExchange"),
+          "exact + HLL passes must share one scatter exchange")),
       // the join inputs are pre-bucketed on the key — the only exchange
       // allowed in the whole plan is the final (tiny) segment aggregate
       "q101_bucketed_join" -> Seq(
@@ -135,11 +149,12 @@ object PlanAudit {
       // checkpoint leaves
       "q44_ann_ivfpq" -> Seq(
         Check("no-vecid-shuffle", p => !p.contains("hashpartitioning(vec_id"),
-          "encode + ADC are narrow passes — corpus never shuffles on vec_id"),
+          "ADC is a narrow pass — the codes scan never shuffles on vec_id"),
         Check("broadcast-probes", _.contains("BroadcastNestedLoopJoin"),
           "probe LUTs broadcast onto the codes scan"),
-        Check("checkpointed-codebooks", _.contains("Scan ExistingRDD"),
-          "codebooks enter as checkpoint leaves, not inline training lineage")),
+        Check("partition-pruned-index", p =>
+          "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+          "prebuilt PQ probe must read only the probed cell partitions")),
       // PageRank output: the 3 training iterations must be collapsed
       // into a checkpoint leaf (inline lineage would double per round)
       "q86_pagerank" -> Seq(

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Product-quantization ANN index (IVF-ADC, no-residual variant) — the
   * canonical 100 TB vector-search layout: a coarse quantizer prunes the
@@ -86,7 +86,69 @@ object PqIndex {
     * `lut_0[c_0] + … + lut_{M-1}[c_{M-1}]` — fixed-order adds of
     * doubles, bit-replayable. */
   def search(codes: DataFrame, cb: Codebooks, probes: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int): DataFrame =
+    scoreAdc(codes, probeSide(cb, probes, nProbe), cb.subs.size, k)
+
+  /** Write the index to `dir`: the codes frame partitioned BY cell
+    * (probe-time partition pruning reads only probed cell directories)
+    * plus the coarse + per-subspace codebooks (tiny, always
+    * broadcastable) — the [[IvfIndex.persist]] layout. */
+  def persist(cb: Codebooks, codes: DataFrame, dir: String): Unit = {
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    cb.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    cb.subs.zipWithIndex.foreach { case (c, i) =>
+      c.write.mode("overwrite").parquet(s"$dir/sub_$i")
+    }
+  }
+
+  /** Read a persisted index back. `cell` comes back as a partition
+    * column — filters on it prune at file-listing time. */
+  def load(spark: SparkSession, dir: String, m: Int, subDim: Int,
+      nCells: Int): (DataFrame, Codebooks) = (
+    spark.read.parquet(s"$dir/codes"),
+    Codebooks(spark.read.parquet(s"$dir/coarse"),
+      (0 until m).map(i => spark.read.parquet(s"$dir/sub_$i")),
+      subDim, nCells))
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build-or-load: the offline-job entry point ([[IvfIndex.ensure]]
+    * shape). Trains codebooks + encodes + persists on first call for a
+    * given `dir`, loads thereafter — callers' query paths never retrain.
+    * Training is bit-reproducible, so a loaded index is identical to a
+    * fresh one. */
+  def ensure(embeddings: DataFrame, nCells: Int, m: Int, subDim: Int,
+      kSub: Int, iters: Int, dir: String): (DataFrame, Codebooks) = {
+    val spark = embeddings.sparkSession
+    if (!exists(spark, dir)) {
+      val cb = train(embeddings, nCells, m, subDim, kSub, iters)
+      persist(cb, encode(embeddings, cb), dir)
+    }
+    load(spark, dir, m, subDim, nCells)
+  }
+
+  /** Probe a PREBUILT (persisted, cell-partitioned) index. The union of
+    * all probes' cells is collected first — a bounded control-plane read
+    * of at most probes × nProbe ints — and pushed as a static
+    * `cell IN (...)` filter, which the parquet source turns into
+    * partition pruning; the per-probe cell restriction still applies in
+    * the join ([[IvfIndex.searchPrebuilt]] shape). */
+  def searchPrebuilt(spark: SparkSession, dir: String, probes: DataFrame,
+      k: Int, nProbe: Int, m: Int, subDim: Int, nCells: Int): DataFrame = {
+    val (codes, cb) = load(spark, dir, m, subDim, nCells)
+    val ps = probeSide(cb, probes, nProbe)
+    val cells = ps.select(explode(col("probe_cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    scoreAdc(codes.filter(col("cell").isin(cells: _*)), ps, m, k)
+  }
+
+  /** Broadcast probe frame: per probe its nProbe nearest coarse cells
+    * plus the M asymmetric-distance lookup maps. */
+  private def probeSide(cb: Codebooks, probes: DataFrame,
+      nProbe: Int): DataFrame = {
     val m = cb.subs.size
     var p = IvfIndex.quantize(probes)
       .withColumnRenamed("vec_id", "probe_id")
@@ -94,7 +156,7 @@ object PqIndex {
     cb.subs.zipWithIndex.foreach { case (c, i) =>
       p = p.crossJoin(broadcast(IvfIndex.centroidArray(c, s"cs_$i")))
     }
-    val probeSide = p.select(
+    p.select(
       col("probe_id") +:
         expr(
           s"""transform(slice(array_sort(transform(cs_co, cc -> struct(
@@ -108,6 +170,11 @@ object PqIndex {
                |  transform(cs_$i, cc -> ${IvfIndex.distSql(sub, "cc.c")}))"""
               .stripMargin).as(s"lut_$i")
         }: _*)
+  }
+
+  /** ADC scan: per pair the score is M map lookups + M-1 adds. */
+  private def scoreAdc(codes: DataFrame, probeSide: DataFrame, m: Int,
+      k: Int): DataFrame = {
     val adc = (0 until m)
       .map(i => s"element_at(lut_$i, codes[$i])").mkString(" + ")
     codes

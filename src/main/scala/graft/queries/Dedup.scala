@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   // ---- shared LSH parameters (16 hashes = 4 bands × 4 rows) ----
+  // Per-bucket pair-emission cap (see [[bucketPairs]] for the skew
+  // rationale). Declared BEFORE the oracle SQL vals that interpolate it
+  // — object vals initialize in order and a forward reference would
+  // silently interpolate 0. Shared with [[Multimodal]]'s q108 oracle so
+  // engine and oracle cap identically on a degenerate corpus.
+  private[queries] val MaxBucket = 10000
   private val P = 1048573L // largest prime < 2^20
   private val K = 16
   private val Bands = 4
@@ -60,9 +66,14 @@ object Dedup {
        |    array_to_string(list_slice(mh, t.b * $RowsPerBand + 1,
        |      t.b * $RowsPerBand + $RowsPerBand), ',') AS bkey
        |  FROM mhs CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |bcap AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey, ROW_NUMBER() OVER (
+       |      PARTITION BY band, bkey ORDER BY doc_id) AS rn
+       |    FROM banded) WHERE rn <= $MaxBucket),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-       |  FROM banded x JOIN banded y
+       |  FROM bcap x JOIN bcap y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
       .stripMargin
 
@@ -103,8 +114,10 @@ object Dedup {
     * the bucket size rather than silently: a bucket that large IS one
     * duplicate cluster, and pairing its first N members already marks the
     * cluster; production would additionally route
-    * `size(all_ids) > MaxBucket` buckets to a cluster report. */
-  private val MaxBucket = 10000
+    * `size(all_ids) > MaxBucket` buckets to a cluster report. The DuckDB
+    * oracles mirror the cap (a per-bucket ROW_NUMBER bound), so engine
+    * and oracle stay in lockstep even when a bucket overflows.
+    * [[MaxBucket]] itself is declared with the shared LSH parameters. */
 
   /** The candidate-pair set is a shared INDEX artifact (like the IVF
     * index): q31 emits it, q33/q37 verify against it, q64 derives the
@@ -497,9 +510,14 @@ object Dedup {
        |sbanded AS (
        |  SELECT doc_id, b.b AS band, (sig >> (15 * b.b)) & 32767 AS bkey
        |  FROM sigs CROSS JOIN generate_series(0, 3) AS b(b)),
+       |scap AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey, ROW_NUMBER() OVER (
+       |      PARTITION BY band, bkey ORDER BY doc_id) AS rn
+       |    FROM sbanded) WHERE rn <= $MaxBucket),
        |scand AS (
        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-       |  FROM sbanded x JOIN sbanded y
+       |  FROM scap x JOIN scap y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
       .stripMargin
   private val q80 = QueryDef.of(

@@ -238,7 +238,8 @@ object EventAnalytics {
         .orderBy(col("user_id"), col("event_type"))
     },
     """SELECT user_id, event_type, COUNT(*) AS n,
-      |  SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sum_cents,
+      |  CAST(SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
       |  MAX(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) AS max_cents
       |FROM events
       |GROUP BY user_id, event_type

@@ -7,17 +7,18 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 /** Multimodal-column plumbing (north-star surface): media as opaque
   * `binary` payloads + typed metadata, decoded per partition.
   *
-  * No image/audio codecs exist in this container, so the DECODE step is a
-  * deterministic stand-in (header-byte arithmetic over the blob — marked
-  * at [[MediaDecode.decodeStub]]); everything Spark-side is real: the
-  * binary column, the metadata struct schema, the `Dataset[T]`
-  * `mapPartitions` batch shape (one decoder init per partition, streamed
-  * rows — exactly how a JNI/FFmpeg/JPEG decoder would be mounted), and the
-  * frame-sampling explode.
-  *
-  * Media bytes are synthesized deterministically from `documents.text`
-  * (md5 → 16 bytes), so DuckDB oracles can reproduce every derived value
-  * from the hex string.
+  * The decode seam is two-tier: blobs carrying a real PNG/JPEG stream are
+  * decoded by the GENUINE pure-JDK codec ([[MediaDecode.decodeImage]] —
+  * javax.imageio, no external deps); anything else falls back to the
+  * deterministic header-byte stand-in ([[MediaDecode.decodeStub]]). The
+  * fixture corpus synthesizes blobs from `documents.text` (md5 → 16
+  * bytes, never a valid image stream), so the oracle replays the stub
+  * branch from the hex string while `MultimodalSpec` drives real encoded
+  * images through the codec branch. Everything Spark-side is shared by
+  * both branches: the binary column, the metadata struct schema, the
+  * `Dataset[T]` `mapPartitions` batch shape (one decoder init per
+  * partition, streamed rows — exactly how a JNI/FFmpeg decoder would be
+  * mounted), and the frame-sampling explode.
   */
 object Multimodal {
 
@@ -27,14 +28,37 @@ object Multimodal {
       n_pixels: Int, aspect: Double)
 
   object MediaDecode {
-    /** DECODE STUB — stands in for the real codec call. Reads "header"
-      * bytes 0 and 1 as width/height, exactly reproducible in SQL from the
-      * md5 hex. A production build swaps only this function body. */
+    /** Real codec path: PNG/JPEG dimensions via pure-JDK ImageIO. A
+      * cheap magic-byte sniff gates the (expensive) decoder attempt, so
+      * non-image rows pay two byte compares, not a codec init. Returns
+      * None when the blob is not a decodable image — then the
+      * deterministic [[decodeStub]] applies. */
+    def decodeImage(blob: Array[Byte]): Option[(Int, Int)] = {
+      val isPng = blob.length > 24 && (blob(0) & 0xff) == 0x89 &&
+        blob(1) == 'P'.toByte && blob(2) == 'N'.toByte && blob(3) == 'G'.toByte
+      val isJpeg = blob.length > 4 && (blob(0) & 0xff) == 0xff &&
+        (blob(1) & 0xff) == 0xd8
+      if (!isPng && !isJpeg) None
+      else
+        try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob)))
+          .map(i => (i.getWidth, i.getHeight))
+        catch { case _: Throwable => None }
+    }
+
+    /** DECODE STUB — the deterministic fallback for non-image blobs
+      * (the fixture's md5-derived bytes). Reads "header" bytes 0 and 1
+      * as width/height, exactly reproducible in SQL from the md5 hex. */
     def decodeStub(blob: Array[Byte]): (Int, Int) = {
       val w = (blob(0) & 0xff) + 1
       val h = (blob(1) & 0xff) + 1
       (w, h)
     }
+
+    /** Codec-then-stub: the single decode entry point both the query
+      * path and the spec fixtures go through. */
+    def decode(blob: Array[Byte]): (Int, Int) =
+      decodeImage(blob).getOrElse(decodeStub(blob))
 
     /** Per-partition decode: init once per partition (the expensive codec
       * handle), stream rows through it — the mapPartitions batch shape. */
@@ -43,7 +67,7 @@ object Multimodal {
       ds.mapPartitions { it =>
         // decoder init would happen here, once per partition
         it.map { m =>
-          val (w, h) = decodeStub(m.blob)
+          val (w, h) = decode(m.blob)
           DecodedMeta(m.doc_id, w, h, w * h, w.toDouble / h)
         }
       }
@@ -174,7 +198,7 @@ object Multimodal {
         .select(col("doc1"), col("doc2"), col("hamming"))
         .orderBy(col("doc1"), col("doc2"))
     },
-    """WITH th AS (
+    s"""WITH th AS (
       |  SELECT doc_id, md5(text) || md5(text || 'r1') || md5(text || 'r2')
       |    || md5(text || 'r3') AS thumb
       |  FROM documents),
@@ -200,9 +224,14 @@ object Multimodal {
       |banded AS (
       |  SELECT doc_id, b.b AS band, (ph >> (15 * b.b)) & 32767 AS bkey
       |  FROM allm CROSS JOIN generate_series(0, 3) AS b(b)),
+      |bcap AS (
+      |  SELECT doc_id, band, bkey FROM (
+      |    SELECT doc_id, band, bkey, ROW_NUMBER() OVER (
+      |      PARTITION BY band, bkey ORDER BY doc_id) AS rn
+      |    FROM banded) WHERE rn <= ${Dedup.MaxBucket}),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-      |  FROM banded x JOIN banded y
+      |  FROM bcap x JOIN bcap y
       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
       |SELECT doc1, doc2, CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
       |FROM cand JOIN allm a ON cand.doc1 = a.doc_id

@@ -150,17 +150,76 @@ object Similarity {
     ivfIndexDir(d)
   }
 
-  private val q42 = QueryDef.noOracle(
+  // The trained (Spark-ML) k-means itself is not SQL-replayable — its
+  // float centroid sums fold in partition order — so instead of raw
+  // (probe, neighbor) rows the query emits per-probe INVARIANTS that any
+  // valid IVF index must satisfy (the q18 precedent: oracle what is
+  // checkable, keep the raw path spec-pinned in IvfIndexSpec):
+  //   n_neighbors   — searchPrebuilt returned exactly k rows
+  //   ranks_ok      — ranks are exactly 1..k
+  //   self_ok       — no probe returned itself
+  //   distinct_ok   — k distinct neighbors
+  //   monotone_ok   — scores non-increasing by rank
+  //   multi_cell    — the index uses ≥2 cells (training not degenerate)
+  //   full_assign   — every corpus vector got exactly one cell
+  //   recall_floor_ok — recall@5 vs q40's exact top-5 ≥ 25% overall
+  // Every flag is a deterministic constant when the index is valid, so
+  // the DuckDB oracle states them directly; a broken index flips a flag
+  // and the driver's hash goes red.
+  private val q42 = QueryDef.of(
     (s, d) => {
       val dir = ensureIvfIndex(s, d)
-      val probes = Tables.embeddings(s, d)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb
         .filter(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"),
           col("embedding").as("probe_emb"))
-      graft.operators.IvfIndex
+      val res = graft.operators.IvfIndex
         .searchPrebuilt(s, dir, probes, k = 5, nProbe = 4)
-        .orderBy(col("probe_id"), col("rank"))
-    })
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("rank"))
+      val flags = res
+        .withColumn("prev_score", lag(col("score"), 1).over(w))
+        .groupBy(col("probe_id"))
+        .agg(
+          count(lit(1)).as("n_neighbors"),
+          (sort_array(collect_list(col("rank"))) ===
+            array((1 to 5).map(lit(_)): _*)).cast("int").as("ranks_ok"),
+          min((col("neighbor_id") =!= col("probe_id")).cast("int"))
+            .as("self_ok"),
+          (countDistinct(col("neighbor_id")) === 5).cast("int")
+            .as("distinct_ok"),
+          min(coalesce((col("prev_score") >= col("score")).cast("int"),
+            lit(1))).as("monotone_ok"))
+      val (assigned, _) = graft.operators.IvfIndex.load(s, dir)
+      val idxStats = assigned
+        .agg(countDistinct(col("cell")).as("cells_used"),
+          count(lit(1)).as("n_assigned"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_corpus"))))
+        .select((col("cells_used") >= 2).cast("int").as("multi_cell"),
+          (col("n_assigned") === col("n_corpus")).cast("int")
+            .as("full_assign"))
+      val exact = topK(scored(s, d, "vec_id < 20", sameLabelOnly = false), 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val recall = res.select(col("probe_id"), col("neighbor_id"))
+        .join(exact, Seq("probe_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select((col("n_hits") >= 25L).cast("int").as("recall_floor_ok"))
+      flags
+        .crossJoin(broadcast(idxStats))
+        .crossJoin(broadcast(recall))
+        .orderBy(col("probe_id"))
+    },
+    """SELECT vec_id AS probe_id,
+      |  CAST(5 AS BIGINT) AS n_neighbors,
+      |  CAST(1 AS INT) AS ranks_ok,
+      |  CAST(1 AS INT) AS self_ok,
+      |  CAST(1 AS INT) AS distinct_ok,
+      |  CAST(1 AS INT) AS monotone_ok,
+      |  CAST(1 AS INT) AS multi_cell,
+      |  CAST(1 AS INT) AS full_assign,
+      |  CAST(1 AS INT) AS recall_floor_ok
+      |FROM embeddings WHERE vec_id < 20
+      |ORDER BY probe_id""".stripMargin)
 
   // ------------------------------------------------------------- q43
   // Random-hyperplane LSH ANN: 4 deterministic ±1 hyperplanes (pseudo-
@@ -430,15 +489,44 @@ object Similarity {
   // within them distances are approximated as the sum of 4 per-subspace
   // codebook distances (16 dims × 8 codes each) — the canonical 100 TB
   // ANN layout, where the scan reads 4 small codes per vector instead
-  // of 64 floats. Because every codebook comes from the bit-reproducible
-  // quantized-Lloyd's trainer, the DuckDB oracle replays ALL FIVE
-  // training chains, the encoding, the probe-cell choice, and every
-  // ADC distance bit-for-bit.
+  // of 64 floats. Training + encoding are the OFFLINE job
+  // (ensurePqIndex; first call per sf dir persists codes
+  // partitionBy(cell) + codebooks); the query path loads codebooks and
+  // partition-prunes the codes scan to the probed cells — q42's
+  // lifecycle, one layer up. Because every codebook comes from the
+  // bit-reproducible quantized-Lloyd's trainer, the DuckDB oracle
+  // replays ALL FIVE training chains, the encoding, the probe-cell
+  // choice, and every ADC distance bit-for-bit — and the prebuilt index
+  // is bit-identical to an in-query build.
   private val PqM = 4
   private val PqSubDim = 16
   private val PqKSub = 8
   private val PqNProbe = 2
   private val PqK = 5
+
+  /** Deterministic per-sf PQ index location (offline-build artifact).
+    * The name encodes every training constant so a constant change can
+    * never silently reuse a stale index. */
+  def pqIndexDir(sfDir: String): String = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      sys.props("java.io.tmpdir") + "/graft-ivf")
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$base/$key-pq$KCells-m$PqM-sd$PqSubDim-k$PqKSub-i$KIters"
+  }
+
+  /** Offline PQ index build entry point (idempotent; the
+    * [[ensureIvfIndex]] lifecycle). Bench/pipelines call this in their
+    * setup phase so q44's query time is probe cost only — training the
+    * five k-means chains per execution was the round-3 perf-weak
+    * anti-pattern. Training is bit-reproducible, so the prebuilt index
+    * equals an in-query build exactly. */
+  def ensurePqIndex(s: SparkSession, d: String): String = {
+    graft.operators.PqIndex.ensure(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      KCells, PqM, PqSubDim, PqKSub, KIters, pqIndexDir(d))
+    pqIndexDir(d)
+  }
+
   private val q44 = {
     // per-subspace slice CTEs + unrolled training chains + final assigns
     val subBlocks = (0 until PqM).map { i =>
@@ -461,13 +549,12 @@ object Similarity {
     }
     QueryDef.of(
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val cb = graft.operators.PqIndex.train(
-          emb, KCells, PqM, PqSubDim, PqKSub, KIters)
-        val codes = graft.operators.PqIndex.encode(emb, cb)
-        val probes = emb.filter(col("vec_id") < 20)
+        val dir = ensurePqIndex(s, d)
+        val probes = Tables.embeddings(s, d).filter(col("vec_id") < 20)
           .select(col("vec_id"), col("embedding"))
-        graft.operators.PqIndex.search(codes, cb, probes, PqK, PqNProbe)
+        graft.operators.PqIndex
+          .searchPrebuilt(s, dir, probes, PqK, PqNProbe, PqM, PqSubDim,
+            KCells)
           .orderBy(col("probe_id"), col("rank"))
       },
       s"""WITH qz AS (

@@ -886,8 +886,8 @@ object TextAnalysis {
       |placed AS (
       |  SELECT shard, doc_id, n_chars,
       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos,
-      |    COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY h2, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_offset
+      |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY h2, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS char_offset
       |  FROM sharded)
       |SELECT shard, pos, doc_id, n_chars, char_offset
       |FROM placed ORDER BY shard, pos""".stripMargin)
@@ -1174,11 +1174,16 @@ object TextAnalysis {
   // All integer fixed-point — p(w2|w1) ≈ (1e6·c12) div c1 micro-units,
   // doc score = Σp div n — so the oracle replays training AND scoring
   // bit-for-bit (a log-prob variant is the one-line production swap; ln
-  // is 1-ulp engine-divergent, q77 precedent). Scale shape: one bigram
-  // explode, two (w1,w2)/(w1)-keyed count aggs with map-side partials,
-  // two key-only shuffle joins of the doc bigram stream against the
-  // count tables, one doc-keyed sum. Headroom: 1e6·c12 overflows BIGINT
-  // only past ~9e12 occurrences of ONE bigram.
+  // is 1-ulp engine-divergent, q77 precedent). The keep floor is
+  // DERIVED per run as the corpus's exact discrete median score (GK
+  // sketch at q19's oracle-exact accuracy vs DuckDB quantile_disc) —
+  // CCNet's actual recipe (per-bucket perplexity quantiles), and a
+  // hard-coded SF-observed literal (the round-3 shape) can't survive a
+  // driver SF change. Scale shape: one bigram explode, two
+  // (w1,w2)/(w1)-keyed count aggs with map-side partials, two key-only
+  // shuffle joins of the doc bigram stream against the count tables,
+  // one doc-keyed sum, one 1-row GK agg broadcast back. Headroom:
+  // 1e6·c12 overflows BIGINT only past ~9e12 occurrences of ONE bigram.
   private val q92 = QueryDef.of(
     (s, d) => {
       val toks = Tables.documents(s, d)
@@ -1200,13 +1205,20 @@ object TextAnalysis {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(expr("(1000000L * c12) div c1")).as("p_sum"))
-      toks.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      val perDoc = toks.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(expr("p_sum div n_bigrams"), lit(0L))
             .as("lm_score_micro"))
+      val acc = Relational.gkAccuracy(
+        Tables.documents(s, d).count()).toInt
+      val floor = perDoc.agg(
+        percentile_approx(col("lm_score_micro"), lit(0.5), lit(acc))
+          .as("floor_micro"))
+      perDoc.crossJoin(broadcast(floor))
         .withColumn("keep",
-          (col("lm_score_micro") >= 34000L).cast("int"))
+          (col("lm_score_micro") >= col("floor_micro")).cast("int"))
         .orderBy(col("doc_id"))
     },
     """WITH toks AS (
@@ -1222,12 +1234,18 @@ object TextAnalysis {
       |  SELECT doc_id, COUNT(*) AS n_bigrams,
       |    SUM((1000000 * c12.c12) // c1.c1) AS p_sum
       |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-      |  GROUP BY doc_id)
-      |SELECT toks.doc_id,
-      |  COALESCE(n_bigrams, 0) AS n_bigrams,
-      |  COALESCE(p_sum // n_bigrams, 0) AS lm_score_micro,
-      |  CAST(COALESCE(p_sum // n_bigrams, 0) >= 34000 AS INT) AS keep
-      |FROM toks LEFT JOIN scored USING (doc_id)
+      |  GROUP BY doc_id),
+      |perdoc AS (
+      |  SELECT toks.doc_id,
+      |    COALESCE(n_bigrams, 0) AS n_bigrams,
+      |    CAST(COALESCE(p_sum // n_bigrams, 0) AS BIGINT) AS lm_score_micro
+      |  FROM toks LEFT JOIN scored USING (doc_id)),
+      |fl AS (
+      |  SELECT quantile_disc(lm_score_micro, 0.5) AS floor_micro
+      |  FROM perdoc)
+      |SELECT doc_id, n_bigrams, lm_score_micro, floor_micro,
+      |  CAST(lm_score_micro >= floor_micro AS INT) AS keep
+      |FROM perdoc, fl
       |ORDER BY doc_id""".stripMargin)
 
   // ------------------------------------------------------------- q93
@@ -1271,7 +1289,7 @@ object TextAnalysis {
       |  SELECT doc_id, COUNT(*) AS n_tokens,
       |    SUM((fidx * 2654435761) % 2001 - 1000) AS w_sum
       |  FROM f GROUP BY doc_id)
-      |SELECT doc_id, n_tokens, w_sum // n_tokens AS score_micro,
+      |SELECT doc_id, n_tokens, CAST(w_sum // n_tokens AS BIGINT) AS score_micro,
       |  CAST(w_sum > 0 AS INT) AS predicted
       |FROM scored
       |ORDER BY doc_id""".stripMargin)

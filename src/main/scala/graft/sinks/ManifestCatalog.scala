@@ -416,18 +416,54 @@ final class ManifestCatalog(spark: SparkSession, root: String,
 
   // stats block: one `col \t min \t max` line per column, base64'd (the
   // same escape-free trick the schema section uses; min/max are the
-  // column's string form — numeric comparisons re-parse via BigDecimal)
+  // column's string form — numeric comparisons re-parse via BigDecimal).
+  // Each FIELD is additionally backslash-escaped: a string column whose
+  // min/max value embeds a tab or newline must not be able to break the
+  // line structure — or forge a zone-map line for ANOTHER column, which
+  // would let a crafted value cause wrong file skipping (violating the
+  // "skipping is never a correctness input" contract). Values without
+  // \t/\n/\\ encode unchanged, so pre-escape manifests decode
+  // identically.
+  private def escField(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private def unescField(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't'  => b.append('\t'); i += 2
+          case 'n'  => b.append('\n'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case _    => b.append(c); i += 1
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   private def encodeColStats(m: Map[String, (String, String)]): String =
     java.util.Base64.getEncoder.encodeToString(
-      m.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$c\t$mn\t$mx" }
-        .mkString("\n").getBytes(UTF_8))
+      m.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"${escField(c)}\t${escField(mn)}\t${escField(mx)}"
+      }.mkString("\n").getBytes(UTF_8))
 
+  // Tolerant decode: a malformed line (wrong field count, bad base64 —
+  // e.g. a manifest hand-edited or written by a future format) degrades
+  // to "no stats for that column/file", which every stats consumer
+  // already treats as "keep the file". Stats may only ever REMOVE work,
+  // never answers.
   private def decodeColStats(b64: String): Map[String, (String, String)] =
-    new String(java.util.Base64.getDecoder.decode(b64), UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val Array(c, mn, mx) = line.split("\t", 3)
-        c -> (mn, mx)
+    try new String(java.util.Base64.getDecoder.decode(b64), UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(c, mn, mx) =>
+            Some(unescField(c) -> (unescField(mn), unescField(mx)))
+          case _ => None
+        }
       }.toMap
+    catch { case _: IllegalArgumentException => Map.empty }
 
   /** Append with per-file min/max stats for `statsCols` recorded in the
     * SAME commit (Delta-style data skipping: stats live in the log, so a
@@ -436,9 +472,16 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * freshly written parts — an offline/layout-job cost, which is where
     * stats-bearing writes belong (after [[graft.operators.ZOrderLayout]]
     * clustering, the recorded ranges are what make skipping effective).
-    * Streaming appends stay stats-free and are simply never pruned. */
+    * Streaming appends stay stats-free and are simply never pruned.
+    *
+    * Locking: the two Spark jobs (the part write and the per-file stats
+    * pass) run OUTSIDE the catalog monitor — staged part files are
+    * invisible until commit, so under the single-writer-per-table
+    * assumption only [[commitVersion]] (itself synchronized) needs the
+    * lock. Holding it across the jobs would stall every concurrent
+    * streaming commit for the stats job's duration. */
   def appendWithStats(table: String, df: DataFrame,
-      statsCols: Seq[String]): Unit = synchronized {
+      statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
     val stored = snapshotFull().schemas
     val (aligned, recorded) =

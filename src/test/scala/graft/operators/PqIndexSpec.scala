@@ -52,6 +52,26 @@ class PqIndexSpec extends AnyFunSuite {
     graft.Resources.releaseAll()
   }
 
+  test("prebuilt (ensure + searchPrebuilt) equals in-memory search bit-for-bit") {
+    val cb = trained()
+    val codes = PqIndex.encode(corpus, cb)
+    val probes = corpus.filter(col("vec_id") < 5)
+    val inMem = PqIndex.search(codes, cb, probes, k = 5, nProbe = 2)
+      .orderBy(col("probe_id"), col("rank")).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("pq-spec").toString
+    PqIndex.ensure(corpus, nCells = 8, m = 4, subDim = 16, kSub = 8,
+      iters = 2, dir = dir)
+    // second ensure must load, not retrain (idempotent offline job)
+    PqIndex.ensure(corpus, nCells = 8, m = 4, subDim = 16, kSub = 8,
+      iters = 2, dir = dir)
+    val pre = PqIndex.searchPrebuilt(spark, dir, probes, k = 5, nProbe = 2,
+      m = 4, subDim = 16, nCells = 8)
+      .orderBy(col("probe_id"), col("rank")).collect().toSeq
+    assert(pre == inMem,
+      "prebuilt index must reproduce the in-memory search exactly")
+    graft.Resources.releaseAll()
+  }
+
   test("widening nProbe to all cells can only improve (shrink) ADC top-1") {
     val cb = trained()
     val codes = PqIndex.encode(corpus, cb)

@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.queries.Multimodal.{DecodedMeta, MediaDecode, MediaRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The decode seam's codec branch: REAL encoded images (pure-JDK
+  * ImageIO, generated in-memory — no fixtures on disk) must decode to
+  * their true dimensions, while non-image blobs (the fixture's md5
+  * bytes) fall back to the deterministic stub the oracle replays. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real PNG and JPEG blobs decode to true dimensions") {
+    assert(MediaDecode.decodeImage(encode(12, 7, "png")) === Some((12, 7)))
+    assert(MediaDecode.decodeImage(encode(5, 9, "jpg")) === Some((5, 9)))
+  }
+
+  test("non-image blobs fall back to the deterministic stub") {
+    val md5ish = java.security.MessageDigest.getInstance("MD5")
+      .digest("fixture text".getBytes("UTF-8"))
+    assert(MediaDecode.decodeImage(md5ish).isEmpty)
+    val (w, h) = MediaDecode.decode(md5ish)
+    assert(w == (md5ish(0) & 0xff) + 1 && h == (md5ish(1) & 0xff) + 1)
+  }
+
+  test("a JPEG-magic prefix that is not a real stream still reaches the stub") {
+    // 2^-16 of md5 blobs start with ff d8; ImageIO must reject them
+    // (not throw) and the stub must own the row
+    val fake = Array[Byte](0xff.toByte, 0xd8.toByte, 3, 4, 5, 6, 7, 8)
+    assert(MediaDecode.decodeImage(fake).isEmpty)
+    assert(MediaDecode.decode(fake) == ((0xff + 1, 0xd8 + 1)))
+  }
+
+  test("decodePartitions routes codec and stub rows through one batch") {
+    import spark.implicits._
+    val png = encode(32, 16, "png")
+    val raw = Array[Byte](9, 4, 0, 0)
+    val ds = Seq(
+      MediaRecord(1L, png, "png"),
+      MediaRecord(2L, raw, "webp")).toDS().repartition(2)
+    val out = MediaDecode.decodePartitions(ds).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L) === DecodedMeta(1L, 32, 16, 512, 2.0))
+    assert(out(2L) === DecodedMeta(2L, 10, 5, 50, 2.0))
+  }
+}

@@ -42,6 +42,36 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(viaSkip.getLong(0) == 121)
   }
 
+  test("string stats values with tabs/newlines cannot corrupt the block") {
+    val root = Files.createTempDirectory("mstats").toString
+    val cat = new ManifestCatalog(spark, root)
+    // min/max land on values embedding \t, \n, \\ and a FORGED stats
+    // line for column k claiming range [9000, 9999] — if field escaping
+    // leaked, decode would either throw or wrongly skip every k file
+    val hostile = Seq(
+      (1L, "aaa\tmid\tzz"),
+      (2L, "zz\nk\t9000\t9999"),
+      (3L, "mm\\weird")).toDF("k", "s").repartition(1)
+    cat.appendWithStats("t", hostile, Seq("k", "s"))
+
+    // decode round-trips every hostile byte, under the right column
+    val stats = cat.fileStats("t")
+    assert(stats.nonEmpty)
+    val byCol = stats.values.head
+    assert(byCol("s") == (("aaa\tmid\tzz", "zz\nk\t9000\t9999")))
+    assert(byCol("k") == (("1", "3")))
+
+    // and k's REAL range [1,3] governs pruning: a probe at the forged
+    // range must skip the file, a probe at the true range must keep it
+    val (keptForged, all) = cat.statsPrunedFiles("t", "k",
+      BigDecimal(9000), BigDecimal(9999))
+    assert(keptForged.isEmpty && all.size == 1)
+    val (keptTrue, _) = cat.statsPrunedFiles("t", "k",
+      BigDecimal(2), BigDecimal(2))
+    assert(keptTrue.size == 1)
+    assert(cat.readBetween("t", "k", 1, 3).count() == 3)
+  }
+
   test("files without stats are always kept (conservative pruning)") {
     val root = Files.createTempDirectory("mstats").toString
     val cat = new ManifestCatalog(spark, root)

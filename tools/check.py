@@ -26,12 +26,39 @@ for name in sorted(os.listdir(outdir)):
     # driver compare: sort columns by name, then compare values
     got = got[sorted(got.columns)]
     exp = exp[sorted(exp.columns)]
+
+    # The driver's hash is dtype-sensitive: DuckDB HUGEINT (e.g. SUM(BIGINT),
+    # `//` of a HUGEINT) lands in pandas as float64/object and hash-mismatches
+    # an int64 Spark column even when every value is equal. Mirror that here:
+    # compare dtype CLASS (int vs float vs other) per column, width-insensitive.
+    def dtype_class(s):
+        k = s.dtype.kind
+        if k in "iu":
+            return "int"
+        if k == "f":
+            return "float"
+        if k == "b":
+            return "bool"
+        if k == "O":
+            # object column: HUGEINT comes through as python ints
+            vals = [v for v in s if v is not None]
+            if vals and all(isinstance(v, int) and not isinstance(v, bool)
+                            for v in vals):
+                return "objint"
+            return "other"
+        return "other"
+
     status = []
     if list(got.columns) != list(exp.columns):
         status.append(f"COLS got={list(got.columns)} exp={list(exp.columns)}")
     elif len(got) != len(exp):
         status.append(f"ROWS got={len(got)} exp={len(exp)}")
     else:
+        for c in got.columns:
+            gc, ec = dtype_class(got[c]), dtype_class(exp[c])
+            if gc != ec:
+                status.append(
+                    f"DTYPE {c}: got={got[c].dtype}({gc}) exp={exp[c].dtype}({ec})")
         import pandas as pd
         try:
             pd.testing.assert_frame_equal(
