@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 122 queries × whole-stage codegen = thousands of generated classes;
+  // the JVM default 240 MB code cache silently flushes/deopts mid-run,
+  // which showed up as roaming 10-50x per-query slowdowns in benches
+  "-XX:ReservedCodeCacheSize=512m",
 )

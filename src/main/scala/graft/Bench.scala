@@ -41,6 +41,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"stats warmup failed: $e") }
     try graft.queries.Warehouse.ensureZorderTable(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"zorder warmup failed: $e") }
+    try graft.queries.Warehouse.ensureBloomTable(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"bloom warmup failed: $e") }
     try graft.queries.Layout.ensureBucketed(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bucket warmup failed: $e") }
 

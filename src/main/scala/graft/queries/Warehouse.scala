@@ -240,10 +240,55 @@ object Warehouse {
        |  AND pc BETWEEN 10000000 AND 25000000
        |GROUP BY st ORDER BY st""".stripMargin)
 
+  /** Offline layout job for q124: the base table HASH-scattered on `k`
+    * into 8 files with a per-file bloom over `k` in the manifest — the
+    * write-side half of point-lookup skipping. Hash placement is the
+    * worst case for min/max ranges (every file's [min,max] spans the
+    * whole key domain) and exactly where blooms earn their 2 KB.
+    * Idempotent per sf dir; Bench runs it as setup. */
+  def ensureBloomTable(s: SparkSession, d: String): ManifestCatalog = {
+    val dir = cowDir(d) + "-bl"
+    val marker = new File(dir, "_READY")
+    val cat = new ManifestCatalog(s, dir)
+    if (!marker.exists()) {
+      cat.appendWithStats("orders_hashed",
+        baseFrame(s, d).repartition(8, col("k")),
+        statsCols = Seq("pc"), bloomCols = Seq("k"))
+      java.nio.file.Files.write(marker.toPath, "ok".getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  // ------------------------------------------------------------- q124
+  // Bloom point-lookup read: 5 key probes against the hash-scattered
+  // table, each reading ONLY the files whose per-file bloom says
+  // "maybe" (~1 of 8 + rare false positives; ManifestBloomSpec pins
+  // pruning counts and no-false-negative soundness — this query pins
+  // that pruning never changes results). The probe keys are the 5
+  // smallest orderkeys — a bounded 5-row control-plane read, the same
+  // contract as the IVF probe-cell collect. At 100 TB this is the
+  // needle-in-haystack id lookup a warehouse serves WITHOUT a
+  // secondary index: log-resident blooms, zero extra scan.
+  private val q124 = QueryDef.of(
+    (s, d) => {
+      val cat = ensureBloomTable(s, d)
+      val ks = baseFrame(s, d).select(col("k")).orderBy(col("k"))
+        .limit(5).collect().map(_.getLong(0))
+      ks.map(k => cat.readPoint("orders_hashed", "k", k.toString))
+        .reduce(_ unionByName _)
+        .select(col("k"), col("ck"), col("st"), col("pc"))
+        .orderBy(col("k"))
+    },
+    s"""WITH base AS ($baseSql)
+       |SELECT k, ck, st, pc FROM base
+       |WHERE k IN (SELECT k FROM base ORDER BY k LIMIT 5)
+       |ORDER BY k""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q98_merge_upsert" -> q98,
     "q99_cdc_changes" -> q99,
     "q104_time_travel" -> q104,
     "q114_data_skipping" -> q114,
-    "q115_zorder_skipping" -> q115)
+    "q115_zorder_skipping" -> q115,
+    "q124_bloom_point_lookup" -> q124)
 }

@@ -26,19 +26,28 @@ import org.apache.spark.sql.types.StructType
   * survive the fold) while old files stay on disk for in-flight readers
   * (reclaimed later by [[vacuum]]), closing window 2.
   *
-  * Log format (Delta-style delta log, single-writer — the streaming
-  * driver): `_manifest/v<20-digit>.json`, each version holding only the
-  * delta — `add` (files appended per table), `removed` (files a
-  * compaction consumed), `replace` (legacy full-list swap), and
-  * an optional `batchId` — plus a `schemas` section recording the
-  * table's schema (base64 StructType JSON) whenever an append changes
-  * it. Readers fold the log into per-table file lists + latest schemas,
-  * pin reads to the recorded schema (no footer scans), and therefore
-  * support ADD-COLUMN evolution without rewriting old files (they
-  * surface NULL for later columns; time travel reads each version under
-  * the schema recorded AT that version). `appendRouted` (the dynamic
-  * router path) keeps schema-inference reads. The single-writer
-  * assumption is the same one `foreachBatch` already provides.
+  * Log format (Delta-style delta log): `_manifest/v<20-digit>.json`,
+  * each version holding only the delta — `add` (files appended per
+  * table), `removed` (files a compaction consumed), `replace` (legacy
+  * full-list swap), and an optional `batchId` — plus a `schemas`
+  * section recording the table's schema (base64 StructType JSON)
+  * whenever an append changes it. Readers fold the log into per-table
+  * file lists + latest schemas, pin reads to the recorded schema (no
+  * footer scans), and therefore support ADD-COLUMN evolution without
+  * rewriting old files (they surface NULL for later columns; time
+  * travel reads each version under the schema recorded AT that
+  * version). `appendRouted` (the dynamic router path) keeps
+  * schema-inference reads.
+  *
+  * **Concurrency**: commits use optimistic concurrency — the version
+  * file is PUBLISHED via hard link (atomic fail-on-exists across
+  * processes), a lost race refreshes from disk and retries blind
+  * appends, aborts conflicting rewrites, and deduplicates replayed
+  * batch ids (see [[commitVersion]]). Multiple writer processes —
+  * several streaming pipelines, or a pipeline plus a compaction /
+  * stats / z-order maintenance job — can therefore share one table
+  * root without coordination; `ManifestConcurrencySpec` pins the
+  * race semantics.
   *
   * **Checkpointing** (long-running streams): every [[checkpointInterval]]
   * versions the fold is materialized to `_manifest/c<20-digit>.json` —
@@ -222,14 +231,35 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   }
 
   // Next version number, tracked in memory after the first disk read —
-  // O(1) commits under the single-writer assumption. -2 = not yet read.
+  // O(1) commits while this writer keeps winning. -2 = not yet read;
+  // reset to -2 after losing a version race to force a disk refresh.
   private var nextVersion: Long = -2L
 
-  /** Atomic commit: write tmp in `_manifest/`, rename to the next
-    * version. Same-directory rename is atomic on POSIX; REPLACE_EXISTING
-    * is deliberately absent — colliding with an existing version (a
-    * second writer) must fail, not clobber. Every
-    * `checkpointInterval`-th version also materializes a checkpoint. */
+  /** Atomic commit with optimistic concurrency. The body is staged to a
+    * temp file, then PUBLISHED by hard-linking it to the next version
+    * number: `Files.createLink` fails atomically when the target exists
+    * — across processes, not just threads (a POSIX rename, by contrast,
+    * silently REPLACES an existing target, so `Files.move` cannot detect
+    * a second writer). Losing the race refreshes the version counter
+    * from disk, validates the commit against what landed in between
+    * ([[validateLostRace]]), and retries at the next number:
+    *
+    *  - blind appends (add-only) are order-independent → always retry;
+    *  - a commit whose `removed` files are no longer live (another
+    *    writer compacted or rewrote them first) aborts with
+    *    `ConcurrentModificationException` — retrying would resurrect
+    *    deleted rows or double-apply a rewrite;
+    *  - a batch id another writer already committed returns WITHOUT
+    *    writing (cross-writer idempotent streaming replay);
+    *  - a concurrent DIFFERENT schema recorded for the same table
+    *    conflicts (last-wins folding could silently drop a column).
+    *
+    * A single writer never pays for any of this: the in-memory counter
+    * stays warm and a commit is one link + one unlink. Every
+    * `checkpointInterval`-th version also materializes a checkpoint
+    * (checkpoints are derived data — two writers racing on the same
+    * checkpoint number produce identical content, so the plain rename
+    * there is benign). */
   private[sinks] def commitVersion(batchId: Option[Long],
       add: Map[String, Seq[String]],
       replace: Map[String, Seq[String]] = Map.empty,
@@ -237,20 +267,80 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       schemas: Map[String, String] = Map.empty,
       stats: Map[String, String] = Map.empty): Unit = synchronized {
     manifestDir.mkdirs()
-    if (nextVersion < 0)
-      nextVersion = versionFiles().lastOption
-        .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong + 1)
-        .orElse(latestCheckpoint().map(_.n + 1))
-        .getOrElse(0L)
-    val next = nextVersion
-    val body = render(Version(next, batchId, add, replace, removed, schemas,
-      stats))
-    val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-v", ".json")
-    Files.write(tmp, body.getBytes(UTF_8))
-    Files.move(tmp, manifestDir.toPath.resolve(f"v$next%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    nextVersion = next + 1
-    if ((next + 1) % checkpointInterval == 0) writeCheckpoint(next)
+    var attempt = 0
+    while (attempt < ManifestCatalog.MaxCommitAttempts) {
+      if (nextVersion < 0)
+        nextVersion = versionFiles().lastOption
+          .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong + 1)
+          .orElse(latestCheckpoint().map(_.n + 1))
+          .getOrElse(0L)
+      val next = nextVersion
+      val body = render(Version(next, batchId, add, replace, removed, schemas,
+        stats))
+      val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-v", ".json")
+      Files.write(tmp, body.getBytes(UTF_8))
+      val won =
+        try {
+          Files.createLink(manifestDir.toPath.resolve(f"v$next%020d.json"),
+            tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      Files.deleteIfExists(tmp)
+      if (won) {
+        nextVersion = next + 1
+        if ((next + 1) % checkpointInterval == 0) writeCheckpoint(next)
+        return
+      }
+      nextVersion = -2L // another writer took this number: refresh from disk
+      if (validateLostRace(batchId, replace, removed, schemas, since = next))
+        return // already effectively applied (batch replayed by the winner)
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit lost the version race ${ManifestCatalog.MaxCommitAttempts} " +
+        "times — livelocked against other writers")
+  }
+
+  /** After losing a version race: decide retry / already-applied /
+    * abort. Returns true iff the commit must NOT be retried because
+    * another writer already committed this batch id (streaming replay
+    * across writers — the rows this writer staged stay orphaned and
+    * invisible, reclaimed by [[vacuum]]). Throws
+    * `ConcurrentModificationException` on a true write-write conflict. */
+  private def validateLostRace(batchId: Option[Long],
+      replace: Map[String, Seq[String]],
+      removed: Map[String, Seq[String]],
+      schemas: Map[String, String],
+      since: Long): Boolean = {
+    if (batchId.exists(batchCommitted)) return true
+    if (removed.nonEmpty) {
+      val live = snapshot()
+      removed.foreach { case (t, fs) =>
+        val have = live.getOrElse(t, Nil).toSet
+        val gone = fs.filterNot(have)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent rewrite of '$t': ${gone.take(3).mkString(", ")}" +
+              s"${if (gone.size > 3) ", …" else ""} already removed by " +
+              "another writer")
+      }
+    }
+    val intervening = readDeltas(since - 1)
+    if (replace.nonEmpty && intervening.exists(v =>
+        (v.add.keySet ++ v.replace.keySet ++ v.removed.keySet)
+          .exists(replace.keySet)))
+      throw new java.util.ConcurrentModificationException(
+        "concurrent change to a table this commit replaces outright")
+    // identical schemas may race (two writers creating the same table);
+    // DIVERGENT ones may not — last-wins would drop one writer's column
+    if (schemas.nonEmpty && intervening.exists(_.schemas.exists {
+        case (t, s) => schemas.get(t).exists(_ != s)
+      }))
+      throw new java.util.ConcurrentModificationException(
+        "concurrent divergent schema change to the same table")
+    false
   }
 
   /** Materialize the fold at version `n` to `c<n>.json` (tmp + atomic
@@ -481,17 +571,38 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * lock. Holding it across the jobs would stall every concurrent
     * streaming commit for the stats job's duration. */
   def appendWithStats(table: String, df: DataFrame,
-      statsCols: Seq[String]): Unit = {
-    require(statsCols.nonEmpty, "statsCols must be non-empty")
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "at least one of statsCols/bloomCols must be non-empty")
     val stored = snapshotFull().schemas
     val (aligned, recorded) =
       evolveFor(stored.get(table).map(decodeSchema), df)
     val moved = writeParts(table, aligned)
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val perFile = perFileStatsBlocks(table, moved, aligned.schema,
+      statsCols, bloomCols)
+    commitVersion(None, Map(table -> moved),
+      schemas = recorded.fold(Map.empty[String, String])(sch =>
+        Map(table -> encodeSchema(sch))),
+      stats = perFile)
+  }
+
+  /** One-pass per-file stats job over freshly written parts: min/max
+    * string extrema for `statsCols`, 2 KB blooms for `bloomCols`, keyed
+    * `table/file` as encoded stats-block entries. Shared by
+    * [[appendWithStats]] and [[compact]] (skipping must survive
+    * maintenance rewrites, not silently decay to "no stats"). */
+  private def perFileStatsBlocks(table: String, moved: Seq[String],
+      schema: StructType, statsCols: Seq[String],
+      bloomCols: Seq[String]): Map[String, String] = {
+    if (statsCols.isEmpty && bloomCols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min,
+      udaf}
+    val bloom = udaf(new graft.functions.FileBloomAgg)
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c")))
-    val perFile = spark.read.schema(aligned.schema)
+      max(col(c)).cast("string").as(s"__mx_$c"))) ++
+      bloomCols.map(c => bloom(col(c).cast("string")).as(s"__bf_$c"))
+    spark.read.schema(schema)
       .parquet(moved.map(f => s"$root/$table/$f"): _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -501,12 +612,16 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         val cols = statsCols.map { c =>
           c -> (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))
         }.filter { case (_, (mn, mx)) => mn != null && mx != null }.toMap
-        s"$table/$fname" -> encodeColStats(cols)
+        // blooms ride the SAME per-file block as marker-prefixed lines
+        // ("#bloom:<col>" cannot collide with a real column in the
+        // range-stats lookups, which go through decodeColStats(...).get
+        // on plain column names); value = (base64 bits, "")
+        val blooms = bloomCols.map { c =>
+          s"$BloomKeyPrefix$c" -> (java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]](s"__bf_$c")), "")
+        }.toMap
+        s"$table/$fname" -> encodeColStats(cols ++ blooms)
       }.toMap
-    commitVersion(None, Map(table -> moved),
-      schemas = recorded.fold(Map.empty[String, String])(sch =>
-        Map(table -> encodeSchema(sch))),
-      stats = perFile)
   }
 
   /** Folded per-file stats for a table (spec/introspection surface). */
@@ -516,6 +631,52 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     snap.files.getOrElse(table, Nil).flatMap { f =>
       snap.stats.get(s"$table/$f").map(b => f -> decodeColStats(b))
     }.toMap
+  }
+
+  /** Marker prefix for bloom lines inside the per-file stats block —
+    * cannot collide with real column names in the range-stats lookups,
+    * which probe `decodeColStats(...).get(<plain column name>)`. */
+  private val BloomKeyPrefix = "#bloom:"
+
+  /** File list after BLOOM pruning for `col = value` — the point-lookup
+    * complement to [[statsPrunedFiles]]: a uniformly scattered
+    * high-cardinality key defeats min/max ranges (every file's [min,max]
+    * covers every probe), but a per-file bloom proves "definitely not
+    * here". Files without a bloom for the column are always kept; a
+    * positive bloom is only "maybe" — the filter owns correctness.
+    * @return (kept files, all files) */
+  def bloomPrunedFiles(table: String, column: String,
+      value: String): (Seq[String], Seq[String]) = {
+    val snap = snapshotFull()
+    val files = snap.files.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val kept = files.filter { f =>
+      snap.stats.get(s"$table/$f")
+        .flatMap(b => decodeColStats(b).get(s"$BloomKeyPrefix$column"))
+        .forall { case (b64, _) =>
+          try graft.functions.FileBloomAgg.mightContain(
+            java.util.Base64.getDecoder.decode(b64), value)
+          catch { case _: IllegalArgumentException => true } // malformed → keep
+        }
+    }
+    (kept, files)
+  }
+
+  /** Point-lookup read: prune the file list by per-file blooms (and by
+    * min/max where recorded via the normal filter pushdown), then apply
+    * `col = value` normally — identical semantics to
+    * `read(table).filter`, minus the skipped I/O. */
+  def readPoint(table: String, column: String, value: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = bloomPrunedFiles(table, column, value)
+    val snap = snapshotFull()
+    // compare against the bare literal: type coercion promotes the
+    // LITERAL to the column type, so the equality still pushes down to
+    // the parquet scan (casting the column would block pushdown)
+    if (kept.isEmpty)
+      read(table).filter(col(column) === lit(value)).limit(0)
+    else readWithSchema(table, kept, snap.schemas.get(table))
+      .filter(col(column) === lit(value))
   }
 
   /** File list after zone-map pruning for `lo <= col <= hi`: a file is
@@ -823,11 +984,21 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     val snap = snapshotFull()
     val consumed = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
-    val moved = writeParts(table,
-      readWithSchema(table, consumed, snap.schemas.get(table))
-        .coalesce(math.max(1, targetFiles)))
+    val compacted = readWithSchema(table, consumed, snap.schemas.get(table))
+      .coalesce(math.max(1, targetFiles))
+    val moved = writeParts(table, compacted)
+    // any column that carried range stats or a bloom on a consumed file
+    // keeps it through the rewrite — data skipping must survive
+    // maintenance, not silently decay to "no stats, never pruned"
+    val carried = consumed.flatMap(f =>
+      snap.stats.get(s"$table/$f").map(decodeColStats)
+        .getOrElse(Map.empty).keys).toSet
+    val (bloomKeys, statsKeys) = carried.partition(_.startsWith(BloomKeyPrefix))
+    val stats = perFileStatsBlocks(table, moved, compacted.schema,
+      statsKeys.toSeq.sorted,
+      bloomKeys.map(_.stripPrefix(BloomKeyPrefix)).toSeq.sorted)
     commitVersion(None, add = Map(table -> moved),
-      removed = Map(table -> consumed))
+      removed = Map(table -> consumed), stats = stats)
   }
 
   /** Remove data files no manifest version can reach (compacted-away or
@@ -876,4 +1047,9 @@ object ManifestCatalog {
     * any value ≥ 2 satisfies the protocol; 1000 leaves three orders of
     * magnitude of slack at ~20 bytes per id. */
   val MaxRetainedBatchIds = 1000
+
+  /** Version-race retries before a commit declares livelock. Each retry
+    * means another writer committed first — 64 consecutive losses under
+    * any realistic commit cadence indicates a stuck counter, not load. */
+  val MaxCommitAttempts = 64
 }
