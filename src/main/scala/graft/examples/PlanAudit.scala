@@ -61,7 +61,9 @@ object PlanAudit {
         "q108_media_phash_neardup", "q109_equidepth_histogram",
         "q110_ewma_fold", "q111_semantic_dedup",
         "q112_dup_spans", "q113_stats_profile",
-        "q121_epsilon_join", "q122_mad_outliers")
+        "q121_epsilon_join", "q122_mad_outliers",
+        "q124_bloom_point_lookup", "q125_mmr_diversify",
+        "q126_dsir_selection")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -163,6 +165,31 @@ object PlanAudit {
       "q73_decontaminate" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "shingle overlap must be a key join, never a cross product")),
+      // the point-lookup equality must reach the parquet scan of the
+      // bloom-kept files (the lit comparison coerces the LITERAL, so
+      // pushdown survives; casting the column would block it)
+      "q124_bloom_point_lookup" -> Seq(
+        Check("pushed-point-filter", p =>
+          "PushedFilters: \\[[^\\]]*EqualTo\\(k".r.findFirstIn(p).isDefined,
+          "k = <probe> must push down to the kept-file scan")),
+      // candidate generation broadcasts (probes onto the corpus, ids
+      // onto the vector fetch); the greedy's only wide op is the
+      // per-query groupByKey — the corpus itself never self-joins
+      "q125_mmr_diversify" -> Seq(
+        Check("broadcast-candidates", _.contains("BroadcastHashJoin"),
+          "candidate ids/vectors are bounded — must broadcast"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "pairwise sims come from the bounded candidate join"),
+        Check("codegen-scoring", _.contains("cosine_sim"),
+          "relevance/sim kernels must be the native expression")),
+      // the 8192-row bucket-weight table must broadcast onto the
+      // scoring pass; bucket counts must pre-aggregate map-side
+      "q126_dsir_selection" -> Seq(
+        Check("broadcast-weights", _.contains("BroadcastHashJoin"),
+          "the bucket-weight table is 8 KB — must broadcast"),
+        Check("partial-preagg", p =>
+          p.contains("partial_count") || p.contains("partial_sum"),
+          "bucket counts need map-side partials")),
       // the groupBy(shard) must reuse the window's hashpartitioning(shard)
       // — a second hash exchange would mean the shard stream shuffles twice
       "q74_sequence_packing" -> Seq(

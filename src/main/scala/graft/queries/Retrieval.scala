@@ -179,6 +179,180 @@ object Retrieval {
        |FROM ranked WHERE rrf_rank <= 10
        |ORDER BY query_id, rrf_rank""".stripMargin)
 
+  // ------------------------------------------------------------- q125
+  // MMR-diversified top-k (Carbonell & Goldstein, SIGIR'98): greedily
+  // re-rank a BOUNDED candidate list so each pick maximizes
+  // λ·relevance − (1−λ)·max-similarity-to-already-picked — the context
+  // selection step of a RAG pipeline (relevance alone returns near-
+  // duplicate passages; MMR trades a little relevance for coverage).
+  //
+  // Scale shape: relevance candidates come from the ANN stack (here
+  // q40's brute-force contract; q42/q44's pruned scans at 100 TB), so
+  // the greedy only ever sees C=30 rows per query. The candidate
+  // pairwise-sim matrix is C·(C−1) rows built from TWO broadcast
+  // id-joins against the corpus (candidate vectors are fetched by id —
+  // the bloom point-lookup path at scale, a pruned scan here); the
+  // greedy itself runs per-query inside flatMapGroups — MMR is
+  // inherently sequential WITHIN a query (each pick conditions the
+  // next), so the right distribution is across queries: one shuffle of
+  // ~C² tiny rows per query, then embarrassing parallelism over
+  // millions of queries, zero driver participation.
+  //
+  // Determinism: relevance and pair similarity are floored to integer
+  // micro-units FIRST; the greedy is pure BIGINT (λ = 0.7 as 7/3
+  // integer weights: score = 7·rel − 3·maxsim) with doc_id-ascending
+  // tie-breaks. The DuckDB oracle replays all K greedy steps as
+  // unrolled CTEs — bit-for-bit, no float comparison anywhere.
+  private val MmrProbes = Seq(1, 2, 3)
+  private val MmrC = 30 // candidate pool per query
+  private val MmrK = 10 // picks per query
+
+  private val q125 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val probes = emb
+        .filter(col("vec_id").isin(MmrProbes.map(Int.box): _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scoredAll = emb
+        .join(broadcast(probes), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          expr("cast(floor(1000000 * cosine_sim(qe, embedding)) as bigint)")
+            .as("rel_micro"))
+      val wRel = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel_micro").desc, col("doc_id"))
+      val cands = scoredAll.withColumn("r", row_number().over(wRel))
+        .filter(col("r") <= MmrC)
+        .select(col("query_id"), col("doc_id"), col("rel_micro"))
+      // candidate vectors fetched by id: broadcast the (bounded) id set
+      // onto a corpus scan — never the corpus onto anything
+      val candVecs = emb
+        .join(broadcast(cands.select(col("doc_id")).distinct()),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("embedding"))
+      val pairs = cands.as("x")
+        .join(cands.as("y"),
+          col("x.query_id") === col("y.query_id") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.query_id").as("query_id"), col("x.doc_id").as("a"),
+          col("x.rel_micro").as("rel_micro"), col("y.doc_id").as("b"))
+        .join(broadcast(candVecs.select(col("doc_id").as("a"),
+          col("embedding").as("ea"))), Seq("a"))
+        .join(broadcast(candVecs.select(col("doc_id").as("b"),
+          col("embedding").as("eb"))), Seq("b"))
+        .select(col("query_id"), col("a"), col("b"), col("rel_micro"),
+          expr("cast(floor(1000000 * cosine_sim(ea, eb)) as bigint)")
+            .as("sim_micro"))
+        .as[MmrPairRow]
+      val picked = pairs.groupByKey(_.query_id).flatMapGroups {
+        (q: Long, it: Iterator[MmrPairRow]) =>
+          val rel = collection.mutable.LongMap.empty[Long]
+          val sim = collection.mutable.HashMap.empty[(Long, Long), Long]
+          it.foreach { p =>
+            rel(p.a) = p.rel_micro
+            sim((p.a, p.b)) = p.sim_micro
+          }
+          val docs = rel.keys.toArray.sorted // ascending id = tie order
+          val selected = collection.mutable.ArrayBuffer.empty[Long]
+          val out = collection.mutable.ArrayBuffer.empty[MmrPick]
+          while (out.length < MmrK && selected.length < docs.length) {
+            var bestDoc = -1L
+            var bestScore = Long.MinValue
+            docs.foreach { c =>
+              if (!selected.contains(c)) {
+                val score =
+                  if (selected.isEmpty) 7L * rel(c)
+                  else {
+                    var mx = Long.MinValue
+                    selected.foreach { sId =>
+                      val v = sim((c, sId))
+                      if (v > mx) mx = v
+                    }
+                    7L * rel(c) - 3L * mx
+                  }
+                if (score > bestScore) { bestScore = score; bestDoc = c }
+              }
+            }
+            selected += bestDoc
+            out += MmrPick(q, out.length + 1, bestDoc, bestScore)
+          }
+          out.iterator
+      }
+      picked.toDF()
+        .select(col("query_id"), col("mmr_rank"), col("doc_id"),
+          col("mmr_micro"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    },
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id IN (${MmrProbes.mkString(", ")})),
+       |scoredall AS (
+       |  SELECT p.query_id, c.vec_id AS doc_id,
+       |    CAST(FLOOR(1000000 * ${Similarity.sqlCos("qe", "c.embedding")})
+       |      AS BIGINT) AS rel_micro
+       |  FROM probes p CROSS JOIN corpus c WHERE c.vec_id <> p.query_id),
+       |cands AS MATERIALIZED (
+       |  SELECT query_id, doc_id, rel_micro FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel_micro DESC, doc_id) AS r FROM scoredall)
+       |  WHERE r <= $MmrC),
+       |pairsim AS MATERIALIZED (
+       |  SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+       |    CAST(FLOOR(1000000 * ${Similarity.sqlCos("ea.embedding",
+            "eb.embedding")}) AS BIGINT) AS sim_micro
+       |  FROM cands x
+       |  JOIN cands y ON x.query_id = y.query_id AND x.doc_id <> y.doc_id
+       |  JOIN corpus ea ON ea.vec_id = x.doc_id
+       |  JOIN corpus eb ON eb.vec_id = y.doc_id),
+       |p1 AS (
+       |  SELECT query_id, doc_id, 7 * rel_micro AS mmr_micro,
+       |    1 AS mmr_rank
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel_micro DESC, doc_id) AS r FROM cands)
+       |  WHERE r = 1),
+       |a1 AS MATERIALIZED (SELECT * FROM p1),
+       |$mmrStepCtes
+       |SELECT query_id, mmr_rank, doc_id, mmr_micro FROM a$MmrK
+       |ORDER BY query_id, mmr_rank""".stripMargin)
+
+  /** Unrolled greedy steps 2..K: each step scores every unpicked
+    * candidate as 7·rel − 3·max-sim-to-picked, takes the argmax
+    * (doc_id-ascending ties), and appends it to the running selection —
+    * the same integer recurrence the Spark flatMapGroups runs. */
+  private def mmrStepCtes: String = (2 to MmrK).map { i =>
+    s"""st$i AS (
+       |  SELECT c.query_id, c.doc_id,
+       |    7 * c.rel_micro - 3 * (
+       |      SELECT MAX(ps.sim_micro) FROM pairsim ps
+       |      JOIN a${i - 1} s ON s.query_id = ps.query_id
+       |        AND s.doc_id = ps.b
+       |      WHERE ps.query_id = c.query_id AND ps.a = c.doc_id)
+       |      AS mmr
+       |  FROM cands c
+       |  WHERE NOT EXISTS (SELECT 1 FROM a${i - 1} s
+       |    WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)),
+       |p$i AS (
+       |  SELECT query_id, doc_id, mmr AS mmr_micro, $i AS mmr_rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY mmr DESC, doc_id) AS r FROM st$i)
+       |  WHERE r = 1),
+       |a$i AS MATERIALIZED (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM p$i)"""
+      .stripMargin
+  }.mkString(",\n")
+
   val defs: Map[String, QueryDef] = Map(
-    "q89_hybrid_rrf" -> q89)
+    "q89_hybrid_rrf" -> q89,
+    "q125_mmr_diversify" -> q125)
 }
+
+/** Pairwise-candidate row feeding the per-query MMR greedy: candidate
+  * `a` (with its relevance) against co-candidate `b`. */
+final case class MmrPairRow(query_id: Long, a: Long, b: Long,
+    rel_micro: Long, sim_micro: Long)
+
+/** One greedy pick. */
+final case class MmrPick(query_id: Long, mmr_rank: Int, doc_id: Long,
+    mmr_micro: Long)

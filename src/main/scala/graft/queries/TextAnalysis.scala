@@ -1294,6 +1294,90 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------- q126
+  // DSIR-shaped data selection (Xie et al. '23, "Data Selection for
+  // Language Models via Importance Resampling"): score every corpus
+  // document by how much its hashed-unigram distribution looks like a
+  // TARGET domain (here lang='en' — the canonical "select web data that
+  // resembles formal English" setup) relative to the full corpus, then
+  // keep the documents that are more target-like than source-like.
+  //
+  // Per-bucket importance: tokens hash into 2^13 buckets (q93's md5
+  // contract); with add-1 smoothing,
+  //   ratio_micro(b) = 1e6 · p̂_target(b) / p̂_source(b)
+  //                  = ((cnt_t+1)·(S+B)·1e6) div ((cnt_s+1)·(T+B)).
+  // Per-doc score sums (ratio_micro − 1e6) over token occurrences —
+  // the first-order (log-free) importance surplus: log x ≈ x−1 near 1,
+  // and the oracle replays every integer bit-for-bit (q107's PMI
+  // precedent; ln itself is 1-ulp divergent across engines). Overflow
+  // headroom: (cnt_t+1)·(S+B)·1e6 < 2^63 needs cnt_t·S < 9.2e12 —
+  // beyond that (real corpora) production switches to log-space
+  // doubles, acceptable because selection is a ranking, not an oracle.
+  //
+  // Scale shape: the bucket-weight table is ONE groupBy over the token
+  // stream (conditional target counts ride the same aggregate — no
+  // second scan) and is 8192 rows → broadcast onto the scoring pass;
+  // per-doc scores are a map-side join + one doc-keyed integer sum.
+  // The weight table is the offline artifact a production pipeline
+  // trains once and reuses across ingestion batches. `selected` is a
+  // per-row threshold (surplus > 0), NOT a global rank — no global
+  // sort anywhere (q109 lesson).
+  private val q126 = QueryDef.of(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')"))
+            .as("term"))
+        .withColumn("b", expr(
+          "cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint) % 8192"))
+      val bw = toks.groupBy(col("b")).agg(
+        count(lit(1)).as("cnt_s"),
+        sum(expr("cast(lang = 'en' as bigint)")).as("cnt_t"))
+      val totals = bw.agg(sum(col("cnt_s")).as("big_s"),
+        sum(col("cnt_t")).as("big_t"))
+      val weights = bw.crossJoin(broadcast(totals))
+        .select(col("b"), expr(
+          "((cnt_t + 1) * (big_s + 8192) * 1000000L) div " +
+            "((cnt_s + 1) * (big_t + 8192))").as("ratio_micro"))
+      toks
+        .join(broadcast(weights), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("ratio_micro") - lit(1000000L)).as("surplus_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("surplus_sum div n_tokens").as("dsir_micro"),
+          expr("cast(surplus_sum > 0 as int)").as("selected"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 8192 AS b
+      |  FROM t),
+      |bw AS (
+      |  SELECT b, COUNT(*) AS cnt_s,
+      |    SUM(CAST(lang = 'en' AS BIGINT)) AS cnt_t
+      |  FROM tb GROUP BY b),
+      |totals AS (
+      |  SELECT CAST(SUM(cnt_s) AS BIGINT) AS big_s,
+      |    CAST(SUM(cnt_t) AS BIGINT) AS big_t FROM bw),
+      |weights AS (
+      |  SELECT b, CAST(((cnt_t + 1) * (big_s + 8192) * 1000000)
+      |    // ((cnt_s + 1) * (big_t + 8192)) AS BIGINT) AS ratio_micro
+      |  FROM bw CROSS JOIN totals),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM(ratio_micro - 1000000) AS surplus_sum
+      |  FROM tb JOIN weights USING (b) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  CAST(surplus_sum // n_tokens AS BIGINT) AS dsir_micro,
+      |  CAST(surplus_sum > 0 AS INT) AS selected
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin)
+
   // ------------------------------------------------------------- q107
   // Collocation extraction by pointwise mutual information (phrase
   // mining — the multi-word-expression pass a tokenizer-training
@@ -1587,6 +1671,7 @@ object TextAnalysis {
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
     "q93_linear_classifier" -> q93,
+    "q126_dsir_selection" -> q126,
     "q88_bpe_vocab" -> q88,
     "q100_bpe_encode" -> q100,
     "q103_token_drift" -> q103,
