@@ -31,6 +31,8 @@ object Bench {
     // has)
     try graft.queries.Similarity.ensureIvfIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"ivf warmup failed: $e") }
+    try graft.queries.Similarity.ensureDetIndex(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"det warmup failed: $e") }
     try graft.queries.Similarity.ensurePqIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"pq warmup failed: $e") }
     try graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
@@ -43,6 +45,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"zorder warmup failed: $e") }
     try graft.queries.Warehouse.ensureBloomTable(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bloom warmup failed: $e") }
+    try graft.queries.Layout.ensureDpp(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"dpp warmup failed: $e") }
     try graft.queries.Layout.ensureBucketed(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bucket warmup failed: $e") }
 

@@ -63,7 +63,7 @@ object PlanAudit {
         "q112_dup_spans", "q113_stats_profile",
         "q121_epsilon_join", "q122_mad_outliers",
         "q124_bloom_point_lookup", "q125_mmr_diversify",
-        "q126_dsir_selection")
+        "q126_dsir_selection", "q127_dpp_join")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -135,16 +135,17 @@ object PlanAudit {
         Check("partition-pruned-index", p =>
           "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
           "prebuilt IVF probe must read only the probed cell partitions")),
-      // deterministic k-means: the argmin is a per-row fold over the
-      // broadcast centroid array — the corpus must NEVER hash-shuffle on
-      // vec_id (a rank-window assign would); the training iterations must
-      // be invisible here, collapsed into a localCheckpoint RDD leaf
-      // (otherwise the per-iteration plan doubles into the query)
+      // deterministic k-means: training is the OFFLINE ensureDetIndex
+      // job; the query reads the persisted assignment index (the same
+      // lifecycle as q42/q44) and must not shuffle it on vec_id
       "q42b_ann_ivf_deterministic" -> Seq(
         Check("no-vecid-shuffle", p => !p.contains("hashpartitioning(vec_id"),
           "assign is a broadcast fold — corpus never shuffles on vec_id"),
-        Check("checkpointed-centroids", _.contains("Scan ExistingRDD"),
-          "trained centroids enter as a checkpoint leaf, not inline lineage")),
+        // the query must read the PERSISTED assignment index, not train
+        // inline (training lineage would show the raw embeddings scan)
+        Check("prebuilt-assignments", p =>
+          p.contains("-det") && !p.contains("embeddings.parquet"),
+          "assignments come from the offline index, never in-query training")),
       // IVF-PQ: the encoded corpus is scanned once against broadcast
       // probe LUTs — it must never hash-shuffle on vec_id (encoding and
       // ADC scoring are per-row folds); the trained codebooks enter as
@@ -165,6 +166,14 @@ object PlanAudit {
       "q73_decontaminate" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "shingle overlap must be a key join, never a cross product")),
+      // the dim-side filter must become a runtime pruning subquery on
+      // the partitioned fact scan — DPP is what makes a date/tenant-
+      // partitioned 100 TB fact readable: 2 of 5 partitions here
+      "q127_dpp_join" -> Seq(
+        Check("dynamic-pruning", _.contains("dynamicpruning"),
+          "the fact scan must carry a dynamicpruningexpression"),
+        Check("broadcast-dim", _.contains("BroadcastHashJoin"),
+          "the 5-row dim must broadcast")),
       // the point-lookup equality must reach the parquet scan of the
       // bloom-kept files (the lit comparison coerces the LITERAL, so
       // pushdown survives; casting the column would block it)
