@@ -303,6 +303,60 @@ object ScaleStress {
           abs(col("pc1") - col("pc2")) <= eps).count()
     }
 
+    // MMR candidate machinery à la q125 — cost ∝ queries × C² (the
+    // greedy itself is bounded per query); probes 3 → 30 is the 10×
+    def mmrRun(embs: DataFrame, nProbes: Int): Long = {
+      val probes = embs.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = embs
+        .join(broadcast(probes), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          expr("cast(floor(1000000 * cosine_sim(qe, embedding)) as bigint)")
+            .as("rel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("doc_id"))
+      val cands = scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 30)
+        .select(col("query_id"), col("doc_id"))
+      val vecs = embs
+        .join(broadcast(cands.select(col("doc_id")).distinct()),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("embedding"))
+      cands.as("x").join(cands.as("y"),
+          col("x.query_id") === col("y.query_id") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.query_id").as("query_id"),
+          col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .join(broadcast(vecs.withColumnsRenamed(
+          Map("doc_id" -> "a", "embedding" -> "ea"))), Seq("a"))
+        .join(broadcast(vecs.withColumnsRenamed(
+          Map("doc_id" -> "b", "embedding" -> "eb"))), Seq("b"))
+        .withColumn("sim",
+          expr("cast(floor(1000000 * cosine_sim(ea, eb)) as bigint)"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+        .count()
+    }
+
+    // DSIR scoring à la q126 — the weight table is constant (8192
+    // rows); cost must track the token stream
+    def dsirRun(docs: DataFrame): Long = {
+      val toks = docs.select(col("doc_id"), col("lang"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')"))
+            .as("term"))
+        .withColumn("b", expr(
+          "cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint) % 8192"))
+      val bw = toks.groupBy(col("b")).agg(count(lit(1)).as("cs"),
+        sum(expr("cast(lang = 'en' as bigint)")).as("ct"))
+      val tot = bw.agg(sum(col("cs")).as("s"), sum(col("ct")).as("t"))
+      val wts = bw.crossJoin(broadcast(tot)).select(col("b"),
+        expr("((ct + 1) * (s + 8192) * 1000000L) div ((cs + 1) * (t + 8192))")
+          .as("rm"))
+      toks.join(broadcast(wts), Seq("b")).groupBy(col("doc_id"))
+        .agg(sum(col("rm") - lit(1000000L)).as("ss"))
+        .filter(col("ss") > 0).count()
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -372,6 +426,11 @@ object ScaleStress {
     val (spT10, _) = time(spanRun(d10))
     val (epT1, _) = time(epsRun(or1))
     val (epT10, _) = time(epsRun(or10))
+    mmrRun(e1, 3); dsirRun(d1) // warm up
+    val (mmT1, _) = time(mmrRun(e1, 3))
+    val (mmT10, _) = time(mmrRun(e1, 30))
+    val (dsT1, _) = time(dsirRun(d1))
+    val (dsT10, _) = time(dsirRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -392,7 +451,9 @@ object ScaleStress {
       f""""ewma_1x_s":$ewT1%.2f,"ewma_10x_s":$ewT10%.2f,"ewma_ratio":${ewT10 / ewT1}%.1f,""" +
       f""""semdedup_1x_s":$sdT1%.2f,"semdedup_10x_s":$sdT10%.2f,"semdedup_ratio":${sdT10 / sdT1}%.1f,""" +
       f""""spans_1x_s":$spT1%.2f,"spans_10x_s":$spT10%.2f,"spans_ratio":${spT10 / spT1}%.1f,""" +
-      f""""epsjoin_1x_s":$epT1%.2f,"epsjoin_10x_s":$epT10%.2f,"epsjoin_ratio":${epT10 / epT1}%.1f}""")
+      f""""epsjoin_1x_s":$epT1%.2f,"epsjoin_10x_s":$epT10%.2f,"epsjoin_ratio":${epT10 / epT1}%.1f,""" +
+      f""""mmr_1x_s":$mmT1%.2f,"mmr_10x_s":$mmT10%.2f,"mmr_ratio":${mmT10 / mmT1}%.1f,""" +
+      f""""dsir_1x_s":$dsT1%.2f,"dsir_10x_s":$dsT10%.2f,"dsir_ratio":${dsT10 / dsT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
