@@ -340,11 +340,55 @@ object EventAnalytics {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin)
 
+  // ------------------------------------------------------------- q128
+  // Markov next-event transition matrix (session path analysis — the
+  // "where do users go after X" product query, and the transition model
+  // a session-simulation or anomaly scorer trains on): per-user
+  // time-ordered event pairs via ONE user-keyed lead window (the q27
+  // ordering contract: (ts, event_id) is the deterministic total order
+  // within a user), then vocab²-bounded pair counts and integer
+  // transition probabilities p_micro = (1e6·n) div n_from (q107's
+  // log-free fixed-point precedent). Scale shape: the only event-sized
+  // shuffle is the user_id window; both aggregates collapse to
+  // event-type vocabulary size (here 5×5), and the from-totals join is
+  // a broadcast. No self-join of the log anywhere.
+  private val q128 = QueryDef.of(
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("from_ev"),
+          col("next_type").as("to_ev"))
+      val fromTot = pairs.groupBy(col("from_ev"))
+        .agg(count(lit(1)).as("n_from"))
+      pairs.groupBy(col("from_ev"), col("to_ev"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(fromTot), Seq("from_ev"))
+        .select(col("from_ev"), col("to_ev"), col("n"),
+          expr("(1000000L * n) div n_from").as("p_micro"))
+        .orderBy(col("from_ev"), col("to_ev"))
+    },
+    """WITH seq AS (
+      |  SELECT event_type AS from_ev,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_ev
+      |  FROM events),
+      |pairs AS (SELECT from_ev, to_ev FROM seq WHERE to_ev IS NOT NULL),
+      |ft AS (SELECT from_ev, COUNT(*) AS n_from FROM pairs GROUP BY 1),
+      |tr AS (SELECT from_ev, to_ev, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+      |SELECT tr.from_ev, tr.to_ev, tr.n,
+      |  CAST((1000000 * tr.n) // ft.n_from AS BIGINT) AS p_micro
+      |FROM tr JOIN ft USING (from_ev)
+      |ORDER BY from_ev, to_ev""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q110_ewma_fold" -> q110,
     "q90_funnel" -> q90,
     "q91_resample_ffill" -> q91,
     "q95_retention_cohorts" -> q95,
     "q96_incremental_agg" -> q96,
-    "q97_attribution" -> q97)
+    "q97_attribution" -> q97,
+    "q128_markov_transitions" -> q128)
 }
