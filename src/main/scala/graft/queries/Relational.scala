@@ -569,6 +569,54 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin)
 
+  // --------------------------------------------------------------- q129
+  // Winsorized robust aggregation (feature/metric preprocessing: clamp
+  // a heavy-tailed value to its per-group [p05, p95] before averaging
+  // — the outlier-robust mean a monitoring or feature pipeline
+  // computes). Quantiles use the q19 GK-exactness contract (accuracy
+  // derived as 5× the largest group ⇒ bit-equal to DuckDB
+  // quantile_disc); the clamp pass re-joins the 5-row quantile frame by
+  // BROADCAST and sums exact integer cents. Two passes over orders,
+  // one wide op each (group agg; the clamp groupBy) — at 100 TB the
+  // quantile frame is group-cardinality-sized and the join stays
+  // broadcast.
+  private val q129 = QueryDef.of(
+    (s, d) => {
+      val base = orders(s, d).select(col("o_orderpriority").as("prio"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("pc"))
+      val acc = derivedAccuracy.getOrElseUpdate(
+        s"${System.identityHashCode(s)}:$d:orders-prio", {
+          val sized = base.groupBy(col("prio")).count()
+            .agg(max(col("count"))).head()
+          val maxGroup = if (sized.isNullAt(0)) 0L else sized.getLong(0)
+          gkAccuracy(maxGroup).toInt
+        })
+      val quant = base.groupBy(col("prio")).agg(
+        percentile_approx(col("pc"), lit(0.05), lit(acc)).as("lo_cents"),
+        percentile_approx(col("pc"), lit(0.95), lit(acc)).as("hi_cents"))
+      base.join(broadcast(quant), Seq("prio"))
+        .select(col("prio"), col("lo_cents"), col("hi_cents"),
+          expr("least(greatest(pc, lo_cents), hi_cents)").as("w"))
+        .groupBy(col("prio"), col("lo_cents"), col("hi_cents"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("wsum_cents"))
+        .orderBy(col("prio"))
+    },
+    """WITH base AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+      |  FROM orders),
+      |q AS (
+      |  SELECT prio, quantile_disc(pc, 0.05) AS lo_cents,
+      |    quantile_disc(pc, 0.95) AS hi_cents
+      |  FROM base GROUP BY 1)
+      |SELECT prio, lo_cents, hi_cents, COUNT(*) AS n,
+      |  CAST(SUM(LEAST(GREATEST(pc, lo_cents), hi_cents)) AS BIGINT)
+      |    AS wsum_cents
+      |FROM base JOIN q USING (prio)
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin)
+
   // ---------------------------------------------------------------- q29
   // Pivot: order counts per month × priority (pivoted to columns). Spark
   // pivot with explicit values (no extra pass to discover them); oracle
@@ -739,6 +787,7 @@ object Relational {
   val defs: Map[String, QueryDef] = Map(
     "q121_epsilon_join" -> q121,
     "q19_approx_quantiles" -> q19,
+    "q129_winsorized_agg" -> q129,
     "q26_cube" -> q26,
     "q29_pivot" -> q29,
     "q29b_multiset_ops" -> q29b,
