@@ -75,6 +75,41 @@ class ManifestConcurrencySpec extends AnyFunSuite {
     assert(reader.latestVersion() == 11L) // 12 commits, contiguous
   }
 
+  test("racing writers crossing a checkpoint boundary fold correctly") {
+    // checkpointInterval=4 → several checkpoints materialize WHILE two
+    // writers race on version numbers; whichever writer lands the
+    // interval-th version writes the checkpoint, and later folds (and
+    // late writers' conflict validation) must see the same state
+    // through checkpoint + deltas as through pure deltas
+    val root = freshRoot()
+    val w1 = new ManifestCatalog(spark, root, checkpointInterval = 4)
+    val w2 = new ManifestCatalog(spark, root, checkpointInterval = 4)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    Seq(w1 -> 0, w2 -> 1).foreach { case (w, wi) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until 5).foreach(i => w.append("t", rows(wi * 1000 + i * 100, 40)))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"append must never conflict: ${failures.peek()}")
+    val reader = new ManifestCatalog(spark, root, checkpointInterval = 4)
+    assert(reader.read("t").count() == 2 * 5 * 40)
+    assert(reader.latestVersion() == 9L) // 10 commits, v0..v9, no gaps
+    // at least one checkpoint materialized mid-race, and the fold from
+    // it agrees with the data
+    val (ckpt, deltas) = reader.logStats()
+    assert(ckpt.nonEmpty, "a checkpoint must have materialized")
+    assert(deltas <= 4, s"fold must read <= interval deltas, read $deltas")
+  }
+
   test("losing a removal race aborts instead of resurrecting files") {
     val root = freshRoot()
     val w1 = new ManifestCatalog(spark, root)
