@@ -266,7 +266,86 @@ object Extras {
        |GROUP BY e.label
        |ORDER BY e.label""".stripMargin)
 
+  // ------------------------------------------------------------- q130
+  // Data-quality audit: referential-integrity and domain checks as ONE
+  // unioned metrics frame — the post-load validation pass a warehouse
+  // runs before publishing a batch (dbt-test / Deequ shape). Each check
+  // is a single anti-join or filtered count against its relation (AQE
+  // broadcasts the key side where it fits), with the violation rate in
+  // integer micro-units; a production deploy runs the same checks
+  // incrementally on each ingested batch, so cost tracks the delta,
+  // not the table. Mixed expectations by design: the FK checks hold
+  // (0 violations) while the coverage checks are non-zero — both
+  // directions exercise the machinery.
+  private val q130 = QueryDef.of(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val ev = Tables.events(s, d)
+      def audit(name: String, bad: org.apache.spark.sql.DataFrame,
+          total: org.apache.spark.sql.DataFrame) =
+        bad.agg(count(lit(1)).as("n_bad"))
+          .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
+          .select(lit(name).as("check_name"), col("n_bad"),
+            col("n_total"),
+            expr("(1000000L * n_bad) div n_total").as("bad_micro"))
+      audit("customer_no_events",
+        c.join(ev.select(col("user_id")),
+          col("c_custkey") === col("user_id"), "left_anti"), c)
+        .unionByName(audit("customer_no_orders",
+          c.join(o.select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti"), c))
+        .unionByName(audit("events_user_not_customer",
+          ev.join(c.select(col("c_custkey")),
+            col("user_id") === col("c_custkey"), "left_anti"), ev))
+        .unionByName(audit("lineitem_orphan_order",
+          li.join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"), li))
+        .unionByName(audit("orders_nonpositive_total",
+          o.filter(col("o_totalprice") <= 0), o))
+        .unionByName(audit("orders_orphan_customer",
+          o.join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti"), o))
+        .orderBy(col("check_name"))
+    },
+    """WITH checks AS (
+      |  SELECT 'customer_no_events' AS check_name,
+      |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+      |      (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey))
+      |      AS n_bad,
+      |    (SELECT COUNT(*) FROM customer) AS n_total
+      |  UNION ALL
+      |  SELECT 'customer_no_orders',
+      |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+      |    (SELECT COUNT(*) FROM customer)
+      |  UNION ALL
+      |  SELECT 'events_user_not_customer',
+      |    (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+      |    (SELECT COUNT(*) FROM events)
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_order',
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |    (SELECT COUNT(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders_nonpositive_total',
+      |    (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0),
+      |    (SELECT COUNT(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_orphan_customer',
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |    (SELECT COUNT(*) FROM orders))
+      |SELECT check_name, n_bad, n_total,
+      |  CAST((1000000 * n_bad) // n_total AS BIGINT) AS bad_micro
+      |FROM checks
+      |ORDER BY check_name""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q130_dq_audit" -> q130,
     "q123_sql_text" -> q123,
     "q57_json_struct" -> q57,
     "q58_array_funcs" -> q58,
