@@ -85,7 +85,7 @@ object WarehouseDemo {
     // 9. checkpoint + vacuum: bounded log, reclaimed garbage
     (1 to 4).foreach(i =>
       cat.append("audit", Seq((i, s"evt$i")).toDF("i", "what")))
-    val reclaimed = cat.vacuum()
+    val reclaimed = cat.vacuum(retentionMs = 0L) // demo teardown: no writers in flight
     println(s"[9] vacuum reclaimed $reclaimed files; " +
       s"accounts=${count("accounts")}, audit=${count("audit")}")
 

@@ -259,13 +259,26 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * `checkpointInterval`-th version also materializes a checkpoint
     * (checkpoints are derived data — two writers racing on the same
     * checkpoint number produce identical content, so the plain rename
-    * there is benign). */
+    * there is benign).
+    *
+    * `readVersion` is the OTHER half of the conflict story: a snapshot
+    * transaction (compaction, MERGE, DELETE — anything that read the
+    * table, computed a rewrite, and now commits `removed`/`replace`)
+    * records the manifest version it READ at. Versions that landed
+    * AFTER that read are conflicts to validate even when this writer's
+    * counter is fresh and the link publish wins first try — a losing
+    * link race is merely one way to discover intervening commits, not
+    * the definition of them (two compactions serialized by a long
+    * rewrite job would otherwise BOTH land, duplicating every row).
+    * Append-only commits read nothing and pass None: order-independent
+    * by construction. */
   private[sinks] def commitVersion(batchId: Option[Long],
       add: Map[String, Seq[String]],
       replace: Map[String, Seq[String]] = Map.empty,
       removed: Map[String, Seq[String]] = Map.empty,
       schemas: Map[String, String] = Map.empty,
-      stats: Map[String, String] = Map.empty): Unit = synchronized {
+      stats: Map[String, String] = Map.empty,
+      readVersion: Option[Long] = None): Unit = synchronized {
     manifestDir.mkdirs()
     var attempt = 0
     while (attempt < ManifestCatalog.MaxCommitAttempts) {
@@ -275,18 +288,22 @@ final class ManifestCatalog(spark: SparkSession, root: String,
           .orElse(latestCheckpoint().map(_.n + 1))
           .getOrElse(0L)
       val next = nextVersion
+      // the transaction's base: everything after it is unseen. Non-
+      // snapshot commits base at next-1 (nothing older concerns them).
+      val base = readVersion.getOrElse(next - 1)
+      // pre-publish validation: versions in (base, next) landed after
+      // this transaction's read — winning the link race does NOT make
+      // them compatible. Re-runs on every retry so each attempt
+      // validates against whatever has landed by then.
+      if (base < next - 1 &&
+          validateConflicts(batchId, replace, removed, schemas, after = base))
+        return // batch id already committed by another writer
       val body = render(Version(next, batchId, add, replace, removed, schemas,
         stats))
       val tmp = Files.createTempFile(manifestDir.toPath, ".tmp-v", ".json")
       Files.write(tmp, body.getBytes(UTF_8))
-      val won =
-        try {
-          Files.createLink(manifestDir.toPath.resolve(f"v$next%020d.json"),
-            tmp)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
+      val won = publish(manifestDir.toPath.resolve(f"v$next%020d.json"), tmp,
+        body)
       Files.deleteIfExists(tmp)
       if (won) {
         nextVersion = next + 1
@@ -294,7 +311,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         return
       }
       nextVersion = -2L // another writer took this number: refresh from disk
-      if (validateLostRace(batchId, replace, removed, schemas, since = next))
+      if (validateConflicts(batchId, replace, removed, schemas, after = base))
         return // already effectively applied (batch replayed by the winner)
       attempt += 1
     }
@@ -303,17 +320,54 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         "times — livelocked against other writers")
   }
 
-  /** After losing a version race: decide retry / already-applied /
-    * abort. Returns true iff the commit must NOT be retried because
-    * another writer already committed this batch id (streaming replay
-    * across writers — the rows this writer staged stay orphaned and
-    * invisible, reclaimed by [[vacuum]]). Throws
+  /** Test seam: forces the CREATE_NEW fallback publish path, simulating
+    * a filesystem without hard-link support (FAT, some network/object-
+    * store mounts). */
+  private[sinks] var hardLinksDisabledForTest = false
+
+  /** Publish `tmp` as `target`, returning false iff the target already
+    * exists (a lost version race). Primary path: hard link — atomic
+    * fail-on-exists across processes. Filesystems without hard-link
+    * support throw `UnsupportedOperationException` (or a generic
+    * `FileSystemException`); those fall back to a CREATE_NEW write,
+    * equally atomic-fail-on-exists on POSIX-compliant stores. (On a
+    * store where CREATE_NEW is not atomic either, multi-writer sharing
+    * needs external coordination — single-writer remains safe, and
+    * commits no longer fail outright as they did when the link
+    * exception propagated.) */
+  private def publish(target: java.nio.file.Path,
+      tmp: java.nio.file.Path, body: String): Boolean =
+    try {
+      if (hardLinksDisabledForTest)
+        throw new UnsupportedOperationException("links disabled by test seam")
+      Files.createLink(target, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException |
+          _: java.nio.file.FileSystemException =>
+        try {
+          Files.write(target, body.getBytes(UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    }
+
+  /** Validate this commit against every version that landed after
+    * `after` — the transaction's read version for snapshot rewrites,
+    * or the last version this writer believed in for plain commits
+    * that lost a link race. Returns true iff the commit must NOT be
+    * (re)written because another writer already committed this batch id
+    * (streaming replay across writers — the rows this writer staged
+    * stay orphaned and invisible, reclaimed by [[vacuum]]). Throws
     * `ConcurrentModificationException` on a true write-write conflict. */
-  private def validateLostRace(batchId: Option[Long],
+  private def validateConflicts(batchId: Option[Long],
       replace: Map[String, Seq[String]],
       removed: Map[String, Seq[String]],
       schemas: Map[String, String],
-      since: Long): Boolean = {
+      after: Long): Boolean = {
     if (batchId.exists(batchCommitted)) return true
     if (removed.nonEmpty) {
       val live = snapshot()
@@ -327,7 +381,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
               "another writer")
       }
     }
-    val intervening = readDeltas(since - 1)
+    val intervening = readDeltas(after)
     if (replace.nonEmpty && intervening.exists(v =>
         (v.add.keySet ++ v.replace.keySet ++ v.removed.keySet)
           .exists(replace.keySet)))
@@ -511,9 +565,10 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   // min/max value embeds a tab or newline must not be able to break the
   // line structure — or forge a zone-map line for ANOTHER column, which
   // would let a crafted value cause wrong file skipping (violating the
-  // "skipping is never a correctness input" contract). Values without
-  // \t/\n/\\ encode unchanged, so pre-escape manifests decode
-  // identically.
+  // "skipping is never a correctness input" contract). The escaped
+  // format is VERSIONED by a header line (EscapedStatsHeader below):
+  // decode unescapes only marked blocks, so a legacy value holding a
+  // literal backslash-t sequence is never reinterpreted as a tab.
   private def escField(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
   private def unescField(s: String): String = {
@@ -533,27 +588,42 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     b.toString
   }
 
-  private def encodeColStats(m: Map[String, (String, String)]): String =
+  /** Header line marking a stats block whose fields are backslash-
+    * escaped. Blocks WITHOUT it predate the escaping (or come from a
+    * foreign writer) and must decode their fields verbatim — running
+    * the unescaper over a legacy value containing a literal `\t`/`\n`/
+    * `\\` sequence would silently alter the recorded extrema and could
+    * prune files that DO contain matches. The marker line itself can
+    * never collide with a data line: data lines always carry two tabs. */
+  private val EscapedStatsHeader = "#esc1"
+
+  private[sinks] def encodeColStats(m: Map[String, (String, String)]): String =
     java.util.Base64.getEncoder.encodeToString(
-      m.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      (EscapedStatsHeader +: m.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s"${escField(c)}\t${escField(mn)}\t${escField(mx)}"
-      }.mkString("\n").getBytes(UTF_8))
+      }).mkString("\n").getBytes(UTF_8))
 
   // Tolerant decode: a malformed line (wrong field count, bad base64 —
   // e.g. a manifest hand-edited or written by a future format) degrades
   // to "no stats for that column/file", which every stats consumer
   // already treats as "keep the file". Stats may only ever REMOVE work,
   // never answers.
-  private def decodeColStats(b64: String): Map[String, (String, String)] =
-    try new String(java.util.Base64.getDecoder.decode(b64), UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
-        line.split("\t", -1) match {
-          case Array(c, mn, mx) =>
-            Some(unescField(c) -> (unescField(mn), unescField(mx)))
-          case _ => None
-        }
+  private[sinks] def decodeColStats(b64: String): Map[String, (String, String)] =
+    try {
+      val lines = new String(java.util.Base64.getDecoder.decode(b64), UTF_8)
+        .split("\n").toSeq
+      // fields are unescaped ONLY for blocks the escaping encoder wrote
+      // (marked by the header); legacy blocks decode verbatim
+      val escaped = lines.headOption.contains(EscapedStatsHeader)
+      val dec: String => String = if (escaped) unescField else identity
+      (if (escaped) lines.tail else lines).filter(_.nonEmpty).flatMap {
+        line =>
+          line.split("\t", -1) match {
+            case Array(c, mn, mx) => Some(dec(c) -> (dec(mn), dec(mx)))
+            case _ => None
+          }
       }.toMap
-    catch { case _: IllegalArgumentException => Map.empty }
+    } catch { case _: IllegalArgumentException => Map.empty }
 
   /** Append with per-file min/max stats for `statsCols` recorded in the
     * SAME commit (Delta-style data skipping: stats live in the log, so a
@@ -638,26 +708,66 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * which probe `decodeColStats(...).get(<plain column name>)`. */
   private val BloomKeyPrefix = "#bloom:"
 
+  /** Canonical string form of `value` for probing a bloom on a column
+    * of type `dt`. The per-file blooms are built over the column's
+    * cast-to-string canonical forms, while the read filter coerces the
+    * string LITERAL to the column type — so a non-canonical spelling
+    * ("042" for a LONG column, "1" for a DOUBLE storing 1.0) passes the
+    * filter semantics but would miss the bloom. Probing with the cast
+    * ROUND-TRIP ("042" → 42L → "42") restores the no-false-negative
+    * contract. None ⇒ the value does not cast to the column type (TRY
+    * semantics) — the caller must keep every file and let the filter
+    * own the semantics (no match, or the session's ANSI cast error). */
+  private def canonicalProbe(dt: org.apache.spark.sql.types.DataType,
+      value: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.types.StringType
+    if (dt == StringType) return Some(value)
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    Option(Cast(Literal(value), dt, zone, EvalMode.TRY).eval(null))
+      .flatMap(typed => Option(
+        Cast(Literal.create(typed, dt), StringType, zone, EvalMode.TRY)
+          .eval(null)))
+      .map(_.toString)
+  }
+
   /** File list after BLOOM pruning for `col = value` — the point-lookup
     * complement to [[statsPrunedFiles]]: a uniformly scattered
     * high-cardinality key defeats min/max ranges (every file's [min,max]
     * covers every probe), but a per-file bloom proves "definitely not
     * here". Files without a bloom for the column are always kept; a
-    * positive bloom is only "maybe" — the filter owns correctness.
+    * positive bloom is only "maybe" — the filter owns correctness. The
+    * probe value is canonicalized to the column type's string form
+    * first (see [[canonicalProbe]]); a value that does not cast keeps
+    * every file.
     * @return (kept files, all files) */
   def bloomPrunedFiles(table: String, column: String,
       value: String): (Seq[String], Seq[String]) = {
     val snap = snapshotFull()
     val files = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
-    val kept = files.filter { f =>
-      snap.stats.get(s"$table/$f")
-        .flatMap(b => decodeColStats(b).get(s"$BloomKeyPrefix$column"))
-        .forall { case (b64, _) =>
-          try graft.functions.FileBloomAgg.mightContain(
-            java.util.Base64.getDecoder.decode(b64), value)
-          catch { case _: IllegalArgumentException => true } // malformed → keep
-        }
+    // column type: the recorded schema, or the parquet footers when the
+    // table predates schema recording. An unknown column keeps all
+    // files — the downstream filter raises the analysis error.
+    val dt = snap.schemas.get(table).map(decodeSchema)
+      .orElse(if (files.nonEmpty)
+        Some(readWithSchema(table, files, None).schema) else None)
+      .flatMap(_.fields.find(_.name == column).map(_.dataType))
+    val probe = dt match {
+      case Some(t) => canonicalProbe(t, value)
+      case None => Some(value)
+    }
+    val kept = probe match {
+      case None => files // uncastable probe: pruning proves nothing
+      case Some(p) => files.filter { f =>
+        snap.stats.get(s"$table/$f")
+          .flatMap(b => decodeColStats(b).get(s"$BloomKeyPrefix$column"))
+          .forall { case (b64, _) =>
+            try graft.functions.FileBloomAgg.mightContain(
+              java.util.Base64.getDecoder.decode(b64), p)
+            catch { case _: IllegalArgumentException => true } // malformed → keep
+          }
+      }
     }
     (kept, files)
   }
@@ -865,6 +975,10 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     */
   def merge(table: String, source: DataFrame, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    // read version captured BEFORE the snapshot: any version landing
+    // in between is (conservatively) treated as unseen and validated
+    // at commit — see commitVersion's readVersion contract
+    val readV = latestVersion()
     val snap = snapshotFull()
     val files = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
@@ -888,7 +1002,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         .unionByName(src)
     val moved = writeParts(table, rewritten)
     commitVersion(None, add = Map(table -> moved),
-      removed = Map(table -> touched))
+      removed = Map(table -> touched), readVersion = Some(readV))
   }
 
   /** Copy-on-write DELETE: remove rows where `predicate` is TRUE (rows
@@ -899,6 +1013,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
   def delete(table: String,
       predicate: org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val readV = latestVersion() // see merge: captured before the snapshot
     val snap = snapshotFull()
     val files = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
@@ -912,7 +1027,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         .filter(not(coalesce(predicate, lit(false))))
       val moved = writeParts(table, keep)
       commitVersion(None, add = Map(table -> moved),
-        removed = Map(table -> touched))
+        removed = Map(table -> touched), readVersion = Some(readV))
     }
   }
 
@@ -981,6 +1096,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
     * crash anywhere leaves either the old or the new manifest — never a
     * missing table. */
   def compact(table: String, targetFiles: Int = 1): Unit = {
+    val readV = latestVersion() // see merge: captured before the snapshot
     val snap = snapshotFull()
     val consumed = snap.files.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
@@ -998,15 +1114,30 @@ final class ManifestCatalog(spark: SparkSession, root: String,
       statsKeys.toSeq.sorted,
       bloomKeys.map(_.stripPrefix(BloomKeyPrefix)).toSeq.sorted)
     commitVersion(None, add = Map(table -> moved),
-      removed = Map(table -> consumed), stats = stats)
+      removed = Map(table -> consumed), stats = stats,
+      readVersion = Some(readV))
   }
 
   /** Remove data files no manifest version can reach (compacted-away or
     * orphaned by a crashed append), delta versions already folded into
-    * the latest checkpoint, and superseded checkpoints. Run after a
-    * grace period longer than the longest reader. */
-  def vacuum(): Int = {
+    * the latest checkpoint, and superseded checkpoints.
+    *
+    * `retentionMs` protects IN-FLIGHT writers: [[writeParts]] moves part
+    * files into the table directory under their final names BEFORE the
+    * manifest commit references them, so to a concurrent vacuum an
+    * about-to-be-committed part is indistinguishable from a crashed
+    * append's orphan. Files younger than the retention window (mtime-
+    * based, the Delta tombstone-retention shape) are skipped — a
+    * maintenance vacuum can therefore run beside live writers as long
+    * as no single write job stages parts for longer than the window.
+    * Pass 0 only when provably no writer is in flight (tests, single-
+    * process teardown). The window must also exceed the longest
+    * reader's snapshot age: compacted-away files a pinned reader still
+    * lists become eligible once older than the window. */
+  def vacuum(retentionMs: Long = ManifestCatalog.DefaultVacuumRetentionMs)
+      : Int = {
     val live = snapshot()
+    val cutoff = System.currentTimeMillis() - retentionMs
     var removed = 0
     // log reclamation: deltas ≤ checkpoint are folded in; older
     // checkpoints are superseded by the latest
@@ -1027,7 +1158,7 @@ final class ManifestCatalog(spark: SparkSession, root: String,
         val liveSet = live.getOrElse(dir.getName, Nil).toSet
         Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.endsWith(".parquet") &&
-            !liveSet.contains(f.getName))
+            !liveSet.contains(f.getName) && f.lastModified() <= cutoff)
           .foreach { f => if (f.delete()) removed += 1 }
       }
     removed
@@ -1052,4 +1183,12 @@ object ManifestCatalog {
     * means another writer committed first — 64 consecutive losses under
     * any realistic commit cadence indicates a stuck counter, not load. */
   val MaxCommitAttempts = 64
+
+  /** Default [[ManifestCatalog.vacuum]] retention: uncommitted data
+    * files younger than this survive, so a vacuum racing an in-flight
+    * writer cannot delete parts staged (moved into the table directory)
+    * but not yet referenced by a commit. 20 minutes bounds the longest
+    * single write job the default tolerates; deployments with longer
+    * rewrites (a multi-hour compaction) should pass a larger window. */
+  val DefaultVacuumRetentionMs: Long = 20L * 60 * 1000
 }

@@ -23,13 +23,17 @@ object ManifestMaintenance {
   /** Compact every table whose committed file count exceeds
     * `maxFilesPerTable` down to `targetFiles`, then vacuum unreachable
     * data files and folded log versions. Idempotent; safe to run while
-    * the stream appends. */
+    * the stream appends — `vacuumRetentionMs` (mtime grace window)
+    * keeps the concurrent stream's staged-but-uncommitted parts and any
+    * pinned reader's recently compacted-away files out of reach. */
   def run(catalog: ManifestCatalog, maxFilesPerTable: Int = 16,
-      targetFiles: Int = 4): Report = {
+      targetFiles: Int = 4,
+      vacuumRetentionMs: Long = ManifestCatalog.DefaultVacuumRetentionMs)
+      : Report = {
     val compacted = catalog.listTables().filter { t =>
       catalog.fileCount(t) > maxFilesPerTable
     }
     compacted.foreach(catalog.compact(_, targetFiles))
-    Report(compacted, catalog.vacuum())
+    Report(compacted, catalog.vacuum(vacuumRetentionMs))
   }
 }

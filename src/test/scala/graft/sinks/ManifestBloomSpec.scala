@@ -66,6 +66,39 @@ class ManifestBloomSpec extends AnyFunSuite {
     assert(cat.readPoint("t", "k", "999999").count() == 1L)
   }
 
+  test("non-canonical probes are canonicalized — no false-negative pruning") {
+    val cat = catalog()
+    // "042" vs a LONG column: the read filter coerces the literal to
+    // 42L and matches, but the bloom was built over the canonical "42".
+    // The probe must round-trip through the column type or the pruning
+    // silently drops the matching file.
+    assert(cat.readPoint("t", "k", "042").count() == 1L)
+    assert(cat.readPoint("t", "k", " 1042 ").count() == 1L) // cast trims
+    val (kept, all) = cat.bloomPrunedFiles("t", "k", "042")
+    assert(kept.nonEmpty && kept.size < all.size,
+      "canonicalized probe must still prune to the candidate file")
+    // an uncastable probe proves nothing: every file kept, filter owns
+    // the semantics (no rows under non-ANSI, cast error under ANSI)
+    val (keptBad, allBad) = cat.bloomPrunedFiles("t", "k", "not-a-number")
+    assert(keptBad == allBad)
+  }
+
+  test("double column: probe in integer spelling still finds 1.0") {
+    val root = Files.createTempDirectory("mbloomd").toString
+    val cat = new ManifestCatalog(spark, root)
+    Seq(Seq((1.0, "a"), (2.5, "b")), Seq((7.0, "c"), (9.5, "d")))
+      .foreach { part =>
+        cat.appendWithStats("d", part.toDF("x", "tag").repartition(1),
+          statsCols = Nil, bloomCols = Seq("x"))
+      }
+    // blooms store "1.0"/"7.0" (cast-to-string of the double); the
+    // probe "1" must canonicalize to "1.0" to hit the right file
+    assert(cat.readPoint("d", "x", "1").count() == 1L)
+    assert(cat.readPoint("d", "x", "7").count() == 1L)
+    val (kept, all) = cat.bloomPrunedFiles("d", "x", "1")
+    assert(all.size == 2 && kept.size == 1)
+  }
+
   test("blooms coexist with range stats in one commit") {
     val cat = catalog()
     // range pruning still works off the same stats blocks

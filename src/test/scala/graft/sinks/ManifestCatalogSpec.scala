@@ -26,7 +26,7 @@ class ManifestCatalogSpec extends AnyFunSuite {
       .find(_.getName.endsWith(".parquet")).get
     assert(part.renameTo(orphan))
     assert(cat.read("temp").count() == 2) // orphan invisible
-    assert(cat.vacuum() == 1)             // and reclaimable
+    assert(cat.vacuum(retentionMs = 0L) == 1)             // and reclaimable
     assert(!orphan.exists())
   }
 
@@ -65,7 +65,7 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(before.count() == 4)                 // old reader still works
     assert(beforeFiles.forall(f =>             // old files still on disk
       new java.io.File(new java.net.URI(f)).exists()))
-    val removed = cat.vacuum()                  // now reclaim them
+    val removed = cat.vacuum(retentionMs = 0L)                  // now reclaim them
     assert(removed >= 4)
     assert(cat.read("s").count() == 4)          // live data untouched
   }
@@ -100,7 +100,7 @@ class ManifestCatalogSpec extends AnyFunSuite {
     cat.appendRouted(routed, Seq("t"))
     cat.commitBatch(5L)
     assert(cat.batchCommitted(5L) && cat.read("t").count() == 1)
-    assert(cat.vacuum() >= 1) // first attempt's orphans reclaimed
+    assert(cat.vacuum(retentionMs = 0L) >= 1) // first attempt's orphans reclaimed
     assert(cat.read("t").count() == 1)
   }
 

@@ -44,7 +44,7 @@ class ManifestCheckpointSpec extends AnyFunSuite {
       manifest.listFiles().count(f => f.getName.startsWith(prefix) &&
         f.getName.endsWith(".json"))
     assert(logFiles("v") == 10 && logFiles("c") == 2)
-    val removed = cat.vacuum()
+    val removed = cat.vacuum(retentionMs = 0L)
     // deltas v0..v7 folded into c7 + the superseded c3 are reclaimed
     assert(removed == 9, s"removed=$removed")
     assert(logFiles("v") == 2 && logFiles("c") == 1)
@@ -62,7 +62,7 @@ class ManifestCheckpointSpec extends AnyFunSuite {
       cat.appendBatch(b, Map("t" -> Seq((s"c$b", b.toDouble))
         .toDF("client", "value")))
     }
-    cat.vacuum()
+    cat.vacuum(retentionMs = 0L)
     (0 until 9).foreach(b =>
       assert(cat.batchCommitted(b), s"batch $b lost by checkpoint/vacuum"))
   }
@@ -87,7 +87,7 @@ class ManifestCheckpointSpec extends AnyFunSuite {
       cat.appendBatch(b, Map("t" -> Seq((s"c$b", b.toDouble))
         .toDF("client", "value")))
     }
-    cat.vacuum()
+    cat.vacuum(retentionMs = 0L)
     // a NEW instance (post-restart driver) must continue after v5, not
     // restart at 0 — its first read seeds from checkpoint + deltas
     val cat2 = new ManifestCatalog(spark, root, checkpointInterval = 4)
@@ -143,7 +143,7 @@ class ManifestCheckpointSpec extends AnyFunSuite {
     // per-batch driver cost under test)
     (0 until 2000).foreach { i =>
       cat.commitVersion(Some(i.toLong), Map("t" -> Seq(s"f$i.parquet")))
-      if (i % 500 == 0) cat.vacuum()
+      if (i % 500 == 0) cat.vacuum(retentionMs = 0L)
     }
     val (ckpt, deltas) = cat.logStats()
     assert(ckpt.exists(_ >= 1989L), s"ckpt=$ckpt")

@@ -138,6 +138,92 @@ class ManifestConcurrencySpec extends AnyFunSuite {
     assert(new ManifestCatalog(spark, root).read("t").count() == 200)
   }
 
+  test("rewrite committing from a FRESH counter still detects the conflict") {
+    // The hole the lost-race-only validation left: writer A snapshots,
+    // computes a long rewrite, and meanwhile writer B commits a
+    // conflicting rewrite. A's counter refreshes AFTER B's commit, so
+    // A's publish wins the link on the first attempt — no race is ever
+    // lost, and without read-version validation A lands silently
+    // (doubling every row for two compactions, or resurrecting rows B's
+    // MERGE deleted).
+    val root = freshRoot()
+    val w1 = new ManifestCatalog(spark, root)
+    w1.append("t", rows(0, 100))
+    w1.append("t", rows(100, 100))
+    // what a compaction snapshotting at v1 would read and consume
+    val readV = w1.latestVersion()
+    assert(readV == 1L)
+    val consumed = Option(new java.io.File(root, "t").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(consumed.size == 2)
+
+    // B's compaction commits first (v2): consumes exactly those files
+    val w2 = new ManifestCatalog(spark, root)
+    w2.compact("t")
+
+    // A commits its own rewrite of the SAME files from a fresh counter:
+    // the publish would win v3 outright — the read version is the only
+    // thing that can catch the conflict
+    val a = new ManifestCatalog(spark, root) // nextVersion = unread
+    val e = intercept[java.util.ConcurrentModificationException] {
+      a.commitVersion(None,
+        add = Map("t" -> Seq("duplicate-rows.parquet")),
+        removed = Map("t" -> consumed), readVersion = Some(readV))
+    }
+    assert(e.getMessage.contains("another writer"))
+    val reader = new ManifestCatalog(spark, root)
+    assert(reader.read("t").count() == 200)
+    assert(reader.latestVersion() == 2L) // B's compaction only
+  }
+
+  test("rewrite racing only blind appends commits fine (no false abort)") {
+    val root = freshRoot()
+    val w1 = new ManifestCatalog(spark, root)
+    w1.append("t", rows(0, 100)) // v0
+    val readV = w1.latestVersion()
+    val consumed = Option(new java.io.File(root, "t").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.endsWith(".parquet")).toSeq
+    // an append lands between A's snapshot and A's commit — the
+    // rewrite's consumed files are still live, so validation passes and
+    // the later add survives the fold
+    new ManifestCatalog(spark, root).append("t", rows(100, 50)) // v1
+    val a = new ManifestCatalog(spark, root)
+    val moved = {
+      // stand-in for a real rewrite output of the v0 file
+      val f = new java.io.File(new java.io.File(root, "t"),
+        "rewritten-okay.parquet")
+      val src = new java.io.File(new java.io.File(root, "t"), consumed.head)
+      Files.copy(src.toPath, f.toPath)
+      Seq(f.getName)
+    }
+    a.commitVersion(None, add = Map("t" -> moved),
+      removed = Map("t" -> consumed), readVersion = Some(readV))
+    val reader = new ManifestCatalog(spark, root)
+    assert(reader.read("t").count() == 150) // rewrite + surviving append
+  }
+
+  test("publish falls back to CREATE_NEW where hard links are unsupported") {
+    val root = freshRoot()
+    val w1 = new ManifestCatalog(spark, root)
+    val w2 = new ManifestCatalog(spark, root)
+    w1.hardLinksDisabledForTest = true
+    w2.hardLinksDisabledForTest = true
+    // commits keep working (previously: UnsupportedOperationException
+    // propagated and EVERY commit failed on such filesystems) …
+    for (i <- 0 until 2) {
+      w1.append("t", rows(i * 200, 100))
+      w2.append("t", rows(i * 200 + 100, 100))
+    }
+    // … and the fallback is still atomic-fail-on-exists: interleaved
+    // stale-counter writers clobber nothing
+    val reader = new ManifestCatalog(spark, root)
+    assert(reader.read("t").count() == 400)
+    assert(reader.read("t").select("k").distinct().count() == 400)
+    assert(reader.latestVersion() == 3L) // 4 commits, v0..v3, no gaps
+  }
+
   test("same batch id from two writers commits once") {
     val root = freshRoot()
     val w1 = new ManifestCatalog(spark, root)

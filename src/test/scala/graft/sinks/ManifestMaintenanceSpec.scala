@@ -25,7 +25,7 @@ class ManifestMaintenanceSpec extends AnyFunSuite {
     assert(cat.fileCount("hot") == 20 && cat.fileCount("cold") == 3)
 
     val report = ManifestMaintenance.run(cat, maxFilesPerTable = 16,
-      targetFiles = 2)
+      targetFiles = 2, vacuumRetentionMs = 0L)
     assert(report.compacted == Seq("hot"))
     assert(report.reclaimedFiles >= 20) // 20 pre-compaction data files+
     assert(cat.fileCount("hot") <= 2)
@@ -37,7 +37,7 @@ class ManifestMaintenanceSpec extends AnyFunSuite {
 
     // idempotent: a second run has nothing to do
     val again = ManifestMaintenance.run(cat, maxFilesPerTable = 16,
-      targetFiles = 2)
+      targetFiles = 2, vacuumRetentionMs = 0L)
     assert(again.compacted.isEmpty)
     // appends keep working after maintenance
     cat.append("hot", Seq(("c21", 21.0)).toDF("client", "value"))

@@ -113,7 +113,7 @@ class ManifestMergeSpec extends AnyFunSuite {
     val cat = freshCatalog()
     cat.append("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     cat.merge("t", Seq((2L, "B")).toDF("k", "v"), Seq("k"))
-    assert(cat.vacuum() >= 1) // the consumed pre-merge file
+    assert(cat.vacuum(retentionMs = 0L) >= 1) // the consumed pre-merge file
     assert(rows(cat, "t") == Set((1L, "a"), (2L, "B")))
   }
 }

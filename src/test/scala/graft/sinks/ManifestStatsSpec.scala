@@ -72,6 +72,30 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(cat.readBetween("t", "k", 1, 3).count() == 3)
   }
 
+  test("legacy (pre-escape) stats blocks decode their fields verbatim") {
+    val root = Files.createTempDirectory("mstats").toString
+    val cat = new ManifestCatalog(spark, root)
+    // a block written BEFORE field escaping existed: no header line,
+    // fields raw. A value holding a literal backslash-t SEQUENCE (two
+    // characters: '\' 't' — e.g. a Windows path "C:\temp") must decode
+    // to those two characters, not be reinterpreted as a tab: that
+    // would alter the recorded extremum and could prune files that DO
+    // contain matches.
+    val legacyLine = "p\tC:\\temp\\a\tC:\\temp\\z"
+    val legacy = java.util.Base64.getEncoder
+      .encodeToString(legacyLine.getBytes("UTF-8"))
+    assert(cat.decodeColStats(legacy) ==
+      Map("p" -> (("C:\\temp\\a", "C:\\temp\\z"))))
+    // the modern encoder versions its block with a header and
+    // round-trips the same hostile value exactly
+    val modern = cat.encodeColStats(
+      Map("p" -> (("C:\\temp\\a", "with\ttab\nand\\more"))))
+    assert(new String(java.util.Base64.getDecoder.decode(modern), "UTF-8")
+      .startsWith("#esc1\n"))
+    assert(cat.decodeColStats(modern) ==
+      Map("p" -> (("C:\\temp\\a", "with\ttab\nand\\more"))))
+  }
+
   test("files without stats are always kept (conservative pruning)") {
     val root = Files.createTempDirectory("mstats").toString
     val cat = new ManifestCatalog(spark, root)
@@ -150,7 +174,7 @@ class ManifestStatsSpec extends AnyFunSuite {
     (0 until 4).foreach { i =>
       cat.append("other", Seq((i.toLong, i.toLong)).toDF("k", "v"))
     }
-    assert(cat.vacuum() >= 0) // reclaim folded deltas
+    assert(cat.vacuum(retentionMs = 0L) >= 0) // reclaim folded deltas
     val cat2 = new ManifestCatalog(spark, root) // fresh reader, fresh fold
     val (kept, all) = cat2.statsPrunedFiles("t", "k",
       BigDecimal(100), BigDecimal(220))

@@ -35,7 +35,7 @@ class ManifestTimeTravelSpec extends AnyFunSuite {
     // pre-compaction version still reads the ORIGINAL files
     assert(cat.readAt("t", 1).collect().map(_.getString(0)).toSet ==
       Set("a", "b"))
-    assert(cat.vacuum() > 0) // reclaims the compacted-away data files
+    assert(cat.vacuum(retentionMs = 0L) > 0) // reclaims the compacted-away data files
     assert(cat.read("t").count() == 2) // live snapshot unaffected
     // the travel window shrank: v1's data files are gone
     intercept[Exception] {
@@ -49,7 +49,7 @@ class ManifestTimeTravelSpec extends AnyFunSuite {
     (0 until 4).foreach { i =>
       cat.append("t", Seq((s"r$i", i.toDouble)).toDF("client", "value"))
     }
-    assert(cat.vacuum() > 0) // deltas folded into the latest checkpoint go
+    assert(cat.vacuum(retentionMs = 0L) > 0) // deltas folded into the latest checkpoint go
     // the latest checkpoint (v3) and the live head still read fine
     assert(cat.read("t").count() == 4)
     assert(cat.readAt("t", 3).count() == 4)

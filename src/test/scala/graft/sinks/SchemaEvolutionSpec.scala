@@ -63,7 +63,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     (1 to 4).foreach(i =>
       cat.append("t", Seq((10L + i, s"c$i", i.toLong))
         .toDF("k", "v", "extra")))
-    assert(cat.vacuum() >= 1) // deltas before the checkpoint are folded in
+    assert(cat.vacuum(retentionMs = 0L) >= 1) // deltas before the checkpoint are folded in
     assert(cat.read("t").columns.toSeq == Seq("k", "v", "extra"))
     assert(cat.read("t").filter($"extra".isNull).count() == 1)
   }
