@@ -158,11 +158,16 @@ object PlanAudit {
         Check("partition-pruned-index", p =>
           "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
           "prebuilt PQ probe must read only the probed cell partitions")),
-      // PageRank output: the 3 training iterations must be collapsed
-      // into a checkpoint leaf (inline lineage would double per round)
+      // PageRank: short runs (3 iterations < the checkpoint cadence)
+      // must fuse into ONE job — no per-iteration checkpoint leaves —
+      // while the edge+degree frame enters once from the cache
       "q86_pagerank" -> Seq(
-        Check("checkpointed-ranks", _.contains("Scan ExistingRDD"),
-          "iterated ranks enter as a checkpoint leaf, not inline lineage")),
+        Check("fused-iterations", p => !p.contains("Scan ExistingRDD"),
+          "3 iterations fuse into one DAG — cadence checkpointing only " +
+            "truncates past the interval"),
+        Check("persisted-edges", _.contains("InMemoryTableScan"),
+          "edge list + out-degrees are computed once and reused from " +
+            "the cache each iteration")),
       "q73_decontaminate" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "shingle overlap must be a key join, never a cross product")),

@@ -27,18 +27,33 @@ import org.apache.spark.sql.DataFrame
   * the edge list (AQE broadcasts ranks while they fit — at web scale
   * this is the standard Pregel join) and one (dst) integer-sum shuffle
   * with map-side partials. The edge list + out-degrees are computed
-  * once and persisted; per-iteration lineage is truncated via eager
-  * localCheckpoint (the ConnectedComponents lesson). Rank skew is
-  * inherent to authority scoring — the sum is a partial-aggregated
-  * integer add, so hot dst keys cost bandwidth, not correctness.
+  * once and persisted. Rank skew is inherent to authority scoring —
+  * the sum is a partial-aggregated integer add, so hot dst keys cost
+  * bandwidth, not correctness.
+  *
+  * Lineage is truncated via eager localCheckpoint every
+  * `checkpointInterval` iterations (the ConnectedComponents lesson —
+  * an unbounded iteration chain grows the plan until analysis itself
+  * dominates), NOT every iteration: each eager checkpoint is a
+  * separate job submission plus a full materialization of the rank
+  * frame, so short runs (q86's 3 unrolled iterations) fuse into a
+  * single job while deep runs still truncate every few supersteps —
+  * the Pregel checkpoint-cadence trade. Between checkpoints replay is
+  * safe: every step is deterministic integer arithmetic over persisted
+  * inputs, and within one job each shuffle is computed once anyway.
   *
   * @param edges directed (src, dst) string-keyed edge list (callers
   *              dedup; multi-edges would double-count contributions)
   * @param iters fixed iteration count (unrolled in the oracle replay)
+  * @param checkpointInterval truncate lineage after this many
+  *                           iterations (and never on the last — the
+  *                           caller's terminal action runs it)
   * @return (node, rank) — BIGINT micro-units
   */
 object PageRank {
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int,
+      checkpointInterval: Int = 8): DataFrame = {
+    require(checkpointInterval > 0, "checkpointInterval must be positive")
     val e = edges.select(col("src"), col("dst"))
     // out-degrees are joined into the edge list ONCE and the result is
     // persisted pre-partitioned on src: every iteration's rank join
@@ -57,11 +72,13 @@ object PageRank {
     while (i < iters) {
       val sums = ranks.join(e2, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(expr("r div deg")).as("m"))
-      val next = nodes.join(sums, col("node") === col("dst"), "left")
+      var next = nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           expr("150000L + (85 * coalesce(m, 0L)) div 100").as("r"))
-        .localCheckpoint(true)
-      graft.Resources.releaseCheckpoint(ranks) // no-op on the init frame
+      if ((i + 1) % checkpointInterval == 0 && i + 1 < iters) {
+        next = next.localCheckpoint(true)
+        graft.Resources.releaseCheckpoint(ranks) // no-op unless checkpointed
+      }
       ranks = next
       i += 1
     }

@@ -39,6 +39,19 @@ class PageRankSpec extends AnyFunSuite {
     graft.Resources.releaseAll()
   }
 
+  test("checkpoint cadence never changes ranks") {
+    // every-iteration truncation (interval=1) vs the fused default
+    // (interval=8 > iters): identical integer sequences — the cadence
+    // is purely a lineage/scheduling trade
+    val e = star()
+    val fused = PageRank.run(e, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truncated = PageRank.run(e, 3, checkpointInterval = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fused == truncated)
+    graft.Resources.releaseAll()
+  }
+
   test("a node with no in-edges gets exactly the teleport term") {
     import spark.implicits._
     // d -> a only: d never receives, a never gives (deg(a) missing is
