@@ -63,7 +63,7 @@ object PlanAudit {
         "q112_dup_spans", "q113_stats_profile",
         "q121_epsilon_join", "q122_mad_outliers",
         "q124_bloom_point_lookup", "q125_mmr_diversify",
-        "q126_dsir_selection", "q127_dpp_join")
+        "q126_dsir_selection", "q127_dpp_join", "q131_triangle_count")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -347,6 +347,15 @@ object PlanAudit {
       "q122_mad_outliers" -> Seq(
         Check("broadcast-stats", _.contains("BroadcastHashJoin"),
           "median/MAD frames broadcast onto the corpus")),
+      // every triangle step is an equi-join (order pair-gen, degree
+      // orientation, src-keyed wedge, (b,c)-keyed closure) — a theta-only
+      // join anywhere would plan as a nested-loop cartesian and die on
+      // the first hub at scale
+      "q131_triangle_count" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "wedges and closures come from key joins, never all-pairs"),
+        noRoundRobin),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed exact triangle counting by degree-ordered orientation
+  * (the MapReduce-classic Suri–Vassilvitskii "node-iterator++" shape).
+  *
+  * Input: an undirected simple edge list (x, y), one row per edge with
+  * x < y (callers dedup; self-loops excluded by the strict inequality).
+  * Output: (node, tri) — the number of triangles each node belongs to
+  * (nodes in no triangle are absent).
+  *
+  * Why this shape at 100 TB: the naive wedge join from every node
+  * explodes on hubs (a degree-d node emits C(d,2) wedges — 10^12 for a
+  * d=10^6 hub). Orienting every edge from its (degree, id)-smaller
+  * endpoint to its larger makes each triangle countable exactly once
+  * from its smallest corner, and bounds every oriented out-degree by
+  * O(√m): a node keeps only neighbors of ≥ its own degree, and fewer
+  * than √(2m) nodes can have degree ≥ √(2m). Total wedge volume drops
+  * from Σ C(deg,2) to O(m^1.5) worst-case — on real skewed graphs
+  * orders of magnitude less — and both the wedge step and the closure
+  * step are plain equi-joins (src key, then (b,c) pair key), so they
+  * shuffle banded keys, broadcast nothing unbounded, and AQE's skew
+  * split covers residual hot keys. No cartesian product anywhere.
+  *
+  * Determinism: counts are integers and the three joins are
+  * key-equality joins — partition- and order-invariant, so a DuckDB
+  * oracle replays the exact pipeline.
+  */
+object TriangleCount {
+
+  /** Per-node triangle membership counts for an (x < y) edge list. */
+  def run(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("x").cast("long"), col("y").cast("long"))
+    // undirected degrees — the orientation key (ties broken by id give
+    // a TOTAL order, so every edge orients exactly one way)
+    val deg = und.select(col("x").as("n"))
+      .union(und.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val ori = und
+      .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"), "x")
+      .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"), "y")
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("x")).otherwise(col("y")).as("src"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("y")).otherwise(col("x")).as("dst"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("dy")).otherwise(col("dx")).as("dst_deg"))
+    // wedges from each edge pair sharing the oriented source, kept in
+    // total order (b strictly before c) so the closing edge — if the
+    // triangle exists — is oriented exactly b→c: closure is a pure
+    // equi-join on the (b, c) pair key, never an OR-disjunction probe
+    val e1 = ori.select(col("src").as("a"), col("dst").as("b"),
+      col("dst_deg").as("db"))
+    val e2 = ori.select(col("src").as("a2"), col("dst").as("c"),
+      col("dst_deg").as("dc"))
+    val wedges = e1.join(e2, col("a") === col("a2") &&
+        struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val closing = ori.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+  }
+}

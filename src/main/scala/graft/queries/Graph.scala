@@ -76,6 +76,71 @@ object Graph {
        |SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
       .stripMargin)
 
+  // ------------------------------------------------------------ q131
+  // Exact triangle counting ([[graft.operators.TriangleCount]]) over the
+  // part co-purchase graph: parts are linked when a high-volume order
+  // (l_quantity ≥ 35 — the threshold keeps co-occurrence meaningful
+  // instead of quadratic-in-order-width noise) contains both. Reported
+  // per brand: how many parts sit in ≥1 triangle and their total
+  // triangle membership — the "densely co-bought cluster" signal a
+  // curation pipeline uses the same way a link graph uses clustering
+  // coefficients. Degree-ordered orientation bounds the wedge volume by
+  // O(m^1.5) regardless of hub skew (see the operator's scaladoc); the
+  // whole pipeline is equi-joins + integer counts, so the oracle
+  // replays it exactly.
+  private val q131 = QueryDef.of(
+    (s, d) => {
+      // raw loads: the pair build is join-first (self-join on order),
+      // so the only movement should be the orderkey shuffle
+      val li = Tables.raw(s, d, "lineitem")
+        .filter(col("l_quantity") >= 35)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = li.select(col("ok"), col("pk").as("x"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("y")),
+          col("ok") === col("ok2") && col("x") < col("y"))
+        .select(col("x"), col("y")).distinct()
+      graft.operators.TriangleCount.run(und)
+        .join(Tables.raw(s, d, "part"), col("node") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("parts"), sum(col("tri")).as("tri_sum"))
+        .orderBy(col("brand"))
+    },
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem WHERE l_quantity >= 35),
+      |und AS (
+      |  SELECT DISTINCT a.pk AS x, b.pk AS y
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und)
+      |  GROUP BY n),
+      |ori AS (
+      |  SELECT
+      |    CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN u.x ELSE u.y END AS src,
+      |    CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN u.y ELSE u.x END AS dst,
+      |    CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN dy.d ELSE dx.d END AS dst_deg
+      |  FROM und u JOIN deg dx ON dx.n = u.x JOIN deg dy ON dy.n = u.y),
+      |wedge AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+      |   AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)),
+      |tri AS (
+      |  SELECT a, b, c FROM wedge w
+      |  JOIN ori o ON o.src = w.b AND o.dst = w.c),
+      |pernode AS (
+      |  SELECT node, COUNT(*) AS tri FROM (
+      |    SELECT a AS node FROM tri UNION ALL
+      |    SELECT b AS node FROM tri UNION ALL
+      |    SELECT c AS node FROM tri)
+      |  GROUP BY node)
+      |SELECT p_brand AS brand, COUNT(*) AS parts,
+      |  CAST(SUM(t.tri) AS BIGINT) AS tri_sum
+      |FROM pernode t JOIN part ON t.node = p_partkey
+      |GROUP BY p_brand ORDER BY brand""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
-    "q86_pagerank" -> q86)
+    "q86_pagerank" -> q86,
+    "q131_triangle_count" -> q131)
 }
