@@ -63,7 +63,8 @@ object PlanAudit {
         "q112_dup_spans", "q113_stats_profile",
         "q121_epsilon_join", "q122_mad_outliers",
         "q124_bloom_point_lookup", "q125_mmr_diversify",
-        "q126_dsir_selection", "q127_dpp_join", "q131_triangle_count")
+        "q126_dsir_selection", "q127_dpp_join", "q131_triangle_count",
+        "q132_exact_jaccard_join")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -356,6 +357,17 @@ object PlanAudit {
             !p.contains("BroadcastNestedLoopJoin"),
           "wedges and closures come from key joins, never all-pairs"),
         noRoundRobin),
+      // the exact similarity join must stay keyed end-to-end: prefix
+      // candidates from the hash equi-join (never all-pairs), per-doc
+      // ordering via sort_array inside the aggregate (a global window
+      // would single-partition the corpus)
+      "q132_exact_jaccard_join" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "candidates come from the prefix-hash equi-join, never all-pairs"),
+        Check("no-single-partition-sort", p =>
+          !"Exchange SinglePartition.*\\n.*Sort".r.findFirstIn(p).isDefined,
+          "rarest-first ordering is per-doc sort_array, not a global window")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

@@ -693,8 +693,105 @@ object Dedup {
        |    / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
        |ORDER BY new_doc, old_doc""".stripMargin)
 
+  // ------------------------------------------------------------- q132
+  // EXACT set-similarity self-join by prefix filtering (the
+  // AllPairs/PPJoin family) — the LOSSLESS complement to q31's LSH:
+  // every pair with shingle-Jaccard ≥ 0.5 is found, zero false
+  // negatives (ExactJaccardJoinSpec proves equality against the full
+  // shared-token join on the fixture). Sets live in a 40-bit md5
+  // hash domain (both engines hash identically, so collisions — ~1 per
+  // 10^6 shingles — merge the same pair of shingles on both sides).
+  //
+  // The filter: order every doc's shingles rarest-first by global
+  // (df, hash) — a TOTAL order both engines replay — and index only the
+  // first ⌊s/2⌋+1 ("prefix"); two sets with Jaccard ≥ τ=0.5 MUST share
+  // a prefix element (if they disagreed on every prefix slot the
+  // overlap can't reach the ⌈τ/(1+τ)·(sa+sb)⌉ bound), so the candidate
+  // join keys on prefix hashes only, plus the τ·sa ≤ sb ≤ sa/τ length
+  // filter. At 100 TB: df is one count shuffle, the per-doc sort is
+  // within-group (sort_array, no window), candidates shuffle 8-byte
+  // hashes, and verification fetches sets by id for candidates only.
+  // Worst-case candidate volume is inherent to EXACTNESS (a corpus
+  // whose rarest shingles are still shared by everyone) — that corpus
+  // belongs on q31's capped-bucket LSH instead; this join is the
+  // ground-truth/recall-eval tool.
+  private val hash40 =
+    "cast(conv(substring(md5(s), 1, 10), 16, 10) as bigint)"
+  private val q132 = QueryDef.of(
+    (s, d) => {
+      val shing = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          s"array_distinct(transform($shinglesExpr, s -> $hash40))")
+          .as("sh"))
+      val ex = shing.select(col("doc_id"), explode(col("sh")).as("h"))
+      val dfc = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val ordered = ex.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+          .as("o"))
+        .select(col("doc_id"), size(col("o")).as("sz"),
+          expr("transform(o, x -> x.h)").as("osh"))
+      val pfx = ordered.select(col("doc_id"), col("sz"),
+        explode(expr("slice(osh, 1, sz div 2 + 1)")).as("h"))
+      val cand = pfx.select(col("doc_id").as("d1"), col("sz").as("s1"),
+          col("h"))
+        .join(pfx.select(col("doc_id").as("d2"), col("sz").as("s2"),
+          col("h")),
+          Seq("h"))
+        .filter(col("d1") < col("d2") &&
+          col("s1") * 2 >= col("s2") && col("s2") * 2 >= col("s1"))
+        .select(col("d1"), col("d2")).distinct()
+      cand
+        .join(shing.withColumnsRenamed(
+          Map("doc_id" -> "d1", "sh" -> "sa")), "d1")
+        .join(shing.withColumnsRenamed(
+          Map("doc_id" -> "d2", "sh" -> "sb")), "d2")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("uni",
+          (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select(col("d1").as("doc1"), col("d2").as("doc2"),
+          col("inter"), col("uni"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shing AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+       |    s -> CAST('0x' || substring(md5(s), 1, 10) AS BIGINT))) AS sh
+       |  FROM toks WHERE len(toks) >= 3),
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM shing),
+       |df AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+       |ordered AS (
+       |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS osh
+       |  FROM ex e JOIN df d ON e.h = d.h GROUP BY e.doc_id),
+       |pfx AS (
+       |  SELECT doc_id, len(osh) AS sz,
+       |    unnest(list_slice(osh, 1, len(osh) // 2 + 1)) AS h
+       |  FROM ordered),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
+       |   AND 2 * a.sz >= b.sz AND 2 * b.sz >= a.sz),
+       |ver AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS inter,
+       |    CAST(len(s1.sh) + len(s2.sh)
+       |      - len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS uni
+       |  FROM cand JOIN shing s1 ON d1 = s1.doc_id
+       |            JOIN shing s2 ON d2 = s2.doc_id)
+       |SELECT d1 AS doc1, d2 AS doc2, inter, uni FROM ver
+       |WHERE 2 * inter >= uni
+       |ORDER BY doc1, doc2""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q120_incremental_dedup" -> q120,
+    "q132_exact_jaccard_join" -> q132,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q30_dedup_exact" -> q30,
