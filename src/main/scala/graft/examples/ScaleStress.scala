@@ -357,6 +357,50 @@ object ScaleStress {
         .filter(col("ss") > 0).count()
     }
 
+    // triangle counting à la q131 — disjoint node-shifted copies keep
+    // per-copy structure constant, so triangles (and cost) scale ~10×
+    def triRun(und: DataFrame): Long =
+      graft.operators.TriangleCount.run(und).count()
+
+    // exact prefix-filtered Jaccard join à la q132 — each copy's hash
+    // domain is offset by 2^41 (doc_id stride encodes the copy), so
+    // cross-copy pairs are impossible and the probe measures plan
+    // scaling, not the (legitimate) quadratic blowup of replicated text
+    def pjoinRun(docs: DataFrame): Long = {
+      val shing = docs.withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          s"""array_distinct(transform(
+             |  ${graft.queries.TextExprs.shingles3("toks")},
+             |  s -> cast(conv(substring(md5(s), 1, 10), 16, 10) as bigint)
+             |       + (doc_id div 1000000000L) * ${1L << 41}L))"""
+            .stripMargin).as("sh"))
+      val ex = shing.select(col("doc_id"), explode(col("sh")).as("h"))
+      val dfc = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val ordered = ex.join(dfc, "h").groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
+        .select(col("doc_id"), size(col("o")).as("sz"),
+          expr("transform(o, x -> x.h)").as("osh"))
+      val pfx = ordered.select(col("doc_id"), col("sz"),
+        explode(expr("slice(osh, 1, sz div 2 + 1)")).as("h"))
+      val cand = pfx
+        .select(col("doc_id").as("d1"), col("sz").as("s1"), col("h"))
+        .join(pfx.select(col("doc_id").as("d2"), col("sz").as("s2"),
+          col("h")), Seq("h"))
+        .filter(col("d1") < col("d2") &&
+          col("s1") * 2 >= col("s2") && col("s2") * 2 >= col("s1"))
+        .select("d1", "d2").distinct()
+      cand
+        .join(shing.withColumnsRenamed(
+          Map("doc_id" -> "d1", "sh" -> "sa")), "d1")
+        .join(shing.withColumnsRenamed(
+          Map("doc_id" -> "d2", "sh" -> "sb")), "d2")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("inter") * 2 >=
+          size(col("sa")) + size(col("sb")) - col("inter"))
+        .count()
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -387,6 +431,23 @@ object ScaleStress {
     val or1 = Tables.orders(spark, sfDir)
     val or10 = replicate(or1, 10, "o_orderkey", 1000000000L)
     spanRun(d1); epsRun(or1)
+
+    val und1 = {
+      val liq = li1.filter(col("l_quantity") >= 35)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      liq.select(col("ok"), col("pk").as("x"))
+        .join(liq.select(col("ok").as("ok2"), col("pk").as("y")),
+          col("ok") === col("ok2") && col("x") < col("y"))
+        .select(col("x"), col("y")).distinct()
+    }
+    def undCopies(n: Int): DataFrame = und1
+      .crossJoin(broadcast(spark.range(n).toDF("copy")))
+      .select((col("x") + col("copy") * 1000000L).as("x"),
+        (col("y") + col("copy") * 1000000L).as("y"))
+    val und1x = undCopies(1)
+    val und10x = undCopies(10)
+    triRun(und1x); pjoinRun(d1) // warm up
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
@@ -431,6 +492,10 @@ object ScaleStress {
     val (mmT10, _) = time(mmrRun(e1, 30))
     val (dsT1, _) = time(dsirRun(d1))
     val (dsT10, _) = time(dsirRun(d10))
+    val (trT1, _) = time(triRun(und1x))
+    val (trT10, _) = time(triRun(und10x))
+    val (pjT1, _) = time(pjoinRun(d1))
+    val (pjT10, _) = time(pjoinRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -453,7 +518,9 @@ object ScaleStress {
       f""""spans_1x_s":$spT1%.2f,"spans_10x_s":$spT10%.2f,"spans_ratio":${spT10 / spT1}%.1f,""" +
       f""""epsjoin_1x_s":$epT1%.2f,"epsjoin_10x_s":$epT10%.2f,"epsjoin_ratio":${epT10 / epT1}%.1f,""" +
       f""""mmr_1x_s":$mmT1%.2f,"mmr_10x_s":$mmT10%.2f,"mmr_ratio":${mmT10 / mmT1}%.1f,""" +
-      f""""dsir_1x_s":$dsT1%.2f,"dsir_10x_s":$dsT10%.2f,"dsir_ratio":${dsT10 / dsT1}%.1f}""")
+      f""""dsir_1x_s":$dsT1%.2f,"dsir_10x_s":$dsT10%.2f,"dsir_ratio":${dsT10 / dsT1}%.1f,""" +
+      f""""triangle_1x_s":$trT1%.2f,"triangle_10x_s":$trT10%.2f,"triangle_ratio":${trT10 / trT1}%.1f,""" +
+      f""""exjoin_1x_s":$pjT1%.2f,"exjoin_10x_s":$pjT10%.2f,"exjoin_ratio":${pjT10 / pjT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
