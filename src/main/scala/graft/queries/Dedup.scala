@@ -789,7 +789,153 @@ object Dedup {
        |WHERE 2 * inter >= uni
        |ORDER BY doc1, doc2""".stripMargin)
 
+  // ------------------------------------------------------------ q133
+  // Sentence-level exact dedup (the C4 pipeline's "discard any repeated
+  // unit, keep the first occurrence" step, at sentence granularity):
+  // split on '. ', normalize (lower+trim), keep only the globally FIRST
+  // occurrence of each normalized sentence — first by (doc_id, pos),
+  // a total order — and reassemble each document from its kept
+  // sentences in original order.
+  //
+  // Scale shape: first-occurrence selection is a `min(struct(doc_id,
+  // pos))` hash aggregate keyed on the normalized sentence — duplicates
+  // collapse in the map-side partial, so the shuffle carries one row
+  // per DISTINCT sentence (a window row_number would shuffle+sort every
+  // occurrence instead). The kept-join then moves only matching rows,
+  // and reassembly is a per-doc sort_array fold, never a global sort.
+  private val q133 = QueryDef.of(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sent = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("p", "sentence")))
+        .filter(trim(col("sentence")) =!= "")
+        .select(col("doc_id"), (col("p") + 1).as("pos"), col("sentence"),
+          lower(trim(col("sentence"))).as("norm"))
+      val firsts = sent.groupBy(col("norm"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+        .select(col("norm").as("fnorm"), col("f.doc_id").as("fdoc"),
+          col("f.pos").as("fpos"))
+      val kept = sent.join(firsts,
+        col("norm") === col("fnorm") && col("doc_id") === col("fdoc") &&
+          col("pos") === col("fpos"))
+      val keptAgg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(pos, sentence)))," +
+              " x -> x.sentence)"), ". ").as("text_kept"))
+      val counts = sent.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sent"))
+      docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sent"), lit(0L)).as("n_sent"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_kept"), lit("")).as("text_kept"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH arrs AS (
+      |  SELECT doc_id, string_split(text, '. ') AS arr FROM documents),
+      |raw AS (
+      |  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos,
+      |    unnest(arr) AS sentence
+      |  FROM arrs),
+      |sent AS (
+      |  SELECT doc_id, pos, sentence, lower(trim(sentence)) AS norm
+      |  FROM raw WHERE trim(sentence) <> ''),
+      |fl AS (
+      |  SELECT doc_id, pos, sentence,
+      |    ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+      |  FROM sent),
+      |keptagg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(sentence, '. ' ORDER BY pos) AS text_kept
+      |  FROM fl WHERE rn = 1 GROUP BY doc_id),
+      |counts AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sent
+      |  FROM sent GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(c.n_sent, 0) AS BIGINT) AS n_sent,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  COALESCE(k.text_kept, '') AS text_kept
+      |FROM documents d
+      |LEFT JOIN counts c ON d.doc_id = c.doc_id
+      |LEFT JOIN keptagg k ON d.doc_id = k.doc_id
+      |ORDER BY d.doc_id""".stripMargin)
+
+  // ------------------------------------------------------------ q135
+  // Clustering-agreement contingency (Rand-index pair counts) between
+  // two dedup keyings of the same corpus: A = exact content clusters
+  // (md5 of text, q30's key) and B = winnowing-fingerprint clusters
+  // (q53's min-shingle-hash; fingerprint-less short docs become
+  // singletons so they can never be spuriously merged). Pure
+  // pair-counting — every statistic is an integer (sum of C(n,2) over
+  // cluster sizes / contingency cells), so the Rand index in micro
+  // units replays exactly. This is the GLOBAL complement to q116's
+  // per-pair agreement flags: one row that says how interchangeable two
+  // dedup methods are across the whole corpus.
+  //
+  // Scale shape: three hash aggregations over (key) / (keyA, keyB) with
+  // map-side partials, then single-row arithmetic — no joins between
+  // per-doc frames, no pair materialization (the C(n,2) identity counts
+  // pairs without enumerating them).
+  private val q135 = QueryDef.of(
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), md5(col("text")).as("ca"),
+          coalesce(
+            expr(s"array_min(transform($shinglesExpr, s -> md5(s)))"),
+            concat(lit("solo_"), col("doc_id"))).as("cb"))
+      val pairsOf = (g: org.apache.spark.sql.DataFrame) =>
+        g.agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("p"))
+      val n = base.agg(count(lit(1)).as("n_docs"))
+      val pa = pairsOf(base.groupBy("ca").agg(count(lit(1)).as("n")))
+        .withColumnRenamed("p", "pairs_exact")
+      val pb = pairsOf(base.groupBy("cb").agg(count(lit(1)).as("n")))
+        .withColumnRenamed("p", "pairs_fp")
+      val pboth = pairsOf(
+        base.groupBy("ca", "cb").agg(count(lit(1)).as("n")))
+        .withColumnRenamed("p", "pairs_both")
+      n.crossJoin(pa).crossJoin(pb).crossJoin(pboth)
+        .select(col("n_docs"), col("pairs_exact"), col("pairs_fp"),
+          col("pairs_both"),
+          expr("(n_docs * (n_docs - 1)) div 2").as("pairs_total"),
+          expr("((((n_docs * (n_docs - 1)) div 2) - pairs_exact" +
+            " - pairs_fp + 2 * pairs_both) * 1000000L)" +
+            " div ((n_docs * (n_docs - 1)) div 2)").as("rand_micro"))
+    },
+    """WITH base AS (
+      |  SELECT doc_id, md5(text) AS ca,
+      |    COALESCE(
+      |      list_min(list_transform(
+      |        list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |          i -> array_to_string(
+      |            list_slice(string_split(text, ' '), i, i + 2), ' ')),
+      |        s -> md5(s))),
+      |      'solo_' || doc_id) AS cb
+      |  FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base),
+      |pa AS (SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT)
+      |  AS pairs_exact
+      |  FROM (SELECT COUNT(*) AS n FROM base GROUP BY ca)),
+      |pb AS (SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT)
+      |  AS pairs_fp
+      |  FROM (SELECT COUNT(*) AS n FROM base GROUP BY cb)),
+      |pc AS (SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT)
+      |  AS pairs_both
+      |  FROM (SELECT COUNT(*) AS n FROM base GROUP BY ca, cb))
+      |SELECT n_docs, pairs_exact, pairs_fp, pairs_both,
+      |  CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS pairs_total,
+      |  CAST((((n_docs * (n_docs - 1)) // 2) - pairs_exact - pairs_fp
+      |    + 2 * pairs_both) * 1000000
+      |    // ((n_docs * (n_docs - 1)) // 2) AS BIGINT) AS rand_micro
+      |FROM n, pa, pb, pc""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q133_sentence_dedup" -> q133,
+    "q135_cluster_agreement" -> q135,
     "q120_incremental_dedup" -> q120,
     "q132_exact_jaccard_join" -> q132,
     "q117_dedup_report" -> q117,

@@ -53,8 +53,12 @@ object Graph {
       val bidir = edges.union(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       // retained frames (edge/deg/node caches + the final checkpoint)
-      // are released by the harness-level Resources.releaseAll()
-      graft.operators.PageRank.run(bidir, PrIters)
+      // are released by the harness-level Resources.releaseAll().
+      // bidir ⇒ in-degree = out-degree ≥ 1 for every node, so the
+      // teleport-only left-join re-attach is skipped (one join/shuffle
+      // less per superstep; the oracle's LEFT JOIN is then vacuous).
+      graft.operators.PageRank.run(bidir, PrIters,
+        everyNodeHasInEdge = true)
         .select(expr(
           "IF(node % 2 = 0, concat('c', node div 2)," +
             " concat('s', node div 2))").as("node"), col("r"))
@@ -140,7 +144,90 @@ object Graph {
       |FROM pernode t JOIN part ON t.node = p_partkey
       |GROUP BY p_brand ORDER BY brand""".stripMargin)
 
+  // ------------------------------------------------------------ q134
+  // Bounded k-core peeling (k = 3, fixed 5 rounds — the q86 pattern:
+  // a FIXED superstep count both engines unroll identically) over the
+  // same part co-purchase graph as q131. Each round drops every node
+  // with degree < k and every edge touching a dropped node; the 3-core
+  // is the fixpoint, and 5 rounds reach it on the fixtures (the row
+  // count stabilizes; at other SFs the result is still well-defined as
+  // "degrees after 5 peel rounds"). k-core membership is the standard
+  // "dense cluster" curation signal one step up from q131's triangles.
+  //
+  // Scale shape per round: one integer degree aggregation (map-side
+  // partials over an x/y union) and two semi-joins keyed on node ids —
+  // no pair enumeration, no windows; the edge frame only ever shrinks.
+  private val CoreK = 3
+  private val CoreRounds = 5
+
+  // every CTE here is AS MATERIALIZED: each round references the
+  // previous round's edge set three times, so DuckDB's default inline
+  // expansion is 3^rounds copies of the whole pyramid — the plain form
+  // never finishes at sf0.01; materialized it is linear (0.3 s)
+  private def sqlPeel(i: Int): String = {
+    val prev = s"e${i - 1}"
+    s"""d$i AS MATERIALIZED (
+       |  SELECT n, COUNT(*) AS deg FROM (
+       |    SELECT x AS n FROM $prev UNION ALL SELECT y AS n FROM $prev)
+       |  GROUP BY n),
+       |a$i AS MATERIALIZED (SELECT n FROM d$i WHERE deg >= $CoreK),
+       |e$i AS MATERIALIZED (
+       |  SELECT x, y FROM $prev
+       |  WHERE x IN (SELECT n FROM a$i) AND y IN (SELECT n FROM a$i))"""
+      .stripMargin
+  }
+  private val q134 = QueryDef.of(
+    (s, d) => {
+      val li = Tables.raw(s, d, "lineitem")
+        .filter(col("l_quantity") >= 35)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      var e = li.select(col("ok"), col("pk").as("x"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("y")),
+          col("ok") === col("ok2") && col("x") < col("y"))
+        .select(col("x"), col("y")).distinct()
+      var round = 0
+      while (round < CoreRounds) {
+        // eager localCheckpoint per round (the ConnectedComponents
+        // pattern): `alive` feeds two semi-joins and `e` three subtrees
+        // — without truncation the lineage nests geometrically across
+        // rounds. Each round's edge set is small and only shrinks.
+        val prev = e
+        val deg = e.select(col("x").as("n"))
+          .union(e.select(col("y").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val alive = deg.filter(col("deg") >= CoreK).select(col("n"))
+        e = e.join(alive.withColumnRenamed("n", "x"), Seq("x"),
+            "left_semi")
+          .join(alive.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
+          .select(col("x"), col("y"))
+          .localCheckpoint(true)
+        graft.Resources.releaseCheckpoint(prev) // no-op on round 0's plan
+        round += 1
+      }
+      graft.Resources.retain(e)
+      e.select(col("x").as("n")).union(e.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .select(col("n").as("node"), col("deg"))
+        .orderBy(col("node"))
+    },
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_quantity >= 35),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |${(1 to CoreRounds).map(sqlPeel).mkString(",\n")},
+       |fin AS (
+       |  SELECT n, COUNT(*) AS deg FROM (
+       |    SELECT x AS n FROM e$CoreRounds
+       |    UNION ALL SELECT y AS n FROM e$CoreRounds)
+       |  GROUP BY n)
+       |SELECT n AS node, CAST(deg AS BIGINT) AS deg FROM fin
+       |ORDER BY node""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q86_pagerank" -> q86,
-    "q131_triangle_count" -> q131)
+    "q131_triangle_count" -> q131,
+    "q134_kcore" -> q134)
 }

@@ -52,6 +52,23 @@ class PageRankSpec extends AnyFunSuite {
     graft.Resources.releaseAll()
   }
 
+  test("everyNodeHasInEdge skips the re-attach without changing ranks") {
+    // the star graph is bidirectional, so the invariant holds; the
+    // fast path must produce the identical integer sequence, and its
+    // plan must not contain the nodes-side left join
+    val e = star()
+    val slow = PageRank.run(e, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fast = PageRank.run(e, 3, everyNodeHasInEdge = true)
+    val fastMap =
+      fast.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(slow == fastMap)
+    val plan = fast.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("leftouter"),
+      "fast path must not re-attach via a left join")
+    graft.Resources.releaseAll()
+  }
+
   test("a node with no in-edges gets exactly the teleport term") {
     import spark.implicits._
     // d -> a only: d never receives, a never gives (deg(a) missing is
