@@ -48,6 +48,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // resource hygiene: no persisted frame may outlive the run
     graft.queries.Dedup.releaseCandidateIndex(spark)
+    graft.queries.Graph.releaseCoEdges(spark)
     Resources.releaseAll()
     val leftover = spark.sparkContext.getPersistentRDDs
     if (leftover.nonEmpty)

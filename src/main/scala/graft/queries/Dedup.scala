@@ -711,6 +711,20 @@ object Dedup {
   // filter. At 100 TB: df is one count shuffle, the per-doc sort is
   // within-group (sort_array, no window), candidates shuffle 8-byte
   // hashes, and verification fetches sets by id for candidates only.
+  //
+  // POSITIONAL filter (the PPJoin refinement, still lossless): each
+  // prefix element carries its 1-based position p in the doc's ordered
+  // set. Because the (df, h) order is GLOBAL, two docs rank any shared
+  // element identically, so at their FIRST shared prefix element no
+  // shared element precedes it in either set and
+  //   overlap ≤ 1 + min(s1 − p1, s2 − p2).
+  // J ≥ 0.5 needs 3·overlap ≥ s1 + s2; matches whose bound can't reach
+  // that are dropped BEFORE the candidate dedup. The bound shrinks as
+  // positions grow, so if the first shared element fails every later
+  // one does too — filtering all matches keeps exactly the pairs whose
+  // first shared prefix element passes (no false negatives; survivors
+  // are still exactness-checked in verification). This typically cuts
+  // candidate/verification volume 2–5× at τ=0.5 prefix lengths.
   // Worst-case candidate volume is inherent to EXACTNESS (a corpus
   // whose rarest shingles are still shared by everyone) — that corpus
   // belongs on q31's capped-bucket LSH instead; this join is the
@@ -734,14 +748,19 @@ object Dedup {
         .select(col("doc_id"), size(col("o")).as("sz"),
           expr("transform(o, x -> x.h)").as("osh"))
       val pfx = ordered.select(col("doc_id"), col("sz"),
-        explode(expr("slice(osh, 1, sz div 2 + 1)")).as("h"))
-      val cand = pfx.select(col("doc_id").as("d1"), col("sz").as("s1"),
+        posexplode(expr("slice(osh, 1, sz div 2 + 1)"))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id"), col("sz"), (col("p0") + 1).as("p"),
           col("h"))
+      val cand = pfx.select(col("doc_id").as("d1"), col("sz").as("s1"),
+          col("p").as("p1"), col("h"))
         .join(pfx.select(col("doc_id").as("d2"), col("sz").as("s2"),
-          col("h")),
+          col("p").as("p2"), col("h")),
           Seq("h"))
         .filter(col("d1") < col("d2") &&
-          col("s1") * 2 >= col("s2") && col("s2") * 2 >= col("s1"))
+          col("s1") * 2 >= col("s2") && col("s2") * 2 >= col("s1") &&
+          (lit(1) + least(col("s1") - col("p1"), col("s2") - col("p2")))
+            * 3 >= col("s1") + col("s2"))
         .select(col("d1"), col("d2")).distinct()
       cand
         .join(shing.withColumnsRenamed(

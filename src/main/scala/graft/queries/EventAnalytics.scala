@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   *  - The hourly grid (q91) explodes at most `hours-in-range` rows per
   *    user — bounded fan-out, same shape as q67's chunking explode.
   *
-  * Determinism: timestamps are compared/bucketed in µs (Spark reads the
-  * fixture's TIMESTAMP(NANOS) as ns-longs and truncates to µs — exactly
-  * DuckDB's `CAST(ts AS TIMESTAMP)`, see Tables.events); outputs format
-  * time as strings per QueryDef rules; `value` doubles are copied, never
-  * re-accumulated, so float order cannot diverge.
+  * Determinism: timestamps are compared/bucketed in µs — Tables' canonical
+  * events loader adapts to the fixture's physical encoding (ns-long or µs
+  * timestamp) and always yields a µs-precision session-TZ `ts`, matching
+  * DuckDB's `CAST(ts AS TIMESTAMP)`; outputs format time as strings per
+  * QueryDef rules; `value` doubles are copied, never re-accumulated, so
+  * float order cannot diverge.
   */
 object EventAnalytics {
 
@@ -35,13 +36,9 @@ object EventAnalytics {
 
   /** Events scan WITHOUT the parallelism floor (Tables.raw rationale:
     * these queries' first wide op is a user-key shuffle over a filtered
-    * projection). Keeps Tables.events' ns→µs contract. */
+    * projection). Delegates to the single schema-adaptive loader. */
   private def eventsRaw(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.raw(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      d: String): DataFrame = Tables.eventsRaw(s, d)
 
   // ------------------------------------------------------------- q90
   // Ordered funnel: signup → click (≤7d after signup) → purchase (≤7d
@@ -311,9 +308,9 @@ object EventAnalytics {
   // partitioning can't reorder it.
   private val q110 = QueryDef.of(
     (s, d) => {
-      val ev = Tables.raw(s, d, "events").select(
+      val ev = eventsRaw(s, d).select(
         col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsus"),
+        unix_micros(col("ts")).as("tsus"),
         (col("value").cast("decimal(18,6)") * 1000000).cast("long")
           .as("vm"))
       ev.groupBy(col("user_id"))
