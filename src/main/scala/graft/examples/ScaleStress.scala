@@ -382,13 +382,20 @@ object ScaleStress {
         .select(col("doc_id"), size(col("o")).as("sz"),
           expr("transform(o, x -> x.h)").as("osh"))
       val pfx = ordered.select(col("doc_id"), col("sz"),
-        explode(expr("slice(osh, 1, sz div 2 + 1)")).as("h"))
+        posexplode(expr("slice(osh, 1, sz div 2 + 1)"))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id"), col("sz"), (col("p0") + 1).as("p"),
+          col("h"))
       val cand = pfx
-        .select(col("doc_id").as("d1"), col("sz").as("s1"), col("h"))
+        .select(col("doc_id").as("d1"), col("sz").as("s1"),
+          col("p").as("p1"), col("h"))
         .join(pfx.select(col("doc_id").as("d2"), col("sz").as("s2"),
-          col("h")), Seq("h"))
+          col("p").as("p2"), col("h")), Seq("h"))
         .filter(col("d1") < col("d2") &&
-          col("s1") * 2 >= col("s2") && col("s2") * 2 >= col("s1"))
+          col("s1") * 2 >= col("s2") && col("s2") * 2 >= col("s1") &&
+          // PPJoin positional bound, mirroring q132 (Dedup.scala)
+          (lit(1) + least(col("s1") - col("p1"), col("s2") - col("p2")))
+            * 3 >= col("s1") + col("s2"))
         .select("d1", "d2").distinct()
       cand
         .join(shing.withColumnsRenamed(

