@@ -380,8 +380,68 @@ object EventAnalytics {
       |FROM tr JOIN ft USING (from_ev)
       |ORDER BY from_ev, to_ev""".stripMargin)
 
+  // ------------------------------------------------------------- q137
+  // Event-sequence pattern mining (MATCH_RECOGNIZE-lite): each user's
+  // time-ordered event types collapse to a compact symbol string
+  // (s/v/c/p/e initials — distinct across the vocabulary), and behavior
+  // patterns become plain regexes over that string: "signup eventually
+  // purchases", "3+ consecutive views", "click converts with only
+  // errors between", "view-click loop ends in purchase". The per-
+  // pattern user counts are the product/path-analysis query sequence
+  // databases answer with MATCH_RECOGNIZE and Spark lacks as an
+  // operator — composed here from one user-keyed aggregate.
+  //
+  // Scale shape: ONE user-keyed shuffle (the collect_list agg); the
+  // per-user sequence is bounded by per-user event counts (production
+  // windows the lookback, q110's documented cap); the regex pass is
+  // map-side over one compact string per user, and the final count is
+  // patterns×users collapsed to |patterns| rows. Both engines run RE2/
+  // Java-regex-compatible patterns (no lookaround), so counts match.
+  private val q137 = QueryDef.of(
+    (s, d) => {
+      val pats = Seq(
+        "signup_then_purchase" -> "s.*p",
+        "three_views_in_a_row" -> "vvv",
+        "click_errors_purchase" -> "ce*p",
+        "view_click_loop_purchase" -> "(vc)+p")
+      val seqs = eventsRaw(s, d)
+        .groupBy(col("user_id"))
+        .agg(expr(
+          """array_join(transform(
+            |  sort_array(collect_list(struct(ts, event_id,
+            |    substring(event_type, 1, 1) AS c))),
+            |  x -> x.c), '')""".stripMargin).as("seq"))
+      seqs
+        .select(explode(array(pats.map { case (name, re) =>
+          struct(lit(name).as("pattern"),
+            col("seq").rlike(re).cast("long").as("m"))
+        }: _*)).as("pm"))
+        .groupBy(col("pm.pattern").as("pattern"))
+        .agg(sum(col("pm.m")).as("n_users"))
+        .orderBy(col("pattern"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    substring(event_type, 1, 1) AS c
+      |  FROM events),
+      |seqs AS (
+      |  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+      |  FROM e GROUP BY user_id),
+      |pats(pattern, re) AS (VALUES
+      |  ('signup_then_purchase', 's.*p'),
+      |  ('three_views_in_a_row', 'vvv'),
+      |  ('click_errors_purchase', 'ce*p'),
+      |  ('view_click_loop_purchase', '(vc)+p'))
+      |SELECT pattern,
+      |  CAST(SUM(CASE WHEN regexp_matches(seq, re) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_users
+      |FROM seqs CROSS JOIN pats
+      |GROUP BY pattern
+      |ORDER BY pattern""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q110_ewma_fold" -> q110,
+    "q137_event_patterns" -> q137,
     "q90_funnel" -> q90,
     "q91_resample_ffill" -> q91,
     "q95_retention_cohorts" -> q95,

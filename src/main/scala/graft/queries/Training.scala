@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed model TRAINING — the piece of a training-data pipeline
+  * that sits after curation: fit a small quality/domain probe on the
+  * corpus itself (the fastText-classifier / quality-probe loop that
+  * CCNet-style pipelines retrain per crawl). Inference over a fixed
+  * model is q93; THIS is the other direction — estimate the weights
+  * from 100 TB of labeled rows.
+  *
+  * The operator is full-batch gradient descent on a linear probe in
+  * exact integer (micro-unit) arithmetic, the q86 fixed-point
+  * discipline applied to learning:
+  *
+  *   pred = (Σ_j x_j·w_j) div 1e6          (µ-units)
+  *   err  = pred − y
+  *   g_j  = Σ_docs (x_j·err) div 1e6       (per-doc truncation —
+  *                                          deterministic, order-free)
+  *   w_j ← w_j − g_j div (4·N)             (lr = 1/4, exact)
+  *
+  * Why this is the scale-correct shape: one GD step over any corpus is
+  * ONE map-side-combined aggregation producing D+1 longs (D gradient
+  * sums + the loss) — no shuffle of examples, no driver-side data, and
+  * the model state that moves between steps is D numbers. That is the
+  * whole communication cost of full-batch training, identical at 5 000
+  * docs and 5·10^9: the driver collects D+1 longs per iteration (the
+  * sanctioned fixed-size-model collect; production broadcasts them
+  * back, AQE does it here via literals).
+  *
+  * Every quantity is integer micro-units, every division truncates
+  * toward zero in both engines (verified: DuckDB `//` ≡ Spark `div` on
+  * negatives), and sums are order-invariant — so the DuckDB oracle
+  * replays all three unrolled iterations bit-for-bit, weights AND
+  * loss. Features are deliberately simple corpus statistics (length,
+  * vowel/space/ascii-letter ratios) predicting lang='en' — the point
+  * is the exact-replayable distributed-training shape, not the model.
+  */
+object Training {
+
+  private val Dim = 5       // bias + 4 features
+  private val Iters = 3
+  private val M = 1000000L  // micro-unit scale
+
+  /** Feature frame: doc_id, x0..x4 (µ-units), y (µ-units). */
+  private def features(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n", length(col("text")))
+      .withColumn("nv",
+        col("n") - length(regexp_replace(col("text"), "[aeiou]", "")))
+      .withColumn("nsp",
+        col("n") - length(regexp_replace(col("text"), " ", "")))
+      .withColumn("nl",
+        col("n") - length(regexp_replace(col("text"), "[A-Za-z]", "")))
+      .select(col("doc_id"),
+        lit(M).as("x0"),
+        expr(s"($M * least(n, 2000)) div 2000").as("x1"),
+        expr(s"($M * nv) div (n + 1)").as("x2"),
+        expr(s"($M * nsp) div (n + 1)").as("x3"),
+        expr(s"($M * nl) div (n + 1)").as("x4"),
+        when(col("lang") === "en", lit(M)).otherwise(lit(0L)).as("y"))
+
+  /** Run [[Iters]] exact-integer GD steps; one row per iteration with
+    * the post-step weights and the pre-step training loss. */
+  private def train(s: SparkSession, d: String): DataFrame = {
+    import scala.collection.JavaConverters._
+    val f = features(s, d).persist()
+    try {
+      val n = f.count()
+      var w = Array.fill(Dim)(0L)
+      val out = Seq.newBuilder[Row]
+      for (iter <- 1 to Iters) {
+        // `div`, not `/`: `/` on longs is double division in Spark SQL
+        val errCol = expr(
+          s"(${(0 until Dim).map(j => s"x$j * ${w(j)}L").mkString(" + ")})" +
+            s" div $M - y")
+        val aggs = (0 until Dim).map(j =>
+          sum(expr(s"(x$j * err) div $M")).as(s"g$j")) :+
+          sum(expr(s"(err * err) div $M")).as("loss")
+        val r = f.withColumn("err", errCol).agg(aggs.head, aggs.tail: _*)
+          .head()
+        val loss = r.getLong(Dim)
+        for (j <- 0 until Dim) w(j) = w(j) - r.getLong(j) / (4L * n)
+        out += Row.fromSeq(iter.toLong +: (w.toSeq :+ loss))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        (Seq("iter") ++ (0 until Dim).map(j => s"w$j") ++ Seq("loss_micro"))
+          .map(org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(out.result().asJava, schema).orderBy(col("iter"))
+    } finally { f.unpersist(); () }
+  }
+
+  // ------------------------------------------------------------ q136
+  // (see object scaladoc) 3 unrolled exact-integer GD steps on a
+  // 5-dim linear probe for lang='en'; the oracle replays the identical
+  // feature extraction, gradient truncations, and weight updates.
+  private def sqlIter(i: Int, prevW: String): String =
+    s"""e$i AS (
+       |  SELECT f.*, CAST((x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3
+       |    + x4*w.w4) // 1000000 - y AS BIGINT) AS err
+       |  FROM f CROSS JOIN $prevW w),
+       |g$i AS (
+       |  SELECT CAST(SUM((x0*err) // 1000000) AS BIGINT) AS g0,
+       |         CAST(SUM((x1*err) // 1000000) AS BIGINT) AS g1,
+       |         CAST(SUM((x2*err) // 1000000) AS BIGINT) AS g2,
+       |         CAST(SUM((x3*err) // 1000000) AS BIGINT) AS g3,
+       |         CAST(SUM((x4*err) // 1000000) AS BIGINT) AS g4,
+       |         CAST(SUM((err*err) // 1000000) AS BIGINT) AS loss
+       |  FROM e$i),
+       |w$i AS (
+       |  SELECT w.w0 - g.g0 // (4*n.n) AS w0, w.w1 - g.g1 // (4*n.n) AS w1,
+       |         w.w2 - g.g2 // (4*n.n) AS w2, w.w3 - g.g3 // (4*n.n) AS w3,
+       |         w.w4 - g.g4 // (4*n.n) AS w4
+       |  FROM $prevW w CROSS JOIN g$i g CROSS JOIN n)""".stripMargin
+
+  private val q136 = QueryDef.of(
+    (s, d) => train(s, d),
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(1000000 AS BIGINT) AS x0,
+       |    (1000000 * least(length(text), 2000)) // 2000 AS x1,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, '[aeiou]', '', 'g'))))
+       |      // (length(text) + 1) AS x2,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, ' ', '', 'g'))))
+       |      // (length(text) + 1) AS x3,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, '[A-Za-z]', '', 'g'))))
+       |      // (length(text) + 1) AS x4,
+       |    CASE WHEN lang = 'en' THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |  CAST(0 AS BIGINT) AS w4),
+       |${sqlIter(1, "w0")},
+       |${sqlIter(2, "w1")},
+       |${sqlIter(3, "w2")}
+       |SELECT * FROM (
+       |  SELECT 1 AS iter, w1.*, (SELECT loss FROM g1) AS loss_micro FROM w1
+       |  UNION ALL
+       |  SELECT 2, w2.*, (SELECT loss FROM g2) FROM w2
+       |  UNION ALL
+       |  SELECT 3, w3.*, (SELECT loss FROM g3) FROM w3)
+       |ORDER BY iter""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q136_gd_probe_train" -> q136)
+}
