@@ -64,7 +64,7 @@ object PlanAudit {
         "q121_epsilon_join", "q122_mad_outliers",
         "q124_bloom_point_lookup", "q125_mmr_diversify",
         "q126_dsir_selection", "q127_dpp_join", "q131_triangle_count",
-        "q132_exact_jaccard_join")
+        "q132_exact_jaccard_join", "q134_kcore", "q137_event_patterns")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -356,7 +356,26 @@ object PlanAudit {
         Check("no-cartesian", p => !p.contains("CartesianProduct") &&
             !p.contains("BroadcastNestedLoopJoin"),
           "wedges and closures come from key joins, never all-pairs"),
+        Check("shared-edge-cache", _.contains("InMemoryTableScan"),
+          "the co-purchase edge list comes from the shared coEdges " +
+            "cache (built once, reused by q134)"),
         noRoundRobin),
+      // peeling is degree-agg + two semi-joins per round — key joins
+      // only; the returned frame scans the final round's checkpoint, so
+      // the cache check lives on q131 (same shared frame)
+      "q134_kcore" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "peeling is degree aggregation + node semi-joins, never pairs")),
+      // sequence build is ONE user-keyed aggregate; the pattern matrix
+      // collapses via one pattern-keyed aggregate — nothing else may
+      // shuffle (the regex pass is map-side over per-user strings)
+      "q137_event_patterns" -> Seq(
+        Check("two-hash-exchanges", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+          "sequence agg + pattern-count agg are the only shuffles"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "patterns explode per user row — no pattern×user join")),
       // the exact similarity join must stay keyed end-to-end: prefix
       // candidates from the hash equi-join (never all-pairs), per-doc
       // ordering via sort_array inside the aggregate (a global window
