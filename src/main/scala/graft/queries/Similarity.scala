@@ -32,7 +32,7 @@ object Similarity {
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
   private def scored(s: SparkSession, d: String,
-      probeFilter: String, sameLabelOnly: Boolean): DataFrame = {
+      probeFilter: String, labelRel: String): DataFrame = {
     VectorFunctions.register(s)
     // Norms precomputed once per row (vec_norm shares CosineSim's fold
     // contract, so dot/(n1*n2) stays bit-identical to cosine_sim) — the
@@ -42,9 +42,14 @@ object Similarity {
     val probes = e.filter(expr(probeFilter)).select(
       col("vec_id").as("probe_id"), col("label").as("probe_label"),
       col("embedding").as("probe_emb"), col("emb_norm").as("probe_norm"))
-    val joinCond = if (sameLabelOnly)
-      col("label") === col("probe_label") && col("vec_id") =!= col("probe_id")
-    else col("vec_id") =!= col("probe_id")
+    // "same" = IVF-blocked (probe its own cell), "diff" = hard-negative
+    // mining (only other labels), "any" = brute force over the corpus
+    val rel = labelRel match {
+      case "same" => col("label") === col("probe_label")
+      case "diff" => col("label") =!= col("probe_label")
+      case _      => lit(true)
+    }
+    val joinCond = rel && col("vec_id") =!= col("probe_id")
     e.join(broadcast(probes), joinCond)
       .withColumn("score", expr(
         "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
@@ -62,7 +67,7 @@ object Similarity {
   // ------------------------------------------------------------- q40
   // Brute-force cosine top-5 for 20 probe vectors over the full corpus.
   private val q40 = QueryDef.of(
-    (s, d) => topK(scored(s, d, "vec_id < 20", sameLabelOnly = false), 5),
+    (s, d) => topK(scored(s, d, "vec_id < 20", labelRel = "any"), 5),
     s"""WITH probes AS (
        |  SELECT vec_id AS probe_id, embedding AS pe
        |  FROM embeddings WHERE vec_id < 20),
@@ -84,7 +89,7 @@ object Similarity {
   // cluster label; in production the nearest kmeans centroid(s)). Scans
   // 1/n_cells of the corpus per probe — the 100 TB-viable path.
   private val q41 = QueryDef.of(
-    (s, d) => topK(scored(s, d, "vec_id < 20", sameLabelOnly = true), 5),
+    (s, d) => topK(scored(s, d, "vec_id < 20", labelRel = "same"), 5),
     s"""WITH probes AS (
        |  SELECT vec_id AS probe_id, label, embedding AS pe
        |  FROM embeddings WHERE vec_id < 20),
@@ -106,7 +111,7 @@ object Similarity {
   // "incoming batch") is compared only against its own cell; pairs above
   // the similarity floor are dup candidates.
   private val q34 = QueryDef.of(
-    (s, d) => scored(s, d, "vec_id % 50 = 0", sameLabelOnly = true)
+    (s, d) => scored(s, d, "vec_id % 50 = 0", labelRel = "same")
       .filter(col("score") >= 0.3)
       .select(col("probe_id"), col("neighbor_id"), col("score"))
       .orderBy(col("probe_id"), col("neighbor_id")),
@@ -121,6 +126,34 @@ object Similarity {
        |SELECT probe_id, neighbor_id, score FROM sc
        |WHERE score >= 0.3
        |ORDER BY probe_id, neighbor_id""".stripMargin)
+
+  // ------------------------------------------------------------ q138
+  // Hard-negative mining — the contrastive-training batch constructor
+  // (retrieval/embedding fine-tuning wants, per anchor, the negatives
+  // the current space finds MOST similar: those carry the gradient;
+  // random negatives are trivially separable). Per anchor (1-in-50
+  // sample, offset from q34's), top-5 highest-cosine vectors with a
+  // DIFFERENT label. Same scale shape as q40: bounded anchors
+  // broadcast onto the corpus scan, corpus never shuffles; production
+  // narrows the scan with the IVF cells (q42's index) before the
+  // label-exclusion filter.
+  private val q138 = QueryDef.of(
+    (s, d) => topK(scored(s, d, "vec_id % 50 = 1", labelRel = "diff"), 5),
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, label AS plabel, embedding AS pe
+       |  FROM embeddings WHERE vec_id % 50 = 1),
+       |sc AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("pe", "e.embedding")} AS score
+       |  FROM probes CROSS JOIN embeddings e
+       |  WHERE e.label <> plabel AND e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT probe_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin)
 
   // ------------------------------------------------------------- q42
   // Trained-centroid IVF ANN (graft.operators.IvfIndex): kmeans cells +
@@ -198,7 +231,7 @@ object Similarity {
         .select((col("cells_used") >= 2).cast("int").as("multi_cell"),
           (col("n_assigned") === col("n_corpus")).cast("int")
             .as("full_assign"))
-      val exact = topK(scored(s, d, "vec_id < 20", sameLabelOnly = false), 5)
+      val exact = topK(scored(s, d, "vec_id < 20", labelRel = "any"), 5)
         .select(col("probe_id"), col("neighbor_id"))
       val recall = res.select(col("probe_id"), col("neighbor_id"))
         .join(exact, Seq("probe_id", "neighbor_id"))
@@ -753,9 +786,9 @@ object Similarity {
   // LEFT join touches only the two top-5 lists (k × probes rows each).
   private val q106 = QueryDef.of(
     (s, d) => {
-      val gt = topK(scored(s, d, "vec_id < 20", sameLabelOnly = false), 5)
+      val gt = topK(scored(s, d, "vec_id < 20", labelRel = "any"), 5)
         .select(col("probe_id"), col("neighbor_id"))
-      val ivf = topK(scored(s, d, "vec_id < 20", sameLabelOnly = true), 5)
+      val ivf = topK(scored(s, d, "vec_id < 20", labelRel = "same"), 5)
         .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
       gt.join(ivf, Seq("probe_id", "neighbor_id"), "left")
         .groupBy(col("probe_id"))
@@ -908,6 +941,7 @@ object Similarity {
     "q71_int8_quantization" -> q71,
     "q34_embed_neardup" -> q34,
     "q40_ann_bruteforce" -> q40,
+    "q138_hard_negatives" -> q138,
     "q41_ann_ivf" -> q41,
     "q42_ann_ivf_kmeans" -> q42,
     "q43_ann_lsh_hyperplane" -> q43,
