@@ -68,8 +68,16 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // The NTZ wall clock IS the UTC µs count. A bare cast to
+        // TimestampType interprets it in the session TZ (micros −= tz
+        // offset), silently shifting every event timestamp in a non-UTC
+        // shell; from_utc_timestamp(·, session-TZ) adds the offset back,
+        // so the µs count survives under any session timezone (exact
+        // everywhere except inside a DST transition hour, where no
+        // NTZ→instant cast is well-defined; the fixture range avoids it).
+        df.withColumn("ts", from_utc_timestamp(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType),
+          current_timezone()))
       case _ => df
     }
 

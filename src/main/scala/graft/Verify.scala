@@ -49,6 +49,7 @@ object Verify {
     // resource hygiene: no persisted frame may outlive the run
     graft.queries.Dedup.releaseCandidateIndex(spark)
     graft.queries.Graph.releaseCoEdges(spark)
+    graft.queries.TextAnalysis.releaseBpe(spark)
     Resources.releaseAll()
     val leftover = spark.sparkContext.getPersistentRDDs
     if (leftover.nonEmpty)

@@ -55,6 +55,7 @@ object PlanAudit {
         "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
         "q82_bloom_join_filter",
         "q89_hybrid_rrf", "q90_funnel", "q93_linear_classifier",
+        "q100_bpe_encode",
         "q94_zorder_zonemap", "q96_incremental_agg", "q97_attribution",
         "q101_bucketed_join",
         "q105_kmv_distinct", "q106_ann_recall", "q107_pmi_collocations",
@@ -172,6 +173,13 @@ object PlanAudit {
       "q73_decontaminate" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "shingle overlap must be a key join, never a cross product")),
+      // the trained symbolization frame (the encoder table) comes from
+      // the per-session BPE cache — encode queries must reuse it, not
+      // replay the merge-training scan chain
+      "q100_bpe_encode" -> Seq(
+        Check("shared-encoder-cache", _.contains("InMemoryTableScan"),
+          "the word→tokens encoder is the persisted trainedBpe frame, " +
+            "shared with q88/q118")),
       // the dim-side filter must become a runtime pruning subquery on
       // the partitioned fact scan — DPP is what makes a date/tenant-
       // partitioned 100 TB fact readable: 2 of 5 partitions here

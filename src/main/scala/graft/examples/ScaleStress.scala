@@ -357,6 +357,54 @@ object ScaleStress {
         .filter(col("ss") > 0).count()
     }
 
+    // sentence-level first-occurrence dedup à la q133 — the shuffle
+    // carries one row per DISTINCT normalized sentence (map-side
+    // collapse); the copy index is folded into the norm key (replicate
+    // strides doc_id by 1e9) so distinct sentences grow 10× with the
+    // corpus and the probe measures plan scaling, not cross-copy
+    // dedup collapse
+    def sentRun(docs: DataFrame): Long = {
+      val sent = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("p", "sentence")))
+        .filter(trim(col("sentence")) =!= "")
+        .select(col("doc_id"), (col("p") + 1).as("pos"), col("sentence"),
+          concat(lower(trim(col("sentence"))), lit("_"),
+            expr("doc_id div 1000000000L")).as("norm"))
+      val firsts = sent.groupBy(col("norm"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+        .select(col("norm").as("fnorm"), col("f.doc_id").as("fdoc"),
+          col("f.pos").as("fpos"))
+      sent.join(firsts,
+          col("norm") === col("fnorm") && col("doc_id") === col("fdoc") &&
+            col("pos") === col("fpos"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+        .count()
+    }
+
+    // event-sequence pattern mining à la q137 — ONE user-keyed
+    // collect_list shuffle, regexes map-side over one compact string
+    // per user; per-user sequences are constant under user-strided
+    // replication, so cost should track the event scan ~linearly
+    def patRun(ev: DataFrame): Long =
+      ev.groupBy(col("user_id"))
+        .agg(expr(
+          """array_join(transform(
+            |  sort_array(collect_list(struct(ts, event_id,
+            |    substring(event_type, 1, 1) AS c))),
+            |  x -> x.c), '')""".stripMargin).as("seq"))
+        .select(explode(array(
+          struct(lit("s_p").as("pattern"),
+            col("seq").rlike("s.*p").cast("long").as("m")),
+          struct(lit("vvv").as("pattern"),
+            col("seq").rlike("vvv").cast("long").as("m")),
+          struct(lit("cep").as("pattern"),
+            col("seq").rlike("ce*p").cast("long").as("m")),
+          struct(lit("vcp").as("pattern"),
+            col("seq").rlike("(vc)+p").cast("long").as("m")))).as("pm"))
+        .groupBy(col("pm.pattern")).agg(sum(col("pm.m")).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+
     // triangle counting à la q131 — disjoint node-shifted copies keep
     // per-copy structure constant, so triangles (and cost) scale ~10×
     def triRun(und: DataFrame): Long =
@@ -454,7 +502,7 @@ object ScaleStress {
         (col("y") + col("copy") * 1000000L).as("y"))
     val und1x = undCopies(1)
     val und10x = undCopies(10)
-    triRun(und1x); pjoinRun(d1) // warm up
+    triRun(und1x); pjoinRun(d1); sentRun(d1); patRun(ev1) // warm up
 
     val (aggT1, aggN1) = time(aggRun(li1))
     val (aggT10, aggN10) = time(aggRun(li10))
@@ -503,6 +551,10 @@ object ScaleStress {
     val (trT10, _) = time(triRun(und10x))
     val (pjT1, _) = time(pjoinRun(d1))
     val (pjT10, _) = time(pjoinRun(d10))
+    val (snT1, _) = time(sentRun(d1))
+    val (snT10, _) = time(sentRun(d10))
+    val (ptT1, _) = time(patRun(ev1))
+    val (ptT10, _) = time(patRun(ev10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -527,7 +579,9 @@ object ScaleStress {
       f""""mmr_1x_s":$mmT1%.2f,"mmr_10x_s":$mmT10%.2f,"mmr_ratio":${mmT10 / mmT1}%.1f,""" +
       f""""dsir_1x_s":$dsT1%.2f,"dsir_10x_s":$dsT10%.2f,"dsir_ratio":${dsT10 / dsT1}%.1f,""" +
       f""""triangle_1x_s":$trT1%.2f,"triangle_10x_s":$trT10%.2f,"triangle_ratio":${trT10 / trT1}%.1f,""" +
-      f""""exjoin_1x_s":$pjT1%.2f,"exjoin_10x_s":$pjT10%.2f,"exjoin_ratio":${pjT10 / pjT1}%.1f}""")
+      f""""exjoin_1x_s":$pjT1%.2f,"exjoin_10x_s":$pjT10%.2f,"exjoin_ratio":${pjT10 / pjT1}%.1f,""" +
+      f""""sentdedup_1x_s":$snT1%.2f,"sentdedup_10x_s":$snT10%.2f,"sentdedup_ratio":${snT10 / snT1}%.1f,""" +
+      f""""patterns_1x_s":$ptT1%.2f,"patterns_10x_s":$ptT10%.2f,"patterns_ratio":${ptT10 / ptT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }

@@ -61,23 +61,38 @@ import org.apache.spark.sql.DataFrame
   * @return (node, rank) — BIGINT micro-units
   */
 object PageRank {
-  def run(edges: DataFrame, iters: Int,
-      checkpointInterval: Int = 8,
-      everyNodeHasInEdge: Boolean = false): DataFrame = {
-    require(checkpointInterval > 0, "checkpointInterval must be positive")
+  /** One-time graph preparation — the expensive, corpus-level half.
+    * Returns (e2, nodes): the degree-annotated edge list persisted
+    * pre-partitioned on src (every iteration's rank join reuses that
+    * partitioning, so only the small rank frame moves — or none of it,
+    * when AQE broadcasts it; `r div deg` is then a per-edge expression
+    * instead of a per-iteration extra join) and the distinct node set.
+    * Callers running PageRank more than once per corpus should cache
+    * this pair (see [[graft.queries.Graph]]'s per-session graph cache)
+    * — the same build-once-query-many lifecycle as the IVF/LSH indexes. */
+  def prepare(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("src"), col("dst"))
-    // out-degrees are joined into the edge list ONCE and the result is
-    // persisted pre-partitioned on src: every iteration's rank join
-    // then reuses that partitioning (only the small rank frame moves —
-    // or none of it, when AQE broadcasts it), and `r div deg` is a
-    // per-edge expression instead of a per-iteration extra join.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e2 = e.join(deg, "src").repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     graft.Resources.retain(e2)
     graft.Resources.retain(nodes)
+    (e2, nodes)
+  }
 
+  def run(edges: DataFrame, iters: Int,
+      checkpointInterval: Int = 8,
+      everyNodeHasInEdge: Boolean = false): DataFrame = {
+    val (e2, nodes) = prepare(edges)
+    runPrepared(e2, nodes, iters, checkpointInterval, everyNodeHasInEdge)
+  }
+
+  /** The per-query half: iterate over a [[prepare]]d graph. */
+  def runPrepared(e2: DataFrame, nodes: DataFrame, iters: Int,
+      checkpointInterval: Int = 8,
+      everyNodeHasInEdge: Boolean = false): DataFrame = {
+    require(checkpointInterval > 0, "checkpointInterval must be positive")
     var ranks = nodes.withColumn("r", lit(1000000L))
     var i = 0
     while (i < iters) {

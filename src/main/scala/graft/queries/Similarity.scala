@@ -47,7 +47,9 @@ object Similarity {
     val rel = labelRel match {
       case "same" => col("label") === col("probe_label")
       case "diff" => col("label") =!= col("probe_label")
-      case _      => lit(true)
+      case "any"  => lit(true)
+      case other => throw new IllegalArgumentException(
+        s"labelRel must be same|diff|any, got '$other'")
     }
     val joinCond = rel && col("vec_id") =!= col("probe_id")
     e.join(broadcast(probes), joinCond)

@@ -1003,6 +1003,51 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** Trained-BPE cache, keyed (session, corpus, split): q88 and q100
+    * train on the identical full corpus and q118 on the 80% doc_id
+    * split — each training is [[BpeSteps]] full pair-count jobs, so
+    * like the IVF/LSH/graph artifacts the merge table is built once
+    * per corpus and the queries only replay the cheap encode join.
+    * The final symbolized frame is persisted (it IS the encoder
+    * table); blocks go back via [[releaseBpe]]/Resources.releaseAll. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String),
+      (Seq[graft.operators.BpeTrainer.Merge], org.apache.spark.sql.DataFrame)]
+
+  private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String,
+      split: String): (Seq[graft.operators.BpeTrainer.Merge],
+        org.apache.spark.sql.DataFrame) =
+    bpeCache.getOrElseUpdate((s, d, split), {
+      // the filter derives from the cache key, so key↔corpus can't drift
+      val docFilter = split match {
+        case "all"     => lit(true)
+        case "train80" => col("doc_id") % 10 < 8
+        case other => throw new IllegalArgumentException(
+          s"unknown BPE split '$other'")
+      }
+      val (m, fin0) = graft.operators.BpeTrainer.train(
+        bpeWords(s, d, docFilter), BpeSteps)
+      val fin = fin0.persist()
+      graft.Resources.retain(fin)
+      (m, fin)
+    })
+
+  /** Offline build entry point (idempotent per session+corpus). */
+  def ensureBpe(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    trainedBpe(s, d, "all")._2.count()
+    trainedBpe(s, d, "train80")._2.count()
+    ()
+  }
+
+  /** Release every cached BPE artifact built on `s` (all corpora). */
+  def releaseBpe(s: org.apache.spark.sql.SparkSession): Unit =
+    bpeCache.keys.filter(_._1 eq s).foreach { k =>
+      bpeCache.remove(k).foreach { case (_, fin) =>
+        try fin.unpersist()
+        catch { case _: Throwable => () }
+      }
+    }
+
   /** Training CTE chain shared by q88 (vocab), q100 (encode) and q118
     * (eval): w0 distinct words → s0 char symbolization → s1..sN merge
     * rounds. `where` restricts the training documents. */
@@ -1024,8 +1069,7 @@ object TextAnalysis {
   private val q88 = QueryDef.of(
     (s, d) => {
       import s.implicits._
-      val (merges, fin) =
-        graft.operators.BpeTrainer.train(bpeWords(s, d), BpeSteps)
+      val (merges, fin) = trainedBpe(s, d, "all")
       val mergeRows = merges
         .map(m => ("merge", m.step, s"${m.p1}~${m.p2}", m.weight))
         .toDF("kind", "step", "token", "weight")
@@ -1067,8 +1111,7 @@ object TextAnalysis {
   // char / post-BPE token counts (all integers — order-proof).
   private val q100 = QueryDef.of(
     (s, d) => {
-      val (_, fin) =
-        graft.operators.BpeTrainer.train(bpeWords(s, d), BpeSteps)
+      val (_, fin) = trainedBpe(s, d, "all")
       val encoder = fin.select(col("word"),
         expr("cast(size(filter(split(s, '  '), x -> x != '')) as bigint)")
           .as("w_tokens"))
@@ -1523,8 +1566,7 @@ object TextAnalysis {
   // scale); held-out words join it key-to-key; one lang-keyed aggregate.
   private val q118 = QueryDef.of(
     (s, d) => {
-      val (_, fin) = graft.operators.BpeTrainer.train(
-        bpeWords(s, d, col("doc_id") % 10 < 8), BpeSteps)
+      val (_, fin) = trainedBpe(s, d, "train80")
       val encoder = fin.select(col("word"),
         expr("cast(size(filter(split(s, '  '), x -> x != '')) as bigint)")
           .as("w_tokens"))

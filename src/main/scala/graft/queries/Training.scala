@@ -69,6 +69,9 @@ object Training {
     val f = features(s, d).persist()
     try {
       val n = f.count()
+      // SUM over zero rows is null → r.getLong would NPE opaquely, and
+      // the weight update divides by n; fail with a clear message instead.
+      require(n > 0, "q136 needs a non-empty documents table")
       var w = Array.fill(Dim)(0L)
       val out = Seq.newBuilder[Row]
       for (iter <- 1 to Iters) {

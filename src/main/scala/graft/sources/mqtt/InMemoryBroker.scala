@@ -157,4 +157,12 @@ object InMemoryBroker extends MqttConnector {
 
   /** Test hygiene: forget a client entirely. */
   def reset(clientId: String): Unit = clients.remove(clientId)
+
+  /** Suite-level test hygiene: forget EVERY client. High-volume specs
+    * (the 10⁶-message soak) call this so stopped earlier-suite clients
+    * — whose `#` subscriptions would otherwise buffer every message
+    * unboundedly — don't accumulate the traffic. Safe only because the
+    * forked test JVM runs suites sequentially; never used by the
+    * pipeline itself. */
+  def resetAll(): Unit = clients.clear()
 }

@@ -55,6 +55,23 @@ class EventsLoaderSpec extends AnyFunSuite {
     }
   }
 
+  test("loader is session-timezone-proof (non-UTC shell)") {
+    // The NTZ branch used to rely on the ambient session TZ being UTC:
+    // a bare NTZ→TIMESTAMP cast re-interprets the wall clock in the
+    // session zone and would shift every µs count in a non-UTC shell.
+    // Kolkata (+05:30, no DST) makes any residual offset visible and
+    // avoids DST-transition ambiguity.
+    val (longDir, ntzDir, tzDir) = writeFixtures()
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Asia/Kolkata")
+      for (d <- Seq(longDir, ntzDir, tzDir))
+        assert(microsOf(Tables.events(spark, d)) === expectedMicros,
+          s"dir=$d under Asia/Kolkata")
+    } finally spark.conf.set(tzKey, prev)
+  }
+
   test("the real fixture loads and matches its raw µs content") {
     val d = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, d)
