@@ -43,6 +43,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"pr graph warmup failed: $e") }
     try graft.queries.TextAnalysis.ensureBpe(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bpe warmup failed: $e") }
+    try graft.queries.Similarity.ensureGroundTruth(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"gt warmup failed: $e") }
     try graft.queries.Warehouse.ensureMerged(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"cow warmup failed: $e") }
     try graft.queries.Warehouse.ensureStatsTable(spark, sfDir)
@@ -198,6 +200,7 @@ object Bench {
       graft.queries.Dedup.releaseCandidateIndex(spark)
       graft.queries.Graph.releaseCoEdges(spark)
       graft.queries.TextAnalysis.releaseBpe(spark)
+      graft.queries.Similarity.releaseGroundTruth(spark)
       Resources.releaseAll()
     } catch { case _: Throwable => () }
     spark.stop()

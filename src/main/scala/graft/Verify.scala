@@ -50,6 +50,7 @@ object Verify {
     graft.queries.Dedup.releaseCandidateIndex(spark)
     graft.queries.Graph.releaseCoEdges(spark)
     graft.queries.TextAnalysis.releaseBpe(spark)
+    graft.queries.Similarity.releaseGroundTruth(spark)
     Resources.releaseAll()
     val leftover = spark.sparkContext.getPersistentRDDs
     if (leftover.nonEmpty)
