@@ -60,9 +60,10 @@ object Retrieval {
         .filter(col("term") =!= "")
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("n_dt"))
-      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val dfT = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      // dl/df derive from tf (one row per distinct (doc, term)) — the
+      // raw token stream is shuffled exactly once (q77's contract)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("dl"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
       val n = corpus.agg(count(lit(1)).as("n_docs"))
       val avg = dl.agg(sum(col("dl")).as("tot")).crossJoin(n)
         .select(col("n_docs"),

@@ -747,9 +747,13 @@ object TextAnalysis {
         .filter(col("term") =!= "")
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("n_dt"))
-      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val dfT = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      // dl and df both DERIVE from tf — one row per distinct (doc,
+      // term) — instead of re-shuffling the raw token stream: doc
+      // length is the sum of its term counts, and document frequency
+      // is tf's row count per term (tf is already distinct on (doc,
+      // term), so no second explode+distinct pass exists anywhere).
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("dl"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val avg = dl.agg(sum(col("dl")).as("tot")).crossJoin(n)
         .select(col("n_docs"),
