@@ -1245,10 +1245,14 @@ object TextAnalysis {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val c12 = bg.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // c1 derives from c12 (Σ c12 over w2 = the w1 unigram count) and
+      // is folded INTO the count table before the stream join — the
+      // bigram stream is aggregated once and joined once; both
+      // count-table ops touch only |distinct bigrams| rows
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val cj = c12.join(c1, Seq("w1"))
       val scored = bg
-        .join(c12, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
+        .join(cj, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(expr("(1000000L * c12) div c1")).as("p_sum"))
