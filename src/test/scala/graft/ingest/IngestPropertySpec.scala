@@ -186,4 +186,62 @@ class IngestPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------- original focused properties (pre-dating the model check) --
+
+  private def sampleN[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  private val segGen = Gen.alphaNumStr.map(_.take(8))
+  private val rawTopicGen: Gen[String] = for {
+    n <- Gen.choose(0, 7)
+    segs <- Gen.listOfN(n, segGen)
+    lead <- Gen.oneOf("", "/")
+  } yield lead + segs.mkString("/")
+
+  test("topicValid agrees with the reference model on 300 random topics") {
+    import spark.implicits._
+    val topics = sampleN(rawTopicGen, 300)
+    val df = topics.map((_, "{}")).toDF("topic", "payload")
+    val got = df.select(Ingest.topicValid(col("topic")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == topics.map(t =>
+      t.startsWith("/") && t.count(_ == '/') >= 4))
+  }
+
+  test("numeric payload values round-trip through parse") {
+    import spark.implicits._
+    val vals = sampleN(Gen.chooseNum(-1e6, 1e6), 100)
+    val rows = vals.map(v => ("/c/d/x/y/s", s"""{"value":$v}"""))
+    val got = Ingest.records(rows.toDF("topic", "payload"))
+      .select("value_d").collect().map(_.getDouble(0)).toSet
+    assert(got == vals.map(v => s"$v".toDouble).toSet)
+  }
+
+  test("string payload values survive exactly (JSON-safe strings)") {
+    import spark.implicits._
+    val vals = sampleN(Gen.alphaNumStr.map(_.take(20)), 80).distinct
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (s"/c/d$i/x/y/s", s"""{"value":"$v"}""") }
+    val got = Ingest.records(rows.toDF("topic", "payload"))
+      .select("value_s").collect().map(_.getString(0)).toSet
+    assert(got == vals.toSet)
+  }
+
+  test("minhash LSH symmetry: jaccard-identical docs always bucket together") {
+    import graft.functions.MinHashSig
+    val docs = sampleN(Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d")), 40)
+      .map(_.mkString(" "))
+    // same token sequence → same signature, regardless of surrounding rows
+    docs.foreach { d =>
+      val toks = d.split(" ")
+      val s1 = MinHashSig.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+      val s2 = MinHashSig.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+      assert(s1.array.toSeq == s2.array.toSeq)
+    }
+  }
 }
