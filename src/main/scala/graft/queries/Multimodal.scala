@@ -26,6 +26,8 @@ object Multimodal {
   final case class MediaRecord(doc_id: Long, blob: Array[Byte], fmt: String)
   final case class DecodedMeta(doc_id: Long, width: Int, height: Int,
       n_pixels: Int, aspect: Double)
+  final case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+      thumb_w: Int, thumb_h: Int, scale_micro: Long)
 
   object MediaDecode {
     /** Real codec path: PNG/JPEG dimensions via pure-JDK ImageIO. A
@@ -69,6 +71,38 @@ object Multimodal {
         it.map { m =>
           val (w, h) = decode(m.blob)
           DecodedMeta(m.doc_id, w, h, w * h, w.toDouble / h)
+        }
+      }
+    }
+
+    /** Thumbnail-fit geometry: downscale (never upscale) to fit
+      * `target`, aspect-preserving, ceil-rounded so neither edge
+      * collapses to 0 — all integer math, identical for the codec and
+      * stub branches (the SQL oracle replays it from the stub dims).
+      * Returns (thumb_w, thumb_h, scale_micro). */
+    def fitDims(w: Int, h: Int, target: Int): (Int, Int, Long) = {
+      val mx = math.max(w, h)
+      if (mx <= target) (w, h, 1000000L)
+      else ((target * w + mx - 1) / mx, (target * h + mx - 1) / mx,
+        target.toLong * 1000000L / mx)
+    }
+
+    /** Per-partition RESIZE — the thumbnailing pass of a multimodal
+      * ingest pipeline (north-star "resize" op). The GEOMETRY (decode →
+      * fit → scale factor) is fully real on both branches; the pixel
+      * resample itself is the stub seam, exactly like [[decode]]'s
+      * pixel work — a real build drops its SIMD/JNI resampler into this
+      * mapPartitions body (init once per partition, stream rows) and
+      * nothing upstream or downstream changes. */
+    def resizePartitions(ds: Dataset[MediaRecord],
+        target: Int): Dataset[ResizedMeta] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        // resampler init would happen here, once per partition
+        it.map { m =>
+          val (w, h) = decode(m.blob)
+          val (tw, th, sc) = fitDims(w, h, target)
+          ResizedMeta(m.doc_id, w, h, tw, th, sc)
         }
       }
     }
@@ -239,7 +273,46 @@ object Multimodal {
       |WHERE bit_count(xor(a.ph, b.ph)) <= 3
       |ORDER BY doc1, doc2""".stripMargin)
 
+  // ------------------------------------------------------------ q139
+  // Media RESIZE (thumbnail-fit) — the remaining north-star multimodal
+  // op next to decode (q61), frame-sample (q62) and phash-dedup (q108):
+  // fit every image into a 64×64 box, downscale-only, aspect-preserving,
+  // ceil-rounded. The geometry is exact integer math shared verbatim by
+  // the real-codec branch (MultimodalSpec drives a real PNG through and
+  // checks the decoded dims feed the same formula) and the stub branch
+  // the fixture corpus exercises, so the DuckDB oracle replays every
+  // output column from the md5 header bytes; the pixel resample itself
+  // is the documented stub seam (see resizePartitions). Scale shape:
+  // one narrow mapPartitions pass (resampler init per partition), no
+  // shuffle until the output contract's doc_id sort.
+  private val q139 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      val resized = MediaDecode.resizePartitions(
+        media(s, d).as[MediaRecord], target = 64)
+      resized.toDF().orderBy(col("doc_id"))
+    },
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(text), 1, 2) AS INT) + 1 AS width,
+      |    CAST('0x' || substring(md5(text), 3, 2) AS INT) + 1 AS height
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, width, height,
+      |    greatest(width, height) AS mx
+      |  FROM m)
+      |SELECT doc_id, width, height,
+      |  CAST(CASE WHEN mx <= 64 THEN width
+      |       ELSE (64 * width + mx - 1) // mx END AS INT) AS thumb_w,
+      |  CAST(CASE WHEN mx <= 64 THEN height
+      |       ELSE (64 * height + mx - 1) // mx END AS INT) AS thumb_h,
+      |  CAST(CASE WHEN mx <= 64 THEN 1000000
+      |       ELSE (64 * 1000000) // mx END AS BIGINT) AS scale_micro
+      |FROM g
+      |ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q139_media_resize" -> q139,
     "q60_multimodal_meta" -> q60,
     "q61_multimodal_decode" -> q61,
     "q62_frame_sample" -> q62,

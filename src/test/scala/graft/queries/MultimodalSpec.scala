@@ -42,6 +42,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaDecode.decode(fake) == ((0xff + 1, 0xd8 + 1)))
   }
 
+  test("resizePartitions fits real and stub media with one geometry") {
+    import graft.queries.Multimodal.ResizedMeta
+    import spark.implicits._
+    val png = encode(200, 100, "png") // real codec branch, needs downscale
+    val tiny = encode(12, 7, "png")   // real, already fits: untouched
+    val raw = Array[Byte](199.toByte, 99, 0, 0) // stub dims (200, 100)
+    val ds = Seq(
+      MediaRecord(1L, png, "png"),
+      MediaRecord(2L, tiny, "png"),
+      MediaRecord(3L, raw, "webp")).toDS().repartition(2)
+    val out = Multimodal.MediaDecode.resizePartitions(ds, target = 64)
+      .collect().map(m => m.doc_id -> m).toMap
+    // 200×100 → ceil-fit into 64: (64, 32), scale 64/200 = 0.32
+    assert(out(1L) === ResizedMeta(1L, 200, 100, 64, 32, 320000L))
+    assert(out(2L) === ResizedMeta(2L, 12, 7, 12, 7, 1000000L))
+    // stub blob with the same dims must produce identical geometry
+    assert(out(3L) === ResizedMeta(3L, 200, 100, 64, 32, 320000L))
+    // ceil rounding never collapses an edge: extreme aspect 256×1
+    val sliver = Multimodal.MediaDecode.fitDims(256, 1, 64)
+    assert(sliver === ((64, 1, 250000L)))
+  }
+
   test("decodePartitions routes codec and stub rows through one batch") {
     import spark.implicits._
     val png = encode(32, 16, "png")
