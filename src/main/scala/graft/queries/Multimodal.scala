@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -28,6 +29,7 @@ object Multimodal {
       n_pixels: Int, aspect: Double)
   final case class ResizedMeta(doc_id: Long, width: Int, height: Int,
       thumb_w: Int, thumb_h: Int, scale_micro: Long)
+  final case class MediaFeatures(doc_id: Long, f: Array[Int])
 
   object MediaDecode {
     /** Real codec path: PNG/JPEG dimensions via pure-JDK ImageIO. A
@@ -35,7 +37,13 @@ object Multimodal {
       * non-image rows pay two byte compares, not a codec init. Returns
       * None when the blob is not a decodable image — then the
       * deterministic [[decodeStub]] applies. */
-    def decodeImage(blob: Array[Byte]): Option[(Int, Int)] = {
+    def decodeImage(blob: Array[Byte]): Option[(Int, Int)] =
+      decodeBuffered(blob).map(i => (i.getWidth, i.getHeight))
+
+    /** The full decoded image (codec branch only) — shared by the dims
+      * path above and the feature extractor, same magic-byte gate. */
+    def decodeBuffered(
+        blob: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       val isPng = blob.length > 24 && (blob(0) & 0xff) == 0x89 &&
         blob(1) == 'P'.toByte && blob(2) == 'N'.toByte && blob(3) == 'G'.toByte
       val isJpeg = blob.length > 4 && (blob(0) & 0xff) == 0xff &&
@@ -43,8 +51,7 @@ object Multimodal {
       if (!isPng && !isJpeg) None
       else
         try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(blob)))
-          .map(i => (i.getWidth, i.getHeight))
+          new java.io.ByteArrayInputStream(blob)))
         catch { case _: Throwable => None }
     }
 
@@ -85,6 +92,44 @@ object Multimodal {
       if (mx <= target) (w, h, 1000000L)
       else ((target * w + mx - 1) / mx, (target * h + mx - 1) / mx,
         target.toLong * 1000000L / mx)
+    }
+
+    /** FEATURE EXTRACTION — the embed-images pass of a multimodal
+      * pipeline, as an 8-dim integer descriptor per media row. Codec
+      * branch: real decoded geometry + luminance samples at 5 fixed
+      * grid points + their mean (deterministic — decoded pixels are).
+      * Stub branch (the fixture corpus): the first 8 header bytes, so
+      * the SQL oracle replays the vector from the md5 hex. Both
+      * branches emit the same schema into the same downstream
+      * similarity machinery — swapping in a real CLIP/ViT encoder
+      * changes this function body and nothing else. */
+    def extractFeatures(blob: Array[Byte]): Array[Int] =
+      decodeBuffered(blob) match {
+        case Some(img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          def luma(x: Int, y: Int): Int = {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+          }
+          val grid = Array(luma(0, 0), luma(w - 1, 0), luma(0, h - 1),
+            luma(w - 1, h - 1), luma(w / 2, h / 2))
+          Array(w, h) ++ grid :+ (grid.sum / grid.length)
+        case None =>
+          // zero-pad: fixture blobs are 16 md5 bytes, but the seam
+          // must survive arbitrary short payloads
+          Array.tabulate(8)(j => if (j < blob.length) blob(j) & 0xff else 0)
+      }
+
+    /** Per-partition extractor: one encoder init per partition, rows
+      * streamed — the batch shape a real embedding model needs. */
+    def featurePartitions(
+        ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { it =>
+        // encoder/model init would happen here, once per partition
+        it.map(m => MediaFeatures(m.doc_id, extractFeatures(m.blob)))
+      }
     }
 
     /** Per-partition RESIZE — the thumbnailing pass of a multimodal
@@ -311,7 +356,59 @@ object Multimodal {
       |FROM g
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------ q140
+  // Media FEATURE-EXTRACT + similarity search — the embed-and-retrieve
+  // composition of a multimodal pipeline: the per-partition extractor
+  // (see [[MediaDecode.extractFeatures]]) produces an 8-dim integer
+  // descriptor per media row, and a broadcast probe set (5 docs) ranks
+  // the corpus by exact integer dot product, top-3 per probe. All
+  // arithmetic is BIGINT (8 products of bytes ≤ 255² each — no
+  // overflow, no float fold), ties broken by neighbor_id, so the
+  // oracle replays the descriptor from the md5 header bytes and the
+  // ranking exactly. Scale shape: q40's contract — probes broadcast,
+  // the corpus scan never shuffles, top-k is a per-probe window over
+  // the scored stream.
+  private val q140 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      val feats = MediaDecode.featurePartitions(
+        media(s, d).as[MediaRecord]).toDF("doc_id", "f")
+      val probes = feats.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("f").as("pf"))
+      val scoredM = feats.join(broadcast(probes),
+          col("doc_id") =!= col("probe_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(pf, f, (x, y) -> cast(x as bigint) * y)," +
+            " 0L, (a, v) -> a + v)"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dot").desc, col("doc_id"))
+      scoredM.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("rank"),
+          col("doc_id").as("neighbor_id"), col("dot"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    { // dot spelled out over the 8 md5 header bytes of both sides
+      def byte(src: String, j: Int) =
+        s"CAST('0x' || substring(md5($src.text), ${2 * j + 1}, 2) AS BIGINT)"
+      val dot = (0 until 8)
+        .map(j => s"(${byte("p", j)} * ${byte("c", j)})").mkString(" + ")
+      s"""WITH sc AS (
+         |  SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+         |    $dot AS dot
+         |  FROM documents p JOIN documents c ON c.doc_id <> p.doc_id
+         |  WHERE p.doc_id < 5),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY dot DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |SELECT probe_id, rank, neighbor_id, dot
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q140_media_features" -> q140,
     "q139_media_resize" -> q139,
     "q60_multimodal_meta" -> q60,
     "q61_multimodal_decode" -> q61,

@@ -64,6 +64,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sliver === ((64, 1, 250000L)))
   }
 
+  test("extractFeatures: real images yield geometry+luma, stubs yield bytes") {
+    import graft.queries.Multimodal.MediaDecode.extractFeatures
+    val png = encode(10, 4, "png")
+    val f = extractFeatures(png)
+    assert(f.length == 8 && f(0) == 10 && f(1) == 4)
+    // luma samples are within range and deterministic across calls
+    assert(f.drop(2).forall(v => v >= 0 && v <= 255))
+    assert(extractFeatures(png).toSeq == f.toSeq)
+    // stub branch: first 8 bytes, zero-padded when short
+    val stub = extractFeatures(Array[Byte](7, 200.toByte, 3))
+    assert(stub.toSeq == Seq(7, 200, 3, 0, 0, 0, 0, 0))
+  }
+
   test("decodePartitions routes codec and stub rows through one batch") {
     import spark.implicits._
     val png = encode(32, 16, "png")
