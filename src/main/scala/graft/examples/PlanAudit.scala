@@ -55,7 +55,7 @@ object PlanAudit {
         "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
         "q82_bloom_join_filter",
         "q89_hybrid_rrf", "q90_funnel", "q93_linear_classifier",
-        "q100_bpe_encode",
+        "q100_bpe_encode", "q140_media_features",
         "q94_zorder_zonemap", "q96_incremental_agg", "q97_attribution",
         "q101_bucketed_join",
         "q105_kmv_distinct", "q106_ann_recall", "q107_pmi_collocations",
@@ -180,6 +180,12 @@ object PlanAudit {
         Check("shared-encoder-cache", _.contains("InMemoryTableScan"),
           "the word→tokens encoder is the persisted trainedBpe frame, " +
             "shared with q88/q118")),
+      // media similarity inherits q40's contract: the probe descriptors
+      // broadcast onto the corpus feature stream — the corpus itself
+      // never hash-shuffles before scoring
+      "q140_media_features" -> Seq(
+        Check("broadcast-probes", _.contains("BroadcastNestedLoopJoin"),
+          "the 5-probe descriptor set broadcasts onto the feature scan")),
       // the dim-side filter must become a runtime pruning subquery on
       // the partitioned fact scan — DPP is what makes a date/tenant-
       // partitioned 100 TB fact readable: 2 of 5 partitions here
