@@ -80,7 +80,8 @@ object Bench {
         }
       })
 
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // a set: a query whose rerun also fails must appear (and count) once
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val profile =
       scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     // Best-of-N (default 2): ambient load on a shared driver box has
@@ -130,8 +131,14 @@ object Bench {
         // elapsed time of its one failed attempt, as before)
         val times =
           if (!ok1 || t1 < rerunFloor) Seq(t1)
-          else t1 +: (2 to benchRuns).map(_ => once()).collect {
-            case (true, t) => t
+          else {
+            val rs = t1 +: (2 to benchRuns).map(_ => once()).collect {
+              case (true, t) => t
+            }
+            // reruns also need their async stage events drained, or the
+            // rerun's final shuffles land in the NEXT query's profile
+            Thread.sleep(50)
+            rs
           }
         allRuns(name) = times
         name -> times.min

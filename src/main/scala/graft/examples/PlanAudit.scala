@@ -436,6 +436,16 @@ object PlanAudit {
       }
     }
     println(s"\nplan-audit: ${if (failed == 0) "ALL PASS" else s"$failed FAILED"}")
+    // the audited plans warm the per-session artifact caches (coEdges,
+    // prGraph, BPE, ground truth, LSH) — release like Bench/Verify do,
+    // honoring the caches' standalone-caller contract
+    try {
+      graft.queries.Dedup.releaseCandidateIndex(spark)
+      graft.queries.Graph.releaseCoEdges(spark)
+      graft.queries.TextAnalysis.releaseBpe(spark)
+      graft.queries.Similarity.releaseGroundTruth(spark)
+      graft.Resources.releaseAll()
+    } catch { case _: Throwable => () }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

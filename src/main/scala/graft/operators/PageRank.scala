@@ -84,6 +84,9 @@ object PageRank {
   def run(edges: DataFrame, iters: Int,
       checkpointInterval: Int = 8,
       everyNodeHasInEdge: Boolean = false): DataFrame = {
+    // validate BEFORE prepare(): a bad interval must not leave two
+    // freshly persisted+retained frames behind the thrown require
+    require(checkpointInterval > 0, "checkpointInterval must be positive")
     val (e2, nodes) = prepare(edges)
     runPrepared(e2, nodes, iters, checkpointInterval, everyNodeHasInEdge)
   }

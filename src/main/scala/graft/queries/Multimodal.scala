@@ -373,7 +373,13 @@ object Multimodal {
       import s.implicits._
       val feats = MediaDecode.featurePartitions(
         media(s, d).as[MediaRecord]).toDF("doc_id", "f")
-      val probes = feats.filter(col("doc_id") < 5)
+      // probes are encoded from the pre-filtered media frame: a filter
+      // above featurePartitions cannot push through the typed map, so
+      // filtering `feats` would run the (expensive) extractor over the
+      // whole corpus a second time just to keep 5 rows
+      val probes = MediaDecode.featurePartitions(
+          media(s, d).filter(col("doc_id") < 5).as[MediaRecord])
+        .toDF("doc_id", "f")
         .select(col("doc_id").as("probe_id"), col("f").as("pf"))
       val scoredM = feats.join(broadcast(probes),
           col("doc_id") =!= col("probe_id"))

@@ -58,8 +58,15 @@ class TcpPipelineSoakSpec extends AnyFunSuite {
         val before = conn.latestSeq(cid)
         (1 to n).foreach { i =>
           val t = if (i % 2 == 0) "a" else "b"
-          assert(broker.publish(s"/tcp/dev/out/sensors/$t",
-            s"""{"value":$seq}""") == 1)
+          // retry-until-routed: right after an outage the client's
+          // resubscribe is fire-and-forget (no SUBACK await on the
+          // reconnect path), so the broker may not have processed the
+          // SUBSCRIBE yet; a publish returning 0 reached NO subscriber
+          // and can be retried with the same payload without any
+          // duplication risk
+          assert(await(broker.publish(s"/tcp/dev/out/sensors/$t",
+            s"""{"value":$seq}""") == 1),
+            s"message $seq never found a subscriber")
           seq += 1
         }
         // TCP delivery is async: all n must land in the connector
