@@ -344,9 +344,173 @@ object Retrieval {
       .stripMargin
   }.mkString(",\n")
 
+  // ------------------------------------------------------------ q142
+  // Two-stage retrieval with cross-encoder reranking — the standard
+  // serving/eval stack: a cheap first-stage ranker (BM25, q77's exact
+  // contract) nominates top-20 candidates per query, then an expensive
+  // pairwise "cross-encoder" rescores ONLY those (query, doc) pairs and
+  // the final order is the reranker's. The model seam follows
+  // q61/q139/q140: the scorer runs inside a typed `mapPartitions` with
+  // one model init per partition (where a real build loads its
+  // ONNX/torch session); the stub scoring function is deterministic and
+  // SQL-replayable so the oracle pins the WHOLE two-stage chain.
+  //
+  // Scale shape: stage 1 is the q77 pipeline (query terms broadcast
+  // into the tf frame; the raw token stream shuffles once). Stage 2
+  // touches |Q|·20 pairs — candidate texts are fetched by broadcasting
+  // the (tiny) candidate list onto one corpus scan (the corpus never
+  // shuffles, bodies move only for candidates), and the rerank window
+  // runs over 20 rows per query. The cross-encoder cost — the reason
+  // two-stage architectures exist — scales with candidates, not corpus.
+  private val RerankQueries = Seq(
+    (1, "spark window agg"), (2, "customer stream table"),
+    (3, "vector hash join"))
+  private val Stage1K = 20
+  private val RerankK = 3
+
+  /** Cross-encoder STUB: each query term contributes
+    * 1e6 div (first 1-based occurrence position in the raw doc token
+    * array), 0 if absent — a deterministic early-position proximity
+    * model over the pair, integer end-to-end so DuckDB replays it
+    * (`list_position` is 1-based / NULL-if-absent, mirrored here by
+    * indexOf + 1). Raw split (empties kept) matches `string_split`. */
+  private[queries] def crossScore(qtext: String, text: String): Long = {
+    val toks = text.split(" ", -1)
+    var s = 0L
+    for (t <- qtext.split(" ", -1)) {
+      val i = toks.indexOf(t)
+      if (i >= 0) s += 1000000L / (i + 1)
+    }
+    s
+  }
+
+  /** Stage 1: BM25 top-[[Stage1K]] per query (q77's rational-idf +
+    * sorted-term-fold contract, verbatim). */
+  private def stage1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qterms = RerankQueries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_dt"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val avg = dl.agg(sum(col("dl")).as("tot")).crossJoin(n)
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+    val scoredTerms = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfT.join(
+        broadcast(qterms.select(col("term")).distinct()), Seq("term"))),
+        Seq("term"))
+      .crossJoin(broadcast(avg))
+      .withColumn("w", expr(
+        """((cast(n_docs as double) - cast(df_t as double) + 0.5) / (cast(df_t as double) + 0.5))
+          | * ((cast(n_dt as double) * 2.2)
+          |    / (cast(n_dt as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))))"""
+          .stripMargin))
+    val w20 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scoredTerms.groupBy(col("query_id"), col("doc_id"))
+      .agg(expr(
+        """aggregate(sort_array(collect_list(struct(term, w))),
+          |  cast(0.0 as double), (acc, x) -> acc + x.w)""".stripMargin)
+        .as("score"))
+      .withColumn("stage1_rank", row_number().over(w20))
+      .filter(col("stage1_rank") <= Stage1K)
+      .select(col("query_id"), col("doc_id"), col("stage1_rank"))
+  }
+
+  private val q142 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      val cands = stage1(s, d)
+      val qdf = RerankQueries.toDF("query_id", "qtext")
+      val pairs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(broadcast(cands), Seq("doc_id"))
+        .join(broadcast(qdf), Seq("query_id"))
+        .select(col("query_id"), col("doc_id"), col("stage1_rank"),
+          col("qtext"), col("text"))
+        .as[RerankPair]
+      val scored = pairs.mapPartitions { it =>
+        // cross-encoder session init happens HERE, once per partition
+        it.map(p => RerankScore(p.query_id, p.doc_id, p.stage1_rank,
+          crossScore(p.qtext, p.text)))
+      }.toDF()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micro").desc, col("stage1_rank"), col("doc_id"))
+      scored.withColumn("rerank", row_number().over(w))
+        .filter(col("rerank") <= RerankK)
+        .select(col("query_id"), col("rerank"), col("doc_id"),
+          col("score_micro"), col("stage1_rank"))
+        .orderBy(col("query_id"), col("rerank"))
+    },
+    s"""WITH q AS (
+       |  SELECT query_id, qtext FROM (VALUES ${RerankQueries
+            .map { case (i, t) => s"($i, '$t')" }
+            .mkString(", ")}) v(query_id, qtext)),
+       |qt AS (SELECT query_id, u.term FROM q,
+       |  unnest(string_split(qtext, ' ')) u(term)),
+       |terms AS (
+       |  SELECT doc_id, u.term FROM documents,
+       |    unnest(string_split(text, ' ')) u(term) WHERE u.term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS n_dt FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM terms GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |avg AS (SELECT n_docs, CAST(SUM(dl) AS DOUBLE) / n_docs AS avgdl
+       |        FROM dl, n GROUP BY n_docs),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id, tf.term,
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) / (CAST(df_t AS DOUBLE) + 0.5))
+       |     * ((CAST(n_dt AS DOUBLE) * 2.2)
+       |        / (CAST(n_dt AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS w
+       |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+       |       JOIN df USING (term) CROSS JOIN avg),
+       |perdoc AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY term)),
+       |      (a, b) -> a + b) AS score
+       |  FROM scored GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT query_id, doc_id, stage1_rank FROM (
+       |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+       |      AS stage1_rank
+       |    FROM perdoc)
+       |  WHERE stage1_rank <= $Stage1K),
+       |dtoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents
+       |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM cands)),
+       |contrib AS (
+       |  SELECT c.query_id, c.doc_id, c.stage1_rank,
+       |    CASE WHEN list_position(dt.toks, qm.term) IS NOT NULL
+       |         THEN 1000000 // list_position(dt.toks, qm.term)
+       |         ELSE 0 END AS w
+       |  FROM cands c
+       |  JOIN dtoks dt ON dt.doc_id = c.doc_id
+       |  JOIN qt qm ON qm.query_id = c.query_id),
+       |rescore AS (
+       |  SELECT query_id, doc_id, stage1_rank,
+       |    CAST(SUM(w) AS BIGINT) AS score_micro
+       |  FROM contrib GROUP BY 1, 2, 3),
+       |rr AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, stage1_rank, doc_id) AS rerank
+       |  FROM rescore)
+       |SELECT query_id, rerank, doc_id, score_micro, stage1_rank
+       |FROM rr WHERE rerank <= $RerankK
+       |ORDER BY query_id, rerank""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q89_hybrid_rrf" -> q89,
-    "q125_mmr_diversify" -> q125)
+    "q125_mmr_diversify" -> q125,
+    "q142_crossencoder_rerank" -> q142)
 }
 
 /** Pairwise-candidate row feeding the per-query MMR greedy: candidate
@@ -357,3 +521,11 @@ final case class MmrPairRow(query_id: Long, a: Long, b: Long,
 /** One greedy pick. */
 final case class MmrPick(query_id: Long, mmr_rank: Int, doc_id: Long,
     mmr_micro: Long)
+
+/** A stage-1 candidate pair entering the cross-encoder (q142). */
+final case class RerankPair(query_id: Int, doc_id: Long, stage1_rank: Int,
+    qtext: String, text: String)
+
+/** A cross-encoder-scored pair (q142). */
+final case class RerankScore(query_id: Int, doc_id: Long, stage1_rank: Int,
+    score_micro: Long)
