@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1231,48 +1232,44 @@ object TextAnalysis {
   // shuffle joins of the doc bigram stream against the count tables,
   // one doc-keyed sum, one 1-row GK agg broadcast back. Headroom:
   // 1e6·c12 overflows BIGINT only past ~9e12 occurrences of ONE bigram.
-  private val q92 = QueryDef.of(
-    (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
-      val bg = toks
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(tk) >= 2 THEN
-            |  transform(sequence(0, size(tk) - 2),
-            |    i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
-            |ELSE array() END""".stripMargin)).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c12 = bg.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c12"))
-      // c1 derives from c12 (Σ c12 over w2 = the w1 unigram count) and
-      // is folded INTO the count table before the stream join — the
-      // bigram stream is aggregated once and joined once; both
-      // count-table ops touch only |distinct bigrams| rows
-      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val cj = c12.join(c1, Seq("w1"))
-      val scored = bg
-        .join(cj, Seq("w1", "w2"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(expr("(1000000L * c12) div c1")).as("p_sum"))
-      val perDoc = toks.select(col("doc_id"))
-        .join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(expr("p_sum div n_bigrams"), lit(0L))
-            .as("lm_score_micro"))
-      val acc = Relational.gkAccuracy(
-        Tables.documents(s, d).count()).toInt
-      val floor = perDoc.agg(
-        percentile_approx(col("lm_score_micro"), lit(0.5), lit(acc))
-          .as("floor_micro"))
-      perDoc.crossJoin(broadcast(floor))
-        .withColumn("keep",
-          (col("lm_score_micro") >= col("floor_micro")).cast("int"))
-        .orderBy(col("doc_id"))
-    },
-    """WITH toks AS (
+  /** Per-doc bigram-LM quality scores (the q92 training+scoring chain),
+    * shared with the q143 curriculum binning: doc_id, n_tokens,
+    * n_bigrams, lm_score_micro. */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+    val bg = toks
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) >= 2 THEN
+          |  transform(sequence(0, size(tk) - 2),
+          |    i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    // c1 derives from c12 (Σ c12 over w2 = the w1 unigram count) and
+    // is folded INTO the count table before the stream join — the
+    // bigram stream is aggregated once and joined once; both
+    // count-table ops touch only |distinct bigrams| rows
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val cj = c12.join(c1, Seq("w1"))
+    val scored = bg
+      .join(cj, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000000L * c12) div c1")).as("p_sum"))
+    toks.select(col("doc_id"), size(col("tk")).as("n_tokens"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("p_sum div n_bigrams"), lit(0L))
+          .as("lm_score_micro"))
+  }
+
+  /** Shared oracle CTE chain for [[lmScores]] — ends at `perdoc`. */
+  private val lmScoreCtes =
+    """toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
       |  FROM documents),
       |bg AS (
@@ -1287,17 +1284,84 @@ object TextAnalysis {
       |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       |  GROUP BY doc_id),
       |perdoc AS (
-      |  SELECT toks.doc_id,
+      |  SELECT toks.doc_id, CAST(len(tk) AS INT) AS n_tokens,
       |    COALESCE(n_bigrams, 0) AS n_bigrams,
       |    CAST(COALESCE(p_sum // n_bigrams, 0) AS BIGINT) AS lm_score_micro
-      |  FROM toks LEFT JOIN scored USING (doc_id)),
-      |fl AS (
-      |  SELECT quantile_disc(lm_score_micro, 0.5) AS floor_micro
-      |  FROM perdoc)
-      |SELECT doc_id, n_bigrams, lm_score_micro, floor_micro,
-      |  CAST(lm_score_micro >= floor_micro AS INT) AS keep
-      |FROM perdoc, fl
-      |ORDER BY doc_id""".stripMargin)
+      |  FROM toks LEFT JOIN scored USING (doc_id))""".stripMargin
+
+  private val q92 = QueryDef.of(
+    (s, d) => {
+      val perDoc = lmScores(s, d).drop("n_tokens")
+      val acc = Relational.gkAccuracy(
+        Tables.documents(s, d).count()).toInt
+      val floor = perDoc.agg(
+        percentile_approx(col("lm_score_micro"), lit(0.5), lit(acc))
+          .as("floor_micro"))
+      perDoc.crossJoin(broadcast(floor))
+        .withColumn("keep",
+          (col("lm_score_micro") >= col("floor_micro")).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH $lmScoreCtes,
+       |fl AS (
+       |  SELECT quantile_disc(lm_score_micro, 0.5) AS floor_micro
+       |  FROM perdoc)
+       |SELECT doc_id, n_bigrams, lm_score_micro, floor_micro,
+       |  CAST(lm_score_micro >= floor_micro AS INT) AS keep
+       |FROM perdoc, fl
+       |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------ q143
+  // Quality-quartile curriculum report — the mixing readout a
+  // pretraining run uses to weight data by quality (DataComp/DoReMi
+  // shape: bucket the corpus by model-scored quality, then sample
+  // buckets at different rates; perplexity binning is this with a
+  // bigger LM). Docs bin into quartiles of the q92 bigram-LM score at
+  // cut points DERIVED per run (GK sketch at q19's oracle-exact
+  // accuracy ≡ DuckDB quantile_disc bit-for-bit — no SF-observed
+  // literals), and each bin reports its doc count and token mass (the
+  // number the sampler actually needs: tokens, not docs). Scale shape:
+  // the q92 chain's shuffles plus ONE 1-row quantile agg broadcast
+  // back and ONE 4-group aggregate; the cut comparison is a per-row
+  // map. Ties at a cut value land in the upper bin in both engines
+  // (strict `<` against identical cut literals).
+  private val q143 = QueryDef.of(
+    (s, d) => {
+      val perDoc = lmScores(s, d)
+      val acc = Relational.gkAccuracy(
+        Tables.documents(s, d).count()).toInt
+      val cuts = perDoc.agg(
+        percentile_approx(col("lm_score_micro"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(acc)).as("cuts"))
+      perDoc.crossJoin(broadcast(cuts))
+        .withColumn("bin", expr(
+          """case when lm_score_micro < cuts[0] then 0
+            |     when lm_score_micro < cuts[1] then 1
+            |     when lm_score_micro < cuts[2] then 2
+            |     else 3 end""".stripMargin))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_mass"),
+          min(col("lm_score_micro")).as("min_score"),
+          max(col("lm_score_micro")).as("max_score"))
+        .orderBy(col("bin"))
+    },
+    s"""WITH $lmScoreCtes,
+       |ct AS (
+       |  SELECT quantile_disc(lm_score_micro, [0.25, 0.5, 0.75]) AS cuts
+       |  FROM perdoc),
+       |b AS (
+       |  SELECT p.*,
+       |    CASE WHEN lm_score_micro < cuts[1] THEN 0
+       |         WHEN lm_score_micro < cuts[2] THEN 1
+       |         WHEN lm_score_micro < cuts[3] THEN 2
+       |         ELSE 3 END AS bin
+       |  FROM perdoc p, ct)
+       |SELECT bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tok_mass,
+       |  MIN(lm_score_micro) AS min_score, MAX(lm_score_micro) AS max_score
+       |FROM b GROUP BY bin
+       |ORDER BY bin""".stripMargin)
 
   // ------------------------------------------------------------- q93
   // Linear text-classifier inference with the hashing trick (the
@@ -1720,6 +1784,7 @@ object TextAnalysis {
     "q105_kmv_distinct" -> q105,
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
+    "q143_quality_curriculum" -> q143,
     "q93_linear_classifier" -> q93,
     "q126_dsir_selection" -> q126,
     "q88_bpe_vocab" -> q88,
