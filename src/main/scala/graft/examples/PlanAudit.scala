@@ -65,7 +65,8 @@ object PlanAudit {
         "q121_epsilon_join", "q122_mad_outliers",
         "q124_bloom_point_lookup", "q125_mmr_diversify",
         "q126_dsir_selection", "q127_dpp_join", "q131_triangle_count",
-        "q132_exact_jaccard_join", "q134_kcore", "q137_event_patterns")
+        "q132_exact_jaccard_join", "q134_kcore", "q137_event_patterns",
+        "q141_pca_power", "q142_crossencoder_rerank")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -401,6 +402,29 @@ object PlanAudit {
         Check("no-single-partition-sort", p =>
           !"Exchange SinglePartition.*\\n.*Sort".r.findFirstIn(p).isDefined,
           "rarest-first ordering is per-doc sort_array, not a global window")),
+      // the returned q141 plan is the PROJECTION pass only (the moment
+      // stats ran as bounded collects during construction): the learned
+      // axis rides in as literals, so the corpus's only shuffle is the
+      // final label aggregate
+      "q141_pca_power" -> Seq(
+        Check("one-hash-exchange", p =>
+          "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+          "projection is a per-row fold; only the label agg shuffles"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "the axis is literals, never a joined frame")),
+      // stage 2 fetches candidate texts by BROADCASTING the candidate
+      // list (and the query table) onto the corpus scan — the corpus
+      // must never sit on the build side or cross-join
+      "q142_crossencoder_rerank" -> Seq(
+        Check("broadcast-candidates", p =>
+          "BroadcastHashJoin".r.findAllIn(p).size >= 2,
+          "candidate ids + query texts broadcast onto the corpus scan"),
+        // the BM25 stage legitimately cross-joins its 1-row avgdl/n
+        // frames (q77 shape) — the pathology to forbid is an
+        // unbroadcast cartesian of data-sized frames
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "rerank pairs come from stage-1 ranks, never all-pairs")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

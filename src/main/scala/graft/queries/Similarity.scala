@@ -588,6 +588,102 @@ object Similarity {
        |  COUNT(*) OVER (PARTITION BY cell) AS cell_size
        |FROM af ORDER BY vec_id""".stripMargin)
 
+  // ------------------------------------------------------------ q144
+  // Cluster-and-describe (topic exploration): label every embedded doc
+  // with its deterministic k-means cell (the q42b offline index), then
+  // surface each cluster's 3 most DISTINCTIVE terms by integer lift —
+  //
+  //   lift = P(term | cluster) / P(term)
+  //        ≈ (1e6 · c_ct · T) div (c_t · T_c)   (micro-units)
+  //
+  // — the "what is this cluster about" report a curation pipeline runs
+  // after clustering a corpus (topic balance, contamination triage,
+  // dedup-cluster inspection). Raw frequency would return stopwords;
+  // lift returns the terms that CONCENTRATE in the cluster.
+  //
+  // Scale shape: the token stream is exploded once and aggregated once
+  // on (cell, term); every other statistic DERIVES from that count
+  // table (t_c = Σ c_ct per cell, c_t = Σ c_ct per term, T = Σ c_ct —
+  // the q92 derivation trick), so no second pass over tokens exists.
+  // The assignment index is the persisted q42b artifact (built offline,
+  // read here); cluster sizes and cell totals are 8-row broadcasts; the
+  // only term-keyed shuffle joins count tables, never text. Support
+  // floor c_ct ≥ 3 kills one-off noise. Overflow: 1e6·c_ct·T ≤ 2^55 at
+  // sf0.1; ~1e9-token corpora need the factors re-ordered into two
+  // divisions (q107's documented trade-off).
+  //
+  // The oracle replays the ENTIRE chain — unrolled Lloyd training
+  // (shared q42b generators), assignment, token explode, and the exact
+  // integer lift — bit-for-bit.
+  private val q144 = QueryDef.of(
+    (s, d) => {
+      val assigned = s.read.parquet(ensureDetIndex(s, d))
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val toks = Tables.documents(s, d)
+        .join(assigned, Seq("doc_id"))
+        .select(col("cell"), col("doc_id"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')"))
+            .as("term"))
+      val ct = toks.groupBy(col("cell"), col("term"))
+        .agg(count(lit(1)).as("c_ct"))
+      // cell totals, corpus term counts, and the grand total all derive
+      // from ct — the token stream shuffles exactly once
+      val tc = ct.groupBy(col("cell")).agg(sum(col("c_ct")).as("t_c"))
+      val g = ct.groupBy(col("term")).agg(sum(col("c_ct")).as("c_t"))
+      val tt = tc.agg(sum(col("t_c")).as("t"))
+      val cs = Tables.documents(s, d).join(assigned, Seq("doc_id"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cluster_docs"))
+      val scored = ct.filter(col("c_ct") >= 3)
+        .join(g, Seq("term"))
+        .join(broadcast(tc), Seq("cell"))
+        .crossJoin(broadcast(tt))
+        .withColumn("lift_micro",
+          expr("(1000000L * c_ct * t) div (c_t * t_c)"))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("lift_micro").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .join(broadcast(cs), Seq("cell"))
+        .select(col("cell"), col("rank"), col("term"), col("c_ct"),
+          col("lift_micro"), col("cluster_docs"))
+        .orderBy(col("cell"), col("rank"))
+    },
+    s"""WITH qz AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${q42bTrain._1},
+       |${sqlKmAssign("af", "qz", q42bTrain._2, 64)},
+       |toks AS (
+       |  SELECT af.cell, d.doc_id, u.term
+       |  FROM documents d JOIN af ON af.vec_id = d.doc_id,
+       |    unnest(list_filter(string_split(d.text, ' '), t -> t <> ''))
+       |      u(term)),
+       |ct AS (SELECT cell, term, COUNT(*) AS c_ct FROM toks GROUP BY 1, 2),
+       |tc AS (SELECT cell, CAST(SUM(c_ct) AS BIGINT) AS t_c
+       |       FROM ct GROUP BY cell),
+       |g AS (SELECT term, CAST(SUM(c_ct) AS BIGINT) AS c_t
+       |      FROM ct GROUP BY term),
+       |tt AS (SELECT CAST(SUM(t_c) AS BIGINT) AS t FROM tc),
+       |cs AS (
+       |  SELECT af.cell, COUNT(*) AS cluster_docs
+       |  FROM documents d JOIN af ON af.vec_id = d.doc_id
+       |  GROUP BY af.cell),
+       |sc AS (
+       |  SELECT ct.cell, ct.term, c_ct,
+       |    CAST((1000000 * c_ct * (SELECT t FROM tt))
+       |      // (g.c_t * tc.t_c) AS BIGINT) AS lift_micro
+       |  FROM ct JOIN g USING (term) JOIN tc USING (cell)
+       |  WHERE c_ct >= 3),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY lift_micro DESC, term) AS rank
+       |  FROM sc)
+       |SELECT rk.cell, rank, term, c_ct, lift_micro, cluster_docs
+       |FROM rk JOIN cs ON cs.cell = rk.cell
+       |WHERE rank <= 3
+       |ORDER BY rk.cell, rank""".stripMargin)
+
   // ------------------------------------------------------------- q44
   // IVF-PQ (product quantization, no-residual IVF-ADC) over the
   // deterministic trainer ([[graft.operators.PqIndex]]): a coarse
@@ -976,6 +1072,7 @@ object Similarity {
     "q111_semantic_dedup" -> q111,
     "q106_ann_recall" -> q106,
     "q42b_ann_ivf_deterministic" -> q42b,
+    "q144_cluster_topics" -> q144,
     "q102_random_projection" -> q102,
     "q44_ann_ivfpq" -> q44,
     "q87_embed_dim_stats" -> q87,
