@@ -147,6 +147,117 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------ q145
+  // Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+  // algorithm): slide a w=4 window over the doc's shingle hashes and
+  // keep each window's MINIMUM; the distinct survivors are the
+  // fingerprint set. The guarantee (every w consecutive shingles
+  // contribute ≥1 fingerprint) is what q53's single global min lacks:
+  // winnowing detects PARTIAL overlap — any shared run of w+2 tokens
+  // shares a fingerprint — which is the contamination/plagiarism
+  // primitive at document scale. Same 3-token shingle contract as the
+  // dedup pipeline (TextExprs.shingles3 / q53's raw-split convention).
+  //
+  // Scale shape: pure per-row higher-order-function map — windows,
+  // minima, dedup, and digest all run inside the row; ZERO shuffles
+  // (the output sort is presentation). The fingerprint set (not the
+  // shingle set) is what a cross-doc join would shuffle — ~1/w the
+  // density, the reason MOSS scales.
+  private val q145 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("sh", expr(
+        s"""transform(${TextExprs.shingles3("tokens")},
+           |  g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"""
+          .stripMargin))
+      .withColumn("sel", expr(
+        """CASE WHEN size(sh) >= 4 THEN
+          |  transform(sequence(0, size(sh) - 4),
+          |    i -> array_min(slice(sh, i + 1, 4)))
+          |WHEN size(sh) > 0 THEN array(array_min(sh))
+          |ELSE array() END""".stripMargin))
+      .withColumn("fps", sort_array(array_distinct(col("sel"))))
+      .select(col("doc_id"),
+        size(col("sh")).as("n_shingles"),
+        size(col("fps")).as("n_fp"),
+        expr("case when size(fps) > 0 then fps[0] else -1L end")
+          .as("fp_min"),
+        expr("case when size(fps) > 0 then element_at(fps, -1) else -1L end")
+          .as("fp_max"),
+        md5(expr("concat_ws(',', transform(fps, x -> cast(x as string)))"))
+          .as("fp_digest"))
+      .orderBy(col("doc_id")),
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_transform(
+      |    list_transform(range(1, len(tokens) - 1),
+      |      i -> array_to_string(list_slice(tokens, i, i + 2), ' ')),
+      |    g -> CAST('0x' || substring(md5(g), 1, 8) AS BIGINT)) AS sh
+      |  FROM t),
+      |w AS (
+      |  SELECT doc_id, sh,
+      |    CASE WHEN len(sh) >= 4 THEN
+      |      list_transform(range(0, len(sh) - 3),
+      |        i -> list_min(sh[i + 1 : i + 4]))
+      |    WHEN len(sh) > 0 THEN [list_min(sh)]
+      |    ELSE [] END AS sel
+      |  FROM s),
+      |f AS (
+      |  SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+      |    list_sort(list_distinct(sel)) AS fps
+      |  FROM w)
+      |SELECT doc_id, n_shingles, CAST(len(fps) AS INT) AS n_fp,
+      |  CASE WHEN len(fps) > 0 THEN fps[1]
+      |       ELSE CAST(-1 AS BIGINT) END AS fp_min,
+      |  CASE WHEN len(fps) > 0 THEN fps[len(fps)]
+      |       ELSE CAST(-1 AS BIGINT) END AS fp_max,
+      |  md5(array_to_string(fps, ',')) AS fp_digest
+      |FROM f ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------ q146
+  // Per-source lexical diversity (Gini–Simpson index): 1 − Σ p(term)²
+  // — the "is this source template spam or real prose" gate of a
+  // curation pipeline (crawl boilerplate collapses toward 0; diverse
+  // text sits near 1). Deliberately Gini–Simpson rather than Shannon
+  // entropy: the index is RATIONAL in the counts —
+  //   gini_micro = 1e6·(T² − Σc²) div T²
+  // — pure integer arithmetic both engines replay bit-for-bit (entropy
+  // needs ln: 1-ulp engine-divergent, q77 precedent; the swap is one
+  // line in production). Scale shape: one (source, term)-keyed count
+  // agg with map-side partials, then a source-keyed fold of the count
+  // table — T and Σc² both DERIVE from it (q92 trick), so the token
+  // stream shuffles once. Headroom: 1e6·T² ≤ 2^63 up to T ≈ 3·10⁶
+  // tokens/source; past that, DECIMAL sums (q01b trade-off).
+  private val q146 = QueryDef.of(
+    (s, d) => {
+      val ct = Tables.documents(s, d)
+        .select(col("source"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')"))
+            .as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      ct.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("c * c")).as("s2"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          expr("""(1000000L * (n_tokens * n_tokens - s2))
+                 |  div greatest(n_tokens * n_tokens, 1L)""".stripMargin)
+            .as("gini_micro"))
+        .orderBy(col("source"))
+    },
+    """WITH toks AS (
+      |  SELECT source, u.term FROM documents,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) u(term)),
+      |ct AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |ag AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_distinct, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM ct GROUP BY source)
+      |SELECT source, n_tokens, n_distinct,
+      |  CAST((1000000 * (n_tokens * n_tokens - s2))
+      |    // greatest(n_tokens * n_tokens, 1) AS BIGINT) AS gini_micro
+      |FROM ag ORDER BY source""".stripMargin)
+
   // ------------------------------------------------------------- q54
   // Corpus token frequencies, top-5 per language: the explode → aggregate
   // → windowed top-k shape (inverted-index / vocabulary building). At
@@ -1785,6 +1896,8 @@ object TextAnalysis {
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
     "q143_quality_curriculum" -> q143,
+    "q145_winnowing" -> q145,
+    "q146_diversity_index" -> q146,
     "q93_linear_classifier" -> q93,
     "q126_dsir_selection" -> q126,
     "q88_bpe_vocab" -> q88,
