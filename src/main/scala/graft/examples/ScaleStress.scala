@@ -250,6 +250,20 @@ object ScaleStress {
             |  0L, (acc, v) -> (acc + v) div 2)""".stripMargin).as("e"))
         .agg(sum(col("e"))).head().getLong(0)
 
+    // covariance/Gram moment sums à la q141 — each row fans out to
+    // D(D+1)/2 = 2 080 integer products, but map-side partial
+    // aggregation collapses them to 2 080 longs per partition before
+    // the shuffle, so wall time tracks the scan, not the fan-out
+    def gramRun(e: DataFrame): Long =
+      e.select(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
+          .as("qv"))
+        .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+        .where(col("j") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(sum(expr("xi * xj")).as("sxx"))
+        .count()
+
     // within-cell semantic-dedup pairs à la q111 — cells stay CONSTANT
     // size under growth (the SemDeDup contract: k ~ sqrt(N)), so the
     // quadratic term is per-cell-bounded and total work is linear
@@ -555,6 +569,8 @@ object ScaleStress {
     val (snT10, _) = time(sentRun(d10))
     val (ptT1, _) = time(patRun(ev1))
     val (ptT10, _) = time(patRun(ev10))
+    val (gmT1, _) = time(gramRun(e1))
+    val (gmT10, _) = time(gramRun(e10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -581,7 +597,8 @@ object ScaleStress {
       f""""triangle_1x_s":$trT1%.2f,"triangle_10x_s":$trT10%.2f,"triangle_ratio":${trT10 / trT1}%.1f,""" +
       f""""exjoin_1x_s":$pjT1%.2f,"exjoin_10x_s":$pjT10%.2f,"exjoin_ratio":${pjT10 / pjT1}%.1f,""" +
       f""""sentdedup_1x_s":$snT1%.2f,"sentdedup_10x_s":$snT10%.2f,"sentdedup_ratio":${snT10 / snT1}%.1f,""" +
-      f""""patterns_1x_s":$ptT1%.2f,"patterns_10x_s":$ptT10%.2f,"patterns_ratio":${ptT10 / ptT1}%.1f}""")
+      f""""patterns_1x_s":$ptT1%.2f,"patterns_10x_s":$ptT10%.2f,"patterns_ratio":${ptT10 / ptT1}%.1f,""" +
+      f""""gram_1x_s":$gmT1%.2f,"gram_10x_s":$gmT10%.2f,"gram_ratio":${gmT10 / gmT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
