@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   1. quantize   q = round(x · 2^20)              (q87/q42b contract)
   *   2. moments    S_i = Σ q_i ; Sxx_ij = Σ q_i·q_j (i ≤ j)
   *   3. center     m_i = S_i div n;  C_ij = (Sxx_ij − n·m_i·m_j) div 2^30
-  *   4. iterate    w = C·v ; v ← w div max(max|w| div 2^20, 1)   ×4
+  *   4. iterate    w = C·v ; v ← w div max(max|w| div 2^20, 1)   ×48
   *   5. rayleigh   λ = Σ(v_i·w_i div 2^20) div max(Σ(v_i² div 2^20), 1)
   *   6. project    p = Σ q_j·v_j per row, aggregated per label
   *
@@ -28,13 +28,13 @@ import org.apache.spark.sql.functions._
   * projection scan; what reaches the driver is n + 64 + 2 080 longs —
   * a fixed-size model-state read (q136's sanctioned collect), identical
   * at 500 vectors and 5·10^9. The O(D²) iteration math is driver-side
-  * because it is O(D²), not O(N): 4 matvecs on a 64×64 integer matrix.
+  * because it is O(D²), not O(N): 48 matvecs on a 64×64 integer matrix.
   * The learned axis returns to the executors as 64 literals inside one
   * codegen'd zip_with/aggregate fold — the corpus never shuffles.
   *
   * Every step is order- and partition-invariant integer math (sums of
   * products, truncating `div`), so the DuckDB oracle replays the
-  * quantization, centering, all four unrolled iterations, the Rayleigh
+  * quantization, centering, all 48 unrolled iterations, the Rayleigh
   * quotient, AND every per-row projection bit-for-bit.
   *
   * Overflow headroom (documented like q87): |q| ≤ 2^20 so q_i·q_j ≤
@@ -43,16 +43,23 @@ import org.apache.spark.sql.functions._
   * worst-case bound — but real projections sit near |p| ≈ 2^37 (vector
   * components ~0.15), giving ~2^25 rows; past that, switch the final
   * mean to DECIMAL(38,0) sums (q01b trade-off) without touching the
-  * iteration. Convergence: 4 iterations is a dial, not a guarantee —
-  * correctness is exact replay, and the spec pins that the iterate
-  * aligns with the dominant axis on well-separated matrices.
+  * iteration. Convergence: the iteration count is a dial sized to the
+  * corpus's eigengap (see the Iters comment); correctness is exact
+  * replay, and the spec pins ≥0.95 alignment against a converged
+  * double-precision reference on the real fixture corpus.
   */
 object LinAlg {
 
   private val D = 64
   private val Q = 1048576L          // 2^20 — quantization scale
   private val CovScale = 1073741824L // 2^30 — covariance pre-scale
-  private val Iters = 4
+  // 48 iterations: the fixture corpus is near-isotropic (λ2/λ1 ≈ 0.93
+  // measured at sf0.001), so ~43 steps separate the top axis 20×;
+  // each step is a 64×64 integer matvec on the DRIVER (microseconds)
+  // and three 64-row CTEs in the oracle — iteration count is a free
+  // dial here, unlike a distributed pass. LinAlgSpec pins ≥0.95
+  // alignment against a converged double-precision reference.
+  private[queries] val Iters = 48
 
   /** Integer power iteration (step 4–5 above). Package-private so the
     * spec can drive it on hand-built matrices. Returns (axis, λ) where
@@ -127,15 +134,21 @@ object LinAlg {
 
   // ------------------------------------------------------------ q141
   // (see object scaladoc) The oracle replays the whole chain: exact
-  // integer moments, truncated centering, four unrolled power-iteration
+  // integer moments, truncated centering, all unrolled power-iteration
   // steps, the Rayleigh quotient, and every per-row projection.
+  // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+  // reference, and d_r references w_r twice — 48 chained iterations
+  // would otherwise expand the expression tree exponentially (observed
+  // as a file-handle explosion re-opening the parquet per expansion).
+  // Same fix as q125's unrolled greedy (a$i AS MATERIALIZED).
   private def sqlIter(r: Int): String = {
     val prev = if (r == 1) "v0" else s"v${r - 1}"
-    s"""w$r AS (
+    s"""w$r AS MATERIALIZED (
        |  SELECT gf.i, CAST(SUM(gf.g * v.v) AS BIGINT) AS w
        |  FROM gf JOIN $prev v ON v.j = gf.j GROUP BY gf.i),
        |d$r AS (SELECT greatest(MAX(abs(w)) // 1048576, 1) AS d FROM w$r),
-       |v$r AS (SELECT i AS j, w // (SELECT d FROM d$r) AS v FROM w$r)"""
+       |v$r AS MATERIALIZED (
+       |  SELECT i AS j, w // (SELECT d FROM d$r) AS v FROM w$r)"""
       .stripMargin
   }
 
@@ -163,23 +176,20 @@ object LinAlg {
        |  FROM sxx s
        |  JOIN mu ma ON ma.i = s.i
        |  JOIN mu mb ON mb.i = s.j),
-       |gf AS (
+       |gf AS MATERIALIZED (
        |  SELECT i, j, g FROM cov
        |  UNION ALL
        |  SELECT j AS i, i AS j, g FROM cov WHERE i <> j),
        |v0 AS (SELECT i AS j, CAST(1048576 AS BIGINT) AS v FROM mu),
-       |${sqlIter(1)},
-       |${sqlIter(2)},
-       |${sqlIter(3)},
-       |${sqlIter(4)},
+       |${(1 to Iters).map(sqlIter).mkString(",\n")},
        |lam AS (SELECT
        |  (SELECT CAST(SUM((v.v * w.w) // 1048576) AS BIGINT)
-       |     FROM v3 v JOIN w4 w ON w.i = v.j)
+       |     FROM v${Iters - 1} v JOIN w$Iters w ON w.i = v.j)
        |  // greatest((SELECT CAST(SUM((v * v) // 1048576) AS BIGINT)
-       |               FROM v3), 1) AS lambda),
+       |               FROM v${Iters - 1}), 1) AS lambda),
        |proj AS (
        |  SELECT e.vec_id, CAST(SUM(e.x * v.v) AS BIGINT) AS p
-       |  FROM ex e JOIN v4 v ON v.j = e.i GROUP BY e.vec_id)
+       |  FROM ex e JOIN v$Iters v ON v.j = e.i GROUP BY e.vec_id)
        |SELECT q.label, COUNT(*) AS n_vecs,
        |  CAST(SUM(p.p) AS BIGINT) // COUNT(*) AS mean_proj,
        |  MIN(p.p) AS min_proj, MAX(p.p) AS max_proj,

@@ -42,6 +42,39 @@ class LinAlgSpec extends AnyFunSuite {
       s"lambda must approximate 1001, got $lambda")
   }
 
+  test("integer iterate aligns with a double-precision reference on real data") {
+    // build the exact centered covariance of the sf0.001 embeddings in
+    // doubles, run a LONG double-precision power iteration (the ground
+    // truth), and require the 4-step integer iterate to align: the
+    // truncation machinery must not change WHICH axis is found
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    val n = vecs.length
+    val mean = Array.tabulate(dim)(j => vecs.map(_(j)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum)
+    var ref = Array.fill(dim)(1.0)
+    for (_ <- 1 to 200) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cov(i)(j) * ref(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      ref = w.map(_ / norm)
+    }
+    // integer path: same quantized/truncated covariance q141 builds
+    val q = vecs.map(_.map(x => math.round(x * 1048576.0)))
+    val m = Array.tabulate(dim)(j => q.map(_(j)).sum / n)
+    val g = Array.tabulate(dim, dim)((i, j) =>
+      (q.map(v => v(i) * v(j)).sum - n.toLong * m(i) * m(j)) / 1073741824L)
+    val (v, _) = LinAlg.powerIterate(g, LinAlg.Iters)
+    val dot = (0 until dim).map(i => v(i) * ref(i)).sum
+    val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val cos = math.abs(dot / vn)
+    assert(cos > 0.95, s"integer iterate must align with the true axis " +
+      s"(|cos| = $cos)")
+  }
+
   test("q141 is deterministic and covers every labelled vector") {
     val run1 = SparkEntry.queries("q141_pca_power")(spark, sfDir).collect()
     val run2 = SparkEntry.queries("q141_pca_power")(spark, sfDir).collect()
