@@ -302,8 +302,90 @@ object Graph {
        |SELECT n AS node, CAST(deg AS BIGINT) AS deg FROM fin
        |ORDER BY node""".stripMargin)
 
+  // ------------------------------------------------------------ q147
+  // Deterministic random-walk sampling (DeepWalk/node2vec's data-
+  // generation pass): emit fixed-length walks over the part
+  // co-purchase graph — the training corpus a graph-embedding model
+  // consumes (each walk is a "sentence" of node ids). The walk is
+  // DERANDOMIZED the q55/q79 way: at step t, walk w moves to its
+  // current node's neighbor at index md5(w, t) mod degree in the
+  // dst-sorted adjacency — reproducible across engines, runs, and
+  // partitionings, so the DuckDB oracle replays every hop exactly
+  // (rand() would be none of those).
+  //
+  // Scale shape: the ranked adjacency is ONE window over the (shared,
+  // persisted) co-purchase edge set; each of the 4 steps is two
+  // node-keyed equi-joins of the WALK FRONTIER against degree/adjacency
+  // (frontier-sized shuffles — the canonical BSP walk step; the graph
+  // itself never re-shuffles, it is joined by key). Dead-end handling:
+  // the co-purchase relation is symmetric, so every reached node has
+  // degree ≥ 1 and walks never strand (inner joins are total).
+  private val WalkSteps = 4
+  private val q147 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = coEdges(s, d)
+      val both = e.select(col("x").as("src"), col("y").as("dst"))
+        .union(e.select(col("y").as("src"), col("x").as("dst")))
+      val adj = both
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))))
+        .withColumn("deg", count(lit(1)).over(
+          Window.partitionBy(col("src"))))
+      val starts = adj.select(col("src")).distinct()
+        .filter(col("src") % 25 === 0)
+        .select(col("src").as("walk_id"))
+      var frontier = starts.select(col("walk_id"),
+        col("walk_id").as("cur"))
+      val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      steps += frontier.select(col("walk_id"), lit(0).as("step"),
+        col("cur").as("node"))
+      for (t <- 1 to WalkSteps) {
+        frontier = frontier
+          .join(adj, col("cur") === col("src") &&
+            col("r") === expr(
+              s"""cast(conv(substring(md5(concat(cast(walk_id as string),
+                 |  ':', '$t')), 1, 8), 16, 10) as bigint) % deg + 1"""
+                .stripMargin))
+          .select(col("walk_id"), col("dst").as("cur"))
+        steps += frontier.select(col("walk_id"), lit(t).as("step"),
+          col("cur").as("node"))
+      }
+      steps.result().reduce(_.union(_))
+        .orderBy(col("walk_id"), col("step"))
+    },
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_quantity >= 35),
+       |und AS (
+       |  SELECT DISTINCT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS r,
+       |    COUNT(*) OVER (PARTITION BY src) AS deg
+       |  FROM (SELECT x AS src, y AS dst FROM und
+       |        UNION ALL SELECT y AS src, x AS dst FROM und)),
+       |w0 AS (
+       |  SELECT DISTINCT src AS walk_id, src AS cur FROM adj
+       |  WHERE src % 25 = 0),
+       |${(1 to WalkSteps).map { t =>
+          s"""w$t AS MATERIALIZED (
+             |  SELECT f.walk_id, a.dst AS cur
+             |  FROM w${t - 1} f JOIN adj a ON a.src = f.cur
+             |   AND a.r = CAST('0x' || substring(md5(
+             |        CAST(f.walk_id AS VARCHAR) || ':' || '$t'), 1, 8)
+             |        AS BIGINT) % a.deg + 1)""".stripMargin
+        }.mkString(",\n")}
+       |SELECT walk_id, step, node FROM (
+       |  SELECT walk_id, 0 AS step, cur AS node FROM w0
+       |${(1 to WalkSteps).map(t =>
+          s"  UNION ALL SELECT walk_id, $t, cur FROM w$t").mkString("\n")})
+       |ORDER BY walk_id, step""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q86_pagerank" -> q86,
     "q131_triangle_count" -> q131,
-    "q134_kcore" -> q134)
+    "q134_kcore" -> q134,
+    "q147_random_walks" -> q147)
 }
