@@ -62,6 +62,30 @@ object Training {
         expr(s"($M * nl) div (n + 1)").as("x4"),
         when(col("lang") === "en", lit(M)).otherwise(lit(0L)).as("y"))
 
+  /** The [[Iters]] exact-integer GD steps over a persisted feature
+    * frame: returns one Row per iteration (post-step weights + pre-step
+    * loss) and the final weight vector. Shared by q136 (reports the
+    * trajectory) and q148 (evaluates the final model). */
+  private def gdSteps(f: DataFrame, n: Long): (Seq[Row], Array[Long]) = {
+    var w = Array.fill(Dim)(0L)
+    val out = Seq.newBuilder[Row]
+    for (iter <- 1 to Iters) {
+      // `div`, not `/`: `/` on longs is double division in Spark SQL
+      val errCol = expr(
+        s"(${(0 until Dim).map(j => s"x$j * ${w(j)}L").mkString(" + ")})" +
+          s" div $M - y")
+      val aggs = (0 until Dim).map(j =>
+        sum(expr(s"(x$j * err) div $M")).as(s"g$j")) :+
+        sum(expr(s"(err * err) div $M")).as("loss")
+      val r = f.withColumn("err", errCol).agg(aggs.head, aggs.tail: _*)
+        .head()
+      val loss = r.getLong(Dim)
+      for (j <- 0 until Dim) w(j) = w(j) - r.getLong(j) / (4L * n)
+      out += Row.fromSeq(iter.toLong +: (w.toSeq :+ loss))
+    }
+    (out.result(), w)
+  }
+
   /** Run [[Iters]] exact-integer GD steps; one row per iteration with
     * the post-step weights and the pre-step training loss. */
   private def train(s: SparkSession, d: String): DataFrame = {
@@ -72,27 +96,12 @@ object Training {
       // SUM over zero rows is null → r.getLong would NPE opaquely, and
       // the weight update divides by n; fail with a clear message instead.
       require(n > 0, "q136 needs a non-empty documents table")
-      var w = Array.fill(Dim)(0L)
-      val out = Seq.newBuilder[Row]
-      for (iter <- 1 to Iters) {
-        // `div`, not `/`: `/` on longs is double division in Spark SQL
-        val errCol = expr(
-          s"(${(0 until Dim).map(j => s"x$j * ${w(j)}L").mkString(" + ")})" +
-            s" div $M - y")
-        val aggs = (0 until Dim).map(j =>
-          sum(expr(s"(x$j * err) div $M")).as(s"g$j")) :+
-          sum(expr(s"(err * err) div $M")).as("loss")
-        val r = f.withColumn("err", errCol).agg(aggs.head, aggs.tail: _*)
-          .head()
-        val loss = r.getLong(Dim)
-        for (j <- 0 until Dim) w(j) = w(j) - r.getLong(j) / (4L * n)
-        out += Row.fromSeq(iter.toLong +: (w.toSeq :+ loss))
-      }
+      val (rows, _) = gdSteps(f, n)
       val schema = org.apache.spark.sql.types.StructType(
         (Seq("iter") ++ (0 until Dim).map(j => s"w$j") ++ Seq("loss_micro"))
           .map(org.apache.spark.sql.types.StructField(_,
             org.apache.spark.sql.types.LongType, nullable = false)))
-      s.createDataFrame(out.result().asJava, schema).orderBy(col("iter"))
+      s.createDataFrame(rows.asJava, schema).orderBy(col("iter"))
     } finally { f.unpersist(); () }
   }
 
@@ -151,6 +160,135 @@ object Training {
        |  SELECT 3, w3.*, (SELECT loss FROM g3) FROM w3)
        |ORDER BY iter""".stripMargin)
 
+  // ------------------------------------------------------------ q148
+  // Trained-model EVALUATION — the readout that decides whether the
+  // q136 probe ships: confusion matrix at the natural 0.5 threshold
+  // plus exact tie-corrected (mid-rank) ROC AUC, all in integer
+  // micro-units. The AUC is the scale-interesting part: the textbook
+  // form ranks every example with `row_number() OVER (ORDER BY score)`
+  // — a single-partition global sort, the classic rank scale-killer.
+  // Instead: AUC needs only per-SCORE-GROUP tallies. Group scores
+  // (one map-side-combined agg; the grouped frame is ≤ #distinct
+  // scores, not #examples), then compute each group's
+  // negatives-strictly-below via the q109 distributed-prefix pattern —
+  // range-repartition on score, cumulative sum WITHIN each partition
+  // (fully parallel window), and per-partition prefix offsets from a
+  // bounded driver read (one row per shuffle partition). With p_s/n_s
+  // positives/negatives at score s and N_<(s) negatives below:
+  //
+  //   2·AUC·P·N = Σ_s p_s · (2·N_<(s) + n_s)      (mid-rank/trapezoid)
+  //   auc_micro = (Σ · 500000) div (P·N)           — exact integers
+  //
+  // Headroom: Σ ≤ 2·P·N ≤ n²/2, so longs hold to n ≈ 4·10⁹ examples;
+  // past that the sum needs decimal(38) (one-line change, noted here
+  // so the limit is explicit). The grouped frame is localCheckpoint-
+  // pinned because repartitionByRange SAMPLES its bounds per execution
+  // (q109 lesson): the offsets must describe the exact partitioning
+  // the window pass reads. The oracle replays training (shared
+  // [[sqlIter]] CTEs), scoring, grouping, and the windowed cumsum
+  // bit-for-bit.
+  private val q148 = QueryDef.of(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = features(s, d).persist()
+      try {
+        val n = f.count()
+        require(n > 0, "q148 needs a non-empty documents table")
+        val (_, w) = gdSteps(f, n) // D+1 longs per step to the driver
+        val scored = f.select(
+          expr(s"(${(0 until Dim).map(j => s"x$j * ${w(j)}L")
+            .mkString(" + ")}) div $M").as("score"),
+          col("y"))
+        val g = graft.Resources.retain(scored.groupBy(col("score"))
+          .agg(sum(when(col("y") === M, 1L).otherwise(0L)).as("pos"),
+            sum(when(col("y") === M, 0L).otherwise(1L)).as("neg"))
+          .repartitionByRange(col("score"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint())
+        // bounded control-plane read: one row per range partition
+        val parts = g.groupBy(col("pid")).agg(sum(col("neg")).as("nn"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val offsets = parts.map { case (p, c) =>
+          val start = acc; acc += c; (p, start)
+        }.toMap
+        val win = Window.partitionBy(col("pid")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val half = M / 2
+        g.withColumn("nb",
+            coalesce(sum(col("neg")).over(win), lit(0L)) +
+              element_at(typedLit(offsets), col("pid")))
+          .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+            sum(col("pos") * (lit(2L) * col("nb") + col("neg")))
+              .as("auc_num"),
+            sum(when(col("score") >= half, col("pos")).otherwise(0L))
+              .as("tp"),
+            sum(when(col("score") >= half, col("neg")).otherwise(0L))
+              .as("fp"))
+          .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+            (col("n_pos") - col("tp")).as("fn"),
+            (col("n_neg") - col("fp")).as("tn"),
+            expr(s"((tp + n_neg - fp) * $M) div (n_pos + n_neg)")
+              .as("accuracy_micro"),
+            when(col("n_pos") * col("n_neg") > 0,
+              expr("(auc_num * 500000) div (n_pos * n_neg)"))
+              .as("auc_micro"))
+      } finally { f.unpersist(); () }
+    },
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(1000000 AS BIGINT) AS x0,
+       |    (1000000 * least(length(text), 2000)) // 2000 AS x1,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, '[aeiou]', '', 'g'))))
+       |      // (length(text) + 1) AS x2,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, ' ', '', 'g'))))
+       |      // (length(text) + 1) AS x3,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, '[A-Za-z]', '', 'g'))))
+       |      // (length(text) + 1) AS x4,
+       |    CASE WHEN lang = 'en' THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |  CAST(0 AS BIGINT) AS w4),
+       |${sqlIter(1, "w0")},
+       |${sqlIter(2, "w1")},
+       |${sqlIter(3, "w2")},
+       |sc AS (
+       |  SELECT CAST((x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3
+       |    + x4*w.w4) // 1000000 AS BIGINT) AS score, y
+       |  FROM f CROSS JOIN w3 w),
+       |g AS (
+       |  SELECT score,
+       |    CAST(SUM(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos,
+       |    CAST(SUM(CASE WHEN y = 1000000 THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS neg
+       |  FROM sc GROUP BY score),
+       |c AS (
+       |  SELECT *, COALESCE(SUM(neg) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM g),
+       |t AS (
+       |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |    CAST(SUM(pos * (2*nb + neg)) AS BIGINT) AS auc_num,
+       |    CAST(SUM(CASE WHEN score >= 500000 THEN pos ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN score >= 500000 THEN neg ELSE 0 END)
+       |      AS BIGINT) AS fp
+       |  FROM c)
+       |SELECT n_pos, n_neg, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn,
+       |  ((tp + n_neg - fp) * 1000000) // (n_pos + n_neg)
+       |    AS accuracy_micro,
+       |  CASE WHEN n_pos * n_neg > 0
+       |    THEN (auc_num * 500000) // (n_pos * n_neg) END AS auc_micro
+       |FROM t""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
-    "q136_gd_probe_train" -> q136)
+    "q136_gd_probe_train" -> q136,
+    "q148_classifier_eval" -> q148)
 }
