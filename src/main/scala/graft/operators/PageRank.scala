@@ -81,6 +81,29 @@ object PageRank {
     (e2, nodes)
   }
 
+  /** Weighted-graph preparation: edges carry a positive integer weight
+    * `w` (e.g. a co-occurrence count); returns (e2, nodes) with e2 =
+    * (src, dst, w, wsum) persisted pre-partitioned on src, wsum =
+    * Σ w over src's out-edges. A node's per-edge contribution becomes
+    * `(r·w) div wsum` — with w ≡ 1 this is wsum = outdeg and
+    * `(r·1) div deg ≡ r div deg`, bit-identical to the unweighted
+    * operator ([[PageRankSpec]] pins the equivalence). Integer
+    * headroom: ranks stay ≤ ~10⁶ µ-units × node count's damping
+    * ceiling, so r·w needs w ≲ 9·10¹¹ per edge before the product
+    * leaves long range — counts at that magnitude should be
+    * pre-scaled (ranks are invariant under uniform per-src weight
+    * scaling up to div truncation). */
+  def prepareWeighted(edges: DataFrame): (DataFrame, DataFrame) = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val e2 = e.join(wsum, "src").repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    graft.Resources.retain(e2)
+    graft.Resources.retain(nodes)
+    (e2, nodes)
+  }
+
   def run(edges: DataFrame, iters: Int,
       checkpointInterval: Int = 8,
       everyNodeHasInEdge: Boolean = false): DataFrame = {
@@ -94,13 +117,26 @@ object PageRank {
   /** The per-query half: iterate over a [[prepare]]d graph. */
   def runPrepared(e2: DataFrame, nodes: DataFrame, iters: Int,
       checkpointInterval: Int = 8,
-      everyNodeHasInEdge: Boolean = false): DataFrame = {
+      everyNodeHasInEdge: Boolean = false): DataFrame =
+    iterate(e2, nodes, iters, checkpointInterval, everyNodeHasInEdge,
+      contribution = "r div deg")
+
+  /** Iterate over a [[prepareWeighted]]d graph. */
+  def runPreparedWeighted(e2: DataFrame, nodes: DataFrame, iters: Int,
+      checkpointInterval: Int = 8,
+      everyNodeHasInEdge: Boolean = false): DataFrame =
+    iterate(e2, nodes, iters, checkpointInterval, everyNodeHasInEdge,
+      contribution = "(r * w) div wsum")
+
+  private def iterate(e2: DataFrame, nodes: DataFrame, iters: Int,
+      checkpointInterval: Int, everyNodeHasInEdge: Boolean,
+      contribution: String): DataFrame = {
     require(checkpointInterval > 0, "checkpointInterval must be positive")
     var ranks = nodes.withColumn("r", lit(1000000L))
     var i = 0
     while (i < iters) {
       val sums = ranks.join(e2, col("node") === col("src"))
-        .groupBy(col("dst")).agg(sum(expr("r div deg")).as("m"))
+        .groupBy(col("dst")).agg(sum(expr(contribution)).as("m"))
       var next =
         if (everyNodeHasInEdge)
           sums.select(col("dst").as("node"),

@@ -172,6 +172,82 @@ object Graph {
        |SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
       .stripMargin)
 
+  // ------------------------------------------------------------ q149
+  // TextRank keyword extraction (Mihalcea & Tarau '04): rank words by
+  // weighted PageRank over the adjacent-token co-occurrence graph and
+  // report the top 10 — the unsupervised keyword/keyphrase primitive a
+  // curation pipeline runs to label corpus slices. Edge weights are
+  // bigram counts; a word's vote is split in proportion to weight,
+  // `(r·w) div wsum` in exact integer µ-units
+  // ([[graft.operators.PageRank.runPreparedWeighted]]), so the DuckDB
+  // oracle replays all three damped iterations bit-for-bit. Scale
+  // shape: the corpus-sized work is ONE per-row bigram explode into a
+  // map-side-combined (x, y) count — shuffles carry word pairs, not
+  // text — and the graph it leaves behind is VOCABULARY-bounded
+  // (≤ |V|² nodes+edges, independent of corpus row count), so the
+  // three iterations cost the same at any SF. Ties in the final
+  // ordering break on the word itself.
+  private def sqlWPrIter(name: String, prev: String): String =
+    s"""$name AS (
+       |  SELECT n.node,
+       |    150000 + (85 * COALESCE(s.m, 0)) // 100 AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |      CAST(SUM((p.r * e.w) // ws.wsum) AS BIGINT) AS m
+       |    FROM $prev p
+       |    JOIN e2 e ON e.src = p.node
+       |    JOIN ws ON ws.src = e.src
+       |    GROUP BY e.dst) s USING (node))""".stripMargin
+  private val q149 = QueryDef.of(
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(
+        expr("filter(split(text, ' '), t -> t <> '')").as("a"))
+      // adjacent pairs without sequence(): sequence(1, 0) steps DOWN
+      // ([1, 0]), so an index-range build needs the empty/1-token guard
+      // anyway — slicing the tail and zipping by transform index reads
+      // cleaner and degrades to [] on short docs
+      val pairs = toks.select(explode(expr(
+        """transform(slice(a, 2, greatest(size(a) - 1, 0)),
+          |  (t, i) -> struct(a[i] as u, t as v))""".stripMargin)).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .filter(col("u") =!= col("v"))
+      val e1 = pairs
+        .select(least(col("u"), col("v")).as("x"),
+          greatest(col("u"), col("v")).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+      val e2 = e1.select(col("x").as("src"), col("y").as("dst"), col("w"))
+        .union(e1.select(col("y").as("src"), col("x").as("dst"), col("w")))
+      val (pe, nodes) = graft.operators.PageRank.prepareWeighted(e2)
+      // symmetric edges ⇒ every node receives a contribution row
+      graft.operators.PageRank.runPreparedWeighted(pe, nodes, PrIters,
+        everyNodeHasInEdge = true)
+        .select(col("node").as("word"), col("r"))
+        .orderBy(col("r").desc, col("word")).limit(10)
+    },
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS a
+       |  FROM documents),
+       |p AS (
+       |  SELECT z[1] AS u, z[2] AS v
+       |  FROM (SELECT unnest(list_zip(a[:-2], a[2:])) AS z FROM t)),
+       |e1 AS (
+       |  SELECT least(u, v) AS x, greatest(u, v) AS y,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM p WHERE u <> v GROUP BY 1, 2),
+       |e2 AS (
+       |  SELECT x AS src, y AS dst, w FROM e1
+       |  UNION ALL
+       |  SELECT y AS src, x AS dst, w FROM e1),
+       |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+       |  FROM e2 GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e2),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${sqlWPrIter("r1", "r0")},
+       |${sqlWPrIter("r2", "r1")},
+       |${sqlWPrIter("r3", "r2")}
+       |SELECT node AS word, CAST(r AS BIGINT) AS r FROM r3
+       |ORDER BY r DESC, word LIMIT 10""".stripMargin)
+
   // ------------------------------------------------------------ q131
   // Exact triangle counting ([[graft.operators.TriangleCount]]) over the
   // part co-purchase graph: parts are linked when a high-volume order
@@ -385,6 +461,7 @@ object Graph {
 
   val defs: Map[String, QueryDef] = Map(
     "q86_pagerank" -> q86,
+    "q149_textrank_keywords" -> q149,
     "q131_triangle_count" -> q131,
     "q134_kcore" -> q134,
     "q147_random_walks" -> q147)

@@ -69,6 +69,41 @@ class PageRankSpec extends AnyFunSuite {
     graft.Resources.releaseAll()
   }
 
+  test("weighted with w=1 is bit-identical to unweighted") {
+    import spark.implicits._
+    val e = star()
+    val unw = PageRank.run(e, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (we2, wnodes) =
+      PageRank.prepareWeighted(e.withColumn("w", lit(1L)))
+    val w = PageRank.runPreparedWeighted(we2, wnodes, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unw == w,
+      "w ≡ 1 must reduce to the unweighted integer sequence")
+    graft.Resources.releaseAll()
+  }
+
+  test("weighted ranks match the hand computation") {
+    import spark.implicits._
+    // a -> b (w=3), a -> c (w=1), b -> a (w=1), c -> a (w=1)
+    // wsum(a)=4, wsum(b)=wsum(c)=1
+    // r1: a receives 1e6 + 1e6                  -> 150000 + 85*2e6//100   = 1850000
+    //     b receives (1e6*3)//4 = 750000        -> 150000 + 85*750000//100 = 787500
+    //     c receives (1e6*1)//4 = 250000        -> 150000 + 85*250000//100 = 362500
+    // r2: a receives 787500 + 362500 = 1150000  -> 150000 + 85*1150000//100 = 1127500
+    //     b receives (1850000*3)//4 = 1387500   -> 150000 + 85*1387500//100 = 1329375
+    //     c receives (1850000*1)//4 = 462500    -> 150000 + 85*462500//100  = 543125
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val (e2, nodes) = PageRank.prepareWeighted(e)
+    val out = PageRank.runPreparedWeighted(e2, nodes, 2,
+        everyNodeHasInEdge = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out ==
+      Map("a" -> 1127500L, "b" -> 1329375L, "c" -> 543125L))
+    graft.Resources.releaseAll()
+  }
+
   test("a node with no in-edges gets exactly the teleport term") {
     import spark.implicits._
     // d -> a only: d never receives, a never gives (deg(a) missing is
