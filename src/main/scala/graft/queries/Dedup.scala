@@ -808,6 +808,111 @@ object Dedup {
        |WHERE 2 * inter >= uni
        |ORDER BY doc1, doc2""".stripMargin)
 
+  // ------------------------------------------------------------ q150
+  // Exact CONTAINMENT join (quote / subsumption detection): every
+  // directed pair (A, B) where ≥ 80 % of A's distinct shingles also
+  // appear in B — the "document A is substantially quoted by /
+  // subsumed in document B" primitive. Jaccard (q132) misses these:
+  // a short doc fully embedded in a long one has tiny Jaccard but
+  // containment 1.0, and containment is ASYMMETRIC, so the pair is
+  // directed and both directions can hold (exact duplicates).
+  //
+  // The prefix filter adapts losslessly to containment: with the
+  // same GLOBAL rarest-first (df, hash) order as q132, C(A→B) ≥ 4/5
+  // forces inter ≥ ⌈4·s1/5⌉, so A's earliest shared element sits at
+  // position ≤ s1 − ⌈4·s1/5⌉ + 1 — index only that prefix of A. The
+  // B side has no τ-derived prefix (the bound constrains A's set
+  // only), so A-prefixes probe the FULL posting index of B — the
+  // standard set-containment-join asymmetry — with the length filter
+  // 5·s2 ≥ 4·s1 (B must be able to absorb the required overlap) and
+  // q132's positional bound, which transfers verbatim: at the first
+  // shared element inter ≤ 1 + min(s1−p1, s2−p2), and a true pair's
+  // bound always clears 4·s1/5 (bound ≥ inter ≥ ⌈4·s1/5⌉). Candidates
+  // shuffle 8-byte hashes; verification fetches sets by id for
+  // survivors only. Worst-case volume is inherent to exactness (q132
+  // argument); degenerate corpora belong on the banded sketches.
+  private val q150 = QueryDef.of(
+    (s, d) => {
+      val shing = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          s"array_distinct(transform($shinglesExpr, s -> $hash40))")
+          .as("sh"))
+      val ex = shing.select(col("doc_id"), explode(col("sh")).as("h"))
+      val dfc = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val ordered = ex.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+          .as("o"))
+        .select(col("doc_id"), size(col("o")).as("sz"),
+          expr("transform(o, x -> x.h)").as("osh"))
+      val pfx = ordered.select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(osh, 1, sz - (4 * sz + 4) div 5 + 1)"))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id").as("d1"), col("sz").as("s1"),
+          (col("p0") + 1).as("p1"), col("h"))
+      val full = ordered.select(col("doc_id"), col("sz"),
+        posexplode(col("osh")).as(Seq("p0", "h")))
+        .select(col("doc_id").as("d2"), col("sz").as("s2"),
+          (col("p0") + 1).as("p2"), col("h"))
+      val cand = pfx.join(full, Seq("h"))
+        .filter(col("d1") =!= col("d2") &&
+          lit(5) * col("s2") >= lit(4) * col("s1") &&
+          lit(5) * (lit(1) +
+            least(col("s1") - col("p1"), col("s2") - col("p2"))) >=
+            lit(4) * col("s1"))
+        .select(col("d1"), col("d2")).distinct()
+      cand
+        .join(shing.withColumnsRenamed(
+          Map("doc_id" -> "d1", "sh" -> "sa")), "d1")
+        .join(shing.withColumnsRenamed(
+          Map("doc_id" -> "d2", "sh" -> "sb")), "d2")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("s1", size(col("sa")).cast("long"))
+        .filter(col("inter") * 5 >= col("s1") * 4)
+        .select(col("d1").as("contained"), col("d2").as("container"),
+          col("inter"), col("s1").as("sz"),
+          expr("(inter * 1000000) div s1").as("containment_micro"))
+        .orderBy(col("contained"), col("container"))
+    },
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shing AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+       |    s -> CAST('0x' || substring(md5(s), 1, 10) AS BIGINT))) AS sh
+       |  FROM toks WHERE len(toks) >= 3),
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM shing),
+       |df AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+       |ordered AS (
+       |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS osh
+       |  FROM ex e JOIN df d ON e.h = d.h GROUP BY e.doc_id),
+       |pfx AS (
+       |  SELECT doc_id AS d1, len(osh) AS s1,
+       |    unnest(list_slice(osh, 1,
+       |      len(osh) - (4 * len(osh) + 4) // 5 + 1)) AS h
+       |  FROM ordered),
+       |fullx AS (
+       |  SELECT doc_id AS d2, len(osh) AS s2, unnest(osh) AS h
+       |  FROM ordered),
+       |cand AS (
+       |  SELECT DISTINCT d1, d2
+       |  FROM pfx a JOIN fullx b USING (h)
+       |  WHERE d1 <> d2 AND 5 * s2 >= 4 * s1),
+       |ver AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |    CAST(len(a.sh) AS BIGINT) AS s1
+       |  FROM cand c JOIN shing a ON a.doc_id = c.d1
+       |              JOIN shing b ON b.doc_id = c.d2)
+       |SELECT d1 AS contained, d2 AS container, inter, s1 AS sz,
+       |  (inter * 1000000) // s1 AS containment_micro
+       |FROM ver WHERE 5 * inter >= 4 * s1
+       |ORDER BY contained, container""".stripMargin)
+
   // ------------------------------------------------------------ q133
   // Sentence-level exact dedup (the C4 pipeline's "discard any repeated
   // unit, keep the first occurrence" step, at sentence granularity):
@@ -957,6 +1062,7 @@ object Dedup {
     "q135_cluster_agreement" -> q135,
     "q120_incremental_dedup" -> q120,
     "q132_exact_jaccard_join" -> q132,
+    "q150_containment_join" -> q150,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q30_dedup_exact" -> q30,
