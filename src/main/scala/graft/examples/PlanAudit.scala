@@ -66,7 +66,9 @@ object PlanAudit {
         "q124_bloom_point_lookup", "q125_mmr_diversify",
         "q126_dsir_selection", "q127_dpp_join", "q131_triangle_count",
         "q132_exact_jaccard_join", "q134_kcore", "q137_event_patterns",
-        "q141_pca_power", "q142_crossencoder_rerank")
+        "q141_pca_power", "q142_crossencoder_rerank",
+        "q148_classifier_eval", "q149_textrank_keywords",
+        "q150_containment_join")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -425,6 +427,32 @@ object PlanAudit {
         // unbroadcast cartesian of data-sized frames
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "rerank pairs come from stage-1 ranks, never all-pairs")),
+      // the AUC rank pass must stay distributed: the cumulative-negatives
+      // window partitions on the range-partition id (q109 pattern) — a
+      // windowspec without pid would be the global-sort rank killer
+      "q148_classifier_eval" -> Seq(
+        Check("pid-partitioned-rank", p =>
+          p.contains("windowspecdefinition(pid"),
+          "cumulative negatives run per range partition, never globally"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "scoring is a per-row fold over the feature frame")),
+      // every TextRank step is an equi-join on word keys (rank⋈edges,
+      // wsum attach) — the bigram build is a per-row explode, never a
+      // token self-join
+      "q149_textrank_keywords" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "bigrams explode per row; iterations are word-keyed joins")),
+      // q132's discipline transfers to the containment join: candidates
+      // from the prefix-hash equi-join, per-doc ordering via sort_array
+      "q150_containment_join" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "candidates come from the prefix×index equi-join, never all-pairs"),
+        Check("no-single-partition-sort", p =>
+          !"Exchange SinglePartition.*\\n.*Sort".r.findFirstIn(p).isDefined,
+          "rarest-first ordering is per-doc sort_array, not a global window")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(
