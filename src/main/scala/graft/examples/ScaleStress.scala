@@ -419,6 +419,32 @@ object ScaleStress {
         .groupBy(col("pm.pattern")).agg(sum(col("pm.m")).as("n"))
         .agg(sum(col("n"))).head().getLong(0)
 
+    // distributed rank à la q109/q148 — range repartition + per-pid
+    // window + bounded prefix offsets; cost must track the scan
+    // ~linearly (a global-sort row_number would serialize the 10× run
+    // onto one task and go superlinear)
+    def rankRun(ord: DataFrame): Long = {
+      val o = ord.select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("pc"))
+        .repartitionByRange(col("pc"), col("k"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val counts = o.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets = counts.map { case (p, c) =>
+        val start = acc; acc += c; (p, start)
+      }.toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("pc"), col("k"))
+      val n = o.withColumn("r", row_number().over(w).cast("long") +
+          element_at(typedLit(offsets), col("pid")))
+        .agg(max(col("r"))).head().getLong(0)
+      graft.Resources.releaseCheckpoint(o)
+      n
+    }
+
     // triangle counting à la q131 — disjoint node-shifted copies keep
     // per-copy structure constant, so triangles (and cost) scale ~10×
     def triRun(und: DataFrame): Long =
@@ -569,6 +595,9 @@ object ScaleStress {
     val (snT10, _) = time(sentRun(d10))
     val (ptT1, _) = time(patRun(ev1))
     val (ptT10, _) = time(patRun(ev10))
+    rankRun(or1) // warm up
+    val (rkT1, _) = time(rankRun(or1))
+    val (rkT10, _) = time(rankRun(or10))
     val (gmT1, _) = time(gramRun(e1))
     val (gmT10, _) = time(gramRun(e10))
 
@@ -598,6 +627,7 @@ object ScaleStress {
       f""""exjoin_1x_s":$pjT1%.2f,"exjoin_10x_s":$pjT10%.2f,"exjoin_ratio":${pjT10 / pjT1}%.1f,""" +
       f""""sentdedup_1x_s":$snT1%.2f,"sentdedup_10x_s":$snT10%.2f,"sentdedup_ratio":${snT10 / snT1}%.1f,""" +
       f""""patterns_1x_s":$ptT1%.2f,"patterns_10x_s":$ptT10%.2f,"patterns_ratio":${ptT10 / ptT1}%.1f,""" +
+      f""""rank_1x_s":$rkT1%.2f,"rank_10x_s":$rkT10%.2f,"rank_ratio":${rkT10 / rkT1}%.1f,""" +
       f""""gram_1x_s":$gmT1%.2f,"gram_10x_s":$gmT10%.2f,"gram_ratio":${gmT10 / gmT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()

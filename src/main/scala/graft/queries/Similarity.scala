@@ -684,6 +684,112 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY rk.cell, rank""".stripMargin)
 
+  // ------------------------------------------------------------ q151
+  // Clustering-quality eval by graph MODULARITY (Newman '04): score the
+  // q42b k-means cells against the q34 embedding near-dup graph — do
+  // the cells keep similar vectors together? Per cluster c with L_c
+  // intra-cluster edges, degree mass d_c, and m total edges:
+  //
+  //   Q_c = L_c/m − (d_c / 2m)²     (Q = Σ_c Q_c; higher = cells
+  //                                  capture the similarity structure)
+  //
+  // — the structural complement to q116's pair-agreement eval and the
+  // readout that decides whether a clustering is good enough to drive
+  // SemDeDup/curation. Exact integer µ-units via NESTED truncating
+  // divisions (both engines replay bit-for-bit):
+  //
+  //   contribution_micro = (1e6·L_c) div m
+  //                      − (((1e6·d_c) div 2m) · d_c) div 2m
+  //
+  // (nesting keeps every intermediate ≤ 1e6·d_c ≤ 2·1e6·m — long-safe
+  // to m ≈ 4.6·10¹² edges, where the single-expression form
+  // 1e6·d_c² overflows at m ≈ 1.5·10⁶ already).
+  //
+  // Scale shape: the edge list comes from q34's cell-blocked scorer
+  // (never all-pairs); degrees and intra counts are two map-side-
+  // combined aggregates; the assignment index is the persisted q42b
+  // artifact; m rides along as a broadcast 1-row frame. Nothing
+  // corpus-sized shuffles twice.
+  private val q151 = QueryDef.of(
+    (s, d) => {
+      val pairs = scored(s, d, "vec_id % 50 = 0", labelRel = "same")
+        .filter(col("score") >= 0.3)
+        .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+          greatest(col("probe_id"), col("neighbor_id")).as("b"))
+        .distinct()
+      val asg = s.read.parquet(ensureDetIndex(s, d))
+        .select(col("vec_id"), col("cell"))
+      val mF = pairs.agg(count(lit(1)).as("m"))
+      val deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val intra = pairs
+        .join(asg.select(col("vec_id").as("a"), col("cell").as("ca")),
+          "a")
+        .join(asg.select(col("vec_id").as("b"), col("cell").as("cb")),
+          "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("cell"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val degc = deg
+        .join(asg.select(col("vec_id").as("node"), col("cell")), "node")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+      degc.join(intra, Seq("cell"), "left")
+        .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+        .crossJoin(broadcast(mF))
+        .select(col("cell"), col("n_nodes"), col("intra_edges"),
+          col("deg_sum"),
+          expr("""(1000000L * intra_edges) div m -
+                 |  (((1000000L * deg_sum) div (2 * m)) * deg_sum)
+                 |    div (2 * m)""".stripMargin)
+            .as("contribution_micro"))
+        .orderBy(col("cell"))
+    },
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, label, embedding AS pe
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |sc AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("pe", "e.embedding")} AS score
+       |  FROM probes JOIN embeddings e USING (label)
+       |  WHERE e.vec_id <> probe_id),
+       |pairs AS (
+       |  SELECT DISTINCT least(probe_id, neighbor_id) AS a,
+       |    greatest(probe_id, neighbor_id) AS b
+       |  FROM sc WHERE score >= 0.3),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM pairs
+       |    UNION ALL SELECT b AS node FROM pairs)
+       |  GROUP BY node),
+       |qz AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${q42bTrain._1},
+       |${sqlKmAssign("af", "qz", q42bTrain._2, 64)},
+       |intra AS (
+       |  SELECT ca.cell, CAST(COUNT(*) AS BIGINT) AS intra_edges
+       |  FROM pairs p JOIN af ca ON ca.vec_id = p.a
+       |               JOIN af cb ON cb.vec_id = p.b
+       |  WHERE ca.cell = cb.cell
+       |  GROUP BY ca.cell),
+       |degc AS (
+       |  SELECT af.cell, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg) AS BIGINT) AS deg_sum
+       |  FROM deg JOIN af ON af.vec_id = deg.node
+       |  GROUP BY af.cell)
+       |SELECT d.cell, n_nodes,
+       |  COALESCE(intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+       |  deg_sum,
+       |  (1000000 * COALESCE(intra_edges, 0)) // m -
+       |    (((1000000 * deg_sum) // (2 * m)) * deg_sum) // (2 * m)
+       |    AS contribution_micro
+       |FROM degc d LEFT JOIN intra i ON d.cell = i.cell CROSS JOIN mm
+       |ORDER BY d.cell""".stripMargin)
+
   // ------------------------------------------------------------- q44
   // IVF-PQ (product quantization, no-residual IVF-ADC) over the
   // deterministic trainer ([[graft.operators.PqIndex]]): a coarse
@@ -1073,6 +1179,7 @@ object Similarity {
     "q106_ann_recall" -> q106,
     "q42b_ann_ivf_deterministic" -> q42b,
     "q144_cluster_topics" -> q144,
+    "q151_modularity" -> q151,
     "q102_random_projection" -> q102,
     "q44_ann_ivfpq" -> q44,
     "q87_embed_dim_stats" -> q87,
