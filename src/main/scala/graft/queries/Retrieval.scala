@@ -362,9 +362,9 @@ object Retrieval {
   // shuffles, bodies move only for candidates), and the rerank window
   // runs over 20 rows per query. The cross-encoder cost — the reason
   // two-stage architectures exist — scales with candidates, not corpus.
-  private val RerankQueries = Seq(
-    (1, "spark window agg"), (2, "customer stream table"),
-    (3, "vector hash join"))
+  // the query set is q77's — ONE definition (TextAnalysis.BmQueries),
+  // so the two stages' rankings can never drift from the q77 contract
+  private def RerankQueries = TextAnalysis.BmQueries
   private val Stage1K = 20
   private val RerankK = 3
 
@@ -372,8 +372,10 @@ object Retrieval {
     * 1e6 div (first 1-based occurrence position in the raw doc token
     * array), 0 if absent — a deterministic early-position proximity
     * model over the pair, integer end-to-end so DuckDB replays it
-    * (`list_position` is 1-based / NULL-if-absent, mirrored here by
-    * indexOf + 1). Raw split (empties kept) matches `string_split`. */
+    * (`list_position` is 1-based and returns 0 — NOT NULL — for an
+    * absent element on DuckDB 1.0, so the oracle guards with
+    * `COALESCE(...) > 0`; mirrored here by indexOf + 1). Raw split
+    * (empties kept) matches `string_split`. */
   private[queries] def crossScore(qtext: String, text: String): Long = {
     val toks = text.split(" ", -1)
     var s = 0L
@@ -384,42 +386,13 @@ object Retrieval {
     s
   }
 
-  /** Stage 1: BM25 top-[[Stage1K]] per query (q77's rational-idf +
-    * sorted-term-fold contract, verbatim). */
+  /** Stage 1: BM25 top-[[Stage1K]] per query — the SHARED q77 scorer
+    * ([[TextAnalysis.bm25PerDoc]]), windowed down to the candidate
+    * set. */
   private def stage1(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val qterms = RerankQueries.toDF("query_id", "qtext")
-      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
-    val terms = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("n_dt"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("dl"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val avg = dl.agg(sum(col("dl")).as("tot")).crossJoin(n)
-      .select(col("n_docs"),
-        (col("tot").cast("double") / col("n_docs")).as("avgdl"))
-    val scoredTerms = tf
-      .join(broadcast(qterms), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .join(broadcast(dfT.join(
-        broadcast(qterms.select(col("term")).distinct()), Seq("term"))),
-        Seq("term"))
-      .crossJoin(broadcast(avg))
-      .withColumn("w", expr(
-        """((cast(n_docs as double) - cast(df_t as double) + 0.5) / (cast(df_t as double) + 0.5))
-          | * ((cast(n_dt as double) * 2.2)
-          |    / (cast(n_dt as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))))"""
-          .stripMargin))
     val w20 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    scoredTerms.groupBy(col("query_id"), col("doc_id"))
-      .agg(expr(
-        """aggregate(sort_array(collect_list(struct(term, w))),
-          |  cast(0.0 as double), (acc, x) -> acc + x.w)""".stripMargin)
-        .as("score"))
+    TextAnalysis.bm25PerDoc(s, d)
       .withColumn("stage1_rank", row_number().over(w20))
       .filter(col("stage1_rank") <= Stage1K)
       .select(col("query_id"), col("doc_id"), col("stage1_rank"))
@@ -449,33 +422,7 @@ object Retrieval {
           col("score_micro"), col("stage1_rank"))
         .orderBy(col("query_id"), col("rerank"))
     },
-    s"""WITH q AS (
-       |  SELECT query_id, qtext FROM (VALUES ${RerankQueries
-            .map { case (i, t) => s"($i, '$t')" }
-            .mkString(", ")}) v(query_id, qtext)),
-       |qt AS (SELECT query_id, u.term FROM q,
-       |  unnest(string_split(qtext, ' ')) u(term)),
-       |terms AS (
-       |  SELECT doc_id, u.term FROM documents,
-       |    unnest(string_split(text, ' ')) u(term) WHERE u.term <> ''),
-       |tf AS (SELECT doc_id, term, COUNT(*) AS n_dt FROM terms GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
-       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM terms GROUP BY 1),
-       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-       |avg AS (SELECT n_docs, CAST(SUM(dl) AS DOUBLE) / n_docs AS avgdl
-       |        FROM dl, n GROUP BY n_docs),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id, tf.term,
-       |    ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) / (CAST(df_t AS DOUBLE) + 0.5))
-       |     * ((CAST(n_dt AS DOUBLE) * 2.2)
-       |        / (CAST(n_dt AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS w
-       |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
-       |       JOIN df USING (term) CROSS JOIN avg),
-       |perdoc AS (
-       |  SELECT query_id, doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY term)),
-       |      (a, b) -> a + b) AS score
-       |  FROM scored GROUP BY 1, 2),
+    s"""WITH ${TextAnalysis.bm25Ctes},
        |cands AS (
        |  SELECT query_id, doc_id, stage1_rank FROM (
        |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
@@ -489,12 +436,12 @@ object Retrieval {
        |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM cands)),
        |contrib AS (
        |  SELECT c.query_id, c.doc_id, c.stage1_rank,
-       |    CASE WHEN list_position(dt.toks, qm.term) IS NOT NULL
+       |    CASE WHEN COALESCE(list_position(dt.toks, qm.term), 0) > 0
        |         THEN 1000000 // list_position(dt.toks, qm.term)
        |         ELSE 0 END AS w
        |  FROM cands c
        |  JOIN dtoks dt ON dt.doc_id = c.doc_id
-       |  JOIN qt qm ON qm.query_id = c.query_id),
+       |  JOIN q qm ON qm.query_id = c.query_id),
        |rescore AS (
        |  SELECT query_id, doc_id, stage1_rank,
        |    CAST(SUM(w) AS BIGINT) AS score_micro

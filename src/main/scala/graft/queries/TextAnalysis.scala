@@ -212,8 +212,11 @@ object TextAnalysis {
       |       ELSE CAST(-1 AS BIGINT) END AS fp_min,
       |  CASE WHEN len(fps) > 0 THEN fps[len(fps)]
       |       ELSE CAST(-1 AS BIGINT) END AS fp_max,
-      |  md5(array_to_string(fps, ',')) AS fp_digest
+      |  md5(COALESCE(array_to_string(fps, ','), '')) AS fp_digest
       |FROM f ORDER BY doc_id""".stripMargin)
+  // ^ COALESCE: DuckDB's array_to_string([]) is NULL (md5 would be
+  //   NULL) while Spark's concat_ws over [] is '' (md5('') digest) —
+  //   a <3-token doc must digest identically in both engines
 
   // ------------------------------------------------------------ q146
   // Per-source lexical diversity (Gini–Simpson index): 1 − Σ p(term)²
@@ -846,58 +849,66 @@ object TextAnalysis {
   // arithmetic with identical literal parse and operation order on both
   // engines; the per-(query,doc) term sum folds in sorted term order on
   // both sides (same strict left fold as q76).
-  private val BmQueries = Seq(
+  /** The fixed BM25 eval query set — SHARED with q142's stage 1
+    * (Retrieval.scala): one definition so the two rankings can never
+    * drift. */
+  private[queries] val BmQueries = Seq(
     (1, "spark window agg"), (2, "customer stream table"),
     (3, "vector hash join"))
-  private val q77 = QueryDef.of(
-    (s, d) => {
-      import s.implicits._
-      val qterms = BmQueries.toDF("query_id", "qtext")
-        .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
-      val terms = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term") =!= "")
-      val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("n_dt"))
-      // dl and df both DERIVE from tf — one row per distinct (doc,
-      // term) — instead of re-shuffling the raw token stream: doc
-      // length is the sum of its term counts, and document frequency
-      // is tf's row count per term (tf is already distinct on (doc,
-      // term), so no second explode+distinct pass exists anywhere).
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("dl"))
-      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val avg = dl.agg(sum(col("dl")).as("tot")).crossJoin(n)
-        .select(col("n_docs"),
-          (col("tot").cast("double") / col("n_docs")).as("avgdl"))
-      val scoredTerms = tf
-        .join(broadcast(qterms), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .join(broadcast(dfT.join(broadcast(qterms).select(col("term")).distinct(),
-          Seq("term"))), Seq("term"))
-        .crossJoin(broadcast(avg))
-        .withColumn("w", expr(
-          """((cast(n_docs as double) - cast(df_t as double) + 0.5) / (cast(df_t as double) + 0.5))
-            | * ((cast(n_dt as double) * 2.2)
-            |    / (cast(n_dt as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))))"""
-            .stripMargin))
-      val perDoc = scoredTerms.groupBy(col("query_id"), col("doc_id"))
-        .agg(expr(
-          """aggregate(sort_array(collect_list(struct(term, w))),
-            |  cast(0.0 as double), (acc, x) -> acc + x.w)""".stripMargin)
-          .as("score"),
-          count(lit(1)).as("n_hit"))
-      val w10 = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id"))
-      perDoc.withColumn("rank", row_number().over(w10))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("doc_id"),
-          col("score"), col("n_hit"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    s"""WITH q AS (
+
+  /** Shared per-(query, doc) BM25 score frame — the q77 contract
+    * (rational RSJ idf, k1=1.2 / b=0.75, sorted-term strict left
+    * fold), consumed by q77 (top-10 report) and q142's stage 1
+    * (top-20 candidate set). Returns (query_id, doc_id, score,
+    * n_hit). The matching oracle CTE block is [[bm25Ctes]] — change
+    * BOTH or neither (the q92/q143 `lmScores` discipline). */
+  private[queries] def bm25PerDoc(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qterms = BmQueries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_dt"))
+    // dl and df both DERIVE from tf — one row per distinct (doc,
+    // term) — instead of re-shuffling the raw token stream: doc
+    // length is the sum of its term counts, and document frequency
+    // is tf's row count per term (tf is already distinct on (doc,
+    // term), so no second explode+distinct pass exists anywhere).
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val avg = dl.agg(sum(col("dl")).as("tot")).crossJoin(n)
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+    val scoredTerms = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfT.join(broadcast(qterms).select(col("term")).distinct(),
+        Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(avg))
+      .withColumn("w", expr(
+        """((cast(n_docs as double) - cast(df_t as double) + 0.5) / (cast(df_t as double) + 0.5))
+          | * ((cast(n_dt as double) * 2.2)
+          |    / (cast(n_dt as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))))"""
+          .stripMargin))
+    scoredTerms.groupBy(col("query_id"), col("doc_id"))
+      .agg(expr(
+        """aggregate(sort_array(collect_list(struct(term, w))),
+          |  cast(0.0 as double), (acc, x) -> acc + x.w)""".stripMargin)
+        .as("score"),
+        count(lit(1)).as("n_hit"))
+  }
+
+  /** Oracle CTE block mirroring [[bm25PerDoc]]: defines q, terms, tf,
+    * dl, df, n, avg, scored, and perdoc (query_id, doc_id, score,
+    * n_hit). Shared by the q77 and q142 oracles. */
+  private[queries] val bm25Ctes: String =
+    s"""q AS (
        |  SELECT query_id, u.term FROM (VALUES ${BmQueries
-            .map { case (i, t) => s"($i, '$t')" }.mkString(", ")}) v(query_id, qtext),
+          .map { case (i, t) => s"($i, '$t')" }.mkString(", ")}) v(query_id, qtext),
        |    unnest(string_split(qtext, ' ')) u(term)),
        |terms AS (
        |  SELECT doc_id, u.term FROM documents,
@@ -920,7 +931,19 @@ object TextAnalysis {
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY term)),
        |      (a, b) -> a + b) AS score,
        |    COUNT(*) AS n_hit
-       |  FROM scored GROUP BY 1, 2),
+       |  FROM scored GROUP BY 1, 2)""".stripMargin
+
+  private val q77 = QueryDef.of(
+    (s, d) => {
+      val w10 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      bm25PerDoc(s, d).withColumn("rank", row_number().over(w10))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score"), col("n_hit"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    s"""WITH $bm25Ctes,
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, doc_id) AS rank

@@ -18,12 +18,13 @@ class CurriculumSpec extends AnyFunSuite {
     val total = rows.map(_.getLong(1)).sum
     val nDocs = graft.Tables.documents(spark, sfDir).count()
     assert(total == nDocs, s"bins must cover all $nDocs docs, got $total")
-    // ranges ordered and non-overlapping across ascending bins
+    // ranges STRICTLY disjoint across ascending bins: binning is a
+    // strict `<` against shared cut literals, so a score can never land
+    // in two bins — lo.max must sit strictly below hi.min
     rows.sliding(2).foreach {
       case Array(lo, hi) =>
-        assert(lo.getLong(4) < hi.getLong(3) || lo.getLong(4) <= hi.getLong(3),
-          s"bin ${lo.getInt(0)} max must not exceed bin ${hi.getInt(0)} min")
-        assert(lo.getLong(4) <= hi.getLong(3))
+        assert(lo.getLong(4) < hi.getLong(3),
+          s"bin ${lo.getInt(0)} max must be < bin ${hi.getInt(0)} min")
       case _ => ()
     }
     rows.foreach { r =>
