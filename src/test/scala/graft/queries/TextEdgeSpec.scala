@@ -39,4 +39,23 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(ngrams("a b", bigrams) == Seq("a b"))
     assert(ngrams("a b c", bigrams) == Seq("a b", "b c"))
   }
+
+  test("q145 digest of an empty fingerprint set is md5('')") {
+    // a <3-token doc has zero shingles → fps = []; the engine digests
+    // the empty concat (md5('') = d41d8cd9...) and the ORACLE matches
+    // only through its COALESCE(array_to_string(fps, ','), '') — DuckDB
+    // returns NULL for array_to_string([]) where Spark concat_ws gives
+    // ''. This pins the engine half of that contract.
+    import spark.implicits._
+    val out = Seq("hi there").toDF("text")
+      .selectExpr("split(text, ' ') AS tokens")
+      .selectExpr(s"""transform(${TextExprs.shingles3("tokens")},
+           g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))
+           AS sh""")
+      .selectExpr("sort_array(array_distinct(sh)) AS fps")
+      .selectExpr(
+        "md5(concat_ws(',', transform(fps, x -> cast(x as string)))) AS d")
+      .collect().head.getString(0)
+    assert(out == "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }
