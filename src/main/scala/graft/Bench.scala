@@ -37,6 +37,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"pq warmup failed: $e") }
     try graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"lsh warmup failed: $e") }
+    try graft.queries.Dedup.ensureShingleIndex(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"shingle warmup failed: $e") }
     try graft.queries.Graph.ensureCoEdges(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"edges warmup failed: $e") }
     try graft.queries.Graph.ensurePrGraph(spark, sfDir)

@@ -138,6 +138,48 @@ object Dedup {
     ()
   }
 
+  /** The rarest-first ordered shingle frames are the shared artifact of
+    * the EXACT-join family: q132 (Jaccard) and q150 (containment) both
+    * need (shing = per-doc distinct 40-bit shingle sets, ordered =
+    * global-(df, hash)-ordered arrays with sizes) over the identical
+    * hash domain. Build once per (session, corpus) and persist — the
+    * candidate-index lifecycle; a corpus runs N exact joins over one
+    * ordering. Released with [[releaseCandidateIndex]]. */
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]
+  private[queries] def orderedShingles(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
+    shingleCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val shing = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          s"array_distinct(transform($shinglesExpr, s -> $hash40))")
+          .as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = shing.select(col("doc_id"), explode(col("sh")).as("h"))
+      val dfc = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val ordered = ex.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+          .as("o"))
+        .select(col("doc_id"), size(col("o")).as("sz"),
+          expr("transform(o, x -> x.h)").as("osh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (shing, ordered)
+    })
+
+  /** Offline build entry point (idempotent per session+corpus). */
+  def ensureShingleIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val (shing, ordered) = orderedShingles(s, d)
+    shing.count()
+    ordered.count()
+    ()
+  }
+
   /** Release every cached candidate index built on `s` (all corpora).
     * Call when the session's dedup work is over — Verify/Bench do, so no
     * persisted frame outlives a run; long-lived sessions call it between
@@ -147,6 +189,14 @@ object Dedup {
     candCache.keys.filter(_.startsWith(prefix)).foreach { k =>
       candCache.remove(k).foreach { df =>
         try df.unpersist()
+        catch { case _: Throwable => () }
+      }
+    }
+    // the ordered-shingle index shares the release point: both are
+    // Dedup's per-(session, corpus) persisted artifacts
+    shingleCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      shingleCache.remove(k).foreach { case (shing, ordered) =>
+        try { shing.unpersist(); ordered.unpersist() }
         catch { case _: Throwable => () }
       }
     }
@@ -733,20 +783,9 @@ object Dedup {
     "cast(conv(substring(md5(s), 1, 10), 16, 10) as bigint)"
   private val q132 = QueryDef.of(
     (s, d) => {
-      val shing = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), expr(
-          s"array_distinct(transform($shinglesExpr, s -> $hash40))")
-          .as("sh"))
-      val ex = shing.select(col("doc_id"), explode(col("sh")).as("h"))
-      val dfc = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      val ordered = ex.join(dfc, "h")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
-          .as("o"))
-        .select(col("doc_id"), size(col("o")).as("sz"),
-          expr("transform(o, x -> x.h)").as("osh"))
+      // shared per-(session, corpus) artifact — one shingle ordering
+      // serves the whole exact-join family (q150 consumes the same)
+      val (shing, ordered) = orderedShingles(s, d)
       val pfx = ordered.select(col("doc_id"), col("sz"),
         posexplode(expr("slice(osh, 1, sz div 2 + 1)"))
           .as(Seq("p0", "h")))
@@ -833,20 +872,9 @@ object Dedup {
   // argument); degenerate corpora belong on the banded sketches.
   private val q150 = QueryDef.of(
     (s, d) => {
-      val shing = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), expr(
-          s"array_distinct(transform($shinglesExpr, s -> $hash40))")
-          .as("sh"))
-      val ex = shing.select(col("doc_id"), explode(col("sh")).as("h"))
-      val dfc = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      val ordered = ex.join(dfc, "h")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
-          .as("o"))
-        .select(col("doc_id"), size(col("o")).as("sz"),
-          expr("transform(o, x -> x.h)").as("osh"))
+      // shared per-(session, corpus) artifact — one shingle ordering
+      // serves the whole exact-join family (q132 builds the same)
+      val (shing, ordered) = orderedShingles(s, d)
       val pfx = ordered.select(col("doc_id"), col("sz"),
         posexplode(expr("slice(osh, 1, sz - (4 * sz + 4) div 5 + 1)"))
           .as(Seq("p0", "h")))
