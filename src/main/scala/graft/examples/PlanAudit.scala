@@ -68,7 +68,7 @@ object PlanAudit {
         "q132_exact_jaccard_join", "q134_kcore", "q137_event_patterns",
         "q141_pca_power", "q142_crossencoder_rerank",
         "q148_classifier_eval", "q149_textrank_keywords",
-        "q150_containment_join")
+        "q150_containment_join", "q152_assoc_rules")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -453,6 +453,16 @@ object PlanAudit {
         Check("no-single-partition-sort", p =>
           !"Exchange SinglePartition.*\\n.*Sort".r.findFirstIn(p).isDefined,
           "rarest-first ordering is per-doc sort_array, not a global window")),
+      // pair generation is the orderkey-keyed counted self-join (the
+      // coEdges argument); item supports and N broadcast onto the
+      // support-pruned rule set — a cartesian or an item-keyed shuffle
+      // of the rule frame would mean the stats joins went wide
+      "q152_assoc_rules" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "pairs come from the basket equi-join, never all-pairs"),
+        Check("broadcast-stats", p =>
+          "BroadcastHashJoin".r.findAllIn(p).size >= 2,
+          "item supports + N broadcast onto the rule set")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

@@ -248,6 +248,87 @@ object Graph {
        |SELECT node AS word, CAST(r AS BIGINT) AS r FROM r3
        |ORDER BY r DESC, word LIMIT 10""".stripMargin)
 
+  // ------------------------------------------------------------ q152
+  // Association-rule mining (Agrawal & Srikant '94, the 2-itemset
+  // level): directed rules x→y over high-volume order baskets with
+  // support, confidence = s(x,y)/s(x), and lift =
+  // s(x,y)·N / (s(x)·s(y)) — the market-basket readout over the same
+  // co-purchase domain the graph analytics (q131/q134/q147) mine
+  // structurally. Counts, not just distinct pairs: support needs how
+  // MANY baskets share the pair, so this builds its own counted
+  // self-join rather than reusing the distinct coEdges cache.
+  //
+  // Exact integer µ-units; lift uses NESTED truncating divisions
+  // (((1e6·s_pair) div s_ante)·N) div s_cons — every intermediate is
+  // ≤ 1e6·N, long-safe to N ≈ 9·10¹² baskets, where the naive
+  // 1e6·s_pair·N form overflows at N ≈ 3·10⁶ (the q151 discipline).
+  //
+  // Scale shape: basket dedup + the orderkey-keyed counted self-join
+  // (pair volume bounded by per-basket width², same argument as
+  // coEdges), one map-side-combined (x, y) count, support pruning
+  // BEFORE the stats joins (minsup = 2 kills the long tail early),
+  // item supports broadcast, N as a broadcast 1-row frame. Top-50 by
+  // lift with full tie-break (lift, ante, cons) keeps the output
+  // deterministic.
+  private val q152 = QueryDef.of(
+    (s, d) => {
+      val li = Tables.raw(s, d, "lineitem")
+        .filter(col("l_quantity") >= 35)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nB = li.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("s_item"))
+      val pair = li.select(col("ok"), col("pk").as("x"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("y")),
+          col("ok") === col("ok2") && col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("s_pair"))
+        .filter(col("s_pair") >= 2)
+      val rules = pair
+        .select(col("x").as("ante"), col("y").as("cons"), col("s_pair"))
+        .union(pair
+          .select(col("y").as("ante"), col("x").as("cons"),
+            col("s_pair")))
+      rules
+        .join(broadcast(item.select(col("pk").as("ante"),
+          col("s_item").as("s_ante"))), "ante")
+        .join(broadcast(item.select(col("pk").as("cons"),
+          col("s_item").as("s_cons"))), "cons")
+        .crossJoin(broadcast(nB))
+        .select(col("ante"), col("cons"), col("s_pair"), col("s_ante"),
+          col("s_cons"),
+          expr("(1000000L * s_pair) div s_ante").as("confidence_micro"),
+          expr("""(((1000000L * s_pair) div s_ante) * n_baskets)
+                 |  div s_cons""".stripMargin).as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
+        .limit(50)
+    },
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem WHERE l_quantity >= 35),
+      |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets
+      |       FROM li),
+      |item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS s_item
+      |         FROM li GROUP BY pk),
+      |pair AS (
+      |  SELECT a.pk AS x, b.pk AS y, CAST(COUNT(*) AS BIGINT) AS s_pair
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |rules AS (
+      |  SELECT x AS ante, y AS cons, s_pair FROM pair
+      |  UNION ALL
+      |  SELECT y AS ante, x AS cons, s_pair FROM pair)
+      |SELECT r.ante, r.cons, r.s_pair,
+      |  ia.s_item AS s_ante, ic.s_item AS s_cons,
+      |  (1000000 * r.s_pair) // ia.s_item AS confidence_micro,
+      |  (((1000000 * r.s_pair) // ia.s_item) * n_baskets) // ic.s_item
+      |    AS lift_micro
+      |FROM rules r JOIN item ia ON ia.pk = r.ante
+      |             JOIN item ic ON ic.pk = r.cons
+      |             CROSS JOIN nb
+      |ORDER BY lift_micro DESC, r.ante, r.cons LIMIT 50""".stripMargin)
+
   // ------------------------------------------------------------ q131
   // Exact triangle counting ([[graft.operators.TriangleCount]]) over the
   // part co-purchase graph: parts are linked when a high-volume order
@@ -462,6 +543,7 @@ object Graph {
   val defs: Map[String, QueryDef] = Map(
     "q86_pagerank" -> q86,
     "q149_textrank_keywords" -> q149,
+    "q152_assoc_rules" -> q152,
     "q131_triangle_count" -> q131,
     "q134_kcore" -> q134,
     "q147_random_walks" -> q147)
