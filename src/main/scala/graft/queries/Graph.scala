@@ -102,10 +102,49 @@ object Graph {
     ()
   }
 
+  /** q147's dst-ranked, degree-annotated adjacency over [[coEdges]] —
+    * a per-(session, corpus) graph artifact like [[prGraph]]: each of
+    * the walk's supersteps (and the step-union readout) joins this
+    * frame, so an uncached build re-runs the ranking window once PER
+    * CONSUMER (measured ~5× per q147 run). Persisted pre-partitioned
+    * on src — every step join keys on it. Released by
+    * [[releaseCoEdges]]. */
+  private val walkAdjCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private[queries] def walkAdj(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    walkAdjCache.getOrElseUpdate((s, d), {
+      import org.apache.spark.sql.expressions.Window
+      val e = coEdges(s, d)
+      val both = e.select(col("x").as("src"), col("y").as("dst"))
+        .union(e.select(col("y").as("src"), col("x").as("dst")))
+      both
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))))
+        .withColumn("deg", count(lit(1)).over(
+          Window.partitionBy(col("src"))))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Offline build entry point (idempotent per session+corpus). */
+  def ensureWalkAdj(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    walkAdj(s, d).count()
+    ()
+  }
+
   /** Release every cached edge frame built on `s` (all corpora). */
   def releaseCoEdges(s: org.apache.spark.sql.SparkSession): Unit = {
     edgeCache.keys.filter(_._1 eq s).foreach { k =>
       edgeCache.remove(k).foreach { df =>
+        try df.unpersist()
+        catch { case _: Throwable => () }
+      }
+    }
+    walkAdjCache.keys.filter(_._1 eq s).foreach { k =>
+      walkAdjCache.remove(k).foreach { df =>
         try df.unpersist()
         catch { case _: Throwable => () }
       }
@@ -480,15 +519,8 @@ object Graph {
   private val WalkSteps = 4
   private val q147 = QueryDef.of(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = coEdges(s, d)
-      val both = e.select(col("x").as("src"), col("y").as("dst"))
-        .union(e.select(col("y").as("src"), col("x").as("dst")))
-      val adj = both
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("dst"))))
-        .withColumn("deg", count(lit(1)).over(
-          Window.partitionBy(col("src"))))
+      // shared per-(session, corpus) ranked adjacency (see [[walkAdj]])
+      val adj = walkAdj(s, d)
       val starts = adj.select(col("src")).distinct()
         .filter(col("src") % 25 === 0)
         .select(col("src").as("walk_id"))
