@@ -68,7 +68,8 @@ object PlanAudit {
         "q132_exact_jaccard_join", "q134_kcore", "q137_event_patterns",
         "q141_pca_power", "q142_crossencoder_rerank",
         "q148_classifier_eval", "q149_textrank_keywords",
-        "q150_containment_join", "q152_assoc_rules")
+        "q150_containment_join", "q152_assoc_rules",
+        "q153_bfs_distance")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -463,6 +464,15 @@ object PlanAudit {
         Check("broadcast-stats", p =>
           "BroadcastHashJoin".r.findAllIn(p).size >= 2,
           "item supports + N broadcast onto the rule set")),
+      // every BFS superstep is a frontier⋈edges equi-join plus a
+      // node-keyed anti-join against settled — never an all-pairs
+      // expansion; the edges come from the shared coEdges cache
+      "q153_bfs_distance" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "ring expansion is keyed joins, never all-pairs"),
+        Check("shared-edge-cache", _.contains("InMemoryTableScan"),
+          "edges come from the shared coEdges cache")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

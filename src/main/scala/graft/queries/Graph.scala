@@ -368,6 +368,90 @@ object Graph {
       |             CROSS JOIN nb
       |ORDER BY lift_micro DESC, r.ante, r.cons LIMIT 50""".stripMargin)
 
+  // ------------------------------------------------------------ q153
+  // Bounded BFS hop distance (single-source shortest path, unit
+  // weights): distance from the graph's minimum part key over the
+  // shared co-purchase edges, 4 supersteps — the "how far does
+  // influence propagate" readout (reachability radius, neighborhood
+  // sizing for sampling fan-outs) and the one iterative-graph shape
+  // the suite's other ops (CC label min, PageRank sums, k-core
+  // peeling, random walks) don't exercise: FRONTIER expansion with an
+  // anti-join against the settled set. Output is the per-distance
+  // histogram plus each ring's min/max node (pins ring membership, not
+  // just size) and the still-unreached count at the horizon.
+  //
+  // Scale shape per superstep: one frontier⋈edges equi-join (the
+  // persisted pre-partitioned coEdges — only the frontier moves) and
+  // one anti-join against settled (node-keyed). Frontier size is
+  // bounded by ring growth, settled by |V|; 4 unrolled steps fuse into
+  // one DAG (the q86 cadence argument). The oracle replays every ring
+  // exactly — BFS on a fixed graph is deterministic, no tie-breaks
+  // needed (a node's distance is its first-reached superstep).
+  private val BfsSteps = 4
+  private val q153 = QueryDef.of(
+    (s, d) => {
+      val e = coEdges(s, d)
+      val both = e.select(col("x").as("src"), col("y").as("dst"))
+        .union(e.select(col("y").as("src"), col("x").as("dst")))
+      val nodes = both.select(col("src").as("node")).distinct()
+      val src0 = nodes.agg(min(col("node")).as("node"))
+        .withColumn("dist", lit(0))
+      var settled = src0
+      var frontier = src0
+      for (t <- 1 to BfsSteps) {
+        frontier = frontier
+          .join(both, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(settled.select(col("node").as("seen")),
+            col("node") === col("seen"), "left_anti")
+          .withColumn("dist", lit(t))
+        settled = settled.union(frontier)
+      }
+      val rings = settled.groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+      val unreached = nodes
+        .join(settled.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_nodes"))
+        .select(lit(-1).as("dist"), col("n_nodes"),
+          lit(-1L).as("min_node"), lit(-1L).as("max_node"))
+      rings.union(unreached).orderBy(col("dist"))
+    },
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_quantity >= 35),
+       |und AS (
+       |  SELECT DISTINCT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |e2 AS (
+       |  SELECT x AS src, y AS dst FROM und
+       |  UNION ALL SELECT y, x FROM und),
+       |nodes AS (SELECT DISTINCT src AS node FROM e2),
+       |v0 AS (SELECT MIN(node) AS node, 0 AS dist FROM nodes),
+       |${(1 to BfsSteps).map { t =>
+          val settled = (0 until t).map(i => s"SELECT node FROM v$i")
+            .mkString(" UNION ALL ")
+          s"""v$t AS (
+             |  SELECT DISTINCT e.dst AS node, $t AS dist
+             |  FROM v${t - 1} f JOIN e2 e ON e.src = f.node
+             |  WHERE e.dst NOT IN ($settled))"""
+            .stripMargin
+        }.mkString(",\n")},
+       |settled AS (${(0 to BfsSteps)
+          .map(i => s"SELECT * FROM v$i").mkString(" UNION ALL ")}),
+       |rings AS (
+       |  SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    MIN(node) AS min_node, MAX(node) AS max_node
+       |  FROM settled GROUP BY dist),
+       |unreached AS (
+       |  SELECT -1 AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(-1 AS BIGINT) AS min_node, CAST(-1 AS BIGINT) AS max_node
+       |  FROM nodes WHERE node NOT IN (SELECT node FROM settled))
+       |SELECT * FROM rings UNION ALL SELECT * FROM unreached
+       |ORDER BY dist""".stripMargin)
+
   // ------------------------------------------------------------ q131
   // Exact triangle counting ([[graft.operators.TriangleCount]]) over the
   // part co-purchase graph: parts are linked when a high-volume order
@@ -576,6 +660,7 @@ object Graph {
     "q86_pagerank" -> q86,
     "q149_textrank_keywords" -> q149,
     "q152_assoc_rules" -> q152,
+    "q153_bfs_distance" -> q153,
     "q131_triangle_count" -> q131,
     "q134_kcore" -> q134,
     "q147_random_walks" -> q147)
