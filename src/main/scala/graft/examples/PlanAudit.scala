@@ -69,7 +69,7 @@ object PlanAudit {
         "q141_pca_power", "q142_crossencoder_rerank",
         "q148_classifier_eval", "q149_textrank_keywords",
         "q150_containment_join", "q152_assoc_rules",
-        "q153_bfs_distance")
+        "q153_bfs_distance", "q154_label_propagation")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -473,6 +473,15 @@ object PlanAudit {
           "ring expansion is keyed joins, never all-pairs"),
         Check("shared-edge-cache", _.contains("InMemoryTableScan"),
           "edges come from the shared coEdges cache")),
+      // the per-node majority vote is max(struct(count, −label)) — an
+      // ordinary combinable aggregate; a Window in the plan would mean
+      // the argmax degenerated into a per-(node, label) sort
+      "q154_label_propagation" -> Seq(
+        Check("no-window-argmax", p => !p.contains("Window"),
+          "majority vote is a combinable max(struct), never a window"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "votes come from the edge⋈labels key join")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

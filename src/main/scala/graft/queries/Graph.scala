@@ -452,6 +452,65 @@ object Graph {
        |SELECT * FROM rings UNION ALL SELECT * FROM unreached
        |ORDER BY dist""".stripMargin)
 
+  // ------------------------------------------------------------ q154
+  // Label-propagation communities (Raghavan et al. '07, synchronous):
+  // every node adopts the MAJORITY label among its neighbors each
+  // round, ties to the smallest label — community detection proper,
+  // distinct from connected components (q65's min-label converges to
+  // one label per component; LPA's majority vote splits dense
+  // components into communities). 3 synchronous rounds from
+  // label(v)=v, then the community-size histogram.
+  //
+  // The per-node ARGMAX is the scale-interesting bit: not a window
+  // (which would shuffle+sort every (node, label) pair) but
+  // max(struct(count, −label)) — an ordinary MAP-SIDE-COMBINABLE
+  // aggregate whose struct ordering encodes the (count desc, label
+  // asc) tie-break exactly. The oracle replays it as the equivalent
+  // ROW_NUMBER pick. Per round: one edge⋈labels key join (only the
+  // label frame moves — edges are the persisted coEdges) and two
+  // combinable aggregates; 3 rounds fuse into one DAG.
+  private val LpaRounds = 3
+  private val q154 = QueryDef.of(
+    (s, d) => {
+      val e = coEdges(s, d)
+      val both = e.select(col("x").as("src"), col("y").as("dst"))
+        .union(e.select(col("y").as("src"), col("x").as("dst")))
+      val nodes = both.select(col("src").as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to LpaRounds) {
+        labels = both.join(labels, col("dst") === col("node"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("community"))
+    },
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_quantity >= 35),
+       |und AS (
+       |  SELECT DISTINCT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |e2 AS (
+       |  SELECT x AS src, y AS dst FROM und
+       |  UNION ALL SELECT y, x FROM und),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e2),
+       |${(1 to LpaRounds).map { t =>
+          s"""l$t AS (
+             |  SELECT src AS node, lbl FROM (
+             |    SELECT e.src, l.lbl,
+             |      ROW_NUMBER() OVER (PARTITION BY e.src
+             |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+             |    FROM e2 e JOIN l${t - 1} l ON l.node = e.dst
+             |    GROUP BY e.src, l.lbl)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")}
+       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+       |FROM l$LpaRounds GROUP BY lbl ORDER BY community""".stripMargin)
+
   // ------------------------------------------------------------ q131
   // Exact triangle counting ([[graft.operators.TriangleCount]]) over the
   // part co-purchase graph: parts are linked when a high-volume order
@@ -661,6 +720,7 @@ object Graph {
     "q149_textrank_keywords" -> q149,
     "q152_assoc_rules" -> q152,
     "q153_bfs_distance" -> q153,
+    "q154_label_propagation" -> q154,
     "q131_triangle_count" -> q131,
     "q134_kcore" -> q134,
     "q147_random_walks" -> q147)
