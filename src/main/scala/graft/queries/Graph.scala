@@ -511,6 +511,76 @@ object Graph {
        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
        |FROM l$LpaRounds GROUP BY lbl ORDER BY community""".stripMargin)
 
+  // ------------------------------------------------------------ q155
+  // HITS hubs & authorities (Kleinberg '99) over the DIRECTED
+  // customer→supplier purchase graph: customers are pure hubs (they
+  // only point), suppliers pure authorities (they are only pointed
+  // at), so the bipartite direction makes the two scores genuinely
+  // different readouts — "which suppliers does the demand structure
+  // endorse" vs "which customers endorse broadly". The iteration is
+  // mutually recursive (auth ← Σ hub of in-pointers, hub ← Σ auth of
+  // out-targets) with PER-ROUND max-normalization — the piece PageRank
+  // lacks — done in exact integers: x·1e6 div max(x), so both engines
+  // replay all rounds bit-for-bit (sum order never matters, the max is
+  // a 1-row broadcast).
+  //
+  // Scale shape per half-round: one edges⋈scores key join (scores
+  // move, the edge list is the persisted artifact shape), one
+  // map-side-combined sum, one 1-row max broadcast back. Two rounds
+  // unrolled (bipartite HITS converges in O(1) rounds up to scale).
+  private val q155 = QueryDef.of(
+    (s, d) => {
+      val e = Tables.raw(s, d, "orders")
+        .join(Tables.raw(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          col("l_suppkey").cast("long").as("dst"))
+        .distinct()
+      var hub = e.select(col("src")).distinct()
+        .select(col("src"), lit(1000000L).as("h"))
+      var auth: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 2) {
+        val authRaw = e.join(hub, "src")
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        val amax = authRaw.agg(max(col("a")).as("amax"))
+        auth = authRaw.crossJoin(broadcast(amax))
+          .select(col("dst"), expr("(a * 1000000L) div amax").as("a"))
+        val hubRaw = e.join(auth, "dst")
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        val hmax = hubRaw.agg(max(col("h")).as("hmax"))
+        hub = hubRaw.crossJoin(broadcast(hmax))
+          .select(col("src"), expr("(h * 1000000L) div hmax").as("h"))
+      }
+      auth.select(lit("s").as("role"), col("dst").as("node"),
+          col("a").as("score_micro"))
+        .union(hub.select(lit("c").as("role"), col("src").as("node"),
+          col("h").as("score_micro")))
+        .orderBy(col("role"), col("node"))
+    },
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |    CAST(l_suppkey AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM e),
+       |${(1 to 2).map { t =>
+          s"""ar$t AS (
+             |  SELECT e.dst, CAST(SUM(h.h) AS BIGINT) AS a
+             |  FROM e JOIN h${t - 1} h USING (src) GROUP BY e.dst),
+             |a$t AS (
+             |  SELECT dst, (a * 1000000) // (SELECT MAX(a) FROM ar$t) AS a
+             |  FROM ar$t),
+             |hr$t AS (
+             |  SELECT e.src, CAST(SUM(a.a) AS BIGINT) AS h
+             |  FROM e JOIN a$t a USING (dst) GROUP BY e.src),
+             |h$t AS (
+             |  SELECT src, (h * 1000000) // (SELECT MAX(h) FROM hr$t) AS h
+             |  FROM hr$t)""".stripMargin
+        }.mkString(",\n")}
+       |SELECT 's' AS role, dst AS node, a AS score_micro FROM a2
+       |UNION ALL
+       |SELECT 'c' AS role, src AS node, h AS score_micro FROM h2
+       |ORDER BY role, node""".stripMargin)
+
   // ------------------------------------------------------------ q131
   // Exact triangle counting ([[graft.operators.TriangleCount]]) over the
   // part co-purchase graph: parts are linked when a high-volume order
@@ -721,6 +791,7 @@ object Graph {
     "q152_assoc_rules" -> q152,
     "q153_bfs_distance" -> q153,
     "q154_label_propagation" -> q154,
+    "q155_hits" -> q155,
     "q131_triangle_count" -> q131,
     "q134_kcore" -> q134,
     "q147_random_walks" -> q147)
