@@ -357,6 +357,82 @@ object EventAnalytics {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin)
 
+  // ------------------------------------------------------------- q156
+  // Holt linear-trend forecast (double exponential smoothing) over the
+  // per-type hourly event-count series — the capacity-planning /
+  // anomaly-baseline readout ("what does next hour look like") that a
+  // single EWMA (q110) can't produce because it has no trend term. The
+  // recurrence, α = β = 1/2 so every step is exact integer halving
+  // (the q110 discipline, two coupled registers instead of one):
+  //
+  //   l' = (y·1e6 + l + t) div 2          (level)
+  //   t' = ((l' − l) + t) div 2           (trend)
+  //   forecast(h) = l' + h·t'
+  //
+  // Scale shape: ONE (type, hour) count aggregate (map-side combined
+  // over the event scan), then one per-type fold over the sorted
+  // hourly series — series length is bounded by the time range, not
+  // the event count, and the fold runs inside the row (no window, no
+  // second shuffle). The oracle replays the fold via list_reduce with
+  // a struct accumulator, l' duplicated inline exactly as the engine
+  // lambda does, so both engines truncate identically.
+  private val q156 = QueryDef.of(
+    (s, d) => {
+      val hourly = eventsRaw(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("y"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          expr("sort_array(collect_list(struct(hr, y)))").as("s"))
+        .withColumn("m", expr(
+          """aggregate(
+            |  slice(s, 2, greatest(size(s) - 1, 0)),
+            |  struct(s[0].y * 1000000L AS l, 0L AS t),
+            |  (acc, x) -> struct(
+            |    (x.y * 1000000L + acc.l + acc.t) div 2 AS l,
+            |    (((x.y * 1000000L + acc.l + acc.t) div 2 - acc.l)
+            |      + acc.t) div 2 AS t))""".stripMargin))
+        .select(col("event_type"), col("n_hours"),
+          col("m.l").as("level_micro"), col("m.t").as("trend_micro"),
+          (col("m.l") + col("m.t")).as("fc1_micro"),
+          (col("m.l") + lit(2) * col("m.t")).as("fc2_micro"),
+          (col("m.l") + lit(3) * col("m.t")).as("fc3_micro"))
+        .orderBy(col("event_type"))
+    },
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |    list(y ORDER BY hr) AS ys
+      |  FROM hourly GROUP BY event_type),
+      |-- step-indexed recursion, NOT list_reduce: DuckDB 1.0's
+      |-- list_reduce mis-evaluates STRUCT accumulators past the first
+      |-- step (isolated steps are correct, chained ones drift — the
+      |-- second field sees a stale register), so the coupled (l, t)
+      |-- fold recurses explicitly instead
+      |steps AS (
+      |  SELECT event_type, n_hours, ys, CAST(1 AS BIGINT) AS i,
+      |    ys[1] * 1000000 AS l, CAST(0 AS BIGINT) AS t
+      |  FROM series
+      |  UNION ALL
+      |  SELECT event_type, n_hours, ys, i + 1,
+      |    (ys[i + 1] * 1000000 + l + t) // 2,
+      |    (((ys[i + 1] * 1000000 + l + t) // 2 - l) + t) // 2
+      |  FROM steps WHERE i < n_hours),
+      |folded AS (
+      |  SELECT event_type, n_hours, l, t FROM steps WHERE i = n_hours)
+      |SELECT event_type, n_hours,
+      |  l AS level_micro, t AS trend_micro,
+      |  l + t AS fc1_micro,
+      |  l + 2 * t AS fc2_micro,
+      |  l + 3 * t AS fc3_micro
+      |FROM folded ORDER BY event_type""".stripMargin)
+
   // ------------------------------------------------------------- q128
   // Markov next-event transition matrix (session path analysis — the
   // "where do users go after X" product query, and the transition model
@@ -461,6 +537,7 @@ object EventAnalytics {
 
   val defs: Map[String, QueryDef] = Map(
     "q110_ewma_fold" -> q110,
+    "q156_holt_forecast" -> q156,
     "q137_event_patterns" -> q137,
     "q90_funnel" -> q90,
     "q91_resample_ffill" -> q91,
