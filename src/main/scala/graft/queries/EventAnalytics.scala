@@ -433,6 +433,84 @@ object EventAnalytics {
       |  l + 3 * t AS fc3_micro
       |FROM folded ORDER BY event_type""".stripMargin)
 
+  // ------------------------------------------------------------- q157
+  // Grouped closed-form OLS (per-type linear trend of the hourly
+  // event-count series) — the "is this metric drifting, and how fast"
+  // readout, and the distributed-regression shape that needs NO
+  // iteration: slope and intercept come from the five sufficient
+  // statistics (n, Σx, Σy, Σxy, Σx²), i.e. ONE map-side-combined
+  // aggregate per group — contrast q136 (iterative GD, D+1 longs per
+  // STEP) and q156 (sequential fold). Hours are re-based to x = hr −
+  // min(hr) per type (slope-invariant, keeps Σx² small: with raw
+  // epoch-hours the n·Σx² term is ~10¹⁶ at 180 points and grows with
+  // the square of the epoch offset; re-based it is bounded by the
+  // series LENGTH³ ~ 6·10⁶).
+  //
+  //   slope_micro = (1e6·(n·Σxy − Σx·Σy)) div (n·Σx² − Σx²)
+  //   ic_micro    = (1e6·Σy − slope_micro·Σx) div n
+  //   fc_micro    = ic_micro + slope_micro·(x_max + 1)   (next hour)
+  //
+  // ic/fc deliberately reuse the already-truncated slope_micro (OUR
+  // documented fixed-point semantics — both engines stack the same
+  // truncations). The min(hr) re-base is a tiny per-type frame
+  // broadcast back; everything else is the single statistics
+  // aggregate.
+  private val q157 = QueryDef.of(
+    (s, d) => {
+      val hourly = eventsRaw(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("y"))
+      val minh = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"))
+      hourly.join(broadcast(minh), "event_type")
+        .withColumn("x", col("hr") - col("h0"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          max(col("x")).as("xmax"))
+        .withColumn("slope_micro", expr(
+          "(1000000L * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
+        .withColumn("ic_micro",
+          expr("(1000000L * sy - slope_micro * sx) div n"))
+        .select(col("event_type"), col("n").as("n_hours"),
+          col("slope_micro"), col("ic_micro"),
+          (col("ic_micro") +
+            col("slope_micro") * (col("xmax") + 1)).as("fc_micro"))
+        .orderBy(col("event_type"))
+    },
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |minh AS (
+      |  SELECT event_type, MIN(hr) AS h0 FROM hourly GROUP BY 1),
+      |st AS (
+      |  SELECT h.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(hr - h0) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM((hr - h0) * y) AS BIGINT) AS sxy,
+      |    CAST(SUM((hr - h0) * (hr - h0)) AS BIGINT) AS sxx,
+      |    CAST(MAX(hr - h0) AS BIGINT) AS xmax
+      |  FROM hourly h JOIN minh USING (event_type)
+      |  GROUP BY h.event_type),
+      |fit AS (
+      |  SELECT *,
+      |    (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+      |      AS slope_micro
+      |  FROM st),
+      |fit2 AS (
+      |  SELECT *,
+      |    (1000000 * sy - slope_micro * sx) // n AS ic_micro
+      |  FROM fit)
+      |SELECT event_type, n AS n_hours, slope_micro, ic_micro,
+      |  ic_micro + slope_micro * (xmax + 1) AS fc_micro
+      |FROM fit2 ORDER BY event_type""".stripMargin)
+
   // ------------------------------------------------------------- q128
   // Markov next-event transition matrix (session path analysis — the
   // "where do users go after X" product query, and the transition model
@@ -538,6 +616,7 @@ object EventAnalytics {
   val defs: Map[String, QueryDef] = Map(
     "q110_ewma_fold" -> q110,
     "q156_holt_forecast" -> q156,
+    "q157_ols_trend" -> q157,
     "q137_event_patterns" -> q137,
     "q90_funnel" -> q90,
     "q91_resample_ffill" -> q91,
