@@ -382,11 +382,18 @@ object Graph {
   //
   // Scale shape per superstep: one frontier⋈edges equi-join (the
   // persisted pre-partitioned coEdges — only the frontier moves) and
-  // one anti-join against settled (node-keyed). Frontier size is
-  // bounded by ring growth, settled by |V|; 4 unrolled steps fuse into
-  // one DAG (the q86 cadence argument). The oracle replays every ring
-  // exactly — BFS on a fixed graph is deterministic, no tie-breaks
-  // needed (a node's distance is its first-reached superstep).
+  // one anti-join against settled (node-keyed). Each ring is EAGERLY
+  // localCheckpoint-ed (Resources-retained) before the next step reads
+  // it — the ConnectedComponents lineage discipline. This is
+  // load-bearing, not hygiene: frontier t's plan references frontier
+  // t−1 once via the expand join and AGAIN via the settled anti-join,
+  // so un-truncated lineage re-executes the whole prior chain at every
+  // reference and the recomputation compounds exponentially in the
+  // step count (measured: 124 s at sf0.1 fused vs ~2 s checkpointed —
+  // the one case where "fuse into one DAG" loses). The oracle replays
+  // every ring exactly — BFS on a fixed graph is deterministic, no
+  // tie-breaks needed (a node's distance is its first-reached
+  // superstep).
   private val BfsSteps = 4
   private val q153 = QueryDef.of(
     (s, d) => {
@@ -399,12 +406,13 @@ object Graph {
       var settled = src0
       var frontier = src0
       for (t <- 1 to BfsSteps) {
-        frontier = frontier
+        frontier = graft.Resources.retain(frontier
           .join(both, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
           .join(settled.select(col("node").as("seen")),
             col("node") === col("seen"), "left_anti")
           .withColumn("dist", lit(t))
+          .localCheckpoint())
         settled = settled.union(frontier)
       }
       val rings = settled.groupBy(col("dist"))

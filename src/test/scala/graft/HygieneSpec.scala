@@ -11,8 +11,11 @@ class HygieneSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("release paths leave no persisted RDDs behind") {
-    // build the two in-memory cached artifacts a run can leave behind
+    // build the in-memory cached artifacts a run can leave behind
     graft.queries.Dedup.ensureCandidateIndex(spark, sfDir)
+    graft.queries.Dedup.ensureShingleIndex(spark, sfDir)
+    graft.queries.Graph.ensureCoEdges(spark, sfDir)
+    graft.queries.Graph.ensureWalkAdj(spark, sfDir)
     val nodes = spark.range(6).toDF("id")
     val edges = spark.createDataFrame(Seq((0L, 1L), (1L, 2L), (4L, 5L)))
       .toDF("src", "dst")
@@ -22,6 +25,7 @@ class HygieneSpec extends AnyFunSuite {
       "precondition: caches exist before release")
 
     graft.queries.Dedup.releaseCandidateIndex(spark)
+    graft.queries.Graph.releaseCoEdges(spark)
     Resources.releaseAll()
     // unpersist(blocking=false) unregisters synchronously; block removal
     // is async but getPersistentRDDs reflects unregistration immediately
