@@ -45,6 +45,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"pr graph warmup failed: $e") }
     try graft.queries.Graph.ensureWalkAdj(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"walk adj warmup failed: $e") }
+    try graft.queries.Graph.ensureHitsEdges(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"hits edges warmup failed: $e") }
     try graft.queries.TextAnalysis.ensureBpe(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bpe warmup failed: $e") }
     try graft.queries.Similarity.ensureGroundTruth(spark, sfDir)
