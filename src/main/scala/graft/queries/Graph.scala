@@ -575,17 +575,29 @@ object Graph {
       var hub = e.select(col("src")).distinct()
         .select(col("src"), lit(1000000L).as("h"))
       var auth: org.apache.spark.sql.DataFrame = null
+      // each half-round's raw-score frame is referenced TWICE (its own
+      // max subquery + the next join) and the final output references
+      // auth both directly and through hub — un-truncated lineage
+      // re-executes every earlier round per reference (the q153
+      // lesson; measured 11.8 s vs ~2 s). The frames are node-sized,
+      // so an eager localCheckpoint per half-round is cheap.
       for (_ <- 1 to 2) {
-        val authRaw = e.join(hub, "src")
+        val authRaw = graft.Resources.retain(e.join(hub, "src")
           .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .localCheckpoint())
         val amax = authRaw.agg(max(col("a")).as("amax"))
-        auth = authRaw.crossJoin(broadcast(amax))
+        auth = graft.Resources.retain(authRaw
+          .crossJoin(broadcast(amax))
           .select(col("dst"), expr("(a * 1000000L) div amax").as("a"))
-        val hubRaw = e.join(auth, "dst")
+          .localCheckpoint())
+        val hubRaw = graft.Resources.retain(e.join(auth, "dst")
           .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .localCheckpoint())
         val hmax = hubRaw.agg(max(col("h")).as("hmax"))
-        hub = hubRaw.crossJoin(broadcast(hmax))
+        hub = graft.Resources.retain(hubRaw
+          .crossJoin(broadcast(hmax))
           .select(col("src"), expr("(h * 1000000L) div hmax").as("h"))
+          .localCheckpoint())
       }
       auth.select(lit("s").as("role"), col("dst").as("node"),
           col("a").as("score_micro"))
