@@ -791,13 +791,18 @@ object Graph {
       steps += frontier.select(col("walk_id"), lit(0).as("step"),
         col("cur").as("node"))
       for (t <- 1 to WalkSteps) {
-        frontier = frontier
+        // every frontier is referenced TWICE (the step-union output and
+        // the next hop) — truncate lineage per hop or the recomputation
+        // doubles per step (the q153/q155 lesson; frontier is
+        // walk-count-sized, so the eager checkpoint is cheap)
+        frontier = graft.Resources.retain(frontier
           .join(adj, col("cur") === col("src") &&
             col("r") === expr(
               s"""cast(conv(substring(md5(concat(cast(walk_id as string),
                  |  ':', '$t')), 1, 8), 16, 10) as bigint) % deg + 1"""
                 .stripMargin))
           .select(col("walk_id"), col("dst").as("cur"))
+          .localCheckpoint())
         steps += frontier.select(col("walk_id"), lit(t).as("step"),
           col("cur").as("node"))
       }
