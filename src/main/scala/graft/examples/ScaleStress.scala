@@ -450,6 +450,31 @@ object ScaleStress {
     def triRun(und: DataFrame): Long =
       graft.operators.TriangleCount.run(und).count()
 
+    // bounded BFS à la q153 — checkpointed frontier supersteps; the
+    // disjoint copies leave the source's component unchanged, so ring
+    // sizes are constant and the cost should track the edge scan
+    // (the pre-fix fused-lineage version went exponential in steps)
+    def bfsRun(und: DataFrame): Long = {
+      val both = und.select(col("x").as("src"), col("y").as("dst"))
+        .union(und.select(col("y").as("src"), col("x").as("dst")))
+      val src0 = both.agg(min(col("src")).as("node"))
+      var settled = src0
+      var frontier = src0
+      val ck = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      for (_ <- 1 to 4) {
+        frontier = frontier.join(both, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(settled.select(col("node").as("seen")),
+            col("node") === col("seen"), "left_anti")
+          .localCheckpoint()
+        ck += frontier
+        settled = settled.union(frontier)
+      }
+      val n = settled.count()
+      ck.foreach(graft.Resources.releaseCheckpoint)
+      n
+    }
+
     // exact prefix-filtered Jaccard join à la q132 — each copy's hash
     // domain is offset by 2^41 (doc_id stride encodes the copy), so
     // cross-copy pairs are impossible and the probe measures plan
@@ -598,6 +623,9 @@ object ScaleStress {
     rankRun(or1) // warm up
     val (rkT1, _) = time(rankRun(or1))
     val (rkT10, _) = time(rankRun(or10))
+    bfsRun(und1x) // warm up
+    val (bfT1, _) = time(bfsRun(und1x))
+    val (bfT10, _) = time(bfsRun(und10x))
     val (gmT1, _) = time(gramRun(e1))
     val (gmT10, _) = time(gramRun(e10))
 
@@ -628,6 +656,7 @@ object ScaleStress {
       f""""sentdedup_1x_s":$snT1%.2f,"sentdedup_10x_s":$snT10%.2f,"sentdedup_ratio":${snT10 / snT1}%.1f,""" +
       f""""patterns_1x_s":$ptT1%.2f,"patterns_10x_s":$ptT10%.2f,"patterns_ratio":${ptT10 / ptT1}%.1f,""" +
       f""""rank_1x_s":$rkT1%.2f,"rank_10x_s":$rkT10%.2f,"rank_ratio":${rkT10 / rkT1}%.1f,""" +
+      f""""bfs_1x_s":$bfT1%.2f,"bfs_10x_s":$bfT10%.2f,"bfs_ratio":${bfT10 / bfT1}%.1f,""" +
       f""""gram_1x_s":$gmT1%.2f,"gram_10x_s":$gmT10%.2f,"gram_ratio":${gmT10 / gmT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
