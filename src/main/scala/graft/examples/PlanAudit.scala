@@ -69,7 +69,7 @@ object PlanAudit {
         "q141_pca_power", "q142_crossencoder_rerank",
         "q148_classifier_eval", "q149_textrank_keywords",
         "q150_containment_join", "q152_assoc_rules",
-        "q153_bfs_distance", "q154_label_propagation")
+        "q153_bfs_distance", "q154_label_propagation", "q158_skyline")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -482,6 +482,16 @@ object PlanAudit {
         Check("no-cartesian", p => !p.contains("CartesianProduct") &&
             !p.contains("BroadcastNestedLoopJoin"),
           "votes come from the edge⋈labels key join")),
+      // the whole point of the prefix-max skyline: dominance WITHOUT
+      // the O(n²) pairwise join (that's the oracle) and without a
+      // global single-partition sort
+      "q158_skyline" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "dominance comes from the prefix max, never a pairwise join"),
+        Check("pid-partitioned-rank", p =>
+          p.contains("windowspecdefinition(pid"),
+          "the prefix max runs per range partition, never globally")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

@@ -344,7 +344,77 @@ object Extras {
       |FROM checks
       |ORDER BY check_name""".stripMargin)
 
+  // ------------------------------------------------------------ q158
+  // Skyline / Pareto-frontier query (Börzsönyi et al. '01): the orders
+  // that no other order dominates on (totalprice max, orderdate max) —
+  // multi-objective selection, the dominance primitive behind
+  // "best trade-off" curation picks (quality vs length, score vs
+  // cost). The naive form is the O(n²) NOT-EXISTS self-join (that IS
+  // the oracle); the engine computes the 2-D skyline with NO pairwise
+  // join at all:
+  //
+  //   1. collapse to one row per price: maxd(p) = max date at p
+  //      (map-side-combined agg, output ≤ #distinct prices);
+  //   2. M(p) = max maxd over all p' > p — a PREFIX MAX over the
+  //      price-descending order, computed with the q109/q148
+  //      distributed-prefix pattern (range repartition DESC +
+  //      per-partition window + one bounded driver read of
+  //      per-partition maxima — prefix MAX this time, not SUM);
+  //   3. p's group is on the frontier iff maxd(p) > M(p); join the
+  //      (p, maxd) survivors back to recover the rows (ties on both
+  //      dims all qualify, matching the dominance definition).
+  //
+  // 2-D only — the sort-based trick doesn't extend past two
+  // dimensions (d-dim skylines need block-nested-loop/partition
+  // algorithms); documented limit, not a gap.
+  private val q158 = QueryDef.of(
+    (s, d) => {
+      val o = Tables.raw(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("p"),
+          // NTZ → date is calendar-based (no session-TZ shift — the
+          // adaptEventTs lesson); unix_date is then exact day count
+          expr("cast(unix_date(cast(o_orderdate as date)) as bigint)")
+            .as("dd"))
+      val g = graft.Resources.retain(o.groupBy(col("p"))
+        .agg(max(col("dd")).as("maxd"))
+        .repartitionByRange(col("p").desc)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint())
+      // bounded control-plane read: one (pid, max) row per partition
+      val parts = g.groupBy(col("pid")).agg(max(col("maxd")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = Long.MinValue
+      val offsets = parts.map { case (pidx, m) =>
+        val before = acc; acc = math.max(acc, m); (pidx, before)
+      }.toMap
+      val w = Window.partitionBy(col("pid")).orderBy(col("p").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = g.withColumn("mprev", greatest(
+          coalesce(max(col("maxd")).over(w), lit(Long.MinValue)),
+          element_at(typedLit(offsets), col("pid"))))
+        .filter(col("maxd") > col("mprev"))
+        .select(col("p").as("sp"), col("maxd"))
+      o.join(sky, col("p") === col("sp") && col("dd") === col("maxd"))
+        .select(col("k").as("o_orderkey"), col("p").as("price_cents"),
+          col("dd").as("order_day"))
+        .orderBy(col("o_orderkey"))
+    },
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS dd
+      |  FROM orders)
+      |SELECT r.k AS o_orderkey, r.p AS price_cents, r.dd AS order_day
+      |FROM o r WHERE NOT EXISTS (
+      |  SELECT 1 FROM o s
+      |  WHERE s.p >= r.p AND s.dd >= r.dd AND (s.p > r.p OR s.dd > r.dd))
+      |ORDER BY o_orderkey""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q158_skyline" -> q158,
     "q130_dq_audit" -> q130,
     "q123_sql_text" -> q123,
     "q57_json_struct" -> q57,
