@@ -522,6 +522,71 @@ object Dedup {
     },
     clustersSql)
 
+  // ------------------------------------------------------------ q159
+  // Golden-record consolidation (survivorship): the step AFTER dedup
+  // clustering — each q65 duplicate cluster collapses to one
+  // consolidated record under explicit merge rules: canonical id =
+  // smallest member (the q64 keep rule), keeper = the RICHEST member
+  // (longest text, ties to smallest id — an argmax, done as the
+  // combinable max(struct(len, −id)), the q154 trick, never a window),
+  // plus member count, total text mass, and the sorted union of
+  // langs/sources (set-union provenance, emitted as joined strings so
+  // the oracle hash stays array-free). Only true clusters (≥2 members)
+  // ship. Scale shape: the CC labels are the shared q65 machinery; the
+  // merge itself is ONE cluster-keyed aggregate with map-side partials
+  // — collect_set is bounded by cluster size × small vocab, and the
+  // shuffle carries (cluster, lang, source, len), never text.
+  private val q159 = QueryDef.of(
+    (s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = verifiedPairs(s, d)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      val labels = graft.operators.ConnectedComponents.labels(nodes, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val mem = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("len"))
+        .join(labels, "doc_id")
+      mem.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("canonical_id"),
+          max(struct(col("len"), (-col("doc_id")).as("nid"))).as("mx"),
+          sum(col("len")).as("total_chars"),
+          array_join(sort_array(collect_set(col("lang"))), ",")
+            .as("langs"),
+          array_join(sort_array(collect_set(col("source"))), ",")
+            .as("sources"))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster"), col("n_members"), col("canonical_id"),
+          (-col("mx.nid")).as("keeper_id"), col("total_chars"),
+          col("langs"), col("sources"))
+        .orderBy(col("cluster"))
+    },
+    s"""$clustersCtes,
+       |mem AS (
+       |  SELECT l.cluster, d.doc_id, d.lang, d.source,
+       |    CAST(length(d.text) AS BIGINT) AS len
+       |  FROM labeled l JOIN documents d USING (doc_id)),
+       |pick AS (
+       |  SELECT cluster, doc_id AS keeper_id FROM (
+       |    SELECT cluster, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY cluster ORDER BY len DESC, doc_id) AS rn
+       |    FROM mem) WHERE rn = 1),
+       |agg AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    MIN(doc_id) AS canonical_id,
+       |    CAST(SUM(len) AS BIGINT) AS total_chars,
+       |    array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+       |    array_to_string(list_sort(list(DISTINCT source)), ',')
+       |      AS sources
+       |  FROM mem GROUP BY cluster)
+       |SELECT a.cluster, n_members, canonical_id, keeper_id,
+       |  total_chars, langs, sources
+       |FROM agg a JOIN pick p ON a.cluster = p.cluster
+       |WHERE n_members >= 2
+       |ORDER BY a.cluster"""
+      .stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE "))
+
   // ------------------------------------------------------------- q80
   // SimHash Hamming near-dup: the OTHER classic near-dup path (Manku et
   // al., WWW'07 — Google's web crawl dedup), complementary to MinHash+LSH
@@ -1091,6 +1156,7 @@ object Dedup {
     "q120_incremental_dedup" -> q120,
     "q132_exact_jaccard_join" -> q132,
     "q150_containment_join" -> q150,
+    "q159_golden_record" -> q159,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q30_dedup_exact" -> q30,
