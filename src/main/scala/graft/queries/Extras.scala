@@ -401,16 +401,27 @@ object Extras {
           col("dd").as("order_day"))
         .orderBy(col("o_orderkey"))
     },
+    // oracle = the natural single-window SQL skyline (the q132
+    // precedent: the oracle may share the algorithmic idea when the
+    // NAIVE form is quadratic — the naive NOT-EXISTS took 312 s at
+    // sf0.1 and the per-SF gate shouldn't carry that; SkylineSpec
+    // still proves the engine against local pairwise dominance)
     """WITH o AS (
       |  SELECT o_orderkey AS k,
       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
       |      AS dd
-      |  FROM orders)
+      |  FROM orders),
+      |g AS (SELECT p, MAX(dd) AS maxd FROM o GROUP BY p),
+      |m AS (
+      |  SELECT p, maxd,
+      |    COALESCE(MAX(maxd) OVER (ORDER BY p DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -9223372036854775808) AS mprev
+      |  FROM g),
+      |sky AS (SELECT p, maxd FROM m WHERE maxd > mprev)
       |SELECT r.k AS o_orderkey, r.p AS price_cents, r.dd AS order_day
-      |FROM o r WHERE NOT EXISTS (
-      |  SELECT 1 FROM o s
-      |  WHERE s.p >= r.p AND s.dd >= r.dd AND (s.p > r.p OR s.dd > r.dd))
+      |FROM o r JOIN sky s ON r.p = s.p AND r.dd = s.maxd
       |ORDER BY o_orderkey""".stripMargin)
 
   val defs: Map[String, QueryDef] = Map(
