@@ -447,7 +447,13 @@ object Graph {
        |${(1 to BfsSteps).map { t =>
           val settled = (0 until t).map(i => s"SELECT node FROM v$i")
             .mkString(" UNION ALL ")
-          s"""v$t AS (
+          // MATERIALIZED is load-bearing (the q141 lesson): each ring
+          // is referenced by every LATER ring's settled union AND the
+          // final readout — plain CTEs re-inline (and re-execute) the
+          // whole prior chain per reference (measured 33.6 s vs ~2 s
+          // at sf0.1 — the oracle-side twin of the engine's own
+          // fused-lineage trap)
+          s"""v$t AS MATERIALIZED (
              |  SELECT DISTINCT e.dst AS node, $t AS dist
              |  FROM v${t - 1} f JOIN e2 e ON e.src = f.node
              |  WHERE e.dst NOT IN ($settled))"""
