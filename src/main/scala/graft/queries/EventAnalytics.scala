@@ -455,6 +455,15 @@ object EventAnalytics {
   // truncations). The min(hr) re-base is a tiny per-type frame
   // broadcast back; everything else is the single statistics
   // aggregate.
+  //
+  // Degenerate-group guard: a type seen in exactly ONE hour has
+  // n = 1, sx = sxx = 0, so the denominator n·Σx² − Σx² is 0 — under
+  // Spark's ANSI mode `div` would throw DIVIDE_BY_ZERO and kill the
+  // whole query on a perfectly plausible input (a brand-new event
+  // type). A one-point series has no defined trend, so both engines
+  // require n ≥ 2 distinct hours BEFORE fitting (with ≥2 distinct x
+  // the denominator is n·Var(x) > 0, strictly). OlsTrendSpec pins the
+  // single-hour case.
   private val q157 = QueryDef.of(
     (s, d) => {
       val hourly = eventsRaw(s, d)
@@ -472,6 +481,7 @@ object EventAnalytics {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           max(col("x")).as("xmax"))
+        .filter(col("n") >= 2)
         .withColumn("slope_micro", expr(
           "(1000000L * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
         .withColumn("ic_micro",
@@ -497,7 +507,8 @@ object EventAnalytics {
       |    CAST(SUM((hr - h0) * (hr - h0)) AS BIGINT) AS sxx,
       |    CAST(MAX(hr - h0) AS BIGINT) AS xmax
       |  FROM hourly h JOIN minh USING (event_type)
-      |  GROUP BY h.event_type),
+      |  GROUP BY h.event_type
+      |  HAVING COUNT(*) >= 2),
       |fit AS (
       |  SELECT *,
       |    (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)

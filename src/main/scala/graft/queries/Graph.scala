@@ -304,9 +304,16 @@ object Graph {
   // self-join rather than reusing the distinct coEdges cache.
   //
   // Exact integer µ-units; lift uses NESTED truncating divisions
-  // (((1e6·s_pair) div s_ante)·N) div s_cons — every intermediate is
+  // (((1e6·s_pair) div s_x)·N) div s_y — every intermediate is
   // ≤ 1e6·N, long-safe to N ≈ 9·10¹² baskets, where the naive
   // 1e6·s_pair·N form overflows at N ≈ 3·10⁶ (the q151 discipline).
+  // Lift is mathematically SYMMETRIC (s_pair·N / (s_x·s_y)), but the
+  // nested truncation is not: dividing by s_x first vs s_y first can
+  // differ by a few µ-units, so computing it per DIRECTED rule would
+  // let the top-50 cut admit one direction of a pair while dropping
+  // its mirror — a truncation artifact, not a metric difference. It is
+  // therefore computed ONCE on the canonical x<y row and attached to
+  // both directed rules (confidence stays directional by definition).
   //
   // Scale shape: basket dedup + the orderkey-keyed counted self-join
   // (pair volume bounded by per-basket width², same argument as
@@ -329,22 +336,27 @@ object Graph {
           col("ok") === col("ok2") && col("x") < col("y"))
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("s_pair"))
         .filter(col("s_pair") >= 2)
-      val rules = pair
-        .select(col("x").as("ante"), col("y").as("cons"), col("s_pair"))
-        .union(pair
-          .select(col("y").as("ante"), col("x").as("cons"),
-            col("s_pair")))
-      rules
-        .join(broadcast(item.select(col("pk").as("ante"),
-          col("s_item").as("s_ante"))), "ante")
-        .join(broadcast(item.select(col("pk").as("cons"),
-          col("s_item").as("s_cons"))), "cons")
+      val pairLift = pair
+        .join(broadcast(item.select(col("pk").as("x"),
+          col("s_item").as("s_x"))), "x")
+        .join(broadcast(item.select(col("pk").as("y"),
+          col("s_item").as("s_y"))), "y")
         .crossJoin(broadcast(nB))
+        .withColumn("lift_micro", expr(
+          "(((1000000L * s_pair) div s_x) * n_baskets) div s_y"))
+      val rules = pairLift
+        .select(col("x").as("ante"), col("y").as("cons"), col("s_pair"),
+          col("s_x").as("s_ante"), col("s_y").as("s_cons"),
+          col("lift_micro"))
+        .union(pairLift
+          .select(col("y").as("ante"), col("x").as("cons"),
+            col("s_pair"), col("s_y").as("s_ante"),
+            col("s_x").as("s_cons"), col("lift_micro")))
+      rules
         .select(col("ante"), col("cons"), col("s_pair"), col("s_ante"),
           col("s_cons"),
           expr("(1000000L * s_pair) div s_ante").as("confidence_micro"),
-          expr("""(((1000000L * s_pair) div s_ante) * n_baskets)
-                 |  div s_cons""".stripMargin).as("lift_micro"))
+          col("lift_micro"))
         .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
         .limit(50)
     },
@@ -360,19 +372,24 @@ object Graph {
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) >= 2),
+      |pairlift AS (
+      |  SELECT p.x, p.y, p.s_pair,
+      |    ix.s_item AS s_x, iy.s_item AS s_y,
+      |    (((1000000 * p.s_pair) // ix.s_item) * n_baskets)
+      |      // iy.s_item AS lift_micro
+      |  FROM pair p JOIN item ix ON ix.pk = p.x
+      |              JOIN item iy ON iy.pk = p.y
+      |              CROSS JOIN nb),
       |rules AS (
-      |  SELECT x AS ante, y AS cons, s_pair FROM pair
+      |  SELECT x AS ante, y AS cons, s_pair,
+      |    s_x AS s_ante, s_y AS s_cons, lift_micro FROM pairlift
       |  UNION ALL
-      |  SELECT y AS ante, x AS cons, s_pair FROM pair)
-      |SELECT r.ante, r.cons, r.s_pair,
-      |  ia.s_item AS s_ante, ic.s_item AS s_cons,
-      |  (1000000 * r.s_pair) // ia.s_item AS confidence_micro,
-      |  (((1000000 * r.s_pair) // ia.s_item) * n_baskets) // ic.s_item
-      |    AS lift_micro
-      |FROM rules r JOIN item ia ON ia.pk = r.ante
-      |             JOIN item ic ON ic.pk = r.cons
-      |             CROSS JOIN nb
-      |ORDER BY lift_micro DESC, r.ante, r.cons LIMIT 50""".stripMargin)
+      |  SELECT y AS ante, x AS cons, s_pair,
+      |    s_y AS s_ante, s_x AS s_cons, lift_micro FROM pairlift)
+      |SELECT ante, cons, s_pair, s_ante, s_cons,
+      |  (1000000 * s_pair) // s_ante AS confidence_micro, lift_micro
+      |FROM rules
+      |ORDER BY lift_micro DESC, ante, cons LIMIT 50""".stripMargin)
 
   // ------------------------------------------------------------ q153
   // Bounded BFS hop distance (single-source shortest path, unit

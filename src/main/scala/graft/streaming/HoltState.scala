@@ -37,7 +37,11 @@ object HoltState {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[HoltPoint],
             state: GroupState[HoltModel]) =>
-          val sorted = rows.toSeq.sortBy(_.hr)
+          // (hr, y) tie-break: same-hour duplicates are off-contract
+          // (only the first in order is folded, the rest are dropped by
+          // the hr > lastHr guard), but WHICH one wins must not depend
+          // on iterator order or replayed state silently diverges
+          val sorted = rows.toSeq.sortBy(p => (p.hr, p.y))
           if (sorted.isEmpty) Iterator.empty
           else {
             var m = state.getOption

@@ -16,6 +16,7 @@ class HygieneSpec extends AnyFunSuite {
     graft.queries.Dedup.ensureShingleIndex(spark, sfDir)
     graft.queries.Graph.ensureCoEdges(spark, sfDir)
     graft.queries.Graph.ensureWalkAdj(spark, sfDir)
+    graft.queries.Graph.ensureHitsEdges(spark, sfDir)
     val nodes = spark.range(6).toDF("id")
     val edges = spark.createDataFrame(Seq((0L, 1L), (1L, 2L), (4L, 5L)))
       .toDF("src", "dst")

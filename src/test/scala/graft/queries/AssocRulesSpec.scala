@@ -30,17 +30,25 @@ class AssocRulesSpec extends AnyFunSuite {
         s"pair support $sp must sit within item supports ($sa, $sc)")
       assert(conf == 1000000L * sp / sa)
       assert(conf > 0 && conf <= 1000000L)
-      // replay the documented nested truncation exactly
-      assert(lift == ((1000000L * sp / sa) * nBaskets) / sc,
-        s"lift $lift must follow the nested-division order")
+      // replay the documented nested truncation exactly: lift is
+      // computed ONCE on the canonical x<y orientation (x = smaller
+      // item id), so the replay divides by s_x first regardless of
+      // which direction this rule points
+      val (sx, sy) = if (ante < cons) (sa, sc) else (sc, sa)
+      assert(lift == ((1000000L * sp / sx) * nBaskets) / sy,
+        s"lift $lift must follow the canonical nested-division order")
     }
     // directionality: both orientations of a frequent pair carry the
-    // same s_pair (support is symmetric even when confidence isn't)
+    // same s_pair AND the same lift (both are symmetric; only
+    // confidence is directional)
     val bySupport = rows.groupBy(r =>
       (math.min(r.getAs[Long]("ante"), r.getAs[Long]("cons")),
         math.max(r.getAs[Long]("ante"), r.getAs[Long]("cons"))))
     bySupport.values.filter(_.length == 2).foreach { pair =>
       assert(pair(0).getAs[Long]("s_pair") == pair(1).getAs[Long]("s_pair"))
+      assert(pair(0).getAs[Long]("lift_micro") ==
+        pair(1).getAs[Long]("lift_micro"),
+        "lift must be orientation-invariant")
     }
   }
 }

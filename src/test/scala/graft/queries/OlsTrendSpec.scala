@@ -46,4 +46,33 @@ class OlsTrendSpec extends AnyFunSuite {
         math.abs(dSlope) < 1e-6)
     }
   }
+
+  test("a single-hour event type is dropped, not a DIVIDE_BY_ZERO") {
+    // n = 1 ⇒ sx = sxx = 0 ⇒ the OLS denominator is 0; the n >= 2
+    // guard must drop the group (the DuckDB oracle's HAVING does the
+    // same) instead of letting ANSI div throw and kill the query.
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ols-one-hour").toFile
+    dir.deleteOnExit()
+    val base = 1700000000000000L // µs epoch, hour-aligned enough
+    val rows = Seq(
+      // "fresh" seen in exactly one hour (two events, same hour)
+      (1L, base, 1L, "fresh", 1.0, "{}"),
+      (2L, base + 60L * 1000000L, 2L, "fresh", 1.0, "{}"),
+      // "steady" spans three hours — survives the guard
+      (3L, base, 3L, "steady", 1.0, "{}"),
+      (4L, base + 3600L * 1000000L, 3L, "steady", 1.0, "{}"),
+      (5L, base + 7200L * 1000000L, 3L, "steady", 1.0, "{}"))
+    spark.createDataFrame(rows.map { case (id, us, u, t, v, p) =>
+        (id, new java.sql.Timestamp(us / 1000L), u, t, v, p)
+      })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "events.parquet").getPath)
+    val out = SparkEntry.queries("q157_ols_trend")(spark, dir.getPath)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("steady"))
+    assert(out.head.getAs[Long]("n_hours") == 3L)
+  }
 }
