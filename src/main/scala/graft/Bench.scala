@@ -90,16 +90,21 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val profile =
       scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
-    // Best-of-N (default 2): ambient load on a shared driver box has
-    // injected 5-10x phantom cost into single runs (r06: q133 13.4s
-    // driver vs 2.2s idle). The MIN of two runs is the noise floor the
-    // gate should measure; both raw times go to bench_out.json. The
-    // shuffle-byte profile is attributed to run 1 only (bytes are
-    // deterministic per run — summing both would double the profile).
-    // Queries whose FIRST run is already under rerunFloor keep their
-    // single sample: sub-second numbers can't hide multi-second phantom
-    // cost, and skipping them bounds the bench's wall time near a
-    // single-pass run (an inflated short query exceeds the floor and
+    // Best-of-N (default 2), INTERLEAVED: run the full suite once, then
+    // sweep the whole suite again, and report the per-query MIN.
+    // Ambient load on a shared driver box has injected 5-40x phantom
+    // cost into single runs (r06: q133 13.4s driver vs 2.2s idle), and
+    // back-to-back reruns of the SAME query both sat inside the same
+    // load window (r07: q132 21.7s/21.9s driver vs 0.54s idle — the
+    // rerun measured the same noise). With full-pass interleaving the
+    // two samples of any query are minutes apart, so a load spike must
+    // span the entire pass to pollute a reported min. Both raw times go
+    // to bench_out.json. The shuffle-byte profile is attributed to
+    // pass 1 only (bytes are deterministic per run — summing both would
+    // double the profile). Queries whose pass-1 time is under
+    // rerunFloor keep their single sample: sub-second numbers can't
+    // hide multi-second phantom cost, and skipping them bounds the
+    // bench's wall time (an inflated short query exceeds the floor and
     // still gets its second sample).
     val benchRuns =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
@@ -107,47 +112,63 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FLOOR", "0.75").toDouble
     val allRuns =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        // noop sink: forces full materialization of every output column
-        // (count() would let Catalyst skip computing projections)
-        def once(): (Boolean, Double) = {
-          val t0 = System.nanoTime()
-          val ok =
-            try {
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              true
-            } catch {
-              case e: Throwable =>
-                failed += name
-                System.err.println(
-                  s"BENCH FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-                false
-            }
-          (ok, (System.nanoTime() - t0) / 1e9)
+    // 1-min system loadavg at pass boundaries: a polluted artifact
+    // self-identifies (loads ≫ the box's own bench load mean the
+    // numbers measured the neighbors, not the engine)
+    def loadAvg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+    val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+    // noop sink: forces full materialization of every output column
+    // (count() would let Catalyst skip computing projections)
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(
+              s"BENCH FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
         }
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+    // pass 1: every query once, in name order, with byte attribution
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
         val (w0, r0, i0) =
           (shuffleWrite.get(), shuffleRead.get(), inputRead.get())
-        val (ok1, t1) = once()
+        val (ok1, t1) = once(name, fn)
         Thread.sleep(50) // let stage-completion events drain
         profile(name) = (shuffleWrite.get() - w0, shuffleRead.get() - r0,
           inputRead.get() - i0)
-        // reruns only after a success: a retried failure would mask
-        // flakiness the gate should see (a failed query records the
-        // elapsed time of its one failed attempt, as before)
-        val times =
-          if (!ok1 || t1 < rerunFloor) Seq(t1)
-          else {
-            val rs = t1 +: (2 to benchRuns).map(_ => once()).collect {
-              case (true, t) => t
-            }
-            // reruns also need their async stage events drained, or the
-            // rerun's final shuffles land in the NEXT query's profile
-            Thread.sleep(50)
-            rs
-          }
-        allRuns(name) = times
-        name -> times.min
+        allRuns(name) = Seq(t1)
+        (name, fn, ok1, t1)
+    }
+    // passes 2..N: full re-sweeps in the same order. Reruns only after
+    // a pass-1 success — a retried failure would mask flakiness the
+    // gate should see (a failed query keeps the elapsed time of its one
+    // failed attempt, as before); a rerun that fails still lands in
+    // `failed` and contributes no time.
+    for (_ <- 2 to benchRuns) {
+      loads += loadAvg()
+      firstPass.foreach { case (name, fn, ok1, t1) =>
+        if (ok1 && t1 >= rerunFloor) {
+          val (ok, t) = once(name, fn)
+          if (ok) allRuns(name) = allRuns(name) :+ t
+        }
+      }
+    }
+    loads += loadAvg()
+    val results = firstPass.map { case (name, _, _, _) =>
+      name -> allRuns(name).min
     }
     // The driver tail-captures ~2 KB of process output: at 120+ queries
     // even a 3-decimal full-name line (~3.3 KB) starts mid-JSON in that
@@ -177,10 +198,16 @@ object Bench {
     def runsJson = allRuns.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // pass-boundary loadavgs (start, before each re-sweep, end): ~20
+    // bytes, rides BOTH lines so even the tail-window stream line can
+    // self-identify an ambient-load-polluted run
+    val loadJson = loads.map(l =>
+      "%.2f".formatLocal(java.util.Locale.ROOT, l)).mkString("[", ",", "]")
     def mkLine(short: Boolean) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${
-        qsJson(short)},"sf":"$sfDir","failed_n":${failed.size},"failed":${
-        failedJson(short)}${if (short) "" else s""","runs":$runsJson"""}}"""
+        qsJson(short)},"sf":"$sfDir","load":$loadJson,"failed_n":${
+        failed.size},"failed":${failedJson(short)}${
+        if (short) "" else s""","runs":$runsJson"""}}"""
     val line = mkLine(short = false)
     val streamLine = mkLine(short = true)
     // The bare full-name line goes to a file for the judge; the short
