@@ -51,21 +51,31 @@ object Dedup {
       |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
       |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
       |  FROM toks)""".stripMargin
+  // Oracle-cost discipline: the original list-lambda form
+  // (list_min(list_transform(hs, ...)) per permutation) materialized a
+  // fresh K-element list per doc per perm and cost 13.7 s at sf0.1 —
+  // and every member of the dedup family pays it. The row form below
+  // (unnest shingles, then K plain MIN aggregates) is the identical
+  // function — min over the same affine-hash values — vectorized by
+  // DuckDB's columnar engine: 0.5 s at sf0.1, byte-identical cand set
+  // (checked at all three SFs). hx is MATERIALIZED so the recursive
+  // closure oracles (q65/q65b/q117/q159) don't re-inline the hash
+  // chain at every reach reference.
   private[queries] val sqlMinhash =
-    s"""hashed AS (
-       |  SELECT doc_id, list_transform(sh,
-       |    s -> CAST('0x' || substring(md5(s), 1, 5) AS BIGINT)) AS hs
+    s"""hx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(unnest(sh)), 1, 5) AS BIGINT) AS h
        |  FROM shingled),
-       |mhs AS (
-       |  SELECT doc_id, list_transform(range(0, $K), i ->
-       |    list_min(list_transform(hs, h ->
-       |      (([$aList])[i + 1] * h + ([$bList])[i + 1]) % $P))) AS mh
-       |  FROM hashed),
+       |mhr AS (
+       |  SELECT doc_id, ${As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+            s"MIN(($a * h + $b) % $P) AS m${i + 1}" }.mkString(",\n       |    ")}
+       |  FROM hx GROUP BY doc_id),
        |banded AS (
-       |  SELECT doc_id, t.b AS band,
-       |    array_to_string(list_slice(mh, t.b * $RowsPerBand + 1,
-       |      t.b * $RowsPerBand + $RowsPerBand), ',') AS bkey
-       |  FROM mhs CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |${(0 until Bands).map { bd =>
+            val ks = (1 to RowsPerBand)
+              .map(j => s"m${bd * RowsPerBand + j}").mkString(", ")
+            s"  SELECT doc_id, $bd AS band, concat_ws(',', $ks) AS bkey FROM mhr"
+          }.mkString("\n       |  UNION ALL\n       |")}),
        |bcap AS (
        |  SELECT doc_id, band, bkey FROM (
        |    SELECT doc_id, band, bkey, ROW_NUMBER() OVER (
@@ -474,7 +484,7 @@ object Dedup {
        |            JOIN sets b ON cand.doc2 = b.doc_id
        |  WHERE CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x))) AS DOUBLE)
        |      / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc1 AS a, doc2 AS b FROM verified
        |  UNION SELECT doc2, doc1 FROM verified),
        |reach AS (
