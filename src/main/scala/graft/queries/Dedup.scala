@@ -892,13 +892,13 @@ object Dedup {
     },
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |shing AS (
+       |shing AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(
        |    list_transform(range(1, len(toks) - 1),
        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
        |    s -> CAST('0x' || substring(md5(s), 1, 10) AS BIGINT))) AS sh
        |  FROM toks WHERE len(toks) >= 3),
-       |ex AS (SELECT doc_id, unnest(sh) AS h FROM shing),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM shing),
        |df AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
        |ordered AS (
        |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS osh
@@ -907,19 +907,22 @@ object Dedup {
        |  SELECT doc_id, len(osh) AS sz,
        |    unnest(list_slice(osh, 1, len(osh) // 2 + 1)) AS h
        |  FROM ordered),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
        |   AND 2 * a.sz >= b.sz AND 2 * b.sz >= a.sz),
-       |ver AS (
-       |  SELECT d1, d2,
-       |    CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS inter,
-       |    CAST(len(s1.sh) + len(s2.sh)
-       |      - len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS uni
-       |  FROM cand JOIN shing s1 ON d1 = s1.doc_id
-       |            JOIN shing s2 ON d2 = s2.doc_id)
-       |SELECT d1 AS doc1, d2 AS doc2, inter, uni FROM ver
-       |WHERE 2 * inter >= uni
+       |inter AS (
+       |  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN ex a ON a.doc_id = c.d1
+       |  JOIN ex b ON b.doc_id = c.d2 AND b.h = a.h
+       |  GROUP BY c.d1, c.d2),
+       |lens AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS l FROM shing)
+       |SELECT i.d1 AS doc1, i.d2 AS doc2, i.inter,
+       |  l1.l + l2.l - i.inter AS uni
+       |FROM inter i JOIN lens l1 ON i.d1 = l1.doc_id
+       |             JOIN lens l2 ON i.d2 = l2.doc_id
+       |WHERE 2 * i.inter >= l1.l + l2.l - i.inter
        |ORDER BY doc1, doc2""".stripMargin)
 
   // ------------------------------------------------------------ q150
@@ -982,13 +985,13 @@ object Dedup {
     },
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |shing AS (
+       |shing AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(
        |    list_transform(range(1, len(toks) - 1),
        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
        |    s -> CAST('0x' || substring(md5(s), 1, 10) AS BIGINT))) AS sh
        |  FROM toks WHERE len(toks) >= 3),
-       |ex AS (SELECT doc_id, unnest(sh) AS h FROM shing),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM shing),
        |df AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
        |ordered AS (
        |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS osh
@@ -1001,19 +1004,21 @@ object Dedup {
        |fullx AS (
        |  SELECT doc_id AS d2, len(osh) AS s2, unnest(osh) AS h
        |  FROM ordered),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT d1, d2
        |  FROM pfx a JOIN fullx b USING (h)
        |  WHERE d1 <> d2 AND 5 * s2 >= 4 * s1),
-       |ver AS (
-       |  SELECT c.d1, c.d2,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-       |    CAST(len(a.sh) AS BIGINT) AS s1
-       |  FROM cand c JOIN shing a ON a.doc_id = c.d1
-       |              JOIN shing b ON b.doc_id = c.d2)
-       |SELECT d1 AS contained, d2 AS container, inter, s1 AS sz,
-       |  (inter * 1000000) // s1 AS containment_micro
-       |FROM ver WHERE 5 * inter >= 4 * s1
+       |inter AS (
+       |  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN ex a ON a.doc_id = c.d1
+       |  JOIN ex b ON b.doc_id = c.d2 AND b.h = a.h
+       |  GROUP BY c.d1, c.d2),
+       |lens AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS l FROM shing)
+       |SELECT i.d1 AS contained, i.d2 AS container, i.inter,
+       |  l1.l AS sz, (i.inter * 1000000) // l1.l AS containment_micro
+       |FROM inter i JOIN lens l1 ON i.d1 = l1.doc_id
+       |WHERE 5 * i.inter >= 4 * l1.l
        |ORDER BY contained, container""".stripMargin)
 
   // ------------------------------------------------------------ q133
