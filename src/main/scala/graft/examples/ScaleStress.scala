@@ -475,6 +475,91 @@ object ScaleStress {
       n
     }
 
+    // label propagation à la q154 — 3 rounds, each ONE edges⋈labels key
+    // join + a two-level (src, lbl) majority aggregate; disjoint copies
+    // keep per-copy label flow identical, so cost should track edges
+    def lpaRun(und: DataFrame): Long = {
+      val both = und.select(col("x").as("src"), col("y").as("dst"))
+        .union(und.select(col("y").as("src"), col("x").as("dst")))
+      val nodes = both.select(col("src").as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        labels = both.join(labels, col("dst") === col("node"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+      }
+      labels.groupBy(col("lbl")).count().count()
+    }
+
+    // HITS à la q155 — 2 mutually-recursive rounds, each half = one key
+    // join + combinable sum + 1-row max broadcast, localCheckpoint-
+    // truncated per half-round (the q153 lineage discipline); identical
+    // disjoint copies share the same per-copy max, so normalization is
+    // unchanged and cost should track the edge scan
+    def hitsRun(e: DataFrame): Long = {
+      val ck = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var hub = e.select(col("src")).distinct()
+        .select(col("src"), lit(1000000L).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        val authRaw = e.join(hub, "src")
+          .groupBy(col("dst")).agg(sum(col("h")).as("a")).localCheckpoint()
+        ck += authRaw
+        val amax = authRaw.agg(max(col("a")).as("amax"))
+        auth = authRaw.crossJoin(broadcast(amax))
+          .select(col("dst"), expr("(a * 1000000L) div amax").as("a"))
+          .localCheckpoint()
+        ck += auth
+        val hubRaw = e.join(auth, "dst")
+          .groupBy(col("src")).agg(sum(col("a")).as("h")).localCheckpoint()
+        ck += hubRaw
+        val hmax = hubRaw.agg(max(col("h")).as("hmax"))
+        hub = hubRaw.crossJoin(broadcast(hmax))
+          .select(col("src"), expr("(h * 1000000L) div hmax").as("h"))
+          .localCheckpoint()
+        ck += hub
+      }
+      val n = auth.count() + hub.count()
+      ck.foreach(graft.Resources.releaseCheckpoint)
+      n
+    }
+
+    // distributed prefix-max skyline à la q158 — grouped agg + range
+    // repartition + per-pid window + bounded per-partition offsets; a
+    // global-sort window would serialize the 10× run onto one task
+    def skylineRun(ord: DataFrame): Long = {
+      val o = ord.select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("p"),
+        expr("cast(unix_date(cast(o_orderdate as date)) as bigint)")
+          .as("dd"))
+      val g = o.groupBy(col("p")).agg(max(col("dd")).as("maxd"))
+        .repartitionByRange(col("p").desc)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val parts = g.groupBy(col("pid")).agg(max(col("maxd")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = Long.MinValue
+      val offsets = parts.map { case (pidx, m) =>
+        val before = acc; acc = math.max(acc, m); (pidx, before)
+      }.toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("p").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val sky = g.withColumn("mprev", greatest(
+          coalesce(max(col("maxd")).over(w), lit(Long.MinValue)),
+          element_at(typedLit(offsets), col("pid"))))
+        .filter(col("maxd") > col("mprev"))
+        .select(col("p").as("sp"), col("maxd"))
+      val n = o.join(sky, col("p") === col("sp") && col("dd") === col("maxd"))
+        .count()
+      graft.Resources.releaseCheckpoint(g)
+      n
+    }
+
     // exact prefix-filtered Jaccard join à la q132 — each copy's hash
     // domain is offset by 2^41 (doc_id stride encodes the copy), so
     // cross-copy pairs are impossible and the probe measures plan
@@ -540,6 +625,13 @@ object ScaleStress {
         concat(col("dst"), lit("_"), col("copy")).as("dst"))
     val ed1x = edCopies(1)
     val ed10x = edCopies(10)
+    // DIRECTED copies for HITS (the bidirectional union is PageRank's)
+    def dirCopies(n: Int): DataFrame = ed1
+      .crossJoin(broadcast(spark.range(n).toDF("copy")))
+      .select(concat(col("src"), lit("_"), col("copy")).as("src"),
+        concat(col("dst"), lit("_"), col("copy")).as("dst"))
+    val dir1x = dirCopies(1)
+    val dir10x = dirCopies(10)
 
     val ev1 = Tables.events(spark, sfDir)
     val ev10 = replicate(ev1, 10, "user_id", 1000000L)
@@ -628,6 +720,13 @@ object ScaleStress {
     val (bfT10, _) = time(bfsRun(und10x))
     val (gmT1, _) = time(gramRun(e1))
     val (gmT10, _) = time(gramRun(e10))
+    lpaRun(und1x); hitsRun(dir1x); skylineRun(or1) // warm up
+    val (lpT1, _) = time(lpaRun(und1x))
+    val (lpT10, _) = time(lpaRun(und10x))
+    val (htT1, _) = time(hitsRun(dir1x))
+    val (htT10, _) = time(hitsRun(dir10x))
+    val (skT1, _) = time(skylineRun(or1))
+    val (skT10, _) = time(skylineRun(or10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -657,7 +756,10 @@ object ScaleStress {
       f""""patterns_1x_s":$ptT1%.2f,"patterns_10x_s":$ptT10%.2f,"patterns_ratio":${ptT10 / ptT1}%.1f,""" +
       f""""rank_1x_s":$rkT1%.2f,"rank_10x_s":$rkT10%.2f,"rank_ratio":${rkT10 / rkT1}%.1f,""" +
       f""""bfs_1x_s":$bfT1%.2f,"bfs_10x_s":$bfT10%.2f,"bfs_ratio":${bfT10 / bfT1}%.1f,""" +
-      f""""gram_1x_s":$gmT1%.2f,"gram_10x_s":$gmT10%.2f,"gram_ratio":${gmT10 / gmT1}%.1f}""")
+      f""""gram_1x_s":$gmT1%.2f,"gram_10x_s":$gmT10%.2f,"gram_ratio":${gmT10 / gmT1}%.1f,""" +
+      f""""lpa_1x_s":$lpT1%.2f,"lpa_10x_s":$lpT10%.2f,"lpa_ratio":${lpT10 / lpT1}%.1f,""" +
+      f""""hits_1x_s":$htT1%.2f,"hits_10x_s":$htT10%.2f,"hits_ratio":${htT10 / htT1}%.1f,""" +
+      f""""skyline_1x_s":$skT1%.2f,"skyline_10x_s":$skT10%.2f,"skyline_ratio":${skT10 / skT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }

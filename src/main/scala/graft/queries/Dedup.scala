@@ -91,9 +91,16 @@ object Dedup {
     * the native codegen'd [[graft.functions.MinHashSig]] (bit-compatible
     * with [[minhashExpr]], which the oracle SQL mirrors; the HOF variant is
     * kept above as documentation and spec-tested for equivalence). */
-  private def banded(s: org.apache.spark.sql.SparkSession, d: String) = {
-    graft.functions.VectorFunctions.register(s)
-    Tables.documents(s, d)
+  /** Band (doc_id, band, bkey) rows for an ARBITRARY (doc_id, text)
+    * frame — the reusable form of the corpus [[banded]] for callers that
+    * band frames not loaded from a table dir. The streaming
+    * incremental-dedup path ([[graft.streaming.IncrementalDedup]]) bands
+    * each micro-batch through THIS function, so stream and batch
+    * signatures are bit-identical by construction. */
+  def bandedOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("mh", expr("minhash_sig(toks)"))
       .filter(col("mh").isNotNull)
@@ -109,6 +116,18 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bkey").as("bkey"))
   }
+
+  /** Distinct-shingle sets for an arbitrary (doc_id, text) frame — the
+    * verification side of the near-dup contract, shared by the batch
+    * queries and the streaming incremental-dedup probe. */
+  def shingleSetsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
+      .select(col("doc_id"), col("shset"))
+
+  private def banded(s: org.apache.spark.sql.SparkSession, d: String) =
+    bandedOf(Tables.documents(s, d))
 
   /** LSH candidate pairs (doc1 < doc2). Single-pass: group each bucket,
     * emit intra-bucket pairs — the expensive signature pipeline runs once

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.DataFrame
+
+/** q120's incremental near-dup detection as a STANDING streaming stage:
+  * the corpus band index and shingle sets are built once (the offline
+  * artifact a production deploy refreshes on corpus compaction), and each
+  * arriving micro-batch of documents is signed, probed against the index,
+  * and Jaccard-verified — the point where the reference's streaming
+  * surface (MQTT → foreachBatch) and the LLM-dedup stack meet.
+  *
+  * Parity contract: a document flagged by the batch q120 query is flagged
+  * with the SAME (new_doc, old_doc, jaccard) row in whichever micro-batch
+  * it arrives, because batch and stream share the exact signature
+  * ([[Dedup.bandedOf]]) and verification ([[Dedup.shingleSetsOf]])
+  * pipelines — `StreamingIncrementalDedupSpec` pins this across ≥3
+  * micro-batches against the fixture corpus.
+  *
+  * Scale shape: per-batch cost is batch-sized (sign the batch, one
+  * (band, bkey) equi-join against the persisted index, verification joins
+  * only the candidate ids) — the corpus is never re-signed and never
+  * shuffled; at 100 TB the index is the same banded artifact the batch
+  * family shares, pre-partitioned by (band, bkey) so the per-batch probe
+  * co-locates without a corpus-side shuffle. The batch side of each join
+  * is micro-batch-sized and broadcastable by AQE.
+  */
+object IncrementalDedup {
+
+  /** The standing corpus artifact: banded signatures + shingle sets,
+    * both persisted (callers release via [[StandingIndex.release]]). */
+  final case class StandingIndex(bands: DataFrame, sets: DataFrame) {
+    def release(): Unit = {
+      bands.unpersist()
+      sets.unpersist()
+      ()
+    }
+  }
+
+  /** Build (and materialize) the standing index from a (doc_id, text)
+    * corpus frame. */
+  def buildIndex(oldDocs: DataFrame): StandingIndex = {
+    val bands = Dedup.bandedOf(oldDocs)
+      .withColumnsRenamed(Map("doc_id" -> "old_doc")).persist()
+    val sets = Dedup.shingleSetsOf(oldDocs)
+      .withColumnsRenamed(Map("doc_id" -> "old_doc", "shset" -> "sb"))
+      .persist()
+    bands.count()
+    sets.count()
+    StandingIndex(bands, sets)
+  }
+
+  /** Flag the verified near-dups of `batch` (a (doc_id, text) frame)
+    * against the standing index: LSH candidates via the (band, bkey)
+    * probe, then exact shingle Jaccard ≥ 0.5 — the q120 rule. */
+  def flag(batch: DataFrame, idx: StandingIndex): DataFrame = {
+    val cand = Dedup.bandedOf(batch)
+      .withColumnsRenamed(Map("doc_id" -> "new_doc"))
+      .join(idx.bands, Seq("band", "bkey"))
+      .select(col("new_doc"), col("old_doc")).distinct()
+    val newSets = Dedup.shingleSetsOf(batch)
+      .withColumnsRenamed(Map("doc_id" -> "new_doc", "shset" -> "sa"))
+    cand.join(newSets, "new_doc").join(idx.sets, "old_doc")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_doc"), col("old_doc"), col("jaccard"))
+  }
+
+  /** Run the probe as a streaming query over any (doc_id, text)
+    * streaming frame; each micro-batch's flagged pairs go to `sink`
+    * (a parquet append, a quarantine router, a metrics emitter). */
+  def start(docStream: DataFrame, idx: StandingIndex,
+      checkpointDir: String, sink: DataFrame => Unit): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(flag(batch, idx))
+        ()
+      }
+      .start()
+}
