@@ -69,7 +69,8 @@ object PlanAudit {
         "q141_pca_power", "q142_crossencoder_rerank",
         "q148_classifier_eval", "q149_textrank_keywords",
         "q150_containment_join", "q152_assoc_rules",
-        "q153_bfs_distance", "q154_label_propagation", "q158_skyline")
+        "q153_bfs_distance", "q154_label_propagation", "q158_skyline",
+        "q160_skyline_3d")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -492,6 +493,18 @@ object PlanAudit {
         Check("pid-partitioned-rank", p =>
           p.contains("windowspecdefinition(pid"),
           "the prefix max runs per range partition, never globally")),
+      // the ONLY nested loop allowed is phase 2's deliberate
+      // frontier-sized candidate anti-join (broadcast); the corpus
+      // itself must reach the operator through the (dd, r) collapse and
+      // leave it through a keyed join-back — a CartesianProduct
+      // anywhere means a corpus-sized frame met a nested loop
+      "q160_skyline_3d" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "only the frontier-sized candidate filter may nest loops"),
+        Check("keyed-join-back", p =>
+          p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+            p.contains("ShuffledHashJoin"),
+          "row join-back is an equi-join on the winning triple")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** General d-dimensional skyline (Pareto frontier, maximize every
+  * dimension — callers negate a dimension to minimize it): the
+  * block-partitioned BNL shape (Börzsönyi et al., ICDE '01) that lifts
+  * q158's 2-D prefix-max limit.
+  *
+  * Two phases, both distributed:
+  *
+  *  1. LOCAL skyline per partition — a block-nested-loops pass over each
+  *     partition keeping a window of locally non-dominated points. Sound
+  *     because dominance is transitive and partition-local: a point
+  *     dominated by nobody globally is dominated by nobody in its own
+  *     partition, so the global skyline is a subset of the union of
+  *     local skylines. The window is sorted-insert by descending dim 0,
+  *     so each incoming point only scans window entries with dim0 ≥ its
+  *     own (a point never dominates an entry with strictly smaller
+  *     dim0), the classic presort pruning.
+  *  2. GLOBAL filter over the phase-1 candidates — candidates are the
+  *     only possible dominators of candidates (any dominator is itself
+  *     dominated only by other candidates, and dominance is transitive,
+  *     so every dominated candidate has a CANDIDATE dominator). The
+  *     candidate set is broadcast and each candidate checked against it:
+  *     a deliberate bounded nested-loop join — |C|² comparisons where C
+  *     is the candidate union, which is small by construction (each
+  *     partition contributes only its frontier; callers with grouping
+  *     structure reduce first, as q160 does with its per-(day, priority)
+  *     max-price collapse).
+  *
+  * At 100 TB phase 1 streams each partition once with frontier-sized
+  * state, and phase 2's broadcast is frontier-sized — the corpus itself
+  * is never joined pairwise and never collected. If a pathological
+  * corpus made the frontier itself huge (anti-correlated dimensions),
+  * the recursive-elimination variant (re-running phase 1 on the
+  * candidate set under a rotated sort dimension) bounds phase 2; the
+  * fixture's frontiers are thousands of times smaller than the input.
+  *
+  * Input contract: `points` has exactly one column `dims`:
+  * array<bigint> of fixed length d ≥ 1; rows with the SAME dims vector
+  * are collapsed (ties are equal points — callers re-attach payload rows
+  * by joining dims back, so all tied rows ship, the q158 convention).
+  */
+object Skyline {
+
+  /** a dominates b: ≥ on every dim, > on at least one. */
+  private[operators] def dominates(a: Seq[Long], b: Seq[Long]): Boolean = {
+    var i = 0
+    var strict = false
+    while (i < a.length) {
+      if (a(i) < b(i)) return false
+      if (a(i) > b(i)) strict = true
+      i += 1
+    }
+    strict
+  }
+
+  /** BNL over one partition's points: returns the partition skyline. */
+  private def localSkyline(it: Iterator[Seq[Long]]): Iterator[Seq[Long]] = {
+    // window ordered by dim0 DESC; an incoming point p can only be
+    // dominated by entries with dims(0) >= p(0), and can only dominate
+    // entries with dims(0) <= p(0) — one ordered scan decides both
+    val window = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    it.foreach { p =>
+      var i = 0
+      var dominated = false
+      while (i < window.length && !dominated && window(i)(0) >= p(0)) {
+        dominated = dominates(window(i), p) ||
+          window(i) == p // duplicate vector: keep one copy
+        i += 1
+      }
+      if (!dominated) {
+        // drop entries p dominates (all at index >= the insert point in
+        // dim0 order, but ties on dim0 can sit earlier — scan from the
+        // first entry with dims(0) <= p(0))
+        var j = window.length - 1
+        while (j >= 0 && window(j)(0) <= p(0)) {
+          if (dominates(p, window(j))) { window.remove(j); () }
+          j -= 1
+        }
+        // sorted insert by dim0 desc
+        var k = window.length
+        while (k > 0 && window(k - 1)(0) < p(0)) k -= 1
+        window.insert(k, p)
+      }
+    }
+    window.iterator
+  }
+
+  def skyline(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cand = points.select(col("dims"))
+      .as[Seq[Long]]
+      .mapPartitions(localSkyline)
+      .toDF("dims")
+    // phase 2: candidates vs broadcast candidates — survivor iff no
+    // OTHER candidate dominates it (array equality excludes self and
+    // keeps exactly one copy of tied vectors via the phase-1 dedup +
+    // distinct here)
+    val other = cand.select(col("dims").as("odims")).distinct()
+    cand.distinct()
+      .join(broadcast(other),
+        expr("""forall(zip_with(odims, dims, (x, y) -> x >= y), v -> v)
+               |AND exists(zip_with(odims, dims, (x, y) -> x > y), v -> v)"""
+          .stripMargin),
+        "left_anti")
+  }
+}

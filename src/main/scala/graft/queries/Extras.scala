@@ -424,8 +424,76 @@ object Extras {
       |FROM o r JOIN sky s ON r.p = s.p AND r.dd = s.maxd
       |ORDER BY o_orderkey""".stripMargin)
 
+  // ------------------------------------------------------------ q160
+  // d-DIMENSIONAL skyline (3-D here: price ↑, recency ↑, priority ↓) —
+  // completes the dominance family past q158's documented 2-D limit
+  // via the general block-partitioned BNL operator
+  // ([[graft.operators.Skyline]]): per-partition block-nested-loops
+  // frontier, then a broadcast-bounded global filter over the
+  // candidate union. "Most valuable, most recent, most urgent" orders
+  // no other order beats on all three axes — the multi-objective
+  // selection shape (quality × recency × licence-tier corpus curation
+  // is the LLM-pipeline analogue).
+  //
+  // Lossless pre-reduction (the q158 collapse, one dim deeper): within
+  // a (day, priority) cell only the max price can survive (same-cell
+  // rows are dominated on price alone), so the operator runs on
+  // ≤ |days|·|priorities| points regardless of order count; the
+  // join-back ships ALL rows tied on the winning triple. Minimized
+  // dims enter the operator negated (it maximizes uniformly).
+  //
+  // Oracle: the reduction in SQL, then the candidate-bounded pairwise
+  // NOT EXISTS — quadratic only in the cell count (≤ 12k at sf0.1),
+  // never in rows, so the gate stays cheap while staying
+  // algorithm-independent of the engine's BNL. SkylineNdSpec
+  // additionally proves the operator against full row-level pairwise
+  // dominance on the fixture and on crafted anti-correlated inputs.
+  private val q160 = QueryDef.of(
+    (s, d) => {
+      val o = Tables.raw(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("p"),
+          expr("cast(unix_date(cast(o_orderdate as date)) as bigint)")
+            .as("dd"),
+          expr("cast(substring(o_orderpriority, 1, 1) as bigint)")
+            .as("r"))
+      val g = o.groupBy(col("dd"), col("r")).agg(max(col("p")).as("maxp"))
+      val pts = g.select(
+        array(col("maxp"), col("dd"), -col("r")).as("dims"))
+      val sky = graft.operators.Skyline.skyline(pts)
+        .select(col("dims").getItem(0).as("sp"),
+          col("dims").getItem(1).as("sdd"),
+          (-col("dims").getItem(2)).as("sr"))
+      o.join(sky, col("p") === col("sp") && col("dd") === col("sdd") &&
+          col("r") === col("sr"))
+        .select(col("k").as("o_orderkey"), col("p").as("price_cents"),
+          col("dd").as("order_day"), col("r").as("priority"))
+        .orderBy(col("o_orderkey"))
+    },
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS dd,
+      |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS r
+      |  FROM orders),
+      |g AS MATERIALIZED (
+      |  SELECT dd, r, MAX(p) AS maxp FROM o GROUP BY dd, r),
+      |sky AS (
+      |  SELECT g.maxp, g.dd, g.r FROM g
+      |  WHERE NOT EXISTS (SELECT 1 FROM g h
+      |    WHERE h.maxp >= g.maxp AND h.dd >= g.dd AND h.r <= g.r
+      |      AND (h.maxp > g.maxp OR h.dd > g.dd OR h.r < g.r)))
+      |SELECT o.k AS o_orderkey, o.p AS price_cents, o.dd AS order_day,
+      |  o.r AS priority
+      |FROM o JOIN sky ON o.p = sky.maxp AND o.dd = sky.dd
+      |  AND o.r = sky.r
+      |ORDER BY o_orderkey""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q158_skyline" -> q158,
+    "q160_skyline_3d" -> q160,
     "q130_dq_audit" -> q130,
     "q123_sql_text" -> q123,
     "q57_json_struct" -> q57,
