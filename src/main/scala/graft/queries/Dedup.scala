@@ -784,6 +784,61 @@ object Dedup {
        |ORDER BY cluster_size""".stripMargin
       .replaceFirst("^WITH ", "WITH RECURSIVE "))
 
+  // ------------------------------------------------------------ q161
+  // Leakage-safe train/val/test split: split assignment BY DEDUP
+  // CLUSTER, not by document — the eval-contamination control q73
+  // applies at the n-gram level, applied at the SPLIT level. Splitting
+  // documents independently leaks near-duplicates across the
+  // train/eval boundary (the duplicate of a test doc sits in train and
+  // the eval is contaminated); hashing the CLUSTER label instead puts
+  // every member of a near-dup family on the same side BY CONSTRUCTION
+  // — no post-hoc pair check can fail. Deterministic md5 bucketing
+  // (b = first-4-hex-digits mod 10 → 0-7 train, 8 val, 9 test) keeps
+  // the assignment stable under re-runs and partitioning (the q55/q78
+  // hash-sample discipline).
+  //
+  // Scale shape: cluster labels are the shared q65 CC machinery; the
+  // split is a per-row hash map; the report is ONE split-keyed
+  // aggregate whose shuffle carries (split, cluster, len), never text.
+  // LeakageSplitSpec proves the no-leakage invariant pair-by-pair
+  // against q33's verified near-dup pairs and replays the aggregate.
+  private val q161 = QueryDef.of(
+    (s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = verifiedPairs(s, d)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      val labels = graft.operators.ConnectedComponents.labels(nodes, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val assigned = labels.withColumn("b", expr(
+          """cast(conv(substring(md5(cast(cluster as string)), 1, 4),
+            |  16, 10) as bigint) % 10""".stripMargin))
+        .withColumn("split",
+          when(col("b") <= 7, "train")
+            .when(col("b") === 8, "val").otherwise("test"))
+      assigned
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("len")), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("len")).as("total_chars"))
+        .orderBy(col("split"))
+    },
+    s"""$clustersCtes,
+       |sp AS (
+       |  SELECT doc_id, cluster,
+       |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, cluster,
+       |    CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4)
+       |      AS BIGINT) % 10 AS b FROM labeled))
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+       |FROM sp JOIN documents d USING (doc_id)
+       |GROUP BY split ORDER BY split""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE "))
+
   // ------------------------------------------------------------- q120
   // INCREMENTAL near-dup: an incoming batch (doc_id ≡ 7 mod 10 plays
   // the newly crawled slice) checked against the EXISTING corpus — the
@@ -1191,6 +1246,7 @@ object Dedup {
     "q132_exact_jaccard_join" -> q132,
     "q150_containment_join" -> q150,
     "q159_golden_record" -> q159,
+    "q161_leakage_safe_split" -> q161,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q30_dedup_exact" -> q30,

@@ -951,6 +951,77 @@ object TextAnalysis {
        |SELECT query_id, rank, doc_id, score, n_hit
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
+  // ------------------------------------------------------------ q162
+  // Rank-biased precision eval (Moffat & Zobel '08) of the BM25
+  // ranking — the RANKING-quality readout that complements q106 (ANN
+  // recall@k) and q148 (classifier AUC): "how much graded relevance
+  // does a persistence-p user see scanning the list top-down".
+  // Persistence p = 1/2 is chosen for EXACTNESS, not convenience: the
+  // rank-r weight (1−p)·p^(r−1) = 2^(−r) is a power of two, so
+  // rbp_micro = Σ_r (rel_r·10⁶) div 2^r is exact integer arithmetic —
+  // no log2 (NDCG's discount), whose last-ulp could differ between
+  // engines. Graded relevance from the hit structure itself: rel = 2
+  // when the doc matched EVERY query term (n_hit = |terms|), else 1
+  // (every BM25 hit matched ≥ 1 by construction). ideal_micro re-ranks
+  // the same grades best-first (2s before 1s, original rank as
+  // tie-break) — rbp/ideal is the normalized score, left as two exact
+  // integers rather than a lossy division.
+  //
+  // Scale shape: everything heavy is the shared [[bm25PerDoc]] chain
+  // (one (doc, term) aggregate family); the eval itself runs on
+  // |queries|·k rows — two windows and one aggregate over a frame that
+  // is queries-bounded, not corpus-bounded.
+  private val q162 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      val w10 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val topk = bm25PerDoc(s, d)
+        .withColumn("rank", row_number().over(w10))
+        .filter(col("rank") <= 10)
+      val nq = BmQueries.toDF("query_id", "qtext")
+        .select(col("query_id"),
+          size(split(col("qtext"), " ")).cast("long").as("n_terms"))
+      val graded = topk.join(broadcast(nq), "query_id")
+        .withColumn("rel",
+          when(col("n_hit") === col("n_terms"), 2L).otherwise(1L))
+      val wIdeal = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("rank"))
+      graded.withColumn("irank", row_number().over(wIdeal))
+        .groupBy(col("query_id"))
+        .agg(
+          sum(expr("(rel * 1000000L) div shiftleft(1L, cast(rank as int))"))
+            .as("rbp_micro"),
+          sum(expr("(rel * 1000000L) div shiftleft(1L, cast(irank as int))"))
+            .as("ideal_micro"),
+          sum(expr("cast(rel = 2 as long)")).as("n_full_hits"))
+        .orderBy(col("query_id"))
+    },
+    s"""WITH $bm25Ctes,
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank
+       |  FROM perdoc),
+       |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+       |nq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+       |       FROM q GROUP BY 1),
+       |graded AS (
+       |  SELECT t.query_id, t.rank,
+       |    CASE WHEN t.n_hit = nq.n_terms THEN 2 ELSE 1 END AS rel
+       |  FROM topk t JOIN nq USING (query_id)),
+       |ideal AS (
+       |  SELECT query_id, rank, rel, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY rel DESC, rank) AS irank
+       |  FROM graded)
+       |SELECT query_id,
+       |  CAST(SUM((rel * 1000000) // (CAST(1 AS BIGINT) << rank))
+       |    AS BIGINT) AS rbp_micro,
+       |  CAST(SUM((rel * 1000000) // (CAST(1 AS BIGINT) << irank))
+       |    AS BIGINT) AS ideal_micro,
+       |  CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_full_hits
+       |FROM ideal GROUP BY query_id ORDER BY query_id""".stripMargin)
+
   // ------------------------------------------------------------- q78
   // Per-source frequency cap (RefinedWeb/C4-style domain balancing):
   // keep at most 15 docs per source, chosen by deterministic content
@@ -1928,6 +1999,7 @@ object TextAnalysis {
     "q103_token_drift" -> q103,
     "q63_term_salience" -> q63,
     "q77_bm25_retrieval" -> q77,
+    "q162_rbp_ranking_eval" -> q162,
     "q81_cms_heavy_hitters" -> q81,
     "q78_source_cap" -> q78,
     "q79_shard_shuffle" -> q79,
