@@ -33,10 +33,15 @@ import org.apache.spark.sql.DataFrame
   * At 100 TB phase 1 streams each partition once with frontier-sized
   * state, and phase 2's broadcast is frontier-sized — the corpus itself
   * is never joined pairwise and never collected. If a pathological
-  * corpus made the frontier itself huge (anti-correlated dimensions),
-  * the recursive-elimination variant (re-running phase 1 on the
-  * candidate set under a rotated sort dimension) bounds phase 2; the
-  * fixture's frontiers are thousands of times smaller than the input.
+  * corpus makes the candidate union too large to broadcast
+  * (anti-correlated dimensions), an ELIMINATION round runs first:
+  * range-repartition the candidates on dim 0 descending and re-run the
+  * local BNL — now each partition holds a contiguous dim-0 slice, so
+  * the dominated points that phase 1's arbitrary partitioning couldn't
+  * see each other get eliminated before anything is broadcast (any
+  * partitioning is CORRECT for a local pass; a dim-0-sorted one is
+  * maximally effective, the distributed-prefix idea generalized). The
+  * round triggers off a one-row control-plane count, never a collect.
   *
   * Input contract: `points` has exactly one column `dims`:
   * array<bigint> of fixed length d ≥ 1; rows with the SAME dims vector
@@ -89,13 +94,30 @@ object Skyline {
     window.iterator
   }
 
-  def skyline(points: DataFrame): DataFrame = {
+  /** Candidate-count bound above which an extra elimination round runs
+    * before the broadcast filter (≈ a few MB of broadcast state). */
+  private[operators] val BroadcastBound = 100000L
+
+  def skyline(points: DataFrame,
+      broadcastBound: Long = BroadcastBound): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val cand = points.select(col("dims"))
+    // eager localCheckpoint: the frontier frame is read by the count,
+    // the distinct, AND the broadcast side — without truncation each
+    // reference would re-run the whole phase-1 scan (the q153 lineage
+    // discipline); Resources-retained so the session release points
+    // reclaim it (HygieneSpec contract)
+    val local = graft.Resources.retain(points.select(col("dims"))
       .as[Seq[Long]]
       .mapPartitions(localSkyline)
       .toDF("dims")
+      .localCheckpoint())
+    val cand =
+      if (local.count() <= broadcastBound) local
+      else graft.Resources.retain(
+        local.repartitionByRange(col("dims").getItem(0).desc)
+          .as[Seq[Long]].mapPartitions(localSkyline).toDF("dims")
+          .localCheckpoint())
     // phase 2: candidates vs broadcast candidates — survivor iff no
     // OTHER candidate dominates it (array equality excludes self and
     // keeps exactly one copy of tied vectors via the phase-1 dedup +

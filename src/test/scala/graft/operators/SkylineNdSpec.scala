@@ -56,6 +56,7 @@ class SkylineNdSpec extends AnyFunSuite {
       .as[Seq[Long]].collect().toSet
     assert(got == bruteSkyline(pts))
     assert(got == Set(Seq(5L, 1L, 1L), Seq(1L, 5L, 1L), Seq(1L, 1L, 5L)))
+    graft.Resources.releaseAll()
   }
 
   test("operator is partitioning-invariant and works at d=4") {
@@ -76,5 +77,14 @@ class SkylineNdSpec extends AnyFunSuite {
       assert(got.length == got.distinct.length,
         "tied vectors must ship exactly once from the operator")
     }
+    // force the pre-broadcast elimination round (candidate count over
+    // the bound → range-repartition on dim 0 + second local BNL): the
+    // result must be identical — any partitioning is correct for a
+    // local pass, the round only shrinks the broadcast
+    val gotElim = Skyline.skyline(
+      pts.toDF("dims").repartition(32), broadcastBound = 1L)
+      .as[Seq[Long]].collect()
+    assert(gotElim.toSet == expected)
+    graft.Resources.releaseAll()
   }
 }
