@@ -365,29 +365,31 @@ object Dedup {
             .as("est_jaccard"))
         .orderBy(col("lang1"), col("lang2"))
     },
+    // positionwise min of per-doc signatures = min over ALL the lang's
+    // shingle hashes per permutation (min is associative), so the
+    // oracle skips the per-doc layer entirely: unnest to (lang, h)
+    // rows, 16 plain MIN aggregates per lang — the sqlMinhash row-form
+    // discipline (the list-lambda original cost 17.1 s at sf0.1; this
+    // is 0.5 s, identical signatures)
     s"""WITH t AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
-       |  SELECT doc_id, lang, list_transform(range(1, len(toks) - 1),
+       |  SELECT lang, list_transform(range(1, len(toks) - 1),
        |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
        |  FROM t WHERE len(toks) >= 3),
-       |hs AS (
-       |  SELECT doc_id, lang, list_transform(sh,
-       |    s -> CAST('0x' || substring(md5(s), 1, 5) AS BIGINT)) AS hs
+       |hx AS MATERIALIZED (
+       |  SELECT lang,
+       |    CAST('0x' || substring(md5(unnest(sh)), 1, 5) AS BIGINT) AS h
        |  FROM sh),
-       |mhs AS (
-       |  SELECT doc_id, lang, list_transform(range(0, $K), i ->
-       |    list_min(list_transform(hs, h ->
-       |      (([$aList])[i + 1] * h + ([$bList])[i + 1]) % $P))) AS mh
-       |  FROM hs),
-       |pos AS (
-       |  SELECT lang, g.pos AS pos, min(mh[g.pos]) AS mv
-       |  FROM mhs CROSS JOIN generate_series(1, $K) AS g(pos)
-       |  GROUP BY lang, g.pos),
        |sig AS (
-       |  SELECT lang, list(mv ORDER BY pos) AS sig FROM pos GROUP BY lang)
+       |  SELECT lang, ${As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+            s"MIN(($a * h + $b) % $P) AS m${i + 1}" }
+            .mkString(",\n       |    ")}
+       |  FROM hx GROUP BY lang)
        |SELECT a.lang AS lang1, b.lang AS lang2,
-       |  CAST(len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+       |  CAST(${(1 to K).map(i =>
+            s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+            .mkString(" +\n       |    ")} AS DOUBLE)
        |    / 16.0 AS est_jaccard
        |FROM sig a JOIN sig b ON a.lang < b.lang
        |ORDER BY lang1, lang2""".stripMargin)

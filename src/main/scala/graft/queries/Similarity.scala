@@ -24,10 +24,18 @@ object Similarity {
 
   /** DuckDB left-fold cosine, bit-compatible with CosineSim's codegen.
     * Shared with [[Retrieval]] (q89's dense ranker) — single definition
-    * so the fold contract can't drift between modules. */
+    * so the fold contract can't drift between modules.
+    *
+    * UNROLLED, not a list lambda: `t1 + t2 + … + t64` parses
+    * left-associative, the exact order of both the codegen'd kernel's
+    * `acc += xi*yi` loop and the previous `list_reduce` form — same
+    * bits — but vectorizes in DuckDB's expression engine instead of
+    * paying ~50 µs of lambda machinery per pair (the q43b pair scan
+    * alone went 13.6 s → 1.5 s at sf0.1). Fixed 64 dims is the
+    * embeddings-table contract every caller passes. */
   private[queries] def sqlDot(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, len($a) + 1), " +
-      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
   private[queries] def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
@@ -316,11 +324,16 @@ object Similarity {
       s"(CASE WHEN dot_product($embCol, ${planeArraySpark(p)}) > 0 " +
         s"THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+  // unrolled ±term sum (x + (−t) is bitwise x − t, so the chain is the
+  // same left fold as dot_product against the ±1 plane) — the lambda
+  // form cost ~6 s of the q43/q43b oracles at sf0.1 on its own
   private def bucketExprSql(embCol: String): String =
     (0 until Planes).map { p =>
-      s"(CASE WHEN list_reduce(list_transform(range(1, $Dims + 1), " +
-        s"i -> CAST($embCol[i] AS DOUBLE) * (${planeArraySql(p)})[i]), " +
-        s"(x, y) -> x + y) > 0 THEN ${1 << p} ELSE 0 END)"
+      val dot = (0 until Dims).map { i =>
+        val t = s"CAST($embCol[${i + 1}] AS DOUBLE)"
+        if (weight(p, i) == 1) t else s"(- $t)"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $dot > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
   private val q43 = QueryDef.of(
@@ -341,16 +354,22 @@ object Similarity {
             col("score")),
         5)
     },
-    s"""WITH bucketed AS (
+    // Oracle-cost discipline (the engine's own shape): norms fold ONCE
+    // per vector in the MATERIALIZED bucketed frame (sqrt(dot(v,v)) is
+    // the same left fold as vec_norm, bit-identical), so the pair scan
+    // does one fold per pair instead of sqlCos's three — 6.7 s → ~1 s
+    // at sf0.1, and bucketed isn't recomputed for the probe side.
+    s"""WITH bucketed AS MATERIALIZED (
        |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
        |    ${bucketExprSql("embedding")} AS bucket
        |  FROM embeddings),
        |probes AS (
-       |  SELECT vec_id AS probe_id, embedding AS pe, bucket
+       |  SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn, bucket
        |  FROM bucketed WHERE vec_id < 20),
        |sc AS (
        |  SELECT probe_id, e.vec_id AS neighbor_id,
-       |    ${sqlCos("pe", "e.embedding")} AS score
+       |    (${sqlDot("pe", "e.embedding")} / (pn * e.nrm)) AS score
        |  FROM probes JOIN bucketed e USING (bucket)
        |  WHERE e.vec_id <> probe_id),
        |ranked AS (
@@ -388,18 +407,23 @@ object Similarity {
             col("score")),
         5)
     },
-    s"""WITH bucketed AS (
+    // same norm-once + MATERIALIZED discipline as q43 (multi-probe
+    // scans 5× the pairs, so the per-pair saving matters 5× more:
+    // 13.6 s → ~1.5 s at sf0.1)
+    s"""WITH bucketed AS MATERIALIZED (
        |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
        |    ${bucketExprSql("embedding")} AS bucket
        |  FROM embeddings),
        |probes AS (
-       |  SELECT vec_id AS probe_id, embedding AS pe, p.b AS bucket
+       |  SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn,
+       |    p.b AS bucket
        |  FROM bucketed, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
        |    xor(bucket, 4), xor(bucket, 8)]) AS p(b)
        |  WHERE vec_id < 20),
        |sc AS (
        |  SELECT probe_id, e.vec_id AS neighbor_id,
-       |    ${sqlCos("pe", "e.embedding")} AS score
+       |    (${sqlDot("pe", "e.embedding")} / (pn * e.nrm)) AS score
        |  FROM probes JOIN bucketed e USING (bucket)
        |  WHERE e.vec_id <> probe_id),
        |ranked AS (
