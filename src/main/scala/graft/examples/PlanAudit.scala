@@ -482,7 +482,19 @@ object PlanAudit {
           "majority vote is a combinable max(struct), never a window"),
         Check("no-cartesian", p => !p.contains("CartesianProduct") &&
             !p.contains("BroadcastNestedLoopJoin"),
-          "votes come from the edge⋈labels key join")),
+          "votes come from the edge⋈labels key join"),
+        // q154 deliberately fuses its 3 rounds into ONE linear DAG
+        // (safe because each round's labels frame is referenced exactly
+        // once — Graph.scala documents the invariant); if a future edit
+        // references a round twice, every reference re-expands the
+        // whole prior chain and the join count jumps exponentially
+        // (the 124 s fused-BFS shape). Today's plan carries exactly 8
+        // unique join nodes: 3 round joins (final) + their 3 pre-AQE
+        // initial-plan twins + 2 inside the cached coEdges build.
+        Check("linear-superstep-lineage", p =>
+          "(?m)^\\([0-9]+\\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+            .r.findAllIn(p).size <= 9,
+          "3 fused rounds stay a linear chain — no re-referenced round")),
       // the whole point of the prefix-max skyline: dominance WITHOUT
       // the O(n²) pairwise join (that's the oracle) and without a
       // global single-partition sort
