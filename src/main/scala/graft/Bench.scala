@@ -144,8 +144,14 @@ object Bench {
         }
       (ok, (System.nanoTime() - t0) / 1e9)
     }
+    // local iteration aid (NOT set by the driver): comma-separated
+    // query-name filter, mirroring Verify's third argument
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // pass 1: every query once, in name order, with byte attribution
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val firstPass = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1).map {
       case (name, fn) =>
         val (w0, r0, i0) =
           (shuffleWrite.get(), shuffleRead.get(), inputRead.get())
