@@ -475,6 +475,20 @@ object ScaleStress {
       n
     }
 
+    // min-label CC fixpoint à la q65/q161 (now the shared cluster-label
+    // artifact) — per round one edges⋈labels join + a node-keyed min;
+    // disjoint copies keep component structure constant per copy, so
+    // rounds-to-fixpoint are invariant and cost should track edges
+    def ccRun(und: DataFrame): Long = {
+      val nodes = und.select(col("x").as("id"))
+        .union(und.select(col("y").as("id"))).distinct()
+      val edges = und.select(col("x").as("src"), col("y").as("dst"))
+      val labels = graft.operators.ConnectedComponents.labels(nodes, edges)
+      val n = labels.select(col("component")).distinct().count()
+      graft.Resources.releaseAll()
+      n
+    }
+
     // label propagation à la q154 — 3 rounds, each ONE edges⋈labels key
     // join + a two-level (src, lbl) majority aggregate; disjoint copies
     // keep per-copy label flow identical, so cost should track edges
@@ -720,9 +734,11 @@ object ScaleStress {
     val (bfT10, _) = time(bfsRun(und10x))
     val (gmT1, _) = time(gramRun(e1))
     val (gmT10, _) = time(gramRun(e10))
-    lpaRun(und1x); hitsRun(dir1x); skylineRun(or1) // warm up
+    lpaRun(und1x); hitsRun(dir1x); skylineRun(or1); ccRun(und1x) // warm up
     val (lpT1, _) = time(lpaRun(und1x))
     val (lpT10, _) = time(lpaRun(und10x))
+    val (ccT1, _) = time(ccRun(und1x))
+    val (ccT10, _) = time(ccRun(und10x))
     val (htT1, _) = time(hitsRun(dir1x))
     val (htT10, _) = time(hitsRun(dir10x))
     val (skT1, _) = time(skylineRun(or1))
@@ -759,7 +775,8 @@ object ScaleStress {
       f""""gram_1x_s":$gmT1%.2f,"gram_10x_s":$gmT10%.2f,"gram_ratio":${gmT10 / gmT1}%.1f,""" +
       f""""lpa_1x_s":$lpT1%.2f,"lpa_10x_s":$lpT10%.2f,"lpa_ratio":${lpT10 / lpT1}%.1f,""" +
       f""""hits_1x_s":$htT1%.2f,"hits_10x_s":$htT10%.2f,"hits_ratio":${htT10 / htT1}%.1f,""" +
-      f""""skyline_1x_s":$skT1%.2f,"skyline_10x_s":$skT10%.2f,"skyline_ratio":${skT10 / skT1}%.1f}""")
+      f""""skyline_1x_s":$skT1%.2f,"skyline_10x_s":$skT10%.2f,"skyline_ratio":${skT10 / skT1}%.1f,""" +
+      f""""cc_1x_s":$ccT1%.2f,"cc_10x_s":$ccT10%.2f,"cc_ratio":${ccT10 / ccT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
