@@ -785,6 +785,112 @@ object Dedup {
       |FROM documents d LEFT JOIN perdoc USING (doc_id)
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------ q163
+  // Substring-level duplicate REMOVAL (the transform q112 only
+  // measures — Lee et al. '22's actual dedup step): every 8-token span
+  // that occurs more than once ANYWHERE (cross-doc or within-doc)
+  // keeps exactly its FIRST occurrence (min (doc_id, pos) — a total
+  // order both engines replay); the token positions of every other
+  // occurrence are deleted and the cleaned document is the remaining
+  // tokens in order. Output per doc: sizes plus an md5 fingerprint of
+  // the cleaned token stream (compact + hashable — the full text never
+  // leaves the executor).
+  //
+  // Scale shape: spans shuffle as (16-char hash, doc, pos) — never
+  // text; the mark aggregate is ONE span-hash groupBy with map-side
+  // partials (count + min(struct)); removal positions explode 8 rows
+  // per removed occurrence (∝ duplicated volume, not corpus volume)
+  // and anti-join the token rows doc-and-position-keyed; the cleaned
+  // reassembly is a per-doc sort_array fold, local after one doc-keyed
+  // shuffle. At 100 TB this is q112's published-recipe argument
+  // carried to the transform.
+  private val q163 = QueryDef.of(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+      val spans = toks
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 8 THEN
+            |  transform(sequence(0, size(tk) - 8),
+            |    i -> struct(i AS p,
+            |      substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16)
+            |        AS h))
+            |ELSE array() END""".stripMargin)).as("sp"))
+        .select(col("doc_id"), col("sp.p").as("p"), col("sp.h").as("h"))
+      val marks = spans.groupBy(col("h"))
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("p"))).as("first"))
+        .filter(col("cnt") > 1)
+        .select(col("h"), col("first.doc_id").as("fdoc"),
+          col("first.p").as("fp"))
+      val removedPos = spans.join(marks, "h")
+        .filter(!(col("doc_id") === col("fdoc") && col("p") === col("fp")))
+        .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("pos"))
+        .distinct()
+      val tokRows = toks.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+      val kept = tokRows
+        .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(expr(
+            """array_join(transform(
+              |  sort_array(collect_list(struct(pos, tok))),
+              |  x -> x.tok), ' ')""".stripMargin)).as("kept_fp"))
+      toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed"),
+          coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+        .orderBy(col("doc_id"))
+    },
+    // first-occurrence key doc_id·2^20 + p mirrors min(struct(doc, p))
+    // exactly while p < 2^20 — fixture docs are ~10^2 tokens; a corpus
+    // with million-token docs widens the shift, one constant
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |spans AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(tk) >= 8
+      |      THEN range(0, len(tk) - 7) ELSE [] END) AS p,
+      |    unnest(CASE WHEN len(tk) >= 8 THEN
+      |      list_transform(range(1, len(tk) - 6),
+      |        i -> substring(md5(array_to_string(
+      |          list_slice(tk, i, i + 7), ' ')), 1, 16))
+      |      ELSE [] END) AS h
+      |  FROM toks),
+      |marks AS MATERIALIZED (
+      |  SELECT h, MIN(doc_id * 1048576 + p) AS fkey
+      |  FROM spans GROUP BY h HAVING COUNT(*) > 1),
+      |rem AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, pos FROM (
+      |    SELECT s.doc_id, unnest(range(s.p, s.p + 8)) AS pos
+      |    FROM spans s JOIN marks m USING (h)
+      |    WHERE s.doc_id * 1048576 + s.p <> m.fkey)),
+      |tokrows AS (
+      |  SELECT doc_id, unnest(range(0, len(tk))) AS pos,
+      |    unnest(tk) AS tok
+      |  FROM toks),
+      |kept AS (
+      |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    md5(array_to_string(list(t.tok ORDER BY t.pos), ' '))
+      |      AS kept_fp
+      |  FROM tokrows t LEFT JOIN rem r
+      |    ON t.doc_id = r.doc_id AND t.pos = r.pos
+      |  WHERE r.doc_id IS NULL
+      |  GROUP BY t.doc_id)
+      |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(tk) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(k.kept_fp, md5('')) AS kept_fp
+      |FROM toks t LEFT JOIN kept k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin)
+
   // ------------------------------------------------------------- q117
   // Dedup savings report: cluster-size distribution over the transitive
   // near-dup clusters + redundant-doc counts — the report a pipeline
@@ -1272,6 +1378,7 @@ object Dedup {
     "q161_leakage_safe_split" -> q161,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
+    "q163_dup_span_removal" -> q163,
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
     "q32_simhash" -> q32,
