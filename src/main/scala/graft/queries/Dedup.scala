@@ -534,7 +534,10 @@ object Dedup {
   /** Recursive-closure CTE chain shared by q65/q65b/q117: candidates →
     * Jaccard verify → bidirectional edges → transitive reachability →
     * per-doc min-reachable cluster label (`labeled`). */
-  private val clustersCtes =
+  /** candidates → exact-Jaccard verify: the `verified` (doc1 < doc2)
+    * near-dup pair CTE chain — shared by the closure family below and
+    * by q164's dedup stage. */
+  private[queries] val verifiedCtes =
     s"""$sqlShingled,
        |$sqlMinhash,
        |sets AS (
@@ -544,7 +547,11 @@ object Dedup {
        |  FROM cand JOIN sets a ON cand.doc1 = a.doc_id
        |            JOIN sets b ON cand.doc2 = b.doc_id
        |  WHERE CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x))) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5),
+       |      / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5)"""
+      .stripMargin
+
+  private val clustersCtes =
+    s"""$verifiedCtes,
        |edges AS MATERIALIZED (
        |  SELECT doc1 AS a, doc2 AS b FROM verified
        |  UNION SELECT doc2, doc1 FROM verified),
@@ -890,6 +897,125 @@ object Dedup {
       |  COALESCE(k.kept_fp, md5('')) AS kept_fp
       |FROM toks t LEFT JOIN kept k USING (doc_id)
       |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------ q164
+  // The CURATION FUNNEL — the composition query: the full
+  // quality → near-dup → decontamination cascade a training-data run
+  // executes, reported as one monotone funnel (stage, surviving docs,
+  // surviving tokens). Each stage reuses the suite's own contracts:
+  //
+  //   0_corpus    every document
+  //   1_quality   20 ≤ tokens ≤ 2000 AND mean token length in
+  //               [3.8, 12.0] (exact integers: 38·n ≤ 10·chars ≤ 120·n)
+  //   2_dedup     drop docs with a VERIFIED smaller-id near-dup
+  //               (q64's keep rule over q33's pair contract — partner
+  //               judged on the full corpus: the dedup index is built
+  //               before quality filtering, as production does, so a
+  //               doc's canonical can itself be quality-rejected)
+  //   3_decontam  hold out the eval split (q73's md5 doc-hash rule,
+  //               h % 10 ≥ 8) and drop train docs sharing ANY 8-token
+  //               span with the eval set (the q112/q163 span hashes —
+  //               the GPT-3-style long-n-gram collision rule; 3-shingle
+  //               overlap is useless here: the synthetic corpus shares
+  //               short shingles universally and the 50 %-of-3-shingles
+  //               form emptied the funnel at sf0.1, measured)
+  //
+  // Scale shape: one corpus scan builds (n, chars, h) per doc
+  // (map-only); the dedup stage joins the id-only verified pair set;
+  // decontamination is the q73 single-pass shape (explode distinct
+  // shingles, mark-join the eval set, ONE aggregate); the funnel
+  // itself is four count/sum aggregates over id-sized frames. Nothing
+  // document-sized shuffles twice.
+  private val q164 = QueryDef.of(
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          size(col("tk")).cast("long").as("n"),
+          expr("aggregate(tk, 0L, (a, t) -> a + length(t))").as("chars"),
+          expr("""cast(conv(substring(md5(cast(doc_id as string)), 1, 4),
+                |  16, 10) as bigint) % 10""".stripMargin).as("h"))
+      val s1 = base.filter(col("n") >= 20 && col("n") <= 2000 &&
+        col("chars") * 10 >= col("n") * 38 &&
+        col("chars") * 10 <= col("n") * 120)
+      val dupDropped = verifiedPairs(s, d)
+        .select(col("doc2").as("doc_id")).distinct()
+      val s2 = s1.join(dupDropped, Seq("doc_id"), "left_anti")
+      val span8 =
+        """CASE WHEN size(tk) >= 8 THEN
+          |  transform(sequence(0, size(tk) - 8),
+          |    i -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16))
+          |ELSE array() END""".stripMargin
+      val evalSpans = base.filter(col("h") >= 8)
+        .select(explode(array_distinct(expr(span8))).as("sp"))
+        .distinct()
+      val cont = s2.filter(col("h") < 8)
+        .select(col("doc_id"), explode(array_distinct(expr(span8)))
+          .as("sp"))
+        .join(evalSpans, Seq("sp"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val s3 = s2.filter(col("h") < 8)
+        .join(cont, Seq("doc_id"), "left_anti")
+      def row(stage: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n")), lit(0L)).as("n_tokens"))
+          .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+      row("0_corpus", base).union(row("1_quality", s1))
+        .union(row("2_dedup", s2)).union(row("3_decontam", s3))
+        .orderBy(col("stage"))
+    },
+    s"""$verifiedCtes,
+       |tkt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |base AS MATERIALIZED (
+       |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+       |    CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+       |      AS BIGINT) AS chars,
+       |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+       |      AS BIGINT) % 10 AS h
+       |  FROM tkt),
+       |s1 AS (
+       |  SELECT * FROM base
+       |  WHERE n BETWEEN 20 AND 2000
+       |    AND chars * 10 >= n * 38 AND chars * 10 <= n * 120),
+       |dupdrop AS (SELECT DISTINCT doc2 AS doc_id FROM verified),
+       |s2 AS MATERIALIZED (
+       |  SELECT s1.* FROM s1 LEFT JOIN dupdrop dd USING (doc_id)
+       |  WHERE dd.doc_id IS NULL),
+       |esh AS (
+       |  SELECT DISTINCT unnest(CASE WHEN len(tk) >= 8 THEN
+       |    list_transform(range(1, len(tk) - 6),
+       |      i -> substring(md5(array_to_string(
+       |        list_slice(tk, i, i + 7), ' ')), 1, 16))
+       |    ELSE [] END) AS sp
+       |  FROM base WHERE h >= 8),
+       |tsh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 8 THEN
+       |    list_transform(range(1, len(tk) - 6),
+       |      i -> substring(md5(array_to_string(
+       |        list_slice(tk, i, i + 7), ' ')), 1, 16))
+       |    ELSE [] END)) AS sp
+       |  FROM s2 WHERE h < 8),
+       |cont AS (
+       |  SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e USING (sp)),
+       |s3 AS (
+       |  SELECT s2.* FROM s2 LEFT JOIN cont c USING (doc_id)
+       |  WHERE h < 8 AND c.doc_id IS NULL)
+       |SELECT '0_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_tokens FROM base
+       |UNION ALL
+       |SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM s1
+       |UNION ALL
+       |SELECT '2_dedup', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM s2
+       |UNION ALL
+       |SELECT '3_decontam', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM s3
+       |ORDER BY stage""".stripMargin)
 
   // ------------------------------------------------------------- q117
   // Dedup savings report: cluster-size distribution over the transitive
@@ -1379,6 +1505,7 @@ object Dedup {
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q163_dup_span_removal" -> q163,
+    "q164_curation_funnel" -> q164,
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
     "q32_simhash" -> q32,
