@@ -70,7 +70,7 @@ object PlanAudit {
         "q148_classifier_eval", "q149_textrank_keywords",
         "q150_containment_join", "q152_assoc_rules",
         "q153_bfs_distance", "q154_label_propagation", "q158_skyline",
-        "q160_skyline_3d")
+        "q160_skyline_3d", "q163_dup_span_removal", "q164_curation_funnel")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -517,6 +517,19 @@ object PlanAudit {
           p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
             p.contains("ShuffledHashJoin"),
           "row join-back is an equi-join on the winning triple")),
+      // spans shuffle as hashes; the mark aggregate, position anti-join
+      // and per-doc reassembly are all keyed — a nested loop anywhere
+      // means a document-sized frame met another one
+      "q163_dup_span_removal" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "span marking and removal are hash-keyed joins, never all-pairs")),
+      // every stage filter is a keyed join over id-sized frames; the
+      // corpus is scanned once per side, never cross-joined
+      "q164_curation_funnel" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"),
+          "stage drops are keyed semi/anti joins, never all-pairs")),
       // the as-of attribution is ONE user-keyed window over the tagged
       // union; the log is never self-joined
       "q97_attribution" -> Seq(
