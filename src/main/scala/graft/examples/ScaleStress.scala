@@ -475,6 +475,37 @@ object ScaleStress {
       n
     }
 
+    // substring-duplicate removal à la q163 — span-hash groupBy +
+    // position anti-join + per-doc reassembly; the copy index is folded
+    // into the span hash (doc_id stride) so cross-copy spans never
+    // collide and the probe measures plan scaling, not collapse
+    def spanrmRun(docs: DataFrame): Long = {
+      val toks = docs.select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+      val spans = toks.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 8 THEN
+            |  transform(sequence(0, size(tk) - 8),
+            |    i -> struct(i AS p, concat(
+            |      substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16),
+            |      '_', cast(doc_id div 1000000000L as string)) AS h))
+            |ELSE array() END""".stripMargin)).as("sp"))
+        .select(col("doc_id"), col("sp.p").as("p"), col("sp.h").as("h"))
+      val marks = spans.groupBy(col("h"))
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("p"))).as("first"))
+        .filter(col("cnt") > 1)
+        .select(col("h"), col("first.doc_id").as("fdoc"),
+          col("first.p").as("fp"))
+      val removed = spans.join(marks, "h")
+        .filter(!(col("doc_id") === col("fdoc") && col("p") === col("fp")))
+        .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("pos"))
+        .distinct()
+      toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+        .join(removed, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+        .agg(sum(col("n_kept"))).head().getLong(0)
+    }
+
     // min-label CC fixpoint à la q65/q161 (now the shared cluster-label
     // artifact) — per round one edges⋈labels join + a node-keyed min;
     // disjoint copies keep component structure constant per copy, so
@@ -734,7 +765,8 @@ object ScaleStress {
     val (bfT10, _) = time(bfsRun(und10x))
     val (gmT1, _) = time(gramRun(e1))
     val (gmT10, _) = time(gramRun(e10))
-    lpaRun(und1x); hitsRun(dir1x); skylineRun(or1); ccRun(und1x) // warm up
+    lpaRun(und1x); hitsRun(dir1x); skylineRun(or1); ccRun(und1x)
+    spanrmRun(d1) // warm up
     val (lpT1, _) = time(lpaRun(und1x))
     val (lpT10, _) = time(lpaRun(und10x))
     val (ccT1, _) = time(ccRun(und1x))
@@ -743,6 +775,8 @@ object ScaleStress {
     val (htT10, _) = time(hitsRun(dir10x))
     val (skT1, _) = time(skylineRun(or1))
     val (skT10, _) = time(skylineRun(or10))
+    val (srT1, _) = time(spanrmRun(d1))
+    val (srT10, _) = time(spanrmRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -776,7 +810,8 @@ object ScaleStress {
       f""""lpa_1x_s":$lpT1%.2f,"lpa_10x_s":$lpT10%.2f,"lpa_ratio":${lpT10 / lpT1}%.1f,""" +
       f""""hits_1x_s":$htT1%.2f,"hits_10x_s":$htT10%.2f,"hits_ratio":${htT10 / htT1}%.1f,""" +
       f""""skyline_1x_s":$skT1%.2f,"skyline_10x_s":$skT10%.2f,"skyline_ratio":${skT10 / skT1}%.1f,""" +
-      f""""cc_1x_s":$ccT1%.2f,"cc_10x_s":$ccT10%.2f,"cc_ratio":${ccT10 / ccT1}%.1f}""")
+      f""""cc_1x_s":$ccT1%.2f,"cc_10x_s":$ccT10%.2f,"cc_ratio":${ccT10 / ccT1}%.1f,""" +
+      f""""spanrm_1x_s":$srT1%.2f,"spanrm_10x_s":$srT10%.2f,"spanrm_ratio":${srT10 / srT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
