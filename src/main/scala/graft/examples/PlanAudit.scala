@@ -87,22 +87,35 @@ object PlanAudit {
       // multiplication) or a per-key sketch buffer snuck back in —
       // measured 26 s vs 4 s at sf0.1
       "q18_approx_distinct" -> Seq(
-        // The exact pass INTENTIONALLY Expands (one double-width pass for
-        // two countDistinct, r3 judge item). The pathology to forbid is
-        // the HLL sketch evaluated in a KEYED aggregate (one buffer per
-        // distinct key — the round-2 26 s shape): every HashAggregate
-        // computing approx_count_distinct must be global (Keys [0]).
-        Check("hll-ungrouped", p =>
-          !("""Keys \[[1-9]""".r.findAllMatchIn(p).exists { m =>
-            // the Functions line of the same block sits within the next
-            // few lines; stop at the next block header "(NN)"
-            p.substring(m.start, math.min(p.length, m.start + 500))
-              .linesIterator.takeWhile(!_.startsWith("(")).take(5)
-              .exists(_.contains("approx_count_distinct"))
+        // r9 single-scan shape: the hand-built Expand feeds both the
+        // exact count and the HLL from one distinct-by-(gid,v) child.
+        // The pathology to forbid is the round-2 26 s shape — the HLL
+        // sketch evaluated keyed BY THE DISTINCT COLUMN (one buffer per
+        // ~150k keys). Keyed by gid (2 groups) is the design.
+        Check("hll-not-keyed-by-value", p =>
+          !("""Keys \[""".r.findAllMatchIn(p).exists { m =>
+            val block = p.substring(m.start, math.min(p.length, m.start + 500))
+              .linesIterator.takeWhile(!_.startsWith("(")).take(5).toSeq
+            // keyed by gid (2 groups) or global is the design; keyed by
+            // the value column (v / l_partkey / l_orderkey) is the 26 s
+            // one-buffer-per-distinct-key pathology
+            block.exists(_.contains("approx_count_distinct")) &&
+              Seq("v#", "l_partkey", "l_orderkey")
+                .exists(block.head.contains)
           }),
-          "HLL sketch must aggregate globally, never per distinct key"),
-        Check("scan-reused", p => p.contains("ReusedExchange"),
-          "exact + HLL passes must share one scatter exchange")),
+          "HLL sketch must never aggregate per distinct value"),
+        // the r8 defect: the fact table was scanned twice. The true
+        // invariant (deterministic, AQE-independent): exactly ONE
+        // parquet scan NODE. Count in the final-plan tree only — AQE's
+        // "== Initial Plan ==" section re-renders the same node, and the
+        // node-details section repeats the header once more.
+        Check("single-scan", p =>
+          // formatted explain emits exactly one "(N) Scan parquet" detail
+          // block per unique scan NODE (tree lines render "Scan parquet
+          // (N)", details "(N) Scan parquet") — counting detail blocks is
+          // AQE-independent and catches any second physical scan
+          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          "exact + HLL must share one fact-table scan")),
       // the join inputs are pre-bucketed on the key — the only exchange
       // allowed in the whole plan is the final (tiny) segment aggregate
       "q101_bucketed_join" -> Seq(
