@@ -17,18 +17,10 @@ import org.apache.spark.sql.functions._
   * {{{ sbt "runMain graft.examples.FloorProbe" }}}
   */
 object FloorProbe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.Tables.table(spark, sfDir, "region").count() // warm
-
+  /** Runs the three trivial plans under the caller's (bench) session and
+    * returns kind → warm median seconds. Shared with graft.Bench so the
+    * bench artifact carries its own floor denominator. */
+  def measure(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     def once(kind: String): Double = {
       val t0 = System.nanoTime()
       val df = kind match {
@@ -42,9 +34,25 @@ object FloorProbe {
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    for (k <- Seq("scan", "agg", "join")) {
+    Seq("scan", "agg", "join").map { k =>
       val ts = (1 to 7).map(_ => once(k)).drop(2).sorted
-      println(f"floor $k%s: median=${ts(ts.length / 2)}%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
+      k -> ts(ts.length / 2)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.table(spark, sfDir, "region").count() // warm
+    measure(spark, sfDir).foreach { case (k, m) =>
+      println(f"floor $k%s: median=$m%.3f")
     }
     spark.stop()
   }
