@@ -36,15 +36,20 @@ object Resources {
     * call twice or while queries on other sessions run — unpersist on an
     * already-released frame is a no-op. */
   def releaseAll(): Unit = synchronized {
+    // Hooks run FIRST: a memo cleared after its checkpoint is released
+    // leaves a window where a concurrent caller is handed a
+    // lineage-truncated frame that can never recompute. Clearing the
+    // memos first means a racing caller either sees the old (still
+    // persisted) frame or rebuilds fresh — never a dead reference.
+    releaseHooks.foreach { f =>
+      try f() catch { case _: Throwable => () }
+    }
     retained.foreach { df =>
       try df.unpersist()
       catch { case _: Throwable => () }
       releaseCheckpoint(df)
     }
     retained.clear()
-    releaseHooks.foreach { f =>
-      try f() catch { case _: Throwable => () }
-    }
   }
 
   /** Release the block-manager storage behind a `localCheckpoint`ed

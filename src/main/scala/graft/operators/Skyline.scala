@@ -118,16 +118,53 @@ object Skyline {
         local.repartitionByRange(col("dims").getItem(0).desc)
           .as[Seq[Long]].mapPartitions(localSkyline).toDF("dims")
           .localCheckpoint())
-    // phase 2: candidates vs broadcast candidates — survivor iff no
-    // OTHER candidate dominates it (array equality excludes self and
-    // keeps exactly one copy of tied vectors via the phase-1 dedup +
-    // distinct here)
+    val dominance =
+      expr("""forall(zip_with(odims, dims, (x, y) -> x >= y), v -> v)
+             |AND exists(zip_with(odims, dims, (x, y) -> x > y), v -> v)"""
+        .stripMargin)
+    // The broadcast is GATED on the post-elimination count: a strongly
+    // anti-correlated corpus whose TRUE frontier exceeds the bound
+    // cannot be shrunk by any elimination round, and broadcasting it
+    // anyway would OOM the driver. Such a frontier falls back to the
+    // bucketed dominance pass below — distributed, equi-joined, no
+    // broadcast of the large set.
+    if (cand eq local) broadcastFilter(cand, dominance)
+    else if (cand.count() <= broadcastBound) broadcastFilter(cand, dominance)
+    else {
+      // Bucketed dominance: range-partition the candidates on dim 0
+      // descending into B buckets (bucket id frozen by the checkpoint —
+      // RangePartitioner keeps equal keys together, so a dominator's
+      // dim0 ≥ victim's dim0 implies dominator.bucket ≤ victim.bucket).
+      // Replicate each potential-dominator row to every bucket at or
+      // after its own via a tiny broadcast pair table, then one
+      // DISTRIBUTED hash join on the bucket id carries the dominance
+      // predicate as a post-join filter — |C|·B/2 rows shuffle, nothing
+      // big broadcasts, nothing collects.
+      val b = 64
+      val bucketed = graft.Resources.retain(
+        cand.distinct()
+          .repartitionByRange(b, col("dims").getItem(0).desc)
+          .withColumn("bkt", spark_partition_id())
+          .localCheckpoint())
+      val ids = spark.range(b).selectExpr("CAST(id AS INT) AS bl")
+      val pairs = ids.join(spark.range(b).selectExpr("CAST(id AS INT) AS br"),
+        col("br") <= col("bl"))
+      val dominators = bucketed
+        .select(col("dims").as("odims"), col("bkt").as("br"))
+        .join(broadcast(pairs), "br")
+      bucketed
+        .join(dominators, col("bkt") === col("bl") && dominance, "left_anti")
+        .select(col("dims"))
+    }
+  }
+
+  /** Frontier-sized phase 2: survivor iff no OTHER candidate dominates
+    * it (strict-> in the predicate excludes self; distinct keeps one
+    * copy of tied vectors). */
+  private def broadcastFilter(cand: DataFrame,
+      dominance: org.apache.spark.sql.Column): DataFrame = {
     val other = cand.select(col("dims").as("odims")).distinct()
     cand.distinct()
-      .join(broadcast(other),
-        expr("""forall(zip_with(odims, dims, (x, y) -> x >= y), v -> v)
-               |AND exists(zip_with(odims, dims, (x, y) -> x > y), v -> v)"""
-          .stripMargin),
-        "left_anti")
+      .join(broadcast(other), dominance, "left_anti")
   }
 }

@@ -224,15 +224,20 @@ object Dedup {
     * next caller rebuilds instead of reading a dead frame. (q65b stays
     * OUTSIDE the cache on purpose: it exists to exercise the
     * alternating-star algorithm, not to reuse this fixpoint.) */
-  private val labelsCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  // ConcurrentHashMap, not TrieMap: computeIfAbsent evaluates the build
+  // at most once per absent key under the bin lock, so two concurrent
+  // first callers can't both run the CC fixpoint and strand the loser's
+  // retained checkpoint (TrieMap.getOrElseUpdate may evaluate twice and
+  // discard one result).
+  private val labelsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]
   private val labelsHook = new java.util.concurrent.atomic.AtomicBoolean
   private[queries] def clusterLabels(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     if (labelsHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => labelsCache.clear())
-    labelsCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+    labelsCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
       val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
       val edges = verifiedPairs(s, d)
         .select(col("doc1").as("src"), col("doc2").as("dst"))
@@ -253,8 +258,7 @@ object Dedup {
     // the label memo points at Resources-owned checkpoints; dropping the
     // keys here is enough (the storage is released by releaseAll, and
     // the onReleaseAll hook clears any entries for OTHER sessions too)
-    labelsCache.keys.filter(_.startsWith(prefix))
-      .foreach(labelsCache.remove(_))
+    labelsCache.keySet.removeIf(_.startsWith(prefix))
     candCache.keys.filter(_.startsWith(prefix)).foreach { k =>
       candCache.remove(k).foreach { df =>
         try df.unpersist()
@@ -854,9 +858,11 @@ object Dedup {
           coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
         .orderBy(col("doc_id"))
     },
-    // first-occurrence key doc_id·2^20 + p mirrors min(struct(doc, p))
-    // exactly while p < 2^20 — fixture docs are ~10^2 tokens; a corpus
-    // with million-token docs widens the shift, one constant
+    // first occurrence = MIN over the (doc_id, p) STRUCT — DuckDB's
+    // struct MIN is lexicographic by field order, the same total order
+    // as the engine's min(struct(doc_id, p)), valid for ANY document
+    // length (the earlier doc_id·2^20 + p arithmetic silently diverged
+    // past 2^20 tokens per doc)
     """WITH toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -872,13 +878,13 @@ object Dedup {
       |      ELSE [] END) AS h
       |  FROM toks),
       |marks AS MATERIALIZED (
-      |  SELECT h, MIN(doc_id * 1048576 + p) AS fkey
+      |  SELECT h, MIN({'d': doc_id, 'p': p}) AS first
       |  FROM spans GROUP BY h HAVING COUNT(*) > 1),
       |rem AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, pos FROM (
       |    SELECT s.doc_id, unnest(range(s.p, s.p + 8)) AS pos
       |    FROM spans s JOIN marks m USING (h)
-      |    WHERE s.doc_id * 1048576 + s.p <> m.fkey)),
+      |    WHERE NOT (s.doc_id = (m.first).d AND s.p = (m.first).p))),
       |tokrows AS (
       |  SELECT doc_id, unnest(range(0, len(tk))) AS pos,
       |    unnest(tk) AS tok

@@ -978,12 +978,14 @@ object TextAnalysis {
   // recall@k) and q148 (classifier AUC): "how much graded relevance
   // does a persistence-p user see scanning the list top-down".
   // Persistence p = 1/2 is chosen for EXACTNESS, not convenience: the
-  // rank-r weight (1−p)·p^(r−1) = 2^(−r) is a power of two, so
-  // rbp_micro = Σ_r (rel_r·10⁶) div 2^r is exact integer arithmetic —
-  // no log2 (NDCG's discount), whose last-ulp could differ between
-  // engines. Graded relevance from the hit structure itself: rel = 2
+  // rank-r weight (1−p)·p^(r−1) = 2^(−r) is a power of two, and the
+  // grades are carried in 2^-20 FIXED POINT — rbp_fp20 =
+  // Σ_r (rel_r·2^20) div 2^r — so every division through rank 20 is
+  // exact integer arithmetic (k = 10 here; a 10^6 scale would silently
+  // truncate past rank 6, since 10^6 = 2^6·15625). No log2 (NDCG's
+  // discount), whose last-ulp could differ between engines. Graded relevance from the hit structure itself: rel = 2
   // when the doc matched EVERY query term (n_hit = |terms|), else 1
-  // (every BM25 hit matched ≥ 1 by construction). ideal_micro re-ranks
+  // (every BM25 hit matched ≥ 1 by construction). ideal_fp20 re-ranks
   // the same grades best-first (2s before 1s, original rank as
   // tie-break) — rbp/ideal is the normalized score, left as two exact
   // integers rather than a lossy division.
@@ -1011,10 +1013,10 @@ object TextAnalysis {
       graded.withColumn("irank", row_number().over(wIdeal))
         .groupBy(col("query_id"))
         .agg(
-          sum(expr("(rel * 1000000L) div shiftleft(1L, cast(rank as int))"))
-            .as("rbp_micro"),
-          sum(expr("(rel * 1000000L) div shiftleft(1L, cast(irank as int))"))
-            .as("ideal_micro"),
+          sum(expr("shiftleft(rel, 20) div shiftleft(1L, cast(rank as int))"))
+            .as("rbp_fp20"),
+          sum(expr("shiftleft(rel, 20) div shiftleft(1L, cast(irank as int))"))
+            .as("ideal_fp20"),
           sum(expr("cast(rel = 2 as long)")).as("n_full_hits"))
         .orderBy(col("query_id"))
     },
@@ -1035,10 +1037,10 @@ object TextAnalysis {
        |    PARTITION BY query_id ORDER BY rel DESC, rank) AS irank
        |  FROM graded)
        |SELECT query_id,
-       |  CAST(SUM((rel * 1000000) // (CAST(1 AS BIGINT) << rank))
-       |    AS BIGINT) AS rbp_micro,
-       |  CAST(SUM((rel * 1000000) // (CAST(1 AS BIGINT) << irank))
-       |    AS BIGINT) AS ideal_micro,
+       |  CAST(SUM((rel << 20) // (CAST(1 AS BIGINT) << rank))
+       |    AS BIGINT) AS rbp_fp20,
+       |  CAST(SUM((rel << 20) // (CAST(1 AS BIGINT) << irank))
+       |    AS BIGINT) AS ideal_fp20,
        |  CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_full_hits
        |FROM ideal GROUP BY query_id ORDER BY query_id""".stripMargin)

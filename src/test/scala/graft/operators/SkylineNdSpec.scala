@@ -87,4 +87,24 @@ class SkylineNdSpec extends AnyFunSuite {
     assert(gotElim.toSet == expected)
     graft.Resources.releaseAll()
   }
+
+  test("true frontier above the broadcast bound takes the bucketed pass") {
+    import spark.implicits._
+    // perfectly anti-correlated: EVERY point is on the frontier, so no
+    // elimination round can shrink the candidate set below the bound —
+    // the operator must fall back to the bucketed (non-broadcast)
+    // dominance join and still return the exact frontier. Dominated
+    // points mixed in verify the fallback filters too.
+    val frontier = (0L until 500L).map(i => Seq(i, 499L - i))
+    val dominated = (0L until 250L).map(i => Seq(i, 498L - i - (i % 3)))
+      .filterNot(p => frontier.contains(p))
+    val pts = new scala.util.Random(7).shuffle(frontier ++ dominated)
+    val got = Skyline.skyline(
+      pts.toDF("dims").repartition(8), broadcastBound = 10L)
+      .as[Seq[Long]].collect()
+    assert(got.toSet == bruteSkyline(pts))
+    assert(got.toSet == frontier.toSet)
+    assert(got.length == frontier.length)
+    graft.Resources.releaseAll()
+  }
 }
