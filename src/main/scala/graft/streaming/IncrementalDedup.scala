@@ -70,15 +70,50 @@ object IncrementalDedup {
       .select(col("new_doc"), col("old_doc"), col("jaccard"))
   }
 
+  /** Swappable holder for the standing index — the REFRESH semantics a
+    * production standing stage needs when the corpus compacts: build the
+    * replacement index fully, swap the reference atomically, release the
+    * old one. Micro-batch boundaries are the only read points
+    * ([[start]] resolves the reference ONCE per batch), so every batch
+    * is probed against exactly one coherent index — a batch in flight
+    * during a refresh keeps the reference it resolved, and since the
+    * index frames are persisted (never checkpoint-truncated) the
+    * post-swap release only drops cache; lineage recompute keeps the
+    * in-flight batch correct. No flag is missed and none duplicated
+    * across the swap: each document is probed exactly once, against
+    * whichever index its batch resolved. */
+  final class StandingIndexRef(initial: StandingIndex) {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference(initial)
+    def get: StandingIndex = ref.get()
+
+    /** Build-then-swap: the new corpus is signed and materialized
+      * BEFORE the swap, so no batch ever probes a half-built index. */
+    def refresh(newCorpus: DataFrame): Unit = {
+      val next = buildIndex(newCorpus)
+      val prev = ref.getAndSet(next)
+      prev.release()
+    }
+
+    def release(): Unit = ref.get().release()
+  }
+
   /** Run the probe as a streaming query over any (doc_id, text)
     * streaming frame; each micro-batch's flagged pairs go to `sink`
     * (a parquet append, a quarantine router, a metrics emitter). */
   def start(docStream: DataFrame, idx: StandingIndex,
       checkpointDir: String, sink: DataFrame => Unit): StreamingQuery =
+    start(docStream, new StandingIndexRef(idx), checkpointDir, sink)
+
+  /** As above with a swappable index: [[StandingIndexRef.refresh]]
+    * between micro-batches rotates the corpus artifact without
+    * restarting the query. */
+  def start(docStream: DataFrame, idx: StandingIndexRef,
+      checkpointDir: String, sink: DataFrame => Unit): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(flag(batch, idx))
+        sink(flag(batch, idx.get))
         ()
       }
       .start()

@@ -65,6 +65,80 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("index refresh between micro-batches: no missed, no duplicate flags") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    // corpus generation A: the q120 "old" split; generation B simulates a
+    // compaction — half of A's docs dropped, the former stream docs folded
+    // in (so post-swap probes must flag against B's members and must NOT
+    // flag against the dropped half)
+    val corpusA = docs.filter(col("doc_id") % 10 =!= 7)
+    val corpusB = docs.filter(col("doc_id") % 10 =!= 7 &&
+      col("doc_id") % 4 =!= 1)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val chunks = newDocs.grouped(math.max(1, newDocs.length / 4 + 1)).toSeq
+    assert(chunks.length >= 3, "need batches on both sides of the swap")
+    val swapAt = chunks.length / 2 // refresh fires after this many batches
+
+    // expected = per-batch batch-mode flags against the index generation
+    // that batch's boundary resolves — built with the SAME flag()
+    // pipeline, so equality is exact
+    val refA = IncrementalDedup.buildIndex(corpusA)
+    val refB = IncrementalDedup.buildIndex(corpusB)
+    val expected = chunks.zipWithIndex.flatMap { case (c, i) =>
+      val idx = if (i < swapAt) refA else refB
+      IncrementalDedup.flag(c.toSeq.toDF("doc_id", "text"), idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    assert(expected.nonEmpty)
+    assert(expected.size == expected.toSet.size,
+      "reference run itself must not duplicate flags")
+    // the swap must be OBSERVABLE: at least one pair whose old_doc exists
+    // only pre-swap (dropped by compaction) or flags only against B
+    val dropped = corpusA.select(col("doc_id")).except(
+      corpusB.select(col("doc_id"))).as[Long].collect().toSet
+    assert(expected.exists { case (_, old, _) => dropped.contains(old) } ||
+      chunks.zipWithIndex.drop(swapAt).exists { case (c, _) =>
+        IncrementalDedup.flag(c.toSeq.toDF("doc_id", "text"), refA)
+          .collect().exists(r => dropped.contains(r.getLong(1)))
+      }, "fixture must make the A/B index difference visible")
+
+    val live = new IncrementalDedup.StandingIndexRef(
+      IncrementalDedup.buildIndex(corpusA))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.start(
+      src.toDF().toDF("doc_id", "text"), live,
+      Files.createTempDirectory("incdedup-swap-ck").toString,
+      flags => {
+        val rows = flags.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        got.synchronized { got ++= rows }
+        ()
+      })
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        if (i == swapAt) live.refresh(corpusB)
+        src.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      val g = got.synchronized(got.toList)
+      assert(g.size == g.toSet.size, "no flag may duplicate across the swap")
+      assert(g.toSet == expected.toSet,
+        s"swap divergence: stream-only=${g.toSet -- expected.toSet} " +
+          s"batch-only=${expected.toSet -- g.toSet}")
+    } finally {
+      q.stop()
+      live.release()
+      refA.release()
+      refB.release()
+    }
+  }
+
   test("documents published over MQTT feed the same standing probe") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 4
