@@ -651,6 +651,75 @@ object ScaleStress {
         .count()
     }
 
+    // q164's curation-funnel COMPOSITION (quality map-filter → banded
+    // minhash near-dup drop → 8-token-span decontamination → four
+    // id-sized funnel aggregates) — the suite's headline composition
+    // gets its own 10× ratio. Band keys and span hashes are salted with
+    // the copy stride (doc_id div 10^9) so replicated copies can never
+    // collide cross-copy: the probe measures plan scaling, not the
+    // (legitimate) pair blowup of a 10×-duplicated corpus.
+    def curationRun(docs: DataFrame): Long = {
+      val base = docs
+        .withColumn("tk", expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .withColumn("chars",
+          expr("aggregate(tk, 0L, (a, t) -> a + length(t))"))
+        .withColumn("h", pmod(hash(col("doc_id")), lit(10)))
+      val s1 = base.filter(col("n") >= 20 && col("n") <= 2000 &&
+        col("chars") * 10 >= col("n") * 38 &&
+        col("chars") * 10 <= col("n") * 120)
+      val banded = base.withColumn("mh", expr("minhash_sig(tk)"))
+        .filter(col("mh").isNotNull)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band,
+            |  concat_ws(',', slice(mh, b * 4 + 1, 4)) AS bkey))"""
+            .stripMargin)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          concat(col("bb.bkey"), lit("#"),
+            (col("doc_id") / lit(1000000000L)).cast("long")).as("bkey"))
+      val cand = banded.groupBy(col("band"), col("bkey"))
+        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 50)
+          .as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |    y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+      val sets = base.select(col("doc_id"), array_distinct(
+        expr(graft.queries.TextExprs.shingles3("tk"))).as("sh"))
+      val dupDropped = cand
+        .join(sets.withColumnsRenamed(
+          Map("doc_id" -> "d1", "sh" -> "sa")), "d1")
+        .join(sets.withColumnsRenamed(
+          Map("doc_id" -> "d2", "sh" -> "sb")), "d2")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("inter") * 3 >= size(col("sa")) + size(col("sb")))
+        .select(col("d2").as("doc_id")).distinct()
+      val s2 = s1.join(dupDropped, Seq("doc_id"), "left_anti")
+      val span8 =
+        """CASE WHEN size(tk) >= 8 THEN
+          |  transform(sequence(0, size(tk) - 8),
+          |    i -> concat(
+          |      substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16),
+          |      '#', cast(doc_id div 1000000000L AS string)))
+          |ELSE array() END""".stripMargin
+      val evalSpans = base.filter(col("h") >= 8)
+        .select(explode(array_distinct(expr(span8))).as("sp")).distinct()
+      val cont = s2.filter(col("h") < 8)
+        .select(col("doc_id"), explode(array_distinct(expr(span8)))
+          .as("sp"))
+        .join(evalSpans, Seq("sp"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val s3 = s2.filter(col("h") < 8)
+        .join(cont, Seq("doc_id"), "left_anti")
+      Seq(base, s1, s2, s3).map(df =>
+        df.agg(count(lit(1)).as("nd"),
+          coalesce(sum(col("n")), lit(0L)).as("tok"))
+          .head().getLong(1)).sum
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -766,7 +835,7 @@ object ScaleStress {
     val (gmT1, _) = time(gramRun(e1))
     val (gmT10, _) = time(gramRun(e10))
     lpaRun(und1x); hitsRun(dir1x); skylineRun(or1); ccRun(und1x)
-    spanrmRun(d1) // warm up
+    spanrmRun(d1); curationRun(d1) // warm up
     val (lpT1, _) = time(lpaRun(und1x))
     val (lpT10, _) = time(lpaRun(und10x))
     val (ccT1, _) = time(ccRun(und1x))
@@ -777,6 +846,8 @@ object ScaleStress {
     val (skT10, _) = time(skylineRun(or10))
     val (srT1, _) = time(spanrmRun(d1))
     val (srT10, _) = time(spanrmRun(d10))
+    val (cuT1, _) = time(curationRun(d1))
+    val (cuT10, _) = time(curationRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -811,7 +882,8 @@ object ScaleStress {
       f""""hits_1x_s":$htT1%.2f,"hits_10x_s":$htT10%.2f,"hits_ratio":${htT10 / htT1}%.1f,""" +
       f""""skyline_1x_s":$skT1%.2f,"skyline_10x_s":$skT10%.2f,"skyline_ratio":${skT10 / skT1}%.1f,""" +
       f""""cc_1x_s":$ccT1%.2f,"cc_10x_s":$ccT10%.2f,"cc_ratio":${ccT10 / ccT1}%.1f,""" +
-      f""""spanrm_1x_s":$srT1%.2f,"spanrm_10x_s":$srT10%.2f,"spanrm_ratio":${srT10 / srT1}%.1f}""")
+      f""""spanrm_1x_s":$srT1%.2f,"spanrm_10x_s":$srT10%.2f,"spanrm_ratio":${srT10 / srT1}%.1f,""" +
+      f""""curation_1x_s":$cuT1%.2f,"curation_10x_s":$cuT10%.2f,"curation_ratio":${cuT10 / cuT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }

@@ -548,25 +548,75 @@ object Relational {
     math.min(GkAccuracyCeiling,
       math.max(GkAccuracyFloor, 5L * math.max(0L, maxGroupRows)))
   private val derivedAccuracy =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
-  private val q19 = QueryDef.of(
-    (s, d) => {
-      val li = lineitem(s, d)
-      // Accuracy is DERIVED per run as 5× the largest group, so a driver
-      // scale-factor bump can't silently break oracle exactness.
-      // Empirically the 5× margin matters: accuracy 2× group size (rank
-      // error 0.5) already diverged from quantile_disc on p95 at sf0.1 —
-      // GK's compress pass needs error ≪ 1, not < 1, for the returned
-      // element to pin the exact rank. The sizing pass is one cheap
-      // partial-agg count job, memoized per (session, corpus) like the
-      // other per-corpus index artifacts.
-      val acc = derivedAccuracy.getOrElseUpdate(
-        s"${System.identityHashCode(s)}:$d", {
-          val sized = li.groupBy(col("l_returnflag")).count()
-            .agg(max(col("count"))).head()
-          val maxGroup = if (sized.isNullAt(0)) 0L else sized.getLong(0)
-          gkAccuracy(maxGroup).toInt // ceiling 8e6 ≪ Int.MaxValue
-        })
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Exact discrete quantile (DuckDB `quantile_disc`: the element at
+    * 1-based rank ⌈p·n⌉), computed DISTRIBUTED via the value
+    * distribution: one (group, value) count aggregate, a cumulative
+    * window over the per-group distinct values, and the rank test in
+    * exact integer arithmetic (p as num/den: cum ≥ ⌈n·num/den⌉ ⇔
+    * cum·den ≥ n·num for integer cum). Scales with the DISTINCT-value
+    * count per group (bounded domains here: quantities, cents), not the
+    * row count — the fallback for groups too large for an oracle-exact
+    * GK sketch. */
+  private def exactDiscreteQuantile(li: org.apache.spark.sql.DataFrame,
+      valueCol: String, num: Int, den: Int, alias: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("l_returnflag"))
+    li.groupBy(col("l_returnflag"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .filter(col("cum") * den >= col("n") * num)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v")).as(alias))
+  }
+
+  /** q19's plan body, parameterized for GkAccuracySpec: `forceExact`
+    * overrides the GK-vs-exact choice so the two paths can be proven
+    * equal on the same corpus. */
+  private[graft] def gkQuantilePlan(s: SparkSession, d: String,
+      forceExact: Option[Boolean] = None,
+      liOverride: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val li = liOverride.getOrElse(lineitem(s, d))
+    // Accuracy is DERIVED per run as 5× the largest group, so a driver
+    // scale-factor bump can't silently break oracle exactness.
+    // Empirically the 5× margin matters: accuracy 2× group size (rank
+    // error 0.5) already diverged from quantile_disc on p95 at sf0.1 —
+    // GK's compress pass needs error ≪ 1, not < 1, for the returned
+    // element to pin the exact rank. The sizing pass is one cheap
+    // partial-agg count job, memoized per (session, corpus) like the
+    // other per-corpus index artifacts.
+    def size5x: Long = {
+      val sized = li.groupBy(col("l_returnflag")).count()
+        .agg(max(col("count"))).head()
+      val maxGroup = if (sized.isNullAt(0)) 0L else sized.getLong(0)
+      5L * maxGroup
+    }
+    // memoized per (session, corpus) — only for the real corpus frame;
+    // an injected override (spec-only) sizes itself each call
+    val needed =
+      if (liOverride.isDefined) size5x
+      else derivedAccuracy.getOrElseUpdate(
+        s"${System.identityHashCode(s)}:$d", size5x)
+    // Past the accuracy ceiling (groups > ceiling/5 rows) the GK sketch
+    // would stay cheap but lose bit-exactness — switch to the exact
+    // value-distribution path, which is exact at ANY group size. The GK
+    // operator remains the primary (and exercised) path at every gate
+    // scale factor; GkAccuracySpec pins path equality at 10× the
+    // fixture, so whichever side of the threshold a corpus lands on,
+    // the result is the same.
+    val exact = forceExact.getOrElse(needed > GkAccuracyCeiling)
+    if (exact)
+      exactDiscreteQuantile(li, "l_quantity", 1, 2, "p50_qty")
+        .join(exactDiscreteQuantile(li, "l_extendedprice", 19, 20,
+          "p95_price"), Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    else {
+      val acc = math.max(GkAccuracyFloor, needed).toInt // ≤ ceiling ≪ MaxInt
       li.groupBy(col("l_returnflag"))
         .agg(
           percentile_approx(col("l_quantity"), lit(0.5), lit(acc))
@@ -574,7 +624,11 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc))
             .as("p95_price"))
         .orderBy(col("l_returnflag"))
-    },
+    }
+  }
+
+  private val q19 = QueryDef.of(
+    (s, d) => gkQuantilePlan(s, d),
     """SELECT l_returnflag,
       |  quantile_disc(l_quantity, 0.5) AS p50_qty,
       |  quantile_disc(l_extendedprice, 0.95) AS p95_price
