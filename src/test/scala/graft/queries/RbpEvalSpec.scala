@@ -28,18 +28,18 @@ class RbpEvalSpec extends AnyFunSuite {
         (rank, if (nh == nTerms(q)) 2L else 1L)
       }
       val rbp = grades.map { case (rank, rel) =>
-        rel * 1000000L / (1L << rank)
+        (rel << 20) / (1L << rank)
       }.sum
       val ideal = grades.sortBy { case (rank, rel) => (-rel, rank) }
         .zipWithIndex.map { case ((_, rel), i) =>
-          rel * 1000000L / (1L << (i + 1))
+          (rel << 20) / (1L << (i + 1))
         }.sum
       assert(r.getLong(1) == rbp, s"q$q rbp")
       assert(r.getLong(2) == ideal, s"q$q ideal")
       assert(r.getLong(3) == grades.count(_._2 == 2L), s"q$q full hits")
       assert(rbp <= ideal, "re-ranking best-first can only help")
       // all-perfect bound: ten rel=2 hits at ranks 1..10
-      assert(ideal <= (1 to 10).map(r0 => 2000000L / (1L << r0)).sum)
+      assert(ideal <= (1 to 10).map(r0 => (2L << 20) / (1L << r0)).sum)
     }
     graft.Resources.releaseAll()
   }
