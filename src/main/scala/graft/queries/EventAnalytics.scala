@@ -624,8 +624,47 @@ object EventAnalytics {
       |GROUP BY pattern
       |ORDER BY pattern""".stripMargin)
 
+  // ------------------------------------------------------------- q166
+  // Exact heavy hitters (power users) via the two-pass Misra–Gries
+  // recipe — the deterministic-memory path to "which keys exceed 1/K of
+  // all traffic" that a full COUNT/HAVING can answer only by shuffling
+  // EVERY key. Pass 1: one global aggregate folds the stream into a
+  // ≤ K−1-counter mergeable MG summary ([[graft.functions.MisraGriesAgg]]
+  // — superset guarantee: every id with frequency > N/K is present no
+  // matter how partials merge) plus the total count; the candidate list
+  // is a BOUNDED driver read (≤ 127 ids). Pass 2: re-count ONLY the
+  // candidates exactly (the isin filter pushes to the scan) and keep
+  // count·K > N — by the superset property this equals the true
+  // heavy-hitter set, independent of partitioning, so the oracle is the
+  // plain exact HAVING. At 100 TB pass 1 shuffles 127 counters per
+  // partition (not 10⁹ user keys) and pass 2's shuffle carries only
+  // candidate rows.
+  private val q166 = QueryDef.of(
+    (s, d) => {
+      val ev = eventsRaw(s, d)
+      val mg = udaf(graft.functions.MisraGriesAgg)
+      val sk = ev.agg(mg(col("user_id")).as("cand"),
+        count(lit(1)).as("n")).head()
+      val cand = sk.getSeq[Long](0)
+      val n = sk.getLong(1)
+      ev.filter(col("user_id").isin(cand: _*))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") * graft.functions.MisraGriesAgg.K > n)
+        .withColumn("share_ppm", expr(s"(n_events * 1000000) div ${n}L"))
+        .orderBy(col("user_id"))
+    },
+    """WITH tot AS (SELECT COUNT(*) AS n FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST((COUNT(*) * 1000000) // tot.n AS BIGINT) AS share_ppm
+      |FROM events, tot
+      |GROUP BY user_id, tot.n
+      |HAVING COUNT(*) * 128 > tot.n
+      |ORDER BY user_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q110_ewma_fold" -> q110,
+    "q166_heavy_hitters" -> q166,
     "q156_holt_forecast" -> q156,
     "q157_ols_trend" -> q157,
     "q137_event_patterns" -> q137,
