@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, EventAnalytics, Extras, Graph, IngestQueries, Layout, LinAlg, Multimodal, QueryDef, Relational, Retrieval, RuntimeFilter, Similarity, TextAnalysis, Training, Warehouse, Windows}
+import graft.queries.{Dedup, EventAnalytics, Extras, Graph, IngestQueries, Layout, LinAlg, Mixing, Multimodal, QueryDef, Relational, Retrieval, RuntimeFilter, Similarity, TextAnalysis, Training, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder brief.
   * Each entry in [[queries]] is one operator from SURVEY.md §2; its DuckDB
@@ -13,7 +13,7 @@ object SparkEntry {
       TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Extras.defs ++ RuntimeFilter.defs ++ Graph.defs ++
       EventAnalytics.defs ++ Retrieval.defs ++ Layout.defs ++
-      Warehouse.defs ++ Training.defs ++ LinAlg.defs
+      Warehouse.defs ++ Training.defs ++ LinAlg.defs ++ Mixing.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The flagship is the reference's own capability end-to-end: the F1–F5

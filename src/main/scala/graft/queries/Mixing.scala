@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixture allocation — the "how much of each source goes into the
+  * training run" step between curation (q164) and packing (q74): a
+  * token budget is spread across sources by WATER-FILLING (the
+  * max-min-fair allocation: every source gets the same water level θ
+  * unless it has fewer tokens than θ, in which case it is taken whole —
+  * the continuous analog of DoReMi/The-Pile-style balanced mixing where
+  * no single source may dominate), and the realized sampling pass keeps
+  * documents by a deterministic per-doc hash against the derived
+  * per-source rate.
+  *
+  * Scale shape: ONE corpus scan feeds a (source)-grouped aggregate; the
+  * water-level solve runs entirely on the SOURCES-BOUNDED frame (windows
+  * over ~|sources| rows — never corpus-sized; a production catalog has
+  * thousands of sources, not billions), in exact integer arithmetic so
+  * the oracle replays it bit-for-bit. The sampling pass (q168) is one
+  * map-side hash test against the broadcast per-source rate table.
+  */
+object Mixing {
+
+  /** Per-source water-filled allocation of a budget of 90% of the total
+    * token mass. Exact integer solve: sources sorted (tokens asc,
+    * source asc) with rank k, prefix sum S_k; k* = max{k : S_k +
+    * (n−k)·T_k ≤ B} (the largest set of smallest sources affordable to
+    * take whole while paying everyone else at least T_k); water level
+    * θ = (B − S_k*) div (n − k*); alloc = T_s for rank ≤ k*, else
+    * min(T_s, θ). */
+  private[queries] def allocFrame(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))")
+          .cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+    val wOrd = Window.orderBy(col("tokens"), col("source"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("s", sum(col("tokens")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("tokens")).over(wAll))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .withColumn("b", expr("(tot * 9) div 10"))
+      .withColumn("kstar", coalesce(max(when(
+          col("s") + (col("n_src") - col("k")) * col("tokens") <= col("b"),
+          col("k"))).over(wAll), lit(0)))
+      .withColumn("sk", coalesce(max(when(col("k") === col("kstar"),
+        col("s"))).over(wAll), lit(0L)))
+      .withColumn("alloc", when(col("k") <= col("kstar"), col("tokens"))
+        .otherwise(least(col("tokens"),
+          expr("(b - sk) div (n_src - kstar)"))))
+      .select(col("source"), col("n_docs"), col("tokens"), col("alloc"),
+        expr("(alloc * 1000000) div tokens").as("weight_ppm"),
+        (col("k") <= col("kstar")).as("kept_full"))
+  }
+
+  /** The shared oracle CTE chain replaying [[allocFrame]] in DuckDB. */
+  private val allocCtes =
+    """per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '),
+      |      t -> t <> ''))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY tokens, source) AS k,
+      |    SUM(tokens) OVER (ORDER BY tokens, source
+      |      ROWS UNBOUNDED PRECEDING) AS s,
+      |    SUM(tokens) OVER () AS tot, COUNT(*) OVER () AS n_src
+      |  FROM per),
+      |r2 AS (SELECT *, (tot * 9) // 10 AS b FROM r),
+      |ks AS (SELECT COALESCE(MAX(CASE WHEN s + (n_src - k) * tokens <= b
+      |         THEN k END), 0) AS kstar FROM r2),
+      |sk AS (SELECT COALESCE(MAX(CASE WHEN r2.k = ks.kstar THEN r2.s END),
+      |         0) AS sk FROM r2, ks),
+      |alloc AS (
+      |  SELECT r2.source, r2.n_docs, r2.tokens,
+      |    r2.k <= ks.kstar AS kept_full,
+      |    CAST(CASE WHEN r2.k <= ks.kstar THEN r2.tokens
+      |         ELSE LEAST(r2.tokens,
+      |           (r2.b - sk.sk) // (r2.n_src - ks.kstar)) END
+      |      AS BIGINT) AS alloc
+      |  FROM r2, ks, sk)""".stripMargin
+
+  // ------------------------------------------------------------- q165
+  // The allocation report itself: per source its token mass, its
+  // water-filled allocation, the implied per-doc sampling rate in ppm,
+  // and whether it was taken whole. Exactness: the whole solve is
+  // integer div arithmetic over exact token counts, so engine and
+  // oracle agree bit-for-bit at any scale factor.
+  private val q165 = QueryDef.of(
+    (s, d) => allocFrame(s, d).orderBy(col("source")),
+    s"""WITH $allocCtes
+       |SELECT source, n_docs, tokens, alloc,
+       |  CAST((alloc * 1000000) // tokens AS BIGINT) AS weight_ppm,
+       |  kept_full
+       |FROM alloc ORDER BY source""".stripMargin)
+
+  // ------------------------------------------------------------- q168
+  // The REALIZED sample: apply q165's per-source rate with the
+  // deterministic doc-hash rule (keep iff md5(doc_id) mod 1e6 <
+  // weight_ppm — the q73/q161 split discipline, so reruns and engines
+  // agree doc-for-doc), and report achieved vs allocated mass per
+  // source. The rate table is sources-bounded and broadcasts; the keep
+  // test is one map-side expression on the corpus scan — no extra
+  // shuffle beyond the final per-source aggregate.
+  private val q168 = QueryDef.of(
+    (s, d) => {
+      val rates = allocFrame(s, d)
+        .select(col("source"), col("tokens"), col("alloc"),
+          col("weight_ppm"))
+      val kept = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr("size(filter(split(text, ' '), t -> t <> ''))")
+            .cast("long").as("n"),
+          expr("""cast(conv(substring(md5(cast(doc_id as string)), 1, 8),
+                |  16, 10) as bigint) % 1000000""".stripMargin).as("hp"))
+        .join(broadcast(rates), "source")
+        .filter(col("hp") < col("weight_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("n")).as("kept_tokens"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("tokens"), col("alloc"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          expr("(coalesce(kept_tokens, 0L) * 1000000) div tokens")
+            .as("realized_ppm"))
+        .orderBy(col("source"))
+    },
+    s"""WITH $allocCtes,
+       |rates AS (
+       |  SELECT source, tokens, alloc,
+       |    (alloc * 1000000) // tokens AS weight_ppm
+       |  FROM alloc),
+       |kept AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       |    CAST(SUM(len(list_filter(string_split(d.text, ' '),
+       |      t -> t <> ''))) AS BIGINT) AS kept_tokens
+       |  FROM documents d JOIN rates USING (source)
+       |  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) % 1000000 < rates.weight_ppm
+       |  GROUP BY 1)
+       |SELECT r.source, r.tokens, r.alloc,
+       |  COALESCE(k.kept_docs, 0) AS kept_docs,
+       |  COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       |  CAST((COALESCE(k.kept_tokens, 0) * 1000000) // r.tokens AS BIGINT)
+       |    AS realized_ppm
+       |FROM rates r LEFT JOIN kept k USING (source)
+       |ORDER BY r.source""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q165_mixture_allocation" -> q165,
+    "q168_budget_sample" -> q168)
+}
