@@ -904,6 +904,73 @@ object Dedup {
       |FROM toks t LEFT JOIN kept k USING (doc_id)
       |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------------ q167
+  // Per-document SPAN NOVELTY — the memorization/recency readout next
+  // to q112 (which measures duplicated mass) and q163 (which removes
+  // it): for each doc, the fraction of its distinct 8-token spans whose
+  // FIRST corpus occurrence (min doc_id) is this doc. Low novelty =
+  // the doc is mostly restating earlier content (a training-order
+  // curriculum and crawl-recrawl diagnostic).
+  //
+  // Scale shape — deliberately JOIN-FREE on the span domain: per-doc
+  // distinct spans come from one map-side array_distinct (no shuffle);
+  // the only span-sized shuffle is the groupBy(h) min(doc_id); and
+  // n_novel per doc is the KEY INSIGHT that first-occurrence counts
+  // need no join-back — group the (h → first doc) frame BY ITS VALUE
+  // (each span contributes exactly one first-doc), so the second
+  // aggregate is id-sized. Docs with < 8 tokens have no spans and
+  // report novelty 1e6 (no evidence of duplication), a documented
+  // convention both engines share.
+  private val q167 = QueryDef.of(
+    (s, d) => {
+      val spanArr = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+        .select(col("doc_id"), array_distinct(expr(
+          """CASE WHEN size(tk) >= 8 THEN
+            |  transform(sequence(0, size(tk) - 8),
+            |    i -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16))
+            |ELSE array() END""".stripMargin)).as("sh"))
+      val perDoc = spanArr
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+      val novel = spanArr
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(col("n_spans") === 0, lit(1000000L))
+            .otherwise(expr("(coalesce(n_novel, 0L) * 1000000) div n_spans"))
+            .as("novelty_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(CASE WHEN len(tk) >= 8 THEN
+      |      list_transform(range(1, len(tk) - 6),
+      |        i -> substring(md5(array_to_string(
+      |          list_slice(tk, i, i + 7), ' ')), 1, 16))
+      |      ELSE [] END)) AS h
+      |  FROM toks),
+      |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+      |       FROM sp GROUP BY 1),
+      |fd AS (SELECT h, MIN(doc_id) AS doc_id FROM sp GROUP BY 1),
+      |nv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      |       FROM fd GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(COALESCE(nd.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+      |  CAST(CASE WHEN COALESCE(nd.n_spans, 0) = 0 THEN 1000000
+      |    ELSE (COALESCE(nv.n_novel, 0) * 1000000) // nd.n_spans END
+      |    AS BIGINT) AS novelty_ppm
+      |FROM toks t LEFT JOIN nd USING (doc_id) LEFT JOIN nv USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin)
+
   // ------------------------------------------------------------ q164
   // The CURATION FUNNEL — the composition query: the full
   // quality → near-dup → decontamination cascade a training-data run
@@ -1512,6 +1579,7 @@ object Dedup {
     "q112_dup_spans" -> q112,
     "q163_dup_span_removal" -> q163,
     "q164_curation_funnel" -> q164,
+    "q167_span_novelty" -> q167,
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
     "q32_simhash" -> q32,
