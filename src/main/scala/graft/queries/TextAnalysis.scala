@@ -2015,7 +2015,71 @@ object TextAnalysis {
       |GROUP BY dev.lang
       |ORDER BY lang""".stripMargin)
 
+  // ------------------------------------------------------------- q169
+  // Vocabulary-growth curve (Heaps' law readout) over 3-gram types: how
+  // many NEW distinct trigrams each doc-id decile of the corpus
+  // introduces, plus the cumulative vocabulary — the
+  // diminishing-returns diagnostic for "will more of this source still
+  // add new content", and a drift check between crawl generations
+  // (q103's frequency view at the type level). First occurrence = min
+  // doc_id, the q167 ordering.
+  //
+  // Scale shape: the only corpus-sized shuffle is the trigram-keyed
+  // min(doc_id) aggregate (map-side partial min; shuffle carries the
+  // grams once each); the decile mapping is a map-side expression
+  // against one broadcast 1-row count; the curve itself is a 10-row
+  // frame and its cumsum window. Empty deciles report 0 via the
+  // decile-spine outer join.
+  private val q169 = QueryDef.of(
+    (s, d) => {
+      val nDocs = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"))
+      val firstSeen = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(TextExprs.shingles3("tk"))))
+            .as("g"))
+        .groupBy(col("g")).agg(min(col("doc_id")).as("fdoc"))
+      val perDecile = firstSeen.crossJoin(broadcast(nDocs))
+        .select(expr("least(9L, (fdoc * 10) div n_docs)").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+      val spine = s.range(10).toDF("decile")
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(perDecile, Seq("decile"), "left")
+        .select(col("decile"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("cum_vocab", sum(col("new_types")).over(w))
+        .orderBy(col("decile"))
+    },
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(CASE WHEN len(tk) >= 3 THEN
+      |      list_transform(range(1, len(tk) - 1),
+      |        i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+      |      ELSE [] END)) AS g
+      |  FROM toks),
+      |fs AS (SELECT g, MIN(doc_id) AS fdoc FROM grams GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |per AS (
+      |  SELECT LEAST(9, (fdoc * 10) // nd.n_docs) AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS new_types
+      |  FROM fs, nd GROUP BY 1),
+      |spine AS (SELECT unnest(range(0, 10)) AS decile)
+      |SELECT s.decile,
+      |  CAST(COALESCE(p.new_types, 0) AS BIGINT) AS new_types,
+      |  CAST(SUM(COALESCE(p.new_types, 0)) OVER (ORDER BY s.decile
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      |FROM spine s LEFT JOIN per p USING (decile)
+      |ORDER BY s.decile""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q169_vocab_growth" -> q169,
     "q122_mad_outliers" -> q122,
     "q119_k_anonymity" -> q119,
     "q118_tokenizer_eval" -> q118,
