@@ -971,6 +971,125 @@ object Dedup {
       |FROM toks t LEFT JOIN nd USING (doc_id) LEFT JOIN nv USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin)
 
+  // ------------------------------------------------------------ q170
+  // Dedup THRESHOLD-SENSITIVITY curve — the tuning readout a dedup team
+  // runs before committing to a Jaccard cutoff: at each threshold
+  // (50/95/98 %), how many verified pairs survive, how many duplicate
+  // clusters form, and how many docs sit in them. One shingle-verify
+  // pass computes every pair's EXACT (intersection, union) sizes ONCE
+  // (localCheckpoint-pinned — three thresholds filter the same frame);
+  // thresholds compare in exact integer arithmetic (inter·100 ≥ t·uni,
+  // algebraically identical to the double form at t = 50 since
+  // inter/uni = 0.5 is IEEE-exact when uni = 2·inter). The t = 50
+  // clustering IS the shared cluster-label artifact (memoized q65
+  // fixpoint — artifact reuse, not a fourth fixpoint); 95/98 run fresh
+  // CC on their SHRINKING edge sets (the fixture's verified pairs sit
+  // at Jaccard 0.90–1.0, so these are the cutoffs that separate —
+  // measured, not guessed). Output: 3 rows.
+  private val q170 = QueryDef.of(
+    (s, d) => {
+      val sets = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
+        .select(col("doc_id"), col("shset"))
+      val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
+      val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
+      val pj = graft.Resources.retain(candidates(s, d)
+        .join(a, "doc1").join(b, "doc2")
+        .select(col("doc1"), col("doc2"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long")
+            .as("inter"),
+          size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
+        .filter(col("inter") * 100 >= col("uni") * 50)
+        .localCheckpoint())
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      def statsAt(t: Int): org.apache.spark.sql.DataFrame = {
+        val edges = pj.filter(col("inter") * 100 >= col("uni") * t)
+        val labels =
+          if (t == 50)
+            clusterLabels(s, d)
+              .select(col("doc_id").as("id"), col("cluster").as("component"))
+          else graft.operators.ConnectedComponents.labels(nodes,
+            edges.select(col("doc1").as("src"), col("doc2").as("dst")))
+        val nPairs = edges.count()
+        labels.groupBy(col("component")).agg(count(lit(1)).as("n"))
+          .agg(
+            coalesce(sum(when(col("n") >= 2, lit(1L))), lit(0L))
+              .as("n_clusters"),
+            coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L))
+              .as("n_dup_docs"))
+          .select(lit(t.toLong).as("threshold_pct"), lit(nPairs).as("n_pairs"),
+            col("n_clusters"), col("n_dup_docs"))
+      }
+      Seq(50, 95, 98).map(statsAt).reduce(_.union(_))
+        .orderBy(col("threshold_pct"))
+    },
+    s"""$sqlShingled,
+       |$sqlMinhash,
+       |sets AS (
+       |  SELECT doc_id, list_distinct(sh) AS shset FROM shingled),
+       |pairsj AS MATERIALIZED (
+       |  SELECT doc1, doc2,
+       |    CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x)))
+       |      AS BIGINT) AS inter,
+       |    CAST(len(list_distinct(list_concat(a.shset, b.shset)))
+       |      AS BIGINT) AS uni
+       |  FROM cand JOIN sets a ON cand.doc1 = a.doc_id
+       |            JOIN sets b ON cand.doc2 = b.doc_id
+       |  WHERE len(list_filter(a.shset, x -> list_contains(b.shset, x)))
+       |      * 100 >= len(list_distinct(list_concat(a.shset, b.shset))) * 50),
+       |e50 AS MATERIALIZED (
+       |  SELECT doc1 AS x, doc2 AS y FROM pairsj WHERE inter * 100 >= uni * 50
+       |  UNION SELECT doc2, doc1 FROM pairsj WHERE inter * 100 >= uni * 50),
+       |e95 AS MATERIALIZED (
+       |  SELECT doc1 AS x, doc2 AS y FROM pairsj WHERE inter * 100 >= uni * 95
+       |  UNION SELECT doc2, doc1 FROM pairsj WHERE inter * 100 >= uni * 95),
+       |e98 AS MATERIALIZED (
+       |  SELECT doc1 AS x, doc2 AS y FROM pairsj WHERE inter * 100 >= uni * 98
+       |  UNION SELECT doc2, doc1 FROM pairsj WHERE inter * 100 >= uni * 98),
+       |r50 AS (
+       |  SELECT x, y FROM e50
+       |  UNION
+       |  SELECT r.x, e.y FROM r50 r JOIN e50 e ON r.y = e.x WHERE e.y <> r.x),
+       |r95 AS (
+       |  SELECT x, y FROM e95
+       |  UNION
+       |  SELECT r.x, e.y FROM r95 r JOIN e95 e ON r.y = e.x WHERE e.y <> r.x),
+       |r98 AS (
+       |  SELECT x, y FROM e98
+       |  UNION
+       |  SELECT r.x, e.y FROM r98 r JOIN e98 e ON r.y = e.x WHERE e.y <> r.x),
+       |s50 AS (
+       |  SELECT least(x, MIN(y)) AS cl FROM r50 GROUP BY x),
+       |s95 AS (
+       |  SELECT least(x, MIN(y)) AS cl FROM r95 GROUP BY x),
+       |s98 AS (
+       |  SELECT least(x, MIN(y)) AS cl FROM r98 GROUP BY x),
+       |c50 AS (SELECT cl, COUNT(*) AS n FROM s50 GROUP BY cl),
+       |c95 AS (SELECT cl, COUNT(*) AS n FROM s95 GROUP BY cl),
+       |c98 AS (SELECT cl, COUNT(*) AS n FROM s98 GROUP BY cl)
+       |SELECT 50 AS threshold_pct,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsj
+       |     WHERE inter * 100 >= uni * 50) AS n_pairs,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c50 WHERE n >= 2)
+       |    AS n_clusters,
+       |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM c50 WHERE n >= 2)
+       |    AS n_dup_docs
+       |UNION ALL
+       |SELECT 95,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsj
+       |     WHERE inter * 100 >= uni * 95),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c95 WHERE n >= 2),
+       |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM c95 WHERE n >= 2)
+       |UNION ALL
+       |SELECT 98,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsj
+       |     WHERE inter * 100 >= uni * 98),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c98 WHERE n >= 2),
+       |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM c98 WHERE n >= 2)
+       |ORDER BY threshold_pct"""
+      .stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE "))
+
   // ------------------------------------------------------------ q164
   // The CURATION FUNNEL — the composition query: the full
   // quality → near-dup → decontamination cascade a training-data run
@@ -1580,6 +1699,7 @@ object Dedup {
     "q163_dup_span_removal" -> q163,
     "q164_curation_funnel" -> q164,
     "q167_span_novelty" -> q167,
+    "q170_threshold_curve" -> q170,
     "q30_dedup_exact" -> q30,
     "q31_minhash_lsh" -> q31,
     "q32_simhash" -> q32,
