@@ -70,7 +70,9 @@ object PlanAudit {
         "q148_classifier_eval", "q149_textrank_keywords",
         "q150_containment_join", "q152_assoc_rules",
         "q153_bfs_distance", "q154_label_propagation", "q158_skyline",
-        "q160_skyline_3d", "q163_dup_span_removal", "q164_curation_funnel")
+        "q160_skyline_3d", "q163_dup_span_removal", "q164_curation_funnel",
+        "q165_mixture_allocation", "q166_heavy_hitters",
+        "q167_span_novelty", "q168_budget_sample", "q169_vocab_growth")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // shuffle-join queries load via Tables.raw: their only exchanges must
@@ -191,6 +193,32 @@ object PlanAudit {
       "q73_decontaminate" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "shingle overlap must be a key join, never a cross product")),
+      // two-pass heavy hitters: the returned (recount) plan must push
+      // the bounded candidate list into the scan as an In filter —
+      // pass 2 reads candidate rows, not the fact table
+      "q166_heavy_hitters" -> Seq(
+        Check("candidates-pushed", p =>
+          "PushedFilters: \\[[^\\]]*In\\(user_id".r.findFirstIn(p)
+            .isDefined,
+          "the candidate In-filter must reach the parquet scan")),
+      // novelty is join-free on the span domain: the only joins are the
+      // final id-keyed assemble — never a SortMergeJoin on the span hash
+      "q167_span_novelty" -> Seq(
+        Check("no-span-join", p =>
+          !"SortMergeJoin[^\\n]*\\[h#".r.findFirstIn(p).isDefined,
+          "first-occurrence counts group by value — no join back on h")),
+      // the realized sample joins the sources-bounded rate table — it
+      // must broadcast, never shuffle the corpus on source
+      "q168_budget_sample" -> Seq(
+        Check("rates-broadcast", _.contains("BroadcastHashJoin"),
+          "the per-source rate table broadcasts onto the corpus scan")),
+      // the growth curve's corpus-sized work is ONE gram-keyed exchange;
+      // the decile mapping must ride a broadcast 1-row count
+      "q169_vocab_growth" -> Seq(
+        Check("broadcast-count", p =>
+          p.contains("BroadcastNestedLoopJoin") ||
+            p.contains("BroadcastHashJoin"),
+          "the 1-row doc count broadcasts — no extra corpus shuffle")),
       // the trained symbolization frame (the encoder table) comes from
       // the per-session BPE cache — encode queries must reuse it, not
       // replay the merge-training scan chain
