@@ -651,6 +651,40 @@ object ScaleStress {
         .count()
     }
 
+    // q167's span-novelty shape — the join-free first-occurrence fold:
+    // one span-keyed min(doc_id) shuffle (copy-salted hashes), then the
+    // value-grouped id-sized aggregate; expected ~linear
+    def noveltyRun(docs: DataFrame): Long = {
+      val spanArr = docs.select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+        .select(col("doc_id"), array_distinct(expr(
+          """CASE WHEN size(tk) >= 8 THEN
+            |  transform(sequence(0, size(tk) - 8),
+            |    i -> concat(
+            |      substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16),
+            |      '_', cast(doc_id div 1000000000L as string)))
+            |ELSE array() END""".stripMargin)).as("sh"))
+      spanArr.select(col("doc_id"), explode(col("sh")).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+        .agg(sum(col("n_novel"))).head().getLong(0)
+    }
+
+    // q166's two-pass Misra–Gries heavy hitters — pass 1 shuffles
+    // bounded counter maps, pass 2 recounts candidates; the 10× copies
+    // offset user ids so per-copy structure repeats without collapsing
+    def hhRun(ev: DataFrame): Long = {
+      val mg = udaf(graft.functions.MisraGriesAgg)
+      val sk = ev.agg(mg(col("user_id")).as("cand"),
+        count(lit(1)).as("n")).head()
+      val cand = sk.getSeq[Long](0)
+      val n = sk.getLong(1)
+      ev.filter(col("user_id").isin(cand: _*))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") * graft.functions.MisraGriesAgg.K > n)
+        .count()
+    }
+
     // q164's curation-funnel COMPOSITION (quality map-filter → banded
     // minhash near-dup drop → 8-token-span decontamination → four
     // id-sized funnel aggregates) — the suite's headline composition
@@ -835,7 +869,7 @@ object ScaleStress {
     val (gmT1, _) = time(gramRun(e1))
     val (gmT10, _) = time(gramRun(e10))
     lpaRun(und1x); hitsRun(dir1x); skylineRun(or1); ccRun(und1x)
-    spanrmRun(d1); curationRun(d1) // warm up
+    spanrmRun(d1); curationRun(d1); noveltyRun(d1); hhRun(ev1) // warm up
     val (lpT1, _) = time(lpaRun(und1x))
     val (lpT10, _) = time(lpaRun(und10x))
     val (ccT1, _) = time(ccRun(und1x))
@@ -848,6 +882,10 @@ object ScaleStress {
     val (srT10, _) = time(spanrmRun(d10))
     val (cuT1, _) = time(curationRun(d1))
     val (cuT10, _) = time(curationRun(d10))
+    val (nvT1, _) = time(noveltyRun(d1))
+    val (nvT10, _) = time(noveltyRun(d10))
+    val (hhT1, _) = time(hhRun(ev1))
+    val (hhT10, _) = time(hhRun(ev10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -883,7 +921,9 @@ object ScaleStress {
       f""""skyline_1x_s":$skT1%.2f,"skyline_10x_s":$skT10%.2f,"skyline_ratio":${skT10 / skT1}%.1f,""" +
       f""""cc_1x_s":$ccT1%.2f,"cc_10x_s":$ccT10%.2f,"cc_ratio":${ccT10 / ccT1}%.1f,""" +
       f""""spanrm_1x_s":$srT1%.2f,"spanrm_10x_s":$srT10%.2f,"spanrm_ratio":${srT10 / srT1}%.1f,""" +
-      f""""curation_1x_s":$cuT1%.2f,"curation_10x_s":$cuT10%.2f,"curation_ratio":${cuT10 / cuT1}%.1f}""")
+      f""""curation_1x_s":$cuT1%.2f,"curation_10x_s":$cuT10%.2f,"curation_ratio":${cuT10 / cuT1}%.1f,""" +
+      f""""novelty_1x_s":$nvT1%.2f,"novelty_10x_s":$nvT10%.2f,"novelty_ratio":${nvT10 / nvT1}%.1f,""" +
+      f""""hh_1x_s":$hhT1%.2f,"hh_10x_s":$hhT10%.2f,"hh_ratio":${hhT10 / hhT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
