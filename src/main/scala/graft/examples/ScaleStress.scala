@@ -654,21 +654,19 @@ object ScaleStress {
     // q167's span-novelty shape — the join-free first-occurrence fold:
     // one span-keyed min(doc_id) shuffle (copy-salted hashes), then the
     // value-grouped id-sized aggregate; expected ~linear
-    def noveltyRun(docs: DataFrame): Long = {
-      val spanArr = docs.select(col("doc_id"),
+    def noveltyRun(docs: DataFrame): Long =
+      docs.select(col("doc_id"),
           expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
-        .select(col("doc_id"), array_distinct(expr(
+        .select(col("doc_id"), explode(expr(
           """CASE WHEN size(tk) >= 8 THEN
             |  transform(sequence(0, size(tk) - 8),
             |    i -> concat(
             |      substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16),
             |      '_', cast(doc_id div 1000000000L as string)))
-            |ELSE array() END""".stripMargin)).as("sh"))
-      spanArr.select(col("doc_id"), explode(col("sh")).as("h"))
+            |ELSE array() END""".stripMargin)).as("h"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
         .agg(sum(col("n_novel"))).head().getLong(0)
-    }
 
     // q166's two-pass Misra–Gries heavy hitters — pass 1 shuffles
     // bounded counter maps, pass 2 recounts candidates; the 10× copies
@@ -740,10 +738,9 @@ object ScaleStress {
           |      '#', cast(doc_id div 1000000000L AS string)))
           |ELSE array() END""".stripMargin
       val evalSpans = base.filter(col("h") >= 8)
-        .select(explode(array_distinct(expr(span8))).as("sp")).distinct()
+        .select(explode(expr(span8)).as("sp")).distinct()
       val cont = s2.filter(col("h") < 8)
-        .select(col("doc_id"), explode(array_distinct(expr(span8)))
-          .as("sp"))
+        .select(col("doc_id"), explode(expr(span8)).as("sp"))
         .join(evalSpans, Seq("sp"), "left_semi")
         .select(col("doc_id")).distinct()
       val s3 = s2.filter(col("h") < 8)

@@ -912,29 +912,33 @@ object Dedup {
   // the doc is mostly restating earlier content (a training-order
   // curriculum and crawl-recrawl diagnostic).
   //
-  // Scale shape — deliberately JOIN-FREE on the span domain: per-doc
-  // distinct spans come from one map-side array_distinct (no shuffle);
-  // the only span-sized shuffle is the groupBy(h) min(doc_id); and
-  // n_novel per doc is the KEY INSIGHT that first-occurrence counts
-  // need no join-back — group the (h → first doc) frame BY ITS VALUE
-  // (each span contributes exactly one first-doc), so the second
-  // aggregate is id-sized. Docs with < 8 tokens have no spans and
-  // report novelty 1e6 (no evidence of duplication), a documented
-  // convention both engines share.
+  // Scale shape — deliberately JOIN-FREE on the span domain: the only
+  // span-sized shuffle is the groupBy(h) min(doc_id); and n_novel per
+  // doc is the KEY INSIGHT that first-occurrence counts need no
+  // join-back — group the (h → first doc) frame BY ITS VALUE (each
+  // span contributes exactly one first-doc), so the second aggregate
+  // is id-sized. The EXPLODED path ships RAW spans (no array_distinct:
+  // min(doc_id) ignores duplicates, the h-group collapses them, and —
+  // measured at sf0.1 — array_distinct feeding a Generate costs 4 s
+  // against 0.6 s raw); per-doc distinctness lives only in the cheap
+  // map-side size(array_distinct(…)) branch. Docs with < 8 tokens
+  // have no spans and report novelty 1e6 (no evidence of
+  // duplication), a documented convention both engines share.
   private val q167 = QueryDef.of(
     (s, d) => {
-      val spanArr = Tables.documents(s, d)
+      val span8 =
+        """CASE WHEN size(tk) >= 8 THEN
+          |  transform(sequence(0, size(tk) - 8),
+          |    i -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16))
+          |ELSE array() END""".stripMargin
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
-        .select(col("doc_id"), array_distinct(expr(
-          """CASE WHEN size(tk) >= 8 THEN
-            |  transform(sequence(0, size(tk) - 8),
-            |    i -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16))
-            |ELSE array() END""".stripMargin)).as("sh"))
-      val perDoc = spanArr
-        .select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
-      val novel = spanArr
-        .select(col("doc_id"), explode(col("sh")).as("h"))
+      val perDoc = toks
+        .select(col("doc_id"),
+          size(array_distinct(expr(span8))).cast("long").as("n_spans"))
+      val novel = toks
+        .select(col("doc_id"), explode(expr(span8)).as("h"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
       perDoc.join(novel, Seq("doc_id"), "left")
@@ -1139,12 +1143,17 @@ object Dedup {
           |  transform(sequence(0, size(tk) - 8),
           |    i -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8))), 1, 16))
           |ELSE array() END""".stripMargin
+      // RAW explode, no array_distinct: the row-level distincts below
+      // subsume it, and with this md5-heavy span chain an
+      // array_distinct feeding the Generate re-evaluates the whole
+      // array per emitted row (measured ~7× at sf0.1 — the q167
+      // lesson; note q73's shingle chain measured the OPPOSITE, so
+      // each explode shape is pinned by measurement, not doctrine)
       val evalSpans = base.filter(col("h") >= 8)
-        .select(explode(array_distinct(expr(span8))).as("sp"))
+        .select(explode(expr(span8)).as("sp"))
         .distinct()
       val cont = s2.filter(col("h") < 8)
-        .select(col("doc_id"), explode(array_distinct(expr(span8)))
-          .as("sp"))
+        .select(col("doc_id"), explode(expr(span8)).as("sp"))
         .join(evalSpans, Seq("sp"), "left_semi")
         .select(col("doc_id")).distinct()
       val s3 = s2.filter(col("h") < 8)

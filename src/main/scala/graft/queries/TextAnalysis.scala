@@ -2034,12 +2034,13 @@ object TextAnalysis {
     (s, d) => {
       val nDocs = Tables.documents(s, d)
         .agg(count(lit(1)).as("n_docs"))
+      // raw explode: the gram-keyed min ignores per-doc duplicates, so
+      // array_distinct buys nothing and (measured) only costs
       val firstSeen = Tables.documents(s, d)
         .select(col("doc_id"),
           expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
         .select(col("doc_id"),
-          explode(array_distinct(expr(TextExprs.shingles3("tk"))))
-            .as("g"))
+          explode(expr(TextExprs.shingles3("tk"))).as("g"))
         .groupBy(col("g")).agg(min(col("doc_id")).as("fdoc"))
       val perDecile = firstSeen.crossJoin(broadcast(nDocs))
         .select(expr("least(9L, (fdoc * 10) div n_docs)").as("decile"))
