@@ -71,4 +71,95 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
           s"batch-only=${expected.toSet -- recount.toSet}")
     } finally q.stop()
   }
+
+  private def userChunks(parts: Int): Seq[Seq[Long]] = {
+    val users = Tables.eventsRaw(spark, sfDir)
+      .select(col("event_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    users.grouped(math.max(1, users.length / parts + 1)).toSeq.map(_.toSeq)
+  }
+
+  /** Feed `chunks` through a fresh query on (src, ckpt, state); returns
+    * the query for the caller to stop. */
+  private def feed(src: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long],
+      state: IncrementalHeavyHitters.State, ckpt: String,
+      chunks: Seq[Seq[Long]]) = {
+    val q = IncrementalHeavyHitters.start(
+      src.toDF().toDF("user_id"), state, ckpt, _ => ())
+    chunks.foreach { c => src.addData(c); q.processAllAvailable() }
+    q
+  }
+
+  test("kill/restart restores the durable summary — parity with unbroken run") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val chunks = userChunks(4)
+
+    // unbroken reference run: all 4 chunks through one query
+    val stateA = new IncrementalHeavyHitters.State
+    val qA = feed(MemoryStream[Long], stateA,
+      Files.createTempDirectory("hh-unbroken").toString, chunks)
+    qA.stop()
+    val finalA = stateA.get
+
+    // broken run: same chunks, kill after 2, restart from the checkpoint
+    // with a FRESH State (simulating a new JVM's empty memory)
+    val ckpt = Files.createTempDirectory("hh-restart").toString
+    val src = MemoryStream[Long]
+    val q1 = feed(src, new IncrementalHeavyHitters.State, ckpt, chunks.take(2))
+    q1.stop()
+    val stateB = new IncrementalHeavyHitters.State
+    assert(stateB.get.n == 0L, "fresh state starts empty, like a new JVM")
+    val q2 = feed(src, stateB, ckpt, chunks.drop(2))
+    try {
+      val finalB = stateB.get
+      assert(finalB.n == finalA.n,
+        s"restart lost rows: ${finalB.n} vs unbroken ${finalA.n}")
+      assert(finalB.buf == finalA.buf,
+        "restart summary diverged from the unbroken run's")
+    } finally q2.stop()
+  }
+
+  test("redelivered batch is skipped, not double-merged (idempotent)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val chunks = userChunks(4).take(2)
+    val ckpt = Files.createTempDirectory("hh-replay").toString
+    val src = MemoryStream[Long]
+    val q1 = feed(src, new IncrementalHeavyHitters.State, ckpt, chunks)
+    q1.stop()
+
+    // forge an at-least-once redelivery: drop the last batch's commit
+    // marker so the restarted query re-runs batch 1 from the checkpoint
+    val lastCommit = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(lastCommit), "expected commit marker for batch 1")
+    Files.delete(lastCommit)
+    // drop the checksum sibling too, or the replayed commit can't rename
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+
+    val state2 = new IncrementalHeavyHitters.State
+    val q2 = IncrementalHeavyHitters.start(
+      src.toDF().toDF("user_id"), state2, ckpt, _ => ())
+    try {
+      q2.processAllAvailable()
+      val total = chunks.map(_.length.toLong).sum
+      assert(state2.get.n == total,
+        s"replayed batch was double-merged: n=${state2.get.n}, want $total")
+      assert(state2.get.lastBatch == 1L)
+    } finally q2.stop()
+  }
+
+  test("summary persist/load round-trips atomically") {
+    val dir = Files.createTempDirectory("hh-io")
+    val file = dir.resolve("summary")
+    assert(IncrementalHeavyHitters.load(file).isEmpty)
+    val s = IncrementalHeavyHitters.Summary(
+      Map(7L -> 3L, -2L -> 9L, 0L -> 1L), 42L, 5L)
+    IncrementalHeavyHitters.persist(file, s)
+    assert(IncrementalHeavyHitters.load(file).contains(s))
+    val s2 = IncrementalHeavyHitters.Summary(Map.empty, 50L, 6L)
+    IncrementalHeavyHitters.persist(file, s2)
+    assert(IncrementalHeavyHitters.load(file).contains(s2))
+  }
 }
