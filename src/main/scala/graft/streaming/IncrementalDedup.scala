@@ -105,16 +105,64 @@ object IncrementalDedup {
       checkpointDir: String, sink: DataFrame => Unit): StreamingQuery =
     start(docStream, new StandingIndexRef(idx), checkpointDir, sink)
 
+  /** Delivered-batch marker under the checkpoint dir — the same
+    * batch-commit discipline as `TableRouter`/`IncrementalHeavyHitters`,
+    * giving the sink effectively-once delivery across restart and
+    * at-least-once batch retry. Written AFTER the sink returns (so an
+    * uncommitted batch replays — the sink side is at-least-once only in
+    * the crash window between sink completion and the marker write),
+    * read once at start(). */
+  private def markerFile(checkpointDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(checkpointDir, "graft-dedup-state", "delivered")
+
+  private[streaming] def readMarker(checkpointDir: String): Long = {
+    val f = markerFile(checkpointDir)
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
+  private[streaming] def writeMarker(checkpointDir: String,
+      batchId: Long): Unit = {
+    val f = markerFile(checkpointDir)
+    java.nio.file.Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling("delivered.tmp")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** As above with a swappable index: [[StandingIndexRef.refresh]]
     * between micro-batches rotates the corpus artifact without
-    * restarting the query. */
+    * restarting the query.
+    *
+    * Restart semantics (pinned by `StreamingIncrementalDedupSpec`'s
+    * restart leg): a batch REPLAYED after restart (redelivered by the
+    * at-least-once checkpoint) is skipped via the delivered marker —
+    * its flags were already sunk pre-restart, so they are neither
+    * duplicated nor re-derived against whatever (possibly newer) index
+    * generation the restarted process built. RESUMED batches — genuinely
+    * new data — probe the CURRENT generation, i.e. the index the
+    * restarted caller constructed from the corpus as it now stands.
+    * Each document is therefore flagged exactly once, against the
+    * generation live when its batch first completed. */
   def start(docStream: DataFrame, idx: StandingIndexRef,
-      checkpointDir: String, sink: DataFrame => Unit): StreamingQuery =
+      checkpointDir: String, sink: DataFrame => Unit): StreamingQuery = {
+    @volatile var delivered = readMarker(checkpointDir)
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(flag(batch, idx.get))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > delivered) {
+          sink(flag(batch, idx.get))
+          writeMarker(checkpointDir, batchId)
+          delivered = batchId
+        }
         ()
       }
       .start()
+  }
 }

@@ -139,6 +139,98 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("restart mid-generation: replayed batches skipped, resumed batches probe the new index") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val corpusA = docs.filter(col("doc_id") % 10 =!= 7)
+    val corpusB = docs.filter(col("doc_id") % 10 =!= 7 &&
+      col("doc_id") % 4 =!= 1)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+      .as[(Long, String)].collect().sortBy(_._1)
+    // 8 batches: fine enough that some NON-FINAL batch's flags differ
+    // between generations (the killAfter search below needs one)
+    val chunks = newDocs.grouped(math.max(1, newDocs.length / 8 + 1)).toSeq
+    assert(chunks.length >= 3, "need batches on both sides of the restart")
+
+    val refA = IncrementalDedup.buildIndex(corpusA)
+    val refB = IncrementalDedup.buildIndex(corpusB)
+    def flagsOf(c: Seq[(Long, String)], idx: IncrementalDedup.StandingIndex) =
+      IncrementalDedup.flag(c.toDF("doc_id", "text"), idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    // kill AFTER the first batch whose A-flags and B-flags differ, so
+    // the forged replay of that batch is observable: re-probing it
+    // against B (wrong) or delivering it twice (wrong) both diverge
+    // from skipping it (right). It must not be the last batch — we need
+    // ≥1 genuinely resumed batch after the restart.
+    val killAfter = (0 until chunks.length - 1).find { i =>
+      flagsOf(chunks(i).toSeq, refA) != flagsOf(chunks(i).toSeq, refB)
+    }.getOrElse(fail(
+      "fixture must make replay-generation confusion observable"))
+
+    // expected: batches 0..killAfter flagged against generation A
+    // (delivered before the kill), later batches against generation B
+    // (the corpus as the restarted process finds it) — and the killAfter
+    // batch, though REPLAYED by the checkpoint after we forge a missing
+    // commit marker, contributes exactly its pre-restart A-flags, once
+    val expected = chunks.zipWithIndex.flatMap { case (c, i) =>
+      flagsOf(c.toSeq, if (i <= killAfter) refA else refB)
+    }
+    assert(expected.size == expected.toSet.size)
+
+    val ckpt = Files.createTempDirectory("incdedup-restart-ck").toString
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val sink: org.apache.spark.sql.DataFrame => Unit = flags => {
+      val rows = flags.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      got.synchronized { got ++= rows }
+      ()
+    }
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+
+    // run 1: generation A up to and including the killAfter batch
+    val live1 = new IncrementalDedup.StandingIndexRef(
+      IncrementalDedup.buildIndex(corpusA))
+    val q1 = IncrementalDedup.start(
+      src.toDF().toDF("doc_id", "text"), live1, ckpt, sink)
+    chunks.take(killAfter + 1).foreach { c =>
+      src.addData(c.toSeq); q1.processAllAvailable()
+    }
+    q1.stop()
+    live1.release()
+
+    // forge an at-least-once redelivery of the last delivered batch
+    Files.delete(java.nio.file.Paths.get(
+      ckpt, "commits", killAfter.toString))
+    Files.deleteIfExists(java.nio.file.Paths.get(
+      ckpt, "commits", s".$killAfter.crc"))
+
+    // run 2: the restarted process rebuilds from the compacted corpus (B)
+    val live2 = new IncrementalDedup.StandingIndexRef(
+      IncrementalDedup.buildIndex(corpusB))
+    val q2 = IncrementalDedup.start(
+      src.toDF().toDF("doc_id", "text"), live2, ckpt, sink)
+    try {
+      chunks.drop(killAfter + 1).foreach { c =>
+        src.addData(c.toSeq); q2.processAllAvailable()
+      }
+      val g = got.synchronized(got.toList)
+      assert(g.size == g.toSet.size,
+        "replayed batch must not duplicate flags")
+      assert(g.toSet == expected.toSet,
+        s"restart divergence: stream-only=${g.toSet -- expected.toSet} " +
+          s"batch-only=${expected.toSet -- g.toSet}")
+    } finally {
+      q2.stop()
+      live2.release()
+      refA.release()
+      refB.release()
+    }
+  }
+
   test("documents published over MQTT feed the same standing probe") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 4
