@@ -651,12 +651,16 @@ object EventAnalytics {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .filter(col("n_events") * graft.functions.MisraGriesAgg.K > n)
-        .withColumn("share_ppm", expr(s"(n_events * 1000000) div ${n}L"))
+        // decimal(38,0) intermediate: same silent-wrap-vs-raise hazard
+        // as Mixing's weight_ppm once a single key passes ~9.2e12 events
+        .withColumn("share_ppm",
+          expr(s"(cast(n_events as decimal(38,0)) * 1000000) div ${n}L"))
         .orderBy(col("user_id"))
     },
     """WITH tot AS (SELECT COUNT(*) AS n FROM events)
       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST((COUNT(*) * 1000000) // tot.n AS BIGINT) AS share_ppm
+      |  CAST((CAST(COUNT(*) AS HUGEINT) * 1000000) // tot.n AS BIGINT)
+      |    AS share_ppm
       |FROM events, tot
       |GROUP BY user_id, tot.n
       |HAVING COUNT(*) * 128 > tot.n

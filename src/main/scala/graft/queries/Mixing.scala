@@ -57,7 +57,15 @@ object Mixing {
         .otherwise(least(col("tokens"),
           expr("(b - sk) div (n_src - kstar)"))))
       .select(col("source"), col("n_docs"), col("tokens"), col("alloc"),
-        expr("(alloc * 1000000) div tokens").as("weight_ppm"),
+        // ppm through a decimal(38,0) intermediate: alloc·10⁶ overflows
+        // BIGINT once a source passes ~9.2e12 tokens (a few dozen TB of
+        // text), which Spark would wrap silently while DuckDB raises —
+        // the 128-bit product keeps the solve exact to Long.MaxValue
+        // token masses (the oracle mirrors it with HUGEINT). The solve
+        // itself stays in BIGINT: tot·9 and (n_src−k)·tokens are safe
+        // to ~9e17 total tokens, orders beyond the 100 TB design point.
+        expr("(cast(alloc as decimal(38,0)) * 1000000) div tokens")
+          .as("weight_ppm"),
         (col("k") <= col("kstar")).as("kept_full"))
   }
 
@@ -98,7 +106,8 @@ object Mixing {
     (s, d) => allocFrame(s, d).orderBy(col("source")),
     s"""WITH $allocCtes
        |SELECT source, n_docs, tokens, alloc,
-       |  CAST((alloc * 1000000) // tokens AS BIGINT) AS weight_ppm,
+       |  CAST((CAST(alloc AS HUGEINT) * 1000000) // tokens AS BIGINT)
+       |    AS weight_ppm,
        |  kept_full
        |FROM alloc ORDER BY source""".stripMargin)
 
@@ -129,14 +138,15 @@ object Mixing {
         .select(col("source"), col("tokens"), col("alloc"),
           coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-          expr("(coalesce(kept_tokens, 0L) * 1000000) div tokens")
-            .as("realized_ppm"))
+          expr("""(cast(coalesce(kept_tokens, 0L) as decimal(38,0))
+                |  * 1000000) div tokens""".stripMargin).as("realized_ppm"))
         .orderBy(col("source"))
     },
     s"""WITH $allocCtes,
        |rates AS (
        |  SELECT source, tokens, alloc,
-       |    (alloc * 1000000) // tokens AS weight_ppm
+       |    CAST((CAST(alloc AS HUGEINT) * 1000000) // tokens AS BIGINT)
+       |      AS weight_ppm
        |  FROM alloc),
        |kept AS (
        |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
@@ -149,8 +159,8 @@ object Mixing {
        |SELECT r.source, r.tokens, r.alloc,
        |  COALESCE(k.kept_docs, 0) AS kept_docs,
        |  COALESCE(k.kept_tokens, 0) AS kept_tokens,
-       |  CAST((COALESCE(k.kept_tokens, 0) * 1000000) // r.tokens AS BIGINT)
-       |    AS realized_ppm
+       |  CAST((CAST(COALESCE(k.kept_tokens, 0) AS HUGEINT) * 1000000)
+       |      // r.tokens AS BIGINT) AS realized_ppm
        |FROM rates r LEFT JOIN kept k USING (source)
        |ORDER BY r.source""".stripMargin)
 

@@ -16,6 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    NULLS FIRST while DuckDB defaults NULLS LAST.
   *  - Timestamps are output as DATE or formatted strings, never raw
   *    timestamps, to dodge µs/ns + UTC-adjustment representation skew.
+  *
+  * Construction-time actions: a QueryDef's `fn` normally just DECLARES a
+  * plan, but genuinely multi-pass algorithms (q166's sketch→recount, the
+  * q19 sizing probe) run their bounded pass-1 aggregate EAGERLY inside
+  * `fn` — constructing the frame executes that job, and the pass-1
+  * snapshot is captured at construction, not at the returned frame's
+  * execution (two non-atomic reads of the source; fine for immutable
+  * fixture parquet, worth knowing for timing harnesses and mutating
+  * sources). Bench therefore times fn-construction + execution together.
   */
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
