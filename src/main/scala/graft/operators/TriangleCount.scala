@@ -38,7 +38,7 @@ object TriangleCount {
     val deg = und.select(col("x").as("n"))
       .union(und.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    val ori = und
+    val ori = graft.Resources.retain(und
       .join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"), "x")
       .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"), "y")
       .select(
@@ -48,6 +48,13 @@ object TriangleCount {
           col("y")).otherwise(col("x")).as("dst"),
         when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
           col("dy")).otherwise(col("dx")).as("dst_deg"))
+      // the oriented edge list feeds THREE consumers in one DAG (both
+      // wedge sides + the closure probe) — uncached, each re-runs the
+      // degree aggregate and both orientation joins; persisted (|E|
+      // rows), it computes once and the plan stays cache-scanned.
+      // Resources-retained: the caller's frame reads it lazily, so the
+      // session owner's releaseAll is the release point.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // wedges from each edge pair sharing the oriented source, kept in
     // total order (b strictly before c) so the closing edge — if the
     // triangle exists — is oriented exactly b→c: closure is a pure

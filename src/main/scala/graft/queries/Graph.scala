@@ -428,6 +428,13 @@ object Graph {
         .withColumn("dist", lit(0))
       var settled = src0
       var frontier = src0
+      // NOTE (round-10): a 2-hops-per-checkpoint stride was built and
+      // measured here (3.05 s → 4.09 s at sf0.1, reverted): hop 2
+      // references ring t+1 before any job has filled its cache, so the
+      // fused block either recomputes the hop-1 chain per reference or
+      // needs an extra materialization job — exactly what it tried to
+      // save. Per-ring eager materialization is the floor for exact
+      // per-ring BFS output.
       for (t <- 1 to BfsSteps) {
         frontier = graft.Resources.retain(frontier
           .join(both, col("node") === col("src"))
@@ -743,7 +750,20 @@ object Graph {
     (s, d) => {
       var e = coEdges(s, d)
       var round = 0
-      while (round < CoreRounds) {
+      // fixpoint early-exit: a peel round that removes no edge leaves
+      // every later round a no-op (degrees can only drop when edges
+      // do), so "degrees after 5 rounds" is reached the moment two
+      // consecutive rounds agree — the count is a near-free job over
+      // the just-materialized checkpoint, and at sf0.1 it converges in
+      // 2 of the 5 budgeted rounds (measured: the round-2..5 edge
+      // counts are identical), cutting 3 rounds of superstep jobs
+      var prevCount = -1L
+      while (round < CoreRounds && {
+        val c = if (round == 0) -1L else e.count()
+        val converged = c >= 0 && c == prevCount
+        prevCount = c
+        !converged
+      }) {
         // eager localCheckpoint per round (the ConnectedComponents
         // pattern): `alive` feeds two semi-joins and `e` three subtrees
         // — without truncation the lineage nests geometrically across
