@@ -751,6 +751,65 @@ object ScaleStress {
           .head().getLong(1)).sum
     }
 
+    // q170's threshold-sensitivity curve — ONE banded-candidate verify
+    // pass computes every surviving pair's exact (inter, union) sizes
+    // (checkpoint-pinned), three integer cutoffs filter it, and each
+    // cutoff runs connected components on its (shrinking) edge set.
+    // Band keys are copy-salted like curationRun's, so the probe
+    // measures plan scaling, not cross-copy pair blowup. The probe runs
+    // CC fresh at ALL three cutoffs (the real q170 reuses the memoized
+    // label artifact at t = 50 — this measures the worst case).
+    // Expected ~linear: verify work is candidate-bounded, CC work
+    // tracks edge volume, the final aggregates are component-sized.
+    def tcurveRun(docs: DataFrame): Long = {
+      val base = docs
+        .withColumn("tk", expr("filter(split(text, ' '), t -> t <> '')"))
+      val banded = base.withColumn("mh", expr("minhash_sig(tk)"))
+        .filter(col("mh").isNotNull)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band,
+            |  concat_ws(',', slice(mh, b * 4 + 1, 4)) AS bkey))"""
+            .stripMargin)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          concat(col("bb.bkey"), lit("#"),
+            (col("doc_id") / lit(1000000000L)).cast("long")).as("bkey"))
+      val cand = banded.groupBy(col("band"), col("bkey"))
+        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 50)
+          .as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |    y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+      val sets = base.select(col("doc_id"), array_distinct(
+        expr(graft.queries.TextExprs.shingles3("tk"))).as("sh"))
+      val pj = cand
+        .join(sets.withColumnsRenamed(
+          Map("doc_id" -> "d1", "sh" -> "sa")), "d1")
+        .join(sets.withColumnsRenamed(
+          Map("doc_id" -> "d2", "sh" -> "sb")), "d2")
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long")
+            .as("inter"),
+          size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
+        .filter(col("inter") * 100 >= col("uni") * 50)
+        .localCheckpoint(true)
+      val nodes = docs.select(col("doc_id").as("id"))
+      val total = Seq(50, 95, 98).map { t =>
+        val edges = pj.filter(col("inter") * 100 >= col("uni") * t)
+        val labels = graft.operators.ConnectedComponents.labels(nodes,
+          edges.select(col("d1").as("src"), col("d2").as("dst")))
+        val dup = labels.groupBy(col("component"))
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L)))
+          .head().getLong(0)
+        dup + edges.count()
+      }.sum
+      graft.Resources.releaseCheckpoint(pj)
+      total
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -866,7 +925,8 @@ object ScaleStress {
     val (gmT1, _) = time(gramRun(e1))
     val (gmT10, _) = time(gramRun(e10))
     lpaRun(und1x); hitsRun(dir1x); skylineRun(or1); ccRun(und1x)
-    spanrmRun(d1); curationRun(d1); noveltyRun(d1); hhRun(ev1) // warm up
+    spanrmRun(d1); curationRun(d1); noveltyRun(d1); hhRun(ev1)
+    tcurveRun(d1) // warm up
     val (lpT1, _) = time(lpaRun(und1x))
     val (lpT10, _) = time(lpaRun(und10x))
     val (ccT1, _) = time(ccRun(und1x))
@@ -883,6 +943,8 @@ object ScaleStress {
     val (nvT10, _) = time(noveltyRun(d10))
     val (hhT1, _) = time(hhRun(ev1))
     val (hhT10, _) = time(hhRun(ev10))
+    val (tcT1, _) = time(tcurveRun(d1))
+    val (tcT10, _) = time(tcurveRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -920,7 +982,8 @@ object ScaleStress {
       f""""spanrm_1x_s":$srT1%.2f,"spanrm_10x_s":$srT10%.2f,"spanrm_ratio":${srT10 / srT1}%.1f,""" +
       f""""curation_1x_s":$cuT1%.2f,"curation_10x_s":$cuT10%.2f,"curation_ratio":${cuT10 / cuT1}%.1f,""" +
       f""""novelty_1x_s":$nvT1%.2f,"novelty_10x_s":$nvT10%.2f,"novelty_ratio":${nvT10 / nvT1}%.1f,""" +
-      f""""hh_1x_s":$hhT1%.2f,"hh_10x_s":$hhT10%.2f,"hh_ratio":${hhT10 / hhT1}%.1f}""")
+      f""""hh_1x_s":$hhT1%.2f,"hh_10x_s":$hhT10%.2f,"hh_ratio":${hhT10 / hhT1}%.1f,""" +
+      f""""tcurve_1x_s":$tcT1%.2f,"tcurve_10x_s":$tcT10%.2f,"tcurve_ratio":${tcT10 / tcT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
