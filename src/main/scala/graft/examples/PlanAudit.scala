@@ -219,6 +219,42 @@ object PlanAudit {
           p.contains("BroadcastNestedLoopJoin") ||
             p.contains("BroadcastHashJoin"),
           "the 1-row doc count broadcasts — no extra corpus shuffle")),
+      // the clustering coefficient shares TriangleCount's persisted
+      // oriented edge list — degree, wedge, and closure sides all read
+      // the cache, never re-running the orientation joins
+      "q171_clustering_coefficient" -> Seq(
+        Check("persisted-orientation", _.contains("InMemoryTableScan"),
+          "the oriented edge list is computed once and cache-scanned"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "wedges and closures are equi-joins, never a cross product")),
+      // chunking is materialized ONCE behind the checkpoint barrier —
+      // exploding the md5-heavy chain directly re-evaluates it per
+      // emitted row (measured 9.6 s vs 0.96 s at sf0.1)
+      "q172_cdc_chunk_dedup" -> Seq(
+        Check("chunks-checkpointed", _.contains("Scan ExistingRDD"),
+          "the per-doc chunk arrays explode from the checkpoint, not " +
+            "from a re-evaluated expression chain")),
+      // the temperature solve runs on the sources-bounded aggregate:
+      // exactly one corpus scan feeds it
+      "q173_temperature_mixture" -> Seq(
+        Check("single-scan", p =>
+          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          "one corpus scan; the isqrt solve runs on |sources| rows")),
+      // the *ALL* row re-aggregates the checkpointed per-source frame —
+      // the final plan must contain NO second corpus scan at all
+      "q174_rater_agreement" -> Seq(
+        Check("sources-bounded-union", p =>
+          !p.contains("Scan parquet"),
+          "both union legs read the checkpointed |sources| frame")),
+      // all pair algebra runs on the checkpointed 64-long sketch frame;
+      // the only parquet scan left is the exact-intersection pass
+      "q175_source_overlap" -> Seq(
+        Check("sketches-checkpointed", _.contains("Scan ExistingRDD"),
+          "pair joins read the checkpointed sketch frame, not two " +
+            "recomputations of the corpus aggregate"),
+        Check("single-exact-scan", p =>
+          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          "the exact-intersection comparison is the one remaining scan")),
       // the trained symbolization frame (the encoder table) comes from
       // the per-session BPE cache — encode queries must reuse it, not
       // replay the merge-training scan chain

@@ -1695,7 +1695,120 @@ object Dedup {
       |    // ((n_docs * (n_docs - 1)) // 2) AS BIGINT) AS rand_micro
       |FROM n, pa, pb, pc""".stripMargin)
 
+  // ------------------------------------------------------------ q172
+  // CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/storage-dedup
+  // primitive, applied to training text): chunk boundaries are placed
+  // AFTER any token whose hash ≡ 0 (mod 8) — a property of the token
+  // itself, so an insertion or deletion elsewhere in the document
+  // shifts NO other chunk boundary (the shift-resistance fixed-stride
+  // q67 chunking lacks, and the reason CDC is the storage-dedup
+  // standard). Chunks hash to 16-char md5 prefixes; a chunk INSTANCE is
+  // duplicated when its hash occurs in ≥ 2 distinct documents. Per doc:
+  // chunk count, duplicated-instance count, and the duplicated share in
+  // ppm — the "how much of this doc is boilerplate" readout at
+  // sub-document granularity, complementary to q112's fixed-length
+  // spans (CDC chunks align to content, so a shared paragraph dedups
+  // even when its surrounding offsets differ).
+  //
+  // Scale shape: chunking is PURE MAP-SIDE (boundary positions via one
+  // filter over the token index range, chunk slices via zip_with —
+  // O(n) per doc, no window, no per-token shuffle); the only shuffles
+  // carry (doc_id, 16-char hash) pairs — one chunk-keyed count
+  // aggregate and one hash-keyed semi-join back, both ∝ chunk count
+  // (~n/8). The doc-sized array stays inside one task (the q50-family
+  // per-row discipline).
+  private val q172 = QueryDef.of(
+    (s, d) => {
+      // the per-doc chunk-hash array is materialized ONCE behind a
+      // checkpoint barrier: exploding the md5-heavy chain directly
+      // re-evaluates it per EMITTED row (the q167 explode lesson —
+      // measured 9.6 s vs 1.5 s at sf0.1), and the exploded frame
+      // feeds two consumers (dup detection + per-doc counts) that
+      // would otherwise recompute the chunking
+      val withCh = graft.Resources.retain(Tables.documents(s, d)
+        .withColumn("tk", expr("filter(split(text, ' '), t -> t <> '')"))
+        // boundary after position i (1-based, never the last token —
+        // the tail chunk always closes at size(tk)); sequence() is
+        // DESCENDING when its upper bound < lower, hence the ≥ 2 guard
+        .withColumn("bp", expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  filter(sequence(1, size(tk) - 1), i ->
+            |    cast(conv(substring(md5(element_at(tk, i)), 1, 8), 16, 10)
+            |      as bigint) % 8 = 0)
+            |ELSE array() END""".stripMargin))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(tk) = 0 THEN cast(array() as array<string>)
+            |ELSE zip_with(
+            |  concat(array(1), transform(bp, x -> x + 1)),
+            |  concat(bp, array(size(tk))),
+            |  (st, en) ->
+            |    substring(md5(concat_ws(' ', slice(tk, st, en - st + 1))),
+            |      1, 16)) END""".stripMargin).as("ch"))
+        .localCheckpoint())
+      val chunks = withCh.select(col("doc_id"), explode(col("ch")).as("h"))
+      val dupHashes = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+        .withColumn("isdup", lit(1L))
+      // both per-doc counts fold out of ONE pass over the exploded
+      // frame (the dup flag rides a hash-keyed left join); empty docs
+      // have no chunk rows, so the id spine re-joins them with 0s
+      val perDoc = chunks.join(dupHashes, Seq("h"), "left")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup_chunks"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+          expr("""CASE WHEN coalesce(n_chunks, 0L) = 0 THEN 0L
+                |ELSE (coalesce(n_dup_chunks, 0L) * 1000000L)
+                |  div n_chunks END""".stripMargin).as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS tk
+      |  FROM documents),
+      |b AS MATERIALIZED (
+      |  SELECT doc_id, tk,
+      |    CASE WHEN len(tk) >= 2 THEN
+      |      list_filter(range(1, len(tk)), i ->
+      |        CAST('0x' || substring(md5(tk[i]), 1, 8) AS BIGINT) % 8 = 0)
+      |    ELSE [] END AS bp
+      |  FROM t),
+      |se AS MATERIALIZED (
+      |  SELECT doc_id, tk,
+      |    list_prepend(1, list_transform(bp, x -> x + 1)) AS st,
+      |    list_append(bp, len(tk)) AS en
+      |  FROM b WHERE len(tk) > 0),
+      |ch AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(st) + 1), j ->
+      |      substring(md5(array_to_string(
+      |        list_slice(tk, st[j], en[j]), ' ')), 1, 16))) AS h
+      |  FROM se),
+      |duph AS (
+      |  SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      |per AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks
+      |  FROM ch WHERE h IN (SELECT h FROM duph) GROUP BY doc_id),
+      |nc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) = 0 THEN 0
+      |         ELSE CAST(len(bp) + 1 AS BIGINT) END AS n_chunks
+      |  FROM b)
+      |SELECT nc.doc_id, nc.n_chunks,
+      |  CAST(COALESCE(per.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+      |  CASE WHEN nc.n_chunks = 0 THEN 0
+      |       ELSE (COALESCE(per.n_dup_chunks, 0) * 1000000) // nc.n_chunks
+      |  END AS dup_ppm
+      |FROM nc LEFT JOIN per USING (doc_id)
+      |ORDER BY nc.doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q172_cdc_chunk_dedup" -> q172,
     "q133_sentence_dedup" -> q133,
     "q135_cluster_agreement" -> q135,
     "q120_incremental_dedup" -> q120,

@@ -671,26 +671,23 @@ object Graph {
   // O(m^1.5) regardless of hub skew (see the operator's scaladoc); the
   // whole pipeline is equi-joins + integer counts, so the oracle
   // replays it exactly.
-  private val q131 = QueryDef.of(
-    (s, d) => {
-      val und = coEdges(s, d)
-      graft.operators.TriangleCount.run(und)
-        .join(Tables.raw(s, d, "part"), col("node") === col("p_partkey"))
-        .groupBy(col("p_brand").as("brand"))
-        .agg(count(lit(1)).as("parts"), sum(col("tri")).as("tri_sum"))
-        .orderBy(col("brand"))
-    },
-    """WITH li AS (
+  // the triangle chain is shared verbatim by q131 and q171; every CTE
+  // referenced more than once downstream is MATERIALIZED (ori feeds
+  // both wedge sides and the closure probe — DuckDB's default inline
+  // expansion would re-run the orientation joins per reference, the
+  // exact cost the engine-side persist in TriangleCount.run avoids)
+  private val triCtes =
+    """li AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       |  FROM lineitem WHERE l_quantity >= 35),
-      |und AS (
+      |und AS MATERIALIZED (
       |  SELECT DISTINCT a.pk AS x, b.pk AS y
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-      |deg AS (
+      |deg AS MATERIALIZED (
       |  SELECT n, COUNT(*) AS d FROM (
       |    SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und)
       |  GROUP BY n),
-      |ori AS (
+      |ori AS MATERIALIZED (
       |  SELECT
       |    CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN u.x ELSE u.y END AS src,
       |    CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN u.y ELSE u.x END AS dst,
@@ -708,11 +705,60 @@ object Graph {
       |    SELECT a AS node FROM tri UNION ALL
       |    SELECT b AS node FROM tri UNION ALL
       |    SELECT c AS node FROM tri)
-      |  GROUP BY node)
+      |  GROUP BY node)""".stripMargin
+
+  private val q131 = QueryDef.of(
+    (s, d) => {
+      val und = coEdges(s, d)
+      graft.operators.TriangleCount.run(und)
+        .join(Tables.raw(s, d, "part"), col("node") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("parts"), sum(col("tri")).as("tri_sum"))
+        .orderBy(col("brand"))
+    },
+    s"""WITH $triCtes
       |SELECT p_brand AS brand, COUNT(*) AS parts,
       |  CAST(SUM(t.tri) AS BIGINT) AS tri_sum
       |FROM pernode t JOIN part ON t.node = p_partkey
       |GROUP BY p_brand ORDER BY brand""".stripMargin)
+
+  // ------------------------------------------------------------ q171
+  // Per-node LOCAL CLUSTERING COEFFICIENT over the same co-purchase
+  // graph: cc = 2·tri / (deg·(deg−1)) — the per-node density readout
+  // q131's per-brand rollup hides (a web-graph curation pipeline uses
+  // it to separate organic neighborhoods from link farms; here it
+  // grades each part's co-purchase cohesion). Exact ppm integer
+  // arithmetic: cc_ppm = (tri · 2·10⁶) div (deg·(deg−1)), well-defined
+  // for deg ≥ 2 (the output domain). Nodes in no triangle report 0.
+  //
+  // Scale shape: the triangle side IS TriangleCount.run (O(m^1.5)
+  // oriented wedges, no cartesian); the degree side is one map-side
+  // integer aggregate over the edge union; the two meet in a node-keyed
+  // join, output ∝ |V|. Headroom: tri·2e6 overflows BIGINT only past
+  // ~4.6e12 triangle memberships on one node (deg ~3e6 in a clique —
+  // beyond any real co-purchase hub; a production run would gate the
+  // top hubs the q85 salting way first).
+  private val q171 = QueryDef.of(
+    (s, d) => {
+      val und = coEdges(s, d)
+      val deg = und.select(col("x").as("node"))
+        .union(und.select(col("y").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(graft.operators.TriangleCount.run(und), Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          expr("(coalesce(tri, 0L) * 2000000L) div (deg * (deg - 1L))")
+            .as("cc_ppm"))
+        .orderBy(col("node"))
+    },
+    s"""WITH $triCtes
+      |SELECT d.n AS node, CAST(d.d AS BIGINT) AS deg,
+      |  CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+      |  CAST((COALESCE(p.tri, 0) * 2000000) // (d.d * (d.d - 1))
+      |    AS BIGINT) AS cc_ppm
+      |FROM deg d LEFT JOIN pernode p ON p.node = d.n
+      |WHERE d.d >= 2 ORDER BY node""".stripMargin)
 
   // ------------------------------------------------------------ q134
   // Bounded k-core peeling (k = 3, fixed 5 rounds — the q86 pattern:
@@ -889,6 +935,7 @@ object Graph {
     "q154_label_propagation" -> q154,
     "q155_hits" -> q155,
     "q131_triangle_count" -> q131,
+    "q171_clustering_coefficient" -> q171,
     "q134_kcore" -> q134,
     "q147_random_walks" -> q147)
 }

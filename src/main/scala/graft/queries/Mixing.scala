@@ -164,7 +164,89 @@ object Mixing {
        |FROM rates r LEFT JOIN kept k USING (source)
        |ORDER BY r.source""".stripMargin)
 
+  // ------------------------------------------------------------- q173
+  // TEMPERATURE-scaled mixture weights (τ = ½): w_s ∝ tokens_s^τ — the
+  // other standard mixing rule next to q165's water-filling (multi-
+  // lingual/multi-source training runs up-weight small sources by
+  // sampling p_s ∝ p_raw^τ, τ∈[0,1]; τ=½ is the common default). The
+  // fractional power is made ENGINE-EXACT by computing the true integer
+  // sqrt: a double sqrt seeds the value and two integer-division
+  // correction steps pin floor(√tokens) regardless of either engine's
+  // float rounding (a·a ≤ t is tested as a ≤ t div a — overflow-free at
+  // any BIGINT). Output per source: raw share, temperature share, and
+  // the up/down-weight factor, all exact ppm.
+  //
+  // Scale shape: one corpus scan into the (source)-grouped aggregate;
+  // everything after runs on the sources-bounded frame (windows over
+  // ~|sources| rows). Same 100 TB posture as q165.
+  private[queries] val isqrtExpr =
+    """CASE WHEN tokens <= 0 THEN 0L ELSE (
+      |  CASE WHEN s0 + 2L <= tokens div (s0 + 2L) THEN s0 + 2L
+      |       WHEN s0 + 1L <= tokens div (s0 + 1L) THEN s0 + 1L
+      |       WHEN s0 <= tokens div s0 THEN s0
+      |       WHEN s0 - 1L <= tokens div (s0 - 1L) THEN s0 - 1L
+      |       ELSE s0 - 2L END) END""".stripMargin
+  private val q173 = QueryDef.of(
+    (s, d) => {
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, d)
+        .select(col("source"),
+          expr("size(filter(split(text, ' '), t -> t <> ''))")
+            .cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+        // double sqrt SEED only — greatest(.,1) keeps the correction's
+        // divisors nonzero; the CASE pins the exact floor(√tokens)
+        .withColumn("s0", greatest(
+          expr("cast(sqrt(cast(tokens as double)) as long)"), lit(1L)))
+        .withColumn("w", expr(isqrtExpr))
+        .withColumn("tot", sum(col("tokens")).over(wAll))
+        .withColumn("wsum", sum(col("w")).over(wAll))
+        .select(col("source"), col("tokens"), col("w"),
+          // decimal(38,0) products: tokens·10⁶ wraps BIGINT past
+          // ~9.2e12 tokens/source (the q165 lesson); w·10⁶ ≤ 3e15 is
+          // safe but kept uniform for one shared shape
+          expr("(cast(tokens as decimal(38,0)) * 1000000) div tot")
+            .as("raw_ppm"),
+          expr("(cast(w as decimal(38,0)) * 1000000) div wsum")
+            .as("temp_ppm"),
+          expr("""((cast(w as decimal(38,0)) * 1000000 div wsum) * 1000000)
+                | div greatest(cast(tokens as decimal(38,0)) * 1000000
+                |   div tot, 1)""".stripMargin).as("boost_ppm"))
+        .orderBy(col("source"))
+    },
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '),
+      |      t -> t <> ''))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |seed AS (
+      |  SELECT source, tokens,
+      |    GREATEST(CAST(sqrt(CAST(tokens AS DOUBLE)) AS BIGINT), 1)
+      |      AS s0
+      |  FROM per),
+      |w AS (
+      |  SELECT source, tokens,
+      |    CASE WHEN tokens <= 0 THEN 0
+      |         WHEN s0 + 2 <= tokens // (s0 + 2) THEN s0 + 2
+      |         WHEN s0 + 1 <= tokens // (s0 + 1) THEN s0 + 1
+      |         WHEN s0 <= tokens // s0 THEN s0
+      |         WHEN s0 - 1 <= tokens // (s0 - 1) THEN s0 - 1
+      |         ELSE s0 - 2 END AS w
+      |  FROM seed),
+      |t AS (SELECT *, SUM(tokens) OVER () AS tot, SUM(w) OVER () AS wsum
+      |      FROM w)
+      |SELECT source, tokens, CAST(w AS BIGINT) AS w,
+      |  CAST((CAST(tokens AS HUGEINT) * 1000000) // tot AS BIGINT)
+      |    AS raw_ppm,
+      |  CAST((CAST(w AS HUGEINT) * 1000000) // wsum AS BIGINT) AS temp_ppm,
+      |  CAST(((CAST(w AS HUGEINT) * 1000000 // wsum) * 1000000)
+      |    // GREATEST(CAST(tokens AS HUGEINT) * 1000000 // tot, 1)
+      |    AS BIGINT) AS boost_ppm
+      |FROM t ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q165_mixture_allocation" -> q165,
-    "q168_budget_sample" -> q168)
+    "q168_budget_sample" -> q168,
+    "q173_temperature_mixture" -> q173)
 }

@@ -1864,6 +1864,102 @@ object TextAnalysis {
       |FROM sk JOIN ex ON sk.lang = ex.lang
       |ORDER BY sk.lang""".stripMargin)
 
+  // ------------------------------------------------------------- q175
+  // Pairwise SOURCE-OVERLAP estimation from KMV sketch ALGEBRA — the
+  // capability q105 only hints at: because a KMV sketch is literally
+  // "the k smallest distinct hashes", the union of two sources is
+  // estimated from the MERGED sketch (k smallest of the set union) and
+  // the intersection by inclusion–exclusion — no re-scan of either
+  // source. This is the vocabulary-overlap matrix a mixing/dedup team
+  // consults before merging corpora (high overlap → near-dup sources;
+  // q35 is the minhash analog at doc level). The exact intersection
+  // rides along per pair, so the sketch error is measurable in the
+  // output rather than asserted.
+  //
+  // Scale shape: sketches are one O(K)-memory pass over the raw token
+  // stream (per-source partials ≤ 512 bytes); all pair algebra runs on
+  // the SOURCES-BOUNDED sketch frame (|S|² pairs of 64-long arrays —
+  // dozens of sources, never corpus-sized; the frame is checkpoint-
+  // pinned so the two join sides don't recompute the corpus agg). The
+  // exact-intersection comparison is one (source, token)-distinct
+  // shuffle — vocabulary-bounded, and the one piece a pure-sketch
+  // production run would drop. Estimates are integer div expressions,
+  // so the oracle rebuilds every value bit-for-bit (the q105 contract).
+  private val q175 = QueryDef.of(
+    (s, d) => {
+      val kmv = udaf(graft.functions.KmvAgg)
+      val tok = Tables.documents(s, d)
+        .select(col("source"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(w), 1, 12), 16, 10) as bigint)"))
+      val sk = graft.Resources.retain(
+        tok.groupBy(col("source")).agg(kmv(col("h")).as("sk"))
+          .localCheckpoint())
+      def est(c: String) =
+        s"""CASE WHEN size($c) < 64 THEN cast(size($c) AS bigint)
+           |ELSE (63L * 281474976710656L) div element_at($c, 64) END"""
+          .stripMargin
+      val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+        .join(sk.select(col("source").as("source_b"), col("sk").as("skb")),
+          col("source_a") < col("source_b"))
+        .withColumn("mu",
+          expr("slice(array_sort(array_union(ska, skb)), 1, 64)"))
+        .select(col("source_a"), col("source_b"),
+          expr(est("ska")).as("est_a"), expr(est("skb")).as("est_b"),
+          expr(est("mu")).as("est_union"))
+        .withColumn("est_inter",
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      val dw = tok.select(col("source"), col("w")).distinct()
+      val ex = dw.select(col("source").as("source_a"), col("w"))
+        .join(dw.select(col("source").as("source_b"), col("w")), Seq("w"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs.join(ex, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("est_a"),
+          col("est_b"), col("est_union"), col("est_inter"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    """WITH th AS MATERIALIZED (
+      |  SELECT source, w, CAST('0x' || substring(md5(w), 1, 12) AS BIGINT)
+      |    AS h
+      |  FROM (SELECT source,
+      |          unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |            AS w
+      |        FROM documents)),
+      |hd AS MATERIALIZED (SELECT DISTINCT source, h FROM th),
+      |sk AS MATERIALIZED (
+      |  SELECT source, list_slice(list(h ORDER BY h), 1, 64) AS mins
+      |  FROM hd GROUP BY source),
+      |pr AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    a.mins AS ma, b.mins AS mb,
+      |    list_slice(list_sort(list_distinct(list_concat(a.mins, b.mins))),
+      |      1, 64) AS mu
+      |  FROM sk a JOIN sk b ON a.source < b.source),
+      |es AS (
+      |  SELECT source_a, source_b,
+      |    CASE WHEN len(ma) < 64 THEN CAST(len(ma) AS BIGINT)
+      |         ELSE (63 * 281474976710656) // ma[64] END AS est_a,
+      |    CASE WHEN len(mb) < 64 THEN CAST(len(mb) AS BIGINT)
+      |         ELSE (63 * 281474976710656) // mb[64] END AS est_b,
+      |    CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS BIGINT)
+      |         ELSE (63 * 281474976710656) // mu[64] END AS est_union
+      |  FROM pr),
+      |dw AS MATERIALIZED (SELECT DISTINCT source, w FROM th),
+      |ex AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+      |  FROM dw a JOIN dw b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT es.source_a, es.source_b, est_a, est_b, est_union,
+      |  GREATEST(0, est_a + est_b - est_union) AS est_inter,
+      |  COALESCE(ex.exact_inter, 0) AS exact_inter
+      |FROM es LEFT JOIN ex USING (source_a, source_b)
+      |ORDER BY es.source_a, es.source_b""".stripMargin)
+
   // ------------------------------------------------------------- q118
   // Tokenizer evaluation (fertility / compression / OOV): train BPE on
   // the 80% doc_id-split of the corpus, encode the HELD-OUT 20%, report
@@ -2085,6 +2181,7 @@ object TextAnalysis {
     "q119_k_anonymity" -> q119,
     "q118_tokenizer_eval" -> q118,
     "q105_kmv_distinct" -> q105,
+    "q175_source_overlap" -> q175,
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
     "q143_quality_curriculum" -> q143,

@@ -288,7 +288,115 @@ object Training {
        |    THEN (auc_num * 500000) // (n_pos * n_neg) END AS auc_micro
        |FROM t""".stripMargin)
 
+  // ------------------------------------------------------------ q174
+  // RATER AGREEMENT (Cohen's κ) between two independent quality rules —
+  // the calibration readout a curation team runs before trusting any
+  // single quality filter (if two cheap raters barely agree above
+  // chance, neither should gate a 100 TB corpus alone). Rater A is the
+  // length/word-shape rule (q69's Gopher family), rater B the lexical-
+  // diversity rule (type-token ratio); κ = (p_o − p_e)/(1 − p_e) is
+  // computed entirely in integer arithmetic: with per-source counts
+  // n, a=both-keep, yesA, yesB, the numerator and denominator are the
+  // common-denominator forms p_o·n² = agree·n and
+  // p_e·n² = yesA·yesB + noA·noB, so
+  // κ_ppm = ((agree·n − pe2)·10⁶) div (n² − pe2) — exact, and routed
+  // through decimal(38,0)/HUGEINT so n² can't wrap BIGINT past n≈3e9
+  // docs per source (the q165 overflow lesson, applied proactively).
+  //
+  // Scale shape: ONE corpus scan computes both raters map-side (pure
+  // per-row token/char arithmetic, no shuffle), then a sources-bounded
+  // grouped aggregate; κ derives per group. Adding the *ALL* row reuses
+  // the same partials via a grouping-sets-style union of two aggregates
+  // over the SAME pre-aggregated sources frame (second agg is
+  // |sources|-sized, not corpus-sized).
+  private val q174 = QueryDef.of(
+    (s, d) => {
+      val rated = Tables.documents(s, d)
+        .withColumn("tk", expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("chars",
+          expr("aggregate(tk, 0L, (a, t) -> a + length(t))"))
+        .select(col("source"),
+          // rater A: 30..5000 tokens AND mean word length in [3, 12]
+          (col("n_tok") >= 30 && col("n_tok") <= 5000 &&
+            col("chars") * 10 >= col("n_tok") * 30 &&
+            col("chars") * 10 <= col("n_tok") * 120).cast("long").as("ra"),
+          // rater B: ≥20 tokens AND type-token ratio ≥ 0.3
+          (col("n_tok") >= 20 &&
+            size(array_distinct(col("tk"))).cast("long") * 10 >=
+              col("n_tok") * 3).cast("long").as("rb"))
+      // checkpoint-pinned: the *ALL* row re-aggregates THIS frame, and
+      // without the barrier Catalyst would expand the union into two
+      // corpus scans — the barrier makes the second aggregate genuinely
+      // |sources|-sized (the scaladoc's claim, enforced)
+      val per = graft.Resources.retain(rated.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("agree"),
+        sum(col("ra")).as("yes_a"), sum(col("rb")).as("yes_b"))
+        .localCheckpoint())
+      val all = per.groupBy().agg(
+          sum(col("n")).as("n"), sum(col("agree")).as("agree"),
+          sum(col("yes_a")).as("yes_a"), sum(col("yes_b")).as("yes_b"))
+        .withColumn("source", lit("*ALL*"))
+        .select(per.columns.map(col): _*)
+      val kap = """CASE WHEN cast(n as decimal(38,0)) * n - pe2 = 0 THEN 1000000L
+                  |ELSE cast(((cast(agree as decimal(38,0)) * n - pe2)
+                  |  * 1000000) div (cast(n as decimal(38,0)) * n - pe2)
+                  |  as long) END""".stripMargin
+      per.unionByName(all)
+        .withColumn("pe2", expr(
+          """cast(yes_a as decimal(38,0)) * yes_b
+            |  + cast(n - yes_a as decimal(38,0)) * (n - yes_b)"""
+            .stripMargin))
+        .select(col("source"), col("n"), col("agree"),
+          col("yes_a"), col("yes_b"),
+          expr("cast((cast(agree as decimal(38,0)) * 1000000) div n as long)")
+            .as("po_ppm"),
+          expr(kap).as("kappa_ppm"))
+        .orderBy(col("source"))
+    },
+    """WITH rated AS (
+      |  SELECT source,
+      |    CASE WHEN n_tok >= 30 AND n_tok <= 5000
+      |          AND chars * 10 >= n_tok * 30
+      |          AND chars * 10 <= n_tok * 120 THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN n_tok >= 20 AND n_dis * 10 >= n_tok * 3
+      |         THEN 1 ELSE 0 END AS rb
+      |  FROM (
+      |    SELECT source,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |        AS BIGINT) AS n_tok,
+      |      CAST(len(list_distinct(list_filter(string_split(text, ' '),
+      |        t -> t <> ''))) AS BIGINT) AS n_dis,
+      |      CAST(COALESCE(list_sum(list_transform(
+      |        list_filter(string_split(text, ' '), t -> t <> ''),
+      |        t -> len(t))), 0) AS BIGINT) AS chars
+      |    FROM documents)),
+      |per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS agree,
+      |    CAST(SUM(ra) AS BIGINT) AS yes_a, CAST(SUM(rb) AS BIGINT) AS yes_b
+      |  FROM rated GROUP BY source
+      |  UNION ALL
+      |  SELECT '*ALL*', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(ra) AS BIGINT), CAST(SUM(rb) AS BIGINT)
+      |  FROM rated),
+      |k AS (
+      |  SELECT *, CAST(yes_a AS HUGEINT) * yes_b
+      |    + CAST(n - yes_a AS HUGEINT) * (n - yes_b) AS pe2
+      |  FROM per)
+      |SELECT source, n, agree, yes_a, yes_b,
+      |  CAST((CAST(agree AS HUGEINT) * 1000000) // n AS BIGINT) AS po_ppm,
+      |  CASE WHEN CAST(n AS HUGEINT) * n - pe2 = 0 THEN 1000000
+      |       ELSE CAST(((CAST(agree AS HUGEINT) * n - pe2) * 1000000)
+      |         // (CAST(n AS HUGEINT) * n - pe2) AS BIGINT) END
+      |    AS kappa_ppm
+      |FROM k ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q136_gd_probe_train" -> q136,
-    "q148_classifier_eval" -> q148)
+    "q148_classifier_eval" -> q148,
+    "q174_rater_agreement" -> q174)
 }
