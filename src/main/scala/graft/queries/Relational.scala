@@ -49,11 +49,19 @@ object Relational {
         D(sum(col("charge"))).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus")),
+    // the decimal sums leave DuckDB THROUGH VARCHAR: DuckDB's direct
+    // DECIMAL→DOUBLE cast double-rounds (int128 / 10^scale in float
+    // arithmetic), which is one ulp off the correctly-rounded value
+    // once the unscaled sum passes 2^53 — Spark's BigDecimal.doubleValue
+    // and a digits→double parse are both correctly rounded, so the
+    // VARCHAR route agrees with the engine at ANY magnitude (found by
+    // the 10× dress rehearsal: sum_charge ~2.8e10 at scale 6 diverged
+    // in the last ulp; identical below the threshold)
     s"""SELECT l_returnflag, l_linestatus,
-       |  CAST(SUM(${sdec("l_quantity")}) AS DOUBLE) AS sum_qty,
-       |  CAST(SUM(${sdec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
-       |  CAST(SUM(${sdec("l_extendedprice")} * (1 - ${sdec("l_discount")})) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(${sdec("l_extendedprice")} * (1 - ${sdec("l_discount")}) * (1 + ${sdec("l_tax")})) AS DOUBLE) AS sum_charge,
+       |  CAST(CAST(SUM(${sdec("l_quantity")}) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       |  CAST(CAST(SUM(${sdec("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       |  CAST(CAST(SUM(${sdec("l_extendedprice")} * (1 - ${sdec("l_discount")})) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(SUM(${sdec("l_extendedprice")} * (1 - ${sdec("l_discount")}) * (1 + ${sdec("l_tax")})) AS VARCHAR) AS DOUBLE) AS sum_charge,
        |  COUNT(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
