@@ -50,8 +50,14 @@ object MakeSyntheticSf {
     }
 
     Seq("region", "nation", "customer", "supplier", "part").foreach(dim)
-    rep("orders", Map("o_orderkey" -> 1000000000L))
-    rep("lineitem", Map("l_orderkey" -> 1000000000L))
+    // 4e9 orderkey stride, NOT 1e9: q98/q99's merge source synthesizes
+    // INSERT keys at k + 1e9, so a 1e9 replication stride makes copy
+    // c's inserts collide with copy c+1's base keys (duplicate-key
+    // merge — ill-defined, and impossible on real fixtures where
+    // orderkeys sit far below 1e9). 4e9 keeps k + 1e9 strictly between
+    // strides for any base key < 3e9.
+    rep("orders", Map("o_orderkey" -> 4000000000L))
+    rep("lineitem", Map("l_orderkey" -> 4000000000L))
     rep("events",
       Map("event_id" -> 1000000000L, "user_id" -> 1000000L))
     rep("documents", Map("doc_id" -> 1000000000L))
