@@ -246,6 +246,23 @@ object PlanAudit {
         Check("sources-bounded-union", p =>
           !p.contains("Scan parquet"),
           "both union legs read the checkpointed |sources| frame")),
+      // the weighted sample's bottom-K is TakeOrdered — per-partition
+      // top-K partials, never a global sort of the corpus
+      "q176_weighted_sample" -> Seq(
+        Check("take-ordered", _.contains("TakeOrderedAndProject"),
+          "global bottom-K must be TakeOrdered, not Sort + Limit"),
+        Check("no-global-sort", p =>
+          !p.contains("Exchange rangepartitioning"),
+          "no range-partitioned full sort for a K-row sample")),
+      // the divergence solve derives every marginal from the ONE
+      // (source, token) aggregate — a single corpus scan; the
+      // sources-bounded frames broadcast back onto the vocab join
+      "q177_source_divergence" -> Seq(
+        Check("single-scan", p =>
+          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          "token marginal and totals derive from one corpus aggregate"),
+        Check("broadcast-totals", _.contains("BroadcastHashJoin"),
+          "per-source totals broadcast onto the vocab-keyed join")),
       // all pair algebra runs on the checkpointed 64-long sketch frame;
       // the only parquet scan left is the exact-intersection pass
       "q175_source_overlap" -> Seq(

@@ -810,6 +810,40 @@ object ScaleStress {
       total
     }
 
+    // q172's CDC-chunking shape — pure map-side chunking behind a
+    // checkpoint barrier, then two hash-keyed shuffles (dup detection +
+    // per-doc counts). Chunk hashes are copy-salted (doc_id div 10⁹)
+    // so replication measures plan scaling, not cross-copy dup mass.
+    def cdcRun(docs: DataFrame): Long = {
+      val withCh = docs
+        .withColumn("tk", expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("bp", expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  filter(sequence(1, size(tk) - 1), i ->
+            |    cast(conv(substring(md5(element_at(tk, i)), 1, 8), 16, 10)
+            |      as bigint) % 8 = 0)
+            |ELSE array() END""".stripMargin))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(tk) = 0 THEN cast(array() as array<string>)
+            |ELSE zip_with(
+            |  concat(array(1), transform(bp, x -> x + 1)),
+            |  concat(bp, array(size(tk))),
+            |  (st, en) -> concat(
+            |    substring(md5(concat_ws(' ', slice(tk, st, en - st + 1))),
+            |      1, 16),
+            |    '#', cast(doc_id div 1000000000L as string))) END"""
+            .stripMargin).as("ch"))
+        .localCheckpoint(true)
+      val chunks = withCh.select(col("doc_id"), explode(col("ch")).as("h"))
+      val dup = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val n = chunks.join(dup, Seq("h"), "left_semi").count() +
+        chunks.count()
+      graft.Resources.releaseCheckpoint(withCh)
+      n
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -926,7 +960,7 @@ object ScaleStress {
     val (gmT10, _) = time(gramRun(e10))
     lpaRun(und1x); hitsRun(dir1x); skylineRun(or1); ccRun(und1x)
     spanrmRun(d1); curationRun(d1); noveltyRun(d1); hhRun(ev1)
-    tcurveRun(d1) // warm up
+    tcurveRun(d1); cdcRun(d1) // warm up
     val (lpT1, _) = time(lpaRun(und1x))
     val (lpT10, _) = time(lpaRun(und10x))
     val (ccT1, _) = time(ccRun(und1x))
@@ -945,6 +979,8 @@ object ScaleStress {
     val (hhT10, _) = time(hhRun(ev10))
     val (tcT1, _) = time(tcurveRun(d1))
     val (tcT10, _) = time(tcurveRun(d10))
+    val (cdT1, _) = time(cdcRun(d1))
+    val (cdT10, _) = time(cdcRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -983,7 +1019,8 @@ object ScaleStress {
       f""""curation_1x_s":$cuT1%.2f,"curation_10x_s":$cuT10%.2f,"curation_ratio":${cuT10 / cuT1}%.1f,""" +
       f""""novelty_1x_s":$nvT1%.2f,"novelty_10x_s":$nvT10%.2f,"novelty_ratio":${nvT10 / nvT1}%.1f,""" +
       f""""hh_1x_s":$hhT1%.2f,"hh_10x_s":$hhT10%.2f,"hh_ratio":${hhT10 / hhT1}%.1f,""" +
-      f""""tcurve_1x_s":$tcT1%.2f,"tcurve_10x_s":$tcT10%.2f,"tcurve_ratio":${tcT10 / tcT1}%.1f}""")
+      f""""tcurve_1x_s":$tcT1%.2f,"tcurve_10x_s":$tcT10%.2f,"tcurve_ratio":${tcT10 / tcT1}%.1f,""" +
+      f""""cdc_1x_s":$cdT1%.2f,"cdc_10x_s":$cdT10%.2f,"cdc_ratio":${cdT10 / cdT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }

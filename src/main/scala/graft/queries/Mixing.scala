@@ -245,8 +245,50 @@ object Mixing {
       |    AS BIGINT) AS boost_ppm
       |FROM t ORDER BY source""".stripMargin)
 
+  // ------------------------------------------------------------- q176
+  // WEIGHTED sampling without replacement, deterministic: each doc gets
+  // priority p = (h48 · 10⁶) div w (w = its token count) and the K
+  // smallest priorities win — a doc's win probability grows ∝ its
+  // weight (the integer-exact cousin of Efraimidis–Spirakis u^(1/w)
+  // priority sampling, whose fractional power no two engines reproduce
+  // bit-for-bit; this rule is division-only, so the SAMPLE ITSELF is
+  // the oracle-checked output, not a distributional claim). The
+  // length-weighted pull is the common "sample by token mass, not doc
+  // count" curation step between q55's uniform hash sample and q168's
+  // per-source rates.
+  //
+  // Scale shape: priority is one map-side expression on the corpus
+  // scan; the global bottom-K is TakeOrdered (per-partition top-K
+  // partials, K·partitions to the driver-side merge — never a full
+  // sort). The priority stays h div w in PLAIN BIGINT — h < 2^48
+  // already carries 48 bits of resolution past any realistic weight,
+  // and not scaling it means no overflow at any weight (w = 1 would
+  // push a 10⁶-scaled priority past Long.MaxValue).
+  private val SampleK = 200
+  private val q176 = QueryDef.of(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        greatest(expr("size(filter(split(text, ' '), t -> t <> ''))")
+          .cast("long"), lit(1L)).as("w"),
+        expr("""cast(conv(substring(md5(cast(doc_id as string)), 1, 12),
+              |  16, 10) as bigint)""".stripMargin).as("h"))
+      .select(col("doc_id"), col("w"),
+        expr("h div w").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(SampleK),
+    s"""SELECT doc_id,
+       |  GREATEST(CAST(len(list_filter(string_split(text, ' '),
+       |    t -> t <> '')) AS BIGINT), 1) AS w,
+       |  CAST('0x' ||
+       |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+       |    // GREATEST(len(list_filter(string_split(text, ' '),
+       |      t -> t <> '')), 1) AS priority
+       |FROM documents
+       |ORDER BY priority, doc_id LIMIT $SampleK""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q165_mixture_allocation" -> q165,
     "q168_budget_sample" -> q168,
-    "q173_temperature_mixture" -> q173)
+    "q173_temperature_mixture" -> q173,
+    "q176_weighted_sample" -> q176)
 }

@@ -1960,6 +1960,82 @@ object TextAnalysis {
       |FROM es LEFT JOIN ex USING (source_a, source_b)
       |ORDER BY es.source_a, es.source_b""".stripMargin)
 
+  // ------------------------------------------------------------- q177
+  // DISTRIBUTION drift per source: exact total-variation distance
+  // between each source's token distribution and the whole-corpus
+  // distribution — the "is this source lexically unlike the rest"
+  // readout next to q175's SET overlap (TV sees frequency shifts that
+  // set algebra can't; KL/cross-entropy would need ln, which no two
+  // engines round identically — TV is RATIONAL in the counts, so the
+  // common-denominator form is bit-exact). With per-source counts c_sw
+  // (total T_s) and corpus counts c_w (total T):
+  //   tv = Σ_w |c_sw/T_s − c_w/T| / 2
+  //      = (Σ_{w∈s} |c_sw·T − c_w·T_s| + T_s·(T − Σ_{w∈s} c_w))
+  //        / (2·T_s·T)
+  // — the second term folds EVERY corpus term absent from s through
+  // one residual (Σ_{w∉s} c_w·T_s), so no source × vocabulary cross
+  // product ever materializes. tv_ppm = (numerator·10⁶) div denom.
+  //
+  // Scale shape: one (source, token) aggregate (map-side partials over
+  // the token stream), the token marginal DERIVES from it (vocab-sized
+  // re-aggregate, not a second corpus scan), one vocab-bounded join
+  // back, sources-bounded everything after. Headroom: Σ|c_sw·T −
+  // c_w·T_s| ≤ 2·T_s·T, so decimal(38,0)/HUGEINT carries the solve to
+  // T ≈ 7e18 tokens.
+  private val q177 = QueryDef.of(
+    (s, d) => {
+      val sw = Tables.documents(s, d)
+        .select(col("source"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      val byW = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+      val byS = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+      val tot = byS.agg(sum(col("t_s")).as("t"))
+      val joined = sw.join(byW, "w").join(broadcast(byS), "source")
+        .crossJoin(broadcast(tot))
+      joined.groupBy(col("source"))
+        .agg(
+          sum(expr("""abs(cast(c_sw as decimal(38,0)) * t
+                    |  - cast(c_w as decimal(38,0)) * t_s)""".stripMargin))
+            .as("num_present"),
+          sum(col("c_w")).as("mass_present"),
+          first(col("t_s")).as("t_s"), first(col("t")).as("t"))
+        .select(col("source"), col("t_s").as("n_tokens"),
+          expr("""cast(((num_present
+                |    + cast(t_s as decimal(38,0)) * (t - mass_present))
+                |  * 1000000)
+                |  div (2 * cast(t_s as decimal(38,0)) * t) as long)"""
+            .stripMargin).as("tv_ppm"))
+        .orderBy(col("source"))
+    },
+    """WITH sw AS MATERIALIZED (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+      |  FROM (SELECT source,
+      |          unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |            AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |bw AS MATERIALIZED (
+      |  SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+      |bs AS MATERIALIZED (
+      |  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s
+      |  FROM sw GROUP BY source),
+      |tt AS (SELECT CAST(SUM(t_s) AS BIGINT) AS t FROM bs),
+      |agg AS (
+      |  SELECT sw.source,
+      |    SUM(abs(CAST(sw.c_sw AS HUGEINT) * tt.t
+      |      - CAST(bw.c_w AS HUGEINT) * bs.t_s)) AS num_present,
+      |    CAST(SUM(bw.c_w) AS BIGINT) AS mass_present,
+      |    ANY_VALUE(bs.t_s) AS t_s, ANY_VALUE(tt.t) AS t
+      |  FROM sw JOIN bw USING (w) JOIN bs ON sw.source = bs.source
+      |  CROSS JOIN tt
+      |  GROUP BY sw.source)
+      |SELECT source, t_s AS n_tokens,
+      |  CAST(((num_present + CAST(t_s AS HUGEINT) * (t - mass_present))
+      |    * 1000000) // (2 * CAST(t_s AS HUGEINT) * t) AS BIGINT)
+      |    AS tv_ppm
+      |FROM agg ORDER BY source""".stripMargin)
+
   // ------------------------------------------------------------- q118
   // Tokenizer evaluation (fertility / compression / OOV): train BPE on
   // the 80% doc_id-split of the corpus, encode the HELD-OUT 20%, report
@@ -2182,6 +2258,7 @@ object TextAnalysis {
     "q118_tokenizer_eval" -> q118,
     "q105_kmv_distinct" -> q105,
     "q175_source_overlap" -> q175,
+    "q177_source_divergence" -> q177,
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
     "q143_quality_curriculum" -> q143,
