@@ -272,6 +272,24 @@ object PlanAudit {
         Check("single-exact-scan", p =>
           """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
           "the exact-intersection comparison is the one remaining scan")),
+      // all pair algebra (dim self-join, norm joins) runs on the
+      // checkpointed |S|·64 centroid frame — the corpus join+posexplode
+      // ran once at construction; the returned plan re-reads none of it
+      "q178_centroid_similarity" -> Seq(
+        Check("centroids-checkpointed", _.contains("Scan ExistingRDD"),
+          "pair joins read the checkpointed centroid frame, not two " +
+            "recomputations of the corpus aggregate"),
+        Check("no-corpus-scan", p => !p.contains("Scan parquet"),
+          "everything after the centroid build is sources-bounded"),
+        Check("broadcast-norms", _.contains("BroadcastHashJoin"),
+          "per-source norms broadcast onto the pair frame")),
+      // the greedy loop's data plane ran at construction (K bounded
+      // argmax jobs against the checkpointed token frame); the returned
+      // frame is the K-row selection itself — pure control plane
+      "q179_coverage_selection" -> Seq(
+        Check("bounded-result", p => !p.contains("Scan parquet"),
+          "the returned frame is the K-row greedy prefix, not a plan " +
+            "that re-runs the selection")),
       // the trained symbolization frame (the encoder table) comes from
       // the per-session BPE cache — encode queries must reuse it, not
       // replay the merge-training scan chain

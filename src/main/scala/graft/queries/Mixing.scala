@@ -286,9 +286,117 @@ object Mixing {
        |FROM documents
        |ORDER BY priority, doc_id LIMIT $SampleK""".stripMargin)
 
+  // ------------------------------------------------------------- q179
+  // GREEDY COVERAGE selection — pick K documents that together cover
+  // the most BIGRAMS, one greedy argmax at a time (the submodular
+  // facility-location/set-cover selection CRAIG-style data-curation
+  // uses to build a small "maximally informative" subset; the classic
+  // (1−1/e) guarantee is exactly this loop). Distinct from every
+  // sampling op here (q55/q168/q176 score docs INDEPENDENTLY; coverage
+  // gain is conditional on what is already picked — that conditioning
+  // is the whole operator). The covered unit is the BIGRAM, not the
+  // unigram: the fixture vocabulary saturates at 31 words (one doc
+  // would cover it and stop the loop at rank 1), while the ~900-bigram
+  // domain exercises a full K-round trajectory of falling conditional
+  // gains — and n-gram coverage is what curation teams actually
+  // maximize. Ties break (gain DESC, doc_id ASC); a round with zero
+  // achievable gain stops the selection early, so the output is the
+  // true greedy prefix, never padding.
+  //
+  // Scale shape: the distinct (doc_id, bigram) frame materializes ONCE
+  // behind a checkpoint barrier (one corpus scan); each of the K
+  // rounds is exactly ONE job — a map-side InSet anti-filter (the
+  // covered set lives in the DRIVER: it is bounded at K·max-doc-
+  // bigrams, the q141 fixed-size-model class, NOT vocabulary- or
+  // corpus-sized) into a map-side-combined count whose argmax row
+  // carries the winner's uncovered bigrams back via collect_list (one
+  // doc-sized row — the covered set and every prefix total update in
+  // the driver for free, no covered-count job, no anti-JOIN stage).
+  // First shape measured 4.1 s at sf0.1 (two jobs + a broadcast build
+  // per round — all job floor); this one-job-per-round form is 2.0 s
+  // with bit-identical output. The oracle unrolls the identical K
+  // rounds as MATERIALIZED CTEs (the q125 greedy-chain pattern).
+  private val CoverK = 8
+  private def coverSql(k: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH tok AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS w
+      |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |            t -> t <> '') AS toks
+      |          FROM documents))),
+      |s1 AS MATERIALIZED (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      |  FROM tok GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+      |c1 AS MATERIALIZED (
+      |  SELECT DISTINCT w FROM tok
+      |  WHERE doc_id IN (SELECT doc_id FROM s1)),
+      |""".stripMargin
+    (2 to k).foreach { i =>
+      val prev = (1 until i).map(j => s"SELECT doc_id FROM s$j")
+        .mkString(" UNION ALL ")
+      b ++= s"""s$i AS MATERIALIZED (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM tok
+        |  WHERE w NOT IN (SELECT w FROM c${i - 1})
+        |    AND doc_id NOT IN ($prev)
+        |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+        |c$i AS MATERIALIZED (
+        |  SELECT w FROM c${i - 1} UNION
+        |  SELECT w FROM tok WHERE doc_id IN (SELECT doc_id FROM s$i)),
+        |""".stripMargin
+    }
+    val rows = (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS sel_rank, doc_id, gain,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$i) AS covered_total
+         |FROM s$i""".stripMargin).mkString("\nUNION ALL\n")
+    b ++= s"sel AS (\n$rows)\nSELECT * FROM sel ORDER BY sel_rank"
+    b.result()
+  }
+  private val q179 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      val tok = graft.Resources.retain(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 2 THEN
+              |  transform(sequence(0, size(toks) - 2),
+              |    i -> concat_ws(' ', toks[i], toks[i + 1]))
+              |ELSE array() END""".stripMargin)).as("w"))
+          .distinct()
+          .localCheckpoint())
+      var covered = Set.empty[String]
+      var picked = Vector.empty[(Long, Long, Long, Long)]
+      var stop = false
+      while (picked.size < CoverK && !stop) {
+        val ids = picked.map(_._2)
+        var rem = tok
+        if (covered.nonEmpty)
+          rem = rem.filter(!col("w").isin(covered.toSeq: _*))
+        if (ids.nonEmpty)
+          rem = rem.filter(!col("doc_id").isin(ids: _*))
+        val top = rem.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("gain"), collect_list(col("w")).as("ws"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect()
+        if (top.isEmpty) stop = true
+        else {
+          covered ++= top(0).getSeq[String](2)
+          picked :+= ((picked.size + 1L, top(0).getLong(0),
+            top(0).getLong(1), covered.size.toLong))
+        }
+      }
+      picked.toDF("sel_rank", "doc_id", "gain", "covered_total")
+        .orderBy(col("sel_rank"))
+    },
+    coverSql(CoverK))
+
   val defs: Map[String, QueryDef] = Map(
     "q165_mixture_allocation" -> q165,
     "q168_budget_sample" -> q168,
     "q173_temperature_mixture" -> q173,
-    "q176_weighted_sample" -> q176)
+    "q176_weighted_sample" -> q176,
+    "q179_coverage_selection" -> q179)
 }

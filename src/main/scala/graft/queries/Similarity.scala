@@ -1197,7 +1197,102 @@ object Similarity {
        |FROM tp FULL JOIN ep ON tp.doc1 = ep.doc1 AND tp.doc2 = ep.doc2
        |ORDER BY doc1, doc2""".stripMargin)
 
+  // ------------------------------------------------------------- q178
+  // Pairwise SOURCE similarity in EMBEDDING space — the semantic twin
+  // of q175's lexical KMV overlap and q177's token-distribution TV:
+  // each source is summarized by its integer mean centroid (the q42b
+  // round(x·2^20) quantization, so per-dim sums are exact integer adds
+  // at any partitioning), and every source pair gets a signed squared
+  // cosine in ppm. cos² is RATIONAL in the centroid components —
+  // cos²·sign = sign(dot)·dot²/(‖a‖²·‖b‖²) — so unlike cosine itself
+  // (whose sqrt no two engines round identically) the output is
+  // bit-exact integer arithmetic end to end. This is the "are these
+  // two corpora semantically the same thing" readout a mixing team
+  // reads next to the lexical matrix: lexically-disjoint but
+  // semantically-identical source pairs are merge candidates that
+  // q175/q177 can never flag.
+  //
+  // Scale shape: one (embeddings ⋈ documents) scan posexplodes to
+  // (source, dim) partial sums — map-side combine makes the shuffle
+  // |S|·64 rows; everything after (mean division, self-join on dim,
+  // pair aggregate) runs on the sources-bounded centroid frame, which
+  // is checkpoint-pinned so the two join sides don't recompute the
+  // corpus agg. The MEAN (not the raw sum) is what keeps the arithmetic
+  // SF-invariant: |m_d| ≤ 2^20·max|x|, so with max|x| ≤ 8 the ppm
+  // numerator dot²·10⁶ ≤ 64²·2^(4·23)·10⁶ < 10^38 at ANY corpus size
+  // (raw sums grow with docs-per-source and overflow HUGEINT near
+  // sf10). Signed division is decomposed sign·(abs div) so engine
+  // truncation direction can never matter.
+  private val q178 = QueryDef.of(
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val cent = graft.Resources.retain(
+        Tables.embeddings(s, d)
+          .join(docs, col("vec_id") === col("doc_id"))
+          .select(col("source"), posexplode(expr(
+            """transform(embedding, x ->
+              |  cast(round(cast(x as double) * 1048576, 0) as bigint))"""
+              .stripMargin)).as(Seq("dim", "q")))
+          .groupBy(col("source"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .select(col("source"), col("dim"), expr("sq div n").as("m"))
+          .localCheckpoint())
+      val norms = cent.groupBy(col("source"))
+        .agg(sum(expr("m * m")).as("n2"))
+      val pairDot = cent.select(
+          col("source").as("source_a"), col("dim"), col("m").as("ma"))
+        .join(cent.select(
+          col("source").as("source_b"), col("dim"), col("m").as("mb")),
+          Seq("dim"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(expr("ma * mb")).as("dot"))
+      pairDot
+        .join(broadcast(norms.select(
+          col("source").as("source_a"), col("n2").as("n2_a"))), "source_a")
+        .join(broadcast(norms.select(
+          col("source").as("source_b"), col("n2").as("n2_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("dot"),
+          col("n2_a"), col("n2_b"),
+          expr("""(case when dot < 0 then -1L else 1L end) *
+                |cast((cast(abs(dot) as decimal(38,0)) * abs(dot) * 1000000)
+                |  div greatest(cast(n2_a as decimal(38,0)) * n2_b, 1)
+                |  as long)""".stripMargin).as("cos2s_ppm"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    """WITH ed AS MATERIALIZED (
+      |  SELECT d.source, list_transform(e.embedding, x ->
+      |      CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      |cent AS MATERIALIZED (
+      |  SELECT source, list_transform(range(1, 65), j ->
+      |      CAST(list_sum(list_transform(vecs, v -> v[j])) AS BIGINT)
+      |        // n) AS m
+      |  FROM (SELECT source, list(qv) AS vecs,
+      |          CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM ed GROUP BY source)),
+      |nrm AS (
+      |  SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(m, x -> x * x)), (acc, v) -> acc + v) AS n2
+      |  FROM cent),
+      |pr AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 65), j -> a.m[j] * b.m[j])),
+      |      (acc, v) -> acc + v) AS dot
+      |  FROM cent a JOIN cent b ON a.source < b.source)
+      |SELECT pr.source_a, pr.source_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+      |  (CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+      |    CAST((CAST(abs(dot) AS HUGEINT) * abs(dot) * 1000000)
+      |      // GREATEST(CAST(na.n2 AS HUGEINT) * nb.n2, 1) AS BIGINT)
+      |    AS cos2s_ppm
+      |FROM pr
+      |JOIN nrm na ON na.source = pr.source_a
+      |JOIN nrm nb ON nb.source = pr.source_b
+      |ORDER BY pr.source_a, pr.source_b""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q178_centroid_similarity" -> q178,
     "q116_dedup_agreement" -> q116,
     "q111_semantic_dedup" -> q111,
     "q106_ann_recall" -> q106,

@@ -1,0 +1,190 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The standing drift fold: after EVERY micro-batch the hashed bucket
+  * counts must equal a one-shot aggregate over the concatenated prefix
+  * (bucket counts are a pure additive function of the multiset — exact,
+  * merge-order-free), the TV ppm must equal an independently computed
+  * rational TV over the same buckets, and the durable snapshot must
+  * survive kill/restart and forged redelivery like the other standing
+  * stages. */
+class StreamingDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The q126 bucket contract, reimplemented independently of the SQL
+    * expression under test. */
+  private def bucket(w: String): Long =
+    java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16) % IncrementalDrift.Buckets
+
+  private def allTokens: Seq[String] =
+    Tables.documents(spark, sfDir)
+      .orderBy(col("doc_id"))
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty)).toSeq
+
+  private def chunksOf(parts: Int): Seq[Seq[String]] = {
+    val toks = allTokens
+    toks.grouped(math.max(1, toks.length / parts + 1)).toSeq
+  }
+
+  private def localCounts(ws: Seq[String]): Map[Long, Long] =
+    ws.groupBy(bucket).map { case (b, g) => b -> g.length.toLong }
+
+  /** Independent rational TV replay in BigInt (the q177 form). */
+  private def localTvPpm(cur: Map[Long, Long], n: Long,
+      ref: Map[Long, Long], refT: Long): Long = {
+    if (n == 0L || refT == 0L) return 1000000L
+    val t = BigInt(n); val tr = BigInt(refT)
+    val num = (cur.keySet ++ ref.keySet).iterator.map { b =>
+      (BigInt(cur.getOrElse(b, 0L)) * tr -
+        BigInt(ref.getOrElse(b, 0L)) * t).abs
+    }.sum
+    ((num * 1000000) / (2 * t * tr)).toLong
+  }
+
+  /** Reference = the first half of the corpus (a frozen "training
+    * snapshot"); the stream replays the whole corpus, so drift starts
+    * high on the second-half batches and the final TV is the
+    * whole-vs-half distance. */
+  private def refHalf: (IncrementalDrift.Reference, Map[Long, Long], Long) = {
+    import spark.implicits._
+    val half = allTokens.take(allTokens.length / 2)
+    val ref = IncrementalDrift.referenceOf(half.toDF("w"))
+    (ref, localCounts(half), half.length.toLong)
+  }
+
+  test("standing counts and TV equal one-shot recomputes after every batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val chunks = chunksOf(4)
+    assert(chunks.length >= 3)
+    val (ref, refCounts, refT) = refHalf
+    // referenceOf itself must agree with the independent replay
+    assert(ref.counts == refCounts && ref.total == refT)
+    val state = new IncrementalDrift.State
+    val src = MemoryStream[String]
+    var lastTv = -1L
+    val q = IncrementalDrift.start(src.toDF().toDF("w"), ref, state,
+      Files.createTempDirectory("drift-ck").toString,
+      (_, tv) => lastTv = tv)
+    try {
+      var seen = Vector.empty[String]
+      chunks.foreach { c =>
+        src.addData(c)
+        q.processAllAvailable()
+        seen = seen ++ c
+        val snap = state.get
+        assert(snap.n == seen.length.toLong, "running count must be exact")
+        assert(snap.counts == localCounts(seen),
+          s"counts diverged from one-shot after ${seen.length} rows")
+        assert(snap.tvPpm(ref) ==
+          localTvPpm(localCounts(seen), seen.length.toLong, refCounts, refT))
+        assert(lastTv == snap.tvPpm(ref), "onUpdate must carry the same TV")
+      }
+      // the full corpus vs its own first half: drifted but far from
+      // disjoint — TV strictly between 0 and 1
+      assert(lastTv > 0L && lastTv < 1000000L, s"tv=$lastTv")
+    } finally q.stop()
+  }
+
+  private def feed(src: MemoryStream[String], ref: IncrementalDrift.Reference,
+      state: IncrementalDrift.State, ckpt: String,
+      chunks: Seq[Seq[String]]) = {
+    val q = IncrementalDrift.start(src.toDF().toDF("w"), ref, state, ckpt,
+      (_, _) => ())
+    chunks.foreach { c => src.addData(c); q.processAllAvailable() }
+    q
+  }
+
+  test("kill/restart restores the durable counts — parity with unbroken run") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val chunks = chunksOf(4)
+    val (ref, _, _) = refHalf
+
+    val stateA = new IncrementalDrift.State
+    val qA = feed(MemoryStream[String], ref, stateA,
+      Files.createTempDirectory("drift-unbroken").toString, chunks)
+    qA.stop()
+    val finalA = stateA.get
+
+    val ckpt = Files.createTempDirectory("drift-restart").toString
+    val src = MemoryStream[String]
+    val q1 = feed(src, ref, new IncrementalDrift.State, ckpt, chunks.take(2))
+    q1.stop()
+    val stateB = new IncrementalDrift.State
+    assert(stateB.get.n == 0L, "fresh state starts empty, like a new JVM")
+    val q2 = feed(src, ref, stateB, ckpt, chunks.drop(2))
+    try {
+      assert(stateB.get.n == finalA.n)
+      assert(stateB.get.counts == finalA.counts)
+      assert(stateB.get.tvPpm(ref) == finalA.tvPpm(ref))
+    } finally q2.stop()
+  }
+
+  test("redelivered batch is skipped, not double-counted") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val chunks = chunksOf(4).take(2)
+    val (ref, refCounts, refT) = refHalf
+    val ckpt = Files.createTempDirectory("drift-replay").toString
+    val src = MemoryStream[String]
+    val q1 = feed(src, ref, new IncrementalDrift.State, ckpt, chunks)
+    q1.stop()
+
+    // forge an at-least-once redelivery: drop batch 1's commit marker
+    val lastCommit = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(lastCommit))
+    Files.delete(lastCommit)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+
+    val state2 = new IncrementalDrift.State
+    val q2 = IncrementalDrift.start(src.toDF().toDF("w"), ref, state2, ckpt,
+      (_, _) => ())
+    try {
+      q2.processAllAvailable()
+      val seen = chunks.flatten
+      assert(state2.get.n == seen.length.toLong,
+        s"replayed batch double-counted: n=${state2.get.n}")
+      assert(state2.get.lastBatch == 1L)
+      assert(state2.get.counts == localCounts(seen),
+        "a double merge would inflate bucket counts — counts must match " +
+          "the one-shot recompute")
+      assert(state2.get.tvPpm(ref) ==
+        localTvPpm(localCounts(seen), seen.length.toLong, refCounts, refT))
+    } finally q2.stop()
+  }
+
+  test("counts persist/load round-trips atomically") {
+    val dir = Files.createTempDirectory("drift-io")
+    val file = dir.resolve("counts")
+    assert(IncrementalDrift.load(file).isEmpty)
+    val s = IncrementalDrift.Summary(Map(3L -> 7L, 9L -> 1L), 8L, 5L)
+    IncrementalDrift.persist(file, s)
+    assert(IncrementalDrift.load(file).contains(s))
+    val s2 = IncrementalDrift.Summary(Map.empty, 50L, 6L)
+    IncrementalDrift.persist(file, s2)
+    assert(IncrementalDrift.load(file).contains(s2))
+  }
+
+  test("TV edge cases: empty stream, identical distribution, disjoint") {
+    val ref = IncrementalDrift.Reference(Map(1L -> 5L, 2L -> 5L), 10L)
+    assert(IncrementalDrift.Summary(Map.empty, 0L).tvPpm(ref) == 1000000L)
+    // identical shape at a different scale → TV 0 (distribution, not mass)
+    assert(IncrementalDrift.Summary(Map(1L -> 10L, 2L -> 10L), 20L)
+      .tvPpm(ref) == 0L)
+    // fully disjoint support → TV 1
+    assert(IncrementalDrift.Summary(Map(7L -> 4L), 4L)
+      .tvPpm(ref) == 1000000L)
+  }
+}
