@@ -272,6 +272,16 @@ object PlanAudit {
         Check("single-exact-scan", p =>
           """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
           "the exact-intersection comparison is the one remaining scan")),
+      // the drift twin's reference counts ride the ONE corpus aggregate
+      // as a conditional count — the returned plan reads only the
+      // checkpointed ≤2^13-row bucket frame, never parquet
+      "q180_hashed_drift" -> Seq(
+        Check("bucket-frame-checkpointed", _.contains("Scan ExistingRDD"),
+          "totals, contributions and top-5 all read the pinned bucket " +
+            "frame"),
+        Check("no-corpus-rescan", p => !p.contains("Scan parquet"),
+          "reference counts are a conditional count on the same " +
+            "aggregate, not a second scan")),
       // all pair algebra (dim self-join, norm joins) runs on the
       // checkpointed |S|·64 centroid frame — the corpus join+posexplode
       // ran once at construction; the returned plan re-reads none of it

@@ -844,6 +844,73 @@ object ScaleStress {
       n
     }
 
+    // q178's centroid-similarity shape — one join+posexplode corpus
+    // scan into a (source, dim) partial-sum aggregate, then pair
+    // algebra on the sources-bounded centroid frame; the corpus pass
+    // should scale ~linearly, the pair algebra not at all
+    def centroidRun(docs: DataFrame, embs: DataFrame): Long = {
+      val cent = embs
+        .join(docs.select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+        .select(col("source"), posexplode(expr(
+          """transform(embedding, x ->
+            |  cast(round(cast(x as double) * 1048576, 0) as bigint))"""
+            .stripMargin)).as(Seq("dim", "q")))
+        .groupBy(col("source"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("source"), col("dim"), expr("sq div n").as("m"))
+        .localCheckpoint(true)
+      val n = cent.select(col("source").as("sa"), col("dim"),
+          col("m").as("ma"))
+        .join(cent.select(col("source").as("sb"), col("dim"),
+          col("m").as("mb")), Seq("dim"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(expr("ma * mb")).as("dot"))
+        .count()
+      graft.Resources.releaseCheckpoint(cent)
+      n
+    }
+
+    // q179's greedy-coverage shape — K one-job rounds (map-side InSet
+    // anti-filter + argmax with the winner's bigrams riding the
+    // TakeOrdered row) against the once-checkpointed bigram frame; the
+    // round count is constant, so 10× rows should scale ≤ linearly
+    def coverRun(docs: DataFrame): Long = {
+      val tok = docs
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  transform(sequence(0, size(tk) - 2),
+            |    i -> concat_ws(' ', tk[i], tk[i + 1]))
+            |ELSE array() END""".stripMargin)).as("w"))
+        .distinct()
+        .localCheckpoint(true)
+      var covered = Set.empty[String]
+      var ids = Vector.empty[Long]
+      var n = 0L
+      var stop = false
+      while (ids.size < 8 && !stop) {
+        var rem = tok
+        if (covered.nonEmpty)
+          rem = rem.filter(!col("w").isin(covered.toSeq: _*))
+        if (ids.nonEmpty) rem = rem.filter(!col("doc_id").isin(ids: _*))
+        val top = rem.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("gain"), collect_list(col("w")).as("ws"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect()
+        if (top.isEmpty) stop = true
+        else {
+          covered ++= top(0).getSeq[String](2)
+          ids :+= top(0).getLong(0)
+          n += top(0).getLong(1)
+        }
+      }
+      graft.Resources.releaseCheckpoint(tok)
+      n
+    }
+
     val li1 = Tables.lineitem(spark, sfDir)
     val li10 = replicate(li1, 10, "l_orderkey", 1000000000L)
     val d1 = Tables.documents(spark, sfDir)
@@ -960,7 +1027,7 @@ object ScaleStress {
     val (gmT10, _) = time(gramRun(e10))
     lpaRun(und1x); hitsRun(dir1x); skylineRun(or1); ccRun(und1x)
     spanrmRun(d1); curationRun(d1); noveltyRun(d1); hhRun(ev1)
-    tcurveRun(d1); cdcRun(d1) // warm up
+    tcurveRun(d1); cdcRun(d1); centroidRun(d1, e1); coverRun(d1) // warm up
     val (lpT1, _) = time(lpaRun(und1x))
     val (lpT10, _) = time(lpaRun(und10x))
     val (ccT1, _) = time(ccRun(und1x))
@@ -981,6 +1048,10 @@ object ScaleStress {
     val (tcT10, _) = time(tcurveRun(d10))
     val (cdT1, _) = time(cdcRun(d1))
     val (cdT10, _) = time(cdcRun(d10))
+    val (ceT1, _) = time(centroidRun(d1, e1))
+    val (ceT10, _) = time(centroidRun(d10, e10))
+    val (cvT1, _) = time(coverRun(d1))
+    val (cvT10, _) = time(coverRun(d10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -1020,7 +1091,9 @@ object ScaleStress {
       f""""novelty_1x_s":$nvT1%.2f,"novelty_10x_s":$nvT10%.2f,"novelty_ratio":${nvT10 / nvT1}%.1f,""" +
       f""""hh_1x_s":$hhT1%.2f,"hh_10x_s":$hhT10%.2f,"hh_ratio":${hhT10 / hhT1}%.1f,""" +
       f""""tcurve_1x_s":$tcT1%.2f,"tcurve_10x_s":$tcT10%.2f,"tcurve_ratio":${tcT10 / tcT1}%.1f,""" +
-      f""""cdc_1x_s":$cdT1%.2f,"cdc_10x_s":$cdT10%.2f,"cdc_ratio":${cdT10 / cdT1}%.1f}""")
+      f""""cdc_1x_s":$cdT1%.2f,"cdc_10x_s":$cdT10%.2f,"cdc_ratio":${cdT10 / cdT1}%.1f,""" +
+      f""""centroid_1x_s":$ceT1%.2f,"centroid_10x_s":$ceT10%.2f,"centroid_ratio":${ceT10 / ceT1}%.1f,""" +
+      f""""cover_1x_s":$cvT1%.2f,"cover_10x_s":$cvT10%.2f,"cover_ratio":${cvT10 / cvT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }

@@ -1982,6 +1982,89 @@ object TextAnalysis {
   // back, sources-bounded everything after. Headroom: Σ|c_sw·T −
   // c_w·T_s| ≤ 2·T_s·T, so decimal(38,0)/HUGEINT carries the solve to
   // T ≈ 7e18 tokens.
+  // ------------------------------------------------------------- q180
+  // HASHED-bucket distribution drift — the oracle-checked BATCH TWIN of
+  // the standing [[graft.streaming.IncrementalDrift]] stage, completing
+  // the house pattern where every standing fold has a batch query in
+  // the correctness gate (q120→IncrementalDedup, q166→HeavyHitters,
+  // q105→IncrementalDistinct). Same contract as the stage: tokens fold
+  // into 2^13 md5 buckets (the q126 contract — state O(2^13) REGARDLESS
+  // of vocabulary, where q177's per-token TV is vocabulary-sized; the
+  // bucketing is the scale trade, taken once, in both twins), reference
+  // = the even-doc_id half of the corpus (the stage's "frozen training
+  // snapshot"), current = the whole corpus. Output: the five most
+  // drifted buckets (per-bucket TV contribution in ppm) with the global
+  // TV riding along — the exact numbers the streaming pager would show.
+  //
+  // Scale shape: ONE corpus scan into one (bucket)-keyed aggregate
+  // (map-side partials; reference counts ride the same aggregate as a
+  // conditional count — no second scan), then all algebra on the
+  // checkpoint-pinned ≤2^13-row frame: the totals reduce to one row
+  // that broadcast-joins back. Headroom: contributions are |c_b·T_r −
+  // r_b·T| ≤ T·T_r, so decimal(38,0)/HUGEINT carries the ppm solve to
+  // T ≈ 4e15 tokens.
+  private val q180 = QueryDef.of(
+    (s, d) => {
+      val bucketed = graft.Resources.retain(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+          .select(col("doc_id"),
+            expr(graft.streaming.IncrementalDrift.bucketExpr("w")).as("b"))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("cur_c"),
+            count(when(col("doc_id") % 2 === 0, 1)).as("ref_c"))
+          .localCheckpoint())
+      val tot = bucketed.agg(
+        sum(col("cur_c")).as("t"), sum(col("ref_c")).as("tr"))
+      val contrib = bucketed.crossJoin(broadcast(tot))
+        .withColumn("num", expr(
+          """abs(cast(cur_c as decimal(38,0)) * tr
+            |  - cast(ref_c as decimal(38,0)) * t)""".stripMargin))
+      val tv = contrib.agg(sum(col("num")).as("numsum"),
+          first(col("t")).as("t"), first(col("tr")).as("tr"))
+        .select(expr(
+          """cast((numsum * 1000000)
+            |  div (2 * cast(t as decimal(38,0)) * tr) as long)"""
+            .stripMargin).as("tv_ppm"))
+      contrib
+        .select(col("b"), col("cur_c"), col("ref_c"),
+          expr("""cast((num * 1000000)
+                |  div (2 * cast(t as decimal(38,0)) * tr) as long)"""
+            .stripMargin).as("contrib_ppm"))
+        .orderBy(col("contrib_ppm").desc, col("b"))
+        .limit(5)
+        .crossJoin(broadcast(tv))
+        .orderBy(col("contrib_ppm").desc, col("b"))
+    },
+    s"""WITH bk AS MATERIALIZED (
+       |  SELECT CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 8192
+       |      AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS cur_c,
+       |    CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS ref_c
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+       |            AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cur_c) AS BIGINT) AS t,
+       |               CAST(SUM(ref_c) AS BIGINT) AS tr FROM bk),
+       |ct AS (
+       |  SELECT b, cur_c, ref_c,
+       |    abs(CAST(cur_c AS HUGEINT) * tr - CAST(ref_c AS HUGEINT) * t)
+       |      AS num, t, tr
+       |  FROM bk CROSS JOIN tot),
+       |tv AS (
+       |  SELECT CAST((SUM(num) * 1000000)
+       |    // (2 * CAST(ANY_VALUE(t) AS HUGEINT) * ANY_VALUE(tr))
+       |    AS BIGINT) AS tv_ppm FROM ct)
+       |SELECT b, cur_c, ref_c,
+       |  CAST((num * 1000000) // (2 * CAST(t AS HUGEINT) * tr) AS BIGINT)
+       |    AS contrib_ppm,
+       |  (SELECT tv_ppm FROM tv) AS tv_ppm
+       |FROM ct
+       |ORDER BY contrib_ppm DESC, b LIMIT 5""".stripMargin)
+
   private val q177 = QueryDef.of(
     (s, d) => {
       val sw = Tables.documents(s, d)
@@ -2259,6 +2342,7 @@ object TextAnalysis {
     "q105_kmv_distinct" -> q105,
     "q175_source_overlap" -> q175,
     "q177_source_divergence" -> q177,
+    "q180_hashed_drift" -> q180,
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
     "q143_quality_curriculum" -> q143,

@@ -177,6 +177,33 @@ class StreamingDriftSpec extends AnyFunSuite {
     assert(IncrementalDrift.load(file).contains(s2))
   }
 
+  test("batch twin parity: q180's tv_ppm equals the standing fold's") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // q180's exact setup: reference = the even-doc_id half, current =
+    // the whole corpus — streamed here in 4 micro-batches
+    val docs = Tables.documents(spark, sfDir).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text")).collect()
+    def toks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.flatMap(_.getString(1).split(" ").filter(_.nonEmpty)).toSeq
+    val ref = IncrementalDrift.referenceOf(
+      toks(docs.filter(_.getLong(0) % 2 == 0)).toDF("w"))
+    val all = toks(docs)
+    val state = new IncrementalDrift.State
+    val src = MemoryStream[String]
+    val q = IncrementalDrift.start(src.toDF().toDF("w"), ref, state,
+      Files.createTempDirectory("drift-twin").toString, (_, _) => ())
+    try {
+      all.grouped(all.length / 4 + 1)
+        .foreach { c => src.addData(c); q.processAllAvailable() }
+      val batch = graft.SparkEntry
+        .queries("q180_hashed_drift")(spark, sfDir)
+      assert(batch.select(col("tv_ppm")).head().getLong(0) ==
+        state.get.tvPpm(ref),
+        "batch twin and standing fold must print the same drift")
+    } finally q.stop()
+  }
+
   test("TV edge cases: empty stream, identical distribution, disjoint") {
     val ref = IncrementalDrift.Reference(Map(1L -> 5L, 2L -> 5L), 10L)
     assert(IncrementalDrift.Summary(Map.empty, 0L).tvPpm(ref) == 1000000L)
