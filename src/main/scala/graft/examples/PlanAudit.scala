@@ -272,6 +272,24 @@ object PlanAudit {
         Check("single-exact-scan", p =>
           """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
           "the exact-intersection comparison is the one remaining scan")),
+      // CUSUM's windows run on the hours-bounded hourly frame — one
+      // event scan feeds the count aggregate; the per-type stats
+      // broadcast back onto it
+      "q181_cusum_changepoints" -> Seq(
+        Check("single-scan", p =>
+          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          "hourly counts and per-type means derive from one event scan"),
+        Check("broadcast-stats", _.contains("BroadcastHashJoin"),
+          "per-type means broadcast onto the hours-bounded series")),
+      // the schedule's global bottom-K must be TakeOrdered (the q176
+      // rule) — never a range-partitioned full sort
+      "q182_mixture_schedule" -> Seq(
+        Check("take-ordered", _.contains("TakeOrderedAndProject"),
+          "global bottom-K by virtual time is TakeOrdered"),
+        Check("single-scan", p =>
+          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          "one corpus scan for the token masses; slots are " +
+            "sources-bounded")),
       // the drift twin's reference counts ride the ONE corpus aggregate
       // as a conditional count — the returned plan reads only the
       // checkpointed ≤2^13-row bucket frame, never parquet

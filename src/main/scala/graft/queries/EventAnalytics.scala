@@ -666,7 +666,76 @@ object EventAnalytics {
       |HAVING COUNT(*) * 128 > tot.n
       |ORDER BY user_id""".stripMargin)
 
+  // ------------------------------------------------------------- q181
+  // CUSUM changepoint detection over the per-type hourly count series —
+  // the sequential drift monitor (Page's test) next to q122's pointwise
+  // MAD outliers and q156's Holt baseline: MAD flags a single weird
+  // hour, CUSUM accumulates SUSTAINED small shifts that no single point
+  // trips. The textbook recurrence S_k = max(0, S_{k−1} + x_k) is a
+  // non-associative left fold, but it has an exact DISTRIBUTED rewrite:
+  //   S_k = P_k − min(0, min_{j≤k} P_j),   P_k = Σ_{i≤k} x_i
+  // (the running max-with-floor is the prefix sum minus its own running
+  // minimum — the q109/q148 distributed-prefix family's third member).
+  // x_k = y_k·10⁶ − mean_micro (deviation from the per-type hourly
+  // mean, exact integer µ-units), alarm where S_k > 2·mean_micro.
+  //
+  // Scale shape: ONE (type, hour) count aggregate over the event scan
+  // (map-side partials); both windows (prefix sum, prefix min) run per
+  // type over the HOURS-bounded series — the window input is time-
+  // range-sized, never event-count-sized. The oracle replays the same
+  // two windows; an independent Scala replay of the sequential
+  // recurrence pins the rewrite in CusumSpec.
+  private val q181 = QueryDef.of(
+    (s, d) => {
+      val hourly = eventsRaw(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("y"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(sum(col("y")).as("tot"), count(lit(1)).as("n_hours"))
+        .select(col("event_type"),
+          expr("(tot * 1000000L) div n_hours").as("mean_micro"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("x", col("y") * lit(1000000L) - col("mean_micro"))
+        .withColumn("p", sum(col("x")).over(w))
+        .withColumn("s_micro",
+          col("p") - least(min(col("p")).over(w), lit(0L)))
+        .filter(col("s_micro") > lit(2L) * col("mean_micro"))
+        .select(col("event_type"), col("hr"), col("y"),
+          col("s_micro"), col("mean_micro"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type,
+      |    (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*) AS mean_micro
+      |  FROM hourly GROUP BY event_type),
+      |px AS (
+      |  SELECT h.event_type, hr, y, mean_micro,
+      |    SUM(y * 1000000 - mean_micro) OVER (
+      |      PARTITION BY h.event_type ORDER BY hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM hourly h JOIN st ON h.event_type = st.event_type),
+      |cs AS (
+      |  SELECT event_type, hr, y, mean_micro,
+      |    CAST(p - LEAST(MIN(p) OVER (
+      |      PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |      AS BIGINT) AS s_micro
+      |  FROM px)
+      |SELECT event_type, hr, y, s_micro, mean_micro
+      |FROM cs WHERE s_micro > 2 * mean_micro
+      |ORDER BY event_type, hr""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q181_cusum_changepoints" -> q181,
     "q110_ewma_fold" -> q110,
     "q166_heavy_hitters" -> q166,
     "q156_holt_forecast" -> q156,

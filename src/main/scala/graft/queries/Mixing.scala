@@ -393,10 +393,67 @@ object Mixing {
     },
     coverSql(CoverK))
 
+  // ------------------------------------------------------------- q182
+  // Deterministic MIXTURE INTERLEAVE schedule — the step after the
+  // allocation solves (q165/q173 decide HOW MUCH of each source; this
+  // decides in WHAT ORDER the training job consumes it): weighted fair
+  // queueing by virtual finish time. Source s with weight w_s (its
+  // token mass) emits its k-th block at virtual time
+  //   v(s, k) = ((k+1)·10¹²) div w_s
+  // and the schedule is the global (v, source, k) sort — the classic
+  // WFQ/stride-scheduling closed form, which turns the inherently
+  // sequential weighted-round-robin loop into ONE sort (every engine
+  // computes the identical integer keys, so the slot sequence is
+  // bit-reproducible across engines and runs — the property a
+  // resumable training job needs). Over any window the emitted counts
+  // track w_s/W proportionally with bounded lag; no RNG anywhere.
+  //
+  // Scale shape: one corpus scan for the per-source token masses; the
+  // schedule itself is (|S| × K_MAX) rows — sources-bounded, never
+  // corpus-sized (a real run schedules BLOCKS, constant count per
+  // horizon) — and the global bottom-200 is TakeOrdered (per-partition
+  // top-K partials), not a full sort.
+  private val SlotsOut = 200
+  private val q182 = QueryDef.of(
+    (s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("source"),
+          expr("size(filter(split(text, ' '), t -> t <> ''))")
+            .cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("w"))
+      w.select(col("source"), col("w"),
+          explode(expr(s"sequence(0L, ${SlotsOut - 1}L)")).as("k"))
+        .select(col("source"), col("k"),
+          expr("((k + 1) * 1000000000000L) div w").as("vtime"))
+        .orderBy(col("vtime"), col("source"), col("k"))
+        .limit(SlotsOut)
+        .select(row_number().over(Window.orderBy(
+            col("vtime"), col("source"), col("k")))
+          .cast("long").as("slot"),
+          col("source"), col("k"), col("vtime"))
+        .orderBy(col("slot"))
+    },
+    s"""WITH w AS (
+       |  SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '),
+       |      t -> t <> ''))) AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |slots AS (
+       |  SELECT source, k, ((k + 1) * 1000000000000) // w AS vtime
+       |  FROM w CROSS JOIN (
+       |    SELECT CAST(unnest(range(0, $SlotsOut)) AS BIGINT) AS k)),
+       |top AS (
+       |  SELECT * FROM slots
+       |  ORDER BY vtime, source, k LIMIT $SlotsOut)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, source, k)
+       |    AS BIGINT) AS slot,
+       |  source, k, CAST(vtime AS BIGINT) AS vtime
+       |FROM top ORDER BY slot""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q165_mixture_allocation" -> q165,
     "q168_budget_sample" -> q168,
     "q173_temperature_mixture" -> q173,
     "q176_weighted_sample" -> q176,
-    "q179_coverage_selection" -> q179)
+    "q179_coverage_selection" -> q179,
+    "q182_mixture_schedule" -> q182)
 }
