@@ -421,10 +421,13 @@ object Mixing {
           expr("size(filter(split(text, ' '), t -> t <> ''))")
             .cast("long").as("n"))
         .groupBy(col("source")).agg(sum(col("n")).as("w"))
+      // GREATEST(w, 1): a source whose docs are all empty text carries
+      // zero token mass — it schedules last instead of dividing by zero
       w.select(col("source"), col("w"),
           explode(expr(s"sequence(0L, ${SlotsOut - 1}L)")).as("k"))
         .select(col("source"), col("k"),
-          expr("((k + 1) * 1000000000000L) div w").as("vtime"))
+          expr("((k + 1) * 1000000000000L) div greatest(w, 1L)")
+            .as("vtime"))
         .orderBy(col("vtime"), col("source"), col("k"))
         .limit(SlotsOut)
         .select(row_number().over(Window.orderBy(
@@ -438,7 +441,8 @@ object Mixing {
        |      t -> t <> ''))) AS BIGINT) AS w
        |  FROM documents GROUP BY source),
        |slots AS (
-       |  SELECT source, k, ((k + 1) * 1000000000000) // w AS vtime
+       |  SELECT source, k,
+       |    ((k + 1) * 1000000000000) // GREATEST(w, 1) AS vtime
        |  FROM w CROSS JOIN (
        |    SELECT CAST(unnest(range(0, $SlotsOut)) AS BIGINT) AS k)),
        |top AS (

@@ -2021,16 +2021,19 @@ object TextAnalysis {
         .withColumn("num", expr(
           """abs(cast(cur_c as decimal(38,0)) * tr
             |  - cast(ref_c as decimal(38,0)) * t)""".stripMargin))
+      // GREATEST(·, 1) guard: an empty reference half (or corpus) must
+      // yield 0-ppm rows, not an ANSI divide-by-zero (the q157 lesson)
       val tv = contrib.agg(sum(col("num")).as("numsum"),
           first(col("t")).as("t"), first(col("tr")).as("tr"))
         .select(expr(
           """cast((numsum * 1000000)
-            |  div (2 * cast(t as decimal(38,0)) * tr) as long)"""
+            |  div greatest(2 * cast(t as decimal(38,0)) * tr, 1) as long)"""
             .stripMargin).as("tv_ppm"))
       contrib
         .select(col("b"), col("cur_c"), col("ref_c"),
           expr("""cast((num * 1000000)
-                |  div (2 * cast(t as decimal(38,0)) * tr) as long)"""
+                |  div greatest(2 * cast(t as decimal(38,0)) * tr, 1)
+                |  as long)"""
             .stripMargin).as("contrib_ppm"))
         .orderBy(col("contrib_ppm").desc, col("b"))
         .limit(5)
@@ -2056,10 +2059,11 @@ object TextAnalysis {
        |  FROM bk CROSS JOIN tot),
        |tv AS (
        |  SELECT CAST((SUM(num) * 1000000)
-       |    // (2 * CAST(ANY_VALUE(t) AS HUGEINT) * ANY_VALUE(tr))
+       |    // GREATEST(2 * CAST(ANY_VALUE(t) AS HUGEINT) * ANY_VALUE(tr), 1)
        |    AS BIGINT) AS tv_ppm FROM ct)
        |SELECT b, cur_c, ref_c,
-       |  CAST((num * 1000000) // (2 * CAST(t AS HUGEINT) * tr) AS BIGINT)
+       |  CAST((num * 1000000)
+       |    // GREATEST(2 * CAST(t AS HUGEINT) * tr, 1) AS BIGINT)
        |    AS contrib_ppm,
        |  (SELECT tv_ppm FROM tv) AS tv_ppm
        |FROM ct
