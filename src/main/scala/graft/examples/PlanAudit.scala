@@ -272,6 +272,15 @@ object PlanAudit {
         Check("single-exact-scan", p =>
           """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
           "the exact-intersection comparison is the one remaining scan")),
+      // the IVM refresh must read the MATERIALIZED base result, never
+      // re-join history: the returned plan carries the checkpointed
+      // base plus exactly the two delta joins (4 parquet scans)
+      "q183_ivm_join" -> Seq(
+        Check("base-materialized", _.contains("Scan ExistingRDD"),
+          "A⋈B comes from the checkpointed base, not a re-join"),
+        Check("delta-joins-only", p =>
+          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 4,
+          "refresh scans are the two delta joins' sides only")),
       // CUSUM's windows run on the hours-bounded hourly frame — one
       // event scan feeds the count aggregate; the per-type stats
       // broadcast back onto it

@@ -284,7 +284,66 @@ object Warehouse {
        |WHERE k IN (SELECT k FROM base ORDER BY k LIMIT 5)
        |ORDER BY k""".stripMargin)
 
+  // ------------------------------------------------------------ q183
+  // INCREMENTAL VIEW MAINTENANCE for a join — the delta-processing
+  // identity a standing materialized view applies per CDC batch
+  // (q96 maintains an AGGREGATE incrementally; joins are the hard
+  // case, and the reason warehouse engines ship IVM at all):
+  //   (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B  ∪  ΔA⋈(B ∪ ΔB)  ∪  A⋈ΔB
+  // The base result A⋈B is MATERIALIZED (checkpoint-pinned — at
+  // refresh time a production view reads it from the warehouse, e.g.
+  // a ManifestCatalog table fed by q99's CDC feed, and never re-joins
+  // history); the two delta joins each carry a DELTA-sized side
+  // (everything after the cutover date), so refresh cost scales with
+  // the batch, not the view. The oracle recomputes the FULL join from
+  // scratch and aggregates identically — hash equality IS the IVM
+  // correctness proof (every row produced exactly once: the three
+  // terms partition the output by which side of the cut each row's
+  // parents fall on).
+  //
+  // Scale shape: base join computed once behind the checkpoint; delta
+  // joins shuffle only delta-sized probes against the base tables;
+  // the monthly rollup is a map-side-combined aggregate over the
+  // bounded month domain. Money sums ride the q01b cents discipline
+  // (decimal → integer cents) so the union order can't move a bit.
+  private val q183 = QueryDef.of(
+    (s, d) => {
+      // DATE casts throughout — calendar-based and TZ-free on both
+      // engines (the q159-era o_orderdate NTZ lesson)
+      val cut = lit("1999-01-01").cast("date")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"),
+          col("l_extendedprice"))
+      val oOld = o.filter(col("od") < cut)
+      val oNew = o.filter(col("od") >= cut)
+      val lOld = l.filter(col("sd") < cut)
+      val lNew = l.filter(col("sd") >= cut)
+      def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+        date_format(col("od"), "yyyy-MM").as("ym"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val base = graft.Resources.retain(proj(
+        oOld.join(lOld, col("o_orderkey") === col("l_orderkey")))
+        .localCheckpoint())
+      val dA = proj(oNew.join(l, col("o_orderkey") === col("l_orderkey")))
+      val dB = proj(oOld.join(lNew, col("o_orderkey") === col("l_orderkey")))
+      base.unionByName(dA).unionByName(dB)
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("ym"))
+    },
+    """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY ym
+      |ORDER BY ym""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q183_ivm_join" -> q183,
     "q98_merge_upsert" -> q98,
     "q99_cdc_changes" -> q99,
     "q104_time_travel" -> q104,
