@@ -272,6 +272,14 @@ object PlanAudit {
         Check("single-exact-scan", p =>
           """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
           "the exact-intersection comparison is the one remaining scan")),
+      // the balance audit's train+assign+score pass ran once at
+      // construction; the returned plan reads the nCells-row
+      // checkpointed stats frame with a broadcast 1-row total
+      "q184_ivf_balance" -> Seq(
+        Check("stats-checkpointed", _.contains("Scan ExistingRDD"),
+          "shares and means read the pinned nCells-row stats frame"),
+        Check("no-corpus-rescan", p => !p.contains("Scan parquet"),
+          "the corpus pass (assign + distance) ran once at construction")),
       // the IVM refresh must read the MATERIALIZED base result, never
       // re-join history: the returned plan carries the checkpointed
       // base plus exactly the two delta joins (4 parquet scans)

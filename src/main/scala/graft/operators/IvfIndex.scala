@@ -242,6 +242,30 @@ object IvfIndex {
     cents
   }
 
+  /** Index-balance diagnostic: per-cell member count and exact sum of
+    * squared distances to the assigned centroid, from one deterministic
+    * train + assign pass. Distances are EXACT integers carried in
+    * doubles (quantized features make every squared diff an integer,
+    * and the per-vector fold stays under 2^53), so the decimal sum is
+    * order- and partition-invariant — the DuckDB replay matches
+    * bit-for-bit. The cell-count skew this reports is THE operational
+    * IVF health metric: an overloaded cell is scanned by every probe
+    * that lands in it, so max-share directly bounds tail latency. */
+  def cellStats(embeddings: DataFrame, nCells: Int, iters: Int)
+      : DataFrame = {
+    val cents = trainCentroids(embeddings, nCells, iters)
+    quantize(embeddings)
+      .crossJoin(broadcast(centroidArray(cents, "cs")))
+      .withColumn("m", expr(
+        s"""array_min(transform(cs, cc -> struct(
+           |  ${distSql("qv", "cc.c")} AS dist,
+           |  cc.cell AS cell)))""".stripMargin))
+      .select(expr("m.cell").as("cell"),
+        expr("cast(m.dist as decimal(38,0))").as("dq"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dq")).as("sum_sq"))
+  }
+
   /** Scan the (already cell-restricted) corpus against the probe cells. */
   private def score(corpus: DataFrame, probeCells: DataFrame, k: Int)
       : DataFrame = {

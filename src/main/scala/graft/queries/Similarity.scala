@@ -1291,7 +1291,62 @@ object Similarity {
       |JOIN nrm nb ON nb.source = pr.source_b
       |ORDER BY pr.source_a, pr.source_b""".stripMargin)
 
+  // ------------------------------------------------------------- q184
+  // IVF CELL-BALANCE audit — the index-health diagnostic an ANN team
+  // runs after (re)training: per cell, member count, corpus share in
+  // ppm, exact mean squared distance to the assigned centroid, and an
+  // overload flag at 2× the ideal share. Cell skew is the operational
+  // IVF metric (every probe landing in an overloaded cell scans it
+  // whole — max share bounds tail latency; a drifted corpus shows up
+  // here before recall@k moves). Distances are exact integers riding
+  // doubles (quantized features; per-vector fold < 2^53), summed as
+  // decimal(38,0) — order-invariant, so the DuckDB replay of the FULL
+  // train+assign+distance chain (shared q42b generators) matches
+  // bit-for-bit.
+  //
+  // Scale shape: one corpus pass assigns and scores simultaneously
+  // (the argmin struct carries its own distance out — no second
+  // centroid join); the stats frame is nCells rows, the totals ride a
+  // broadcast 1-row cross join. Training is the q42b offline
+  // artifact's own loop (nCells-row frames per round).
+  private val q184 = QueryDef.of(
+    (s, d) => {
+      val st = graft.Resources.retain(
+        graft.operators.IvfIndex
+          .cellStats(Tables.embeddings(s, d), KCells, KIters)
+          .localCheckpoint())
+      st.crossJoin(broadcast(st.agg(sum(col("n_vecs")).as("tot"))))
+        .select(col("cell"), col("n_vecs"),
+          expr("(n_vecs * 1000000L) div tot").as("share_ppm"),
+          expr("cast(sum_sq div n_vecs as long)").as("mean_sqdist"),
+          expr(s"""case when n_vecs * $KCells > tot * 2 then 1L
+                  |else 0L end""".stripMargin).as("overloaded"))
+        .orderBy(col("cell"))
+    },
+    s"""WITH qz AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${q42bTrain._1},
+       |${sqlKmAssign("af", "qz", q42bTrain._2, 64)},
+       |ad AS (
+       |  SELECT af.cell,
+       |    CAST(${sqlKmDist("af.qv", "i.c", 64)} AS HUGEINT) AS dq
+       |  FROM af JOIN ${q42bTrain._2} i USING (cell)),
+       |st AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    SUM(dq) AS sum_sq
+       |  FROM ad GROUP BY cell),
+       |tt AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot FROM st)
+       |SELECT cell, n_vecs,
+       |  (n_vecs * 1000000) // tot AS share_ppm,
+       |  CAST(sum_sq // n_vecs AS BIGINT) AS mean_sqdist,
+       |  CASE WHEN n_vecs * $KCells > tot * 2 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS overloaded
+       |FROM st CROSS JOIN tt ORDER BY cell""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q184_ivf_balance" -> q184,
     "q178_centroid_similarity" -> q178,
     "q116_dedup_agreement" -> q116,
     "q111_semantic_dedup" -> q111,
