@@ -1200,6 +1200,99 @@ object TextAnalysis {
          |WHERE rank <= 25 ORDER BY rank""".stripMargin
     })
 
+  // ------------------------------------------------------------- q185
+  // JOIN-SIZE estimation from CMS INNER PRODUCTS — the second sketch-
+  // ALGEBRA operator beside q175's KMV set algebra: for two relations
+  // keyed on the same column, the inner product of their count-min
+  // rows estimates |A ⋈ B| = Σ_k a_k·b_k without computing the join
+  // (Cormode & Muthukrishnan '05 §4.2 — the cardinality-estimation
+  // problem every join optimizer solves, here from two 32 KB sketches
+  // that each side maintains independently). Estimate = min over the D
+  // row inner products; ≥ the true size ALWAYS (every cross term is
+  // non-negative), so `sound` is structural. A = high-volume returns
+  // ('R' flag), B = open-status lines ('O'), keyed l_partkey — both
+  // sides carry real multiplicities, which is what makes the problem
+  // non-trivial (unique-key joins are just COUNT).
+  //
+  // At the fixture's key density (~20k partkeys over W=1024 buckets)
+  // the estimate is collision-dominated (~20× high at sf0.1) — shown
+  // in ratio_ppm rather than asserted away, the q175 discipline;
+  // production sizes W ≳ key-domain/ε (the sketch is 8 bytes/cell, so
+  // W=2^20 is still 32 MB) and the ALGEBRA is what this operator pins.
+  //
+  // Scale shape: each sketch is ONE 1-row aggregate with 32 KB map-side
+  // partials (the q81 shape); the inner product runs on a 1×1 cross of
+  // two sketch rows. The exact size (gate-only — production trusts the
+  // sketch) is one key-grouped count join, never the join itself.
+  // Overflow: row inner products ≤ |A|·|B| — Long-safe to ~3e9 rows per
+  // side; past that the zip_with products need decimal accumulation
+  // (the q141 CovScale discipline).
+  private val q185 = QueryDef.of(
+    (s, d) => {
+      val cms = udaf(graft.functions.CountMinAgg)
+      val W = graft.functions.CountMinAgg.W
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("string").as("token"),
+          col("l_returnflag"), col("l_linestatus"))
+      val a = li.filter(col("l_returnflag") === "R")
+      val b = li.filter(col("l_linestatus") === "O")
+      val ska = a.agg(cms(col("token")).as("ska"))
+      val skb = b.agg(cms(col("token")).as("skb"))
+      val inner = (0 until graft.functions.CountMinAgg.D).map { i =>
+        s"""aggregate(zip_with(
+           |  slice(ska, ${i * W} + 1, $W), slice(skb, ${i * W} + 1, $W),
+           |  (x, y) -> x * y), 0L, (acc, v) -> acc + v)""".stripMargin
+      }.mkString("least(", ", ", ")")
+      val exact = a.groupBy(col("token")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("token")).agg(count(lit(1)).as("cb")), "token")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_size"))
+      ska.crossJoin(skb).crossJoin(broadcast(exact))
+        .withColumn("est", expr(inner))
+        .select(col("est"), col("exact_size"),
+          (col("est") >= col("exact_size")).as("sound"),
+          expr("(est * 1000000L) div greatest(exact_size, 1L)")
+            .as("ratio_ppm"))
+    },
+    {
+      val A = graft.functions.MinHashSig.A
+      val B = graft.functions.MinHashSig.B
+      val P = graft.functions.MinHashSig.P
+      val W = graft.functions.CountMinAgg.W
+      val aL = A.take(4).mkString(", ")
+      val bL = B.take(4).mkString(", ")
+      s"""WITH la AS (
+         |  SELECT CAST(l_partkey AS VARCHAR) AS token, COUNT(*) AS ca
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         |lb AS (
+         |  SELECT CAST(l_partkey AS VARCHAR) AS token, COUNT(*) AS cb
+         |  FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1),
+         |keys AS (SELECT token FROM la UNION SELECT token FROM lb),
+         |h AS (
+         |  SELECT token,
+         |    CAST('0x' || substring(md5(token), 1, 5) AS BIGINT) AS h20
+         |  FROM keys),
+         |buck AS (
+         |  SELECT token, i.i AS i,
+         |    ((([$aL])[i.i + 1] * h20 + ([$bL])[i.i + 1]) % $P) % $W AS b
+         |  FROM h CROSS JOIN generate_series(0, 3) i(i)),
+         |cellA AS (
+         |  SELECT i, b, SUM(ca) AS c FROM buck JOIN la USING (token)
+         |  GROUP BY 1, 2),
+         |cellB AS (
+         |  SELECT i, b, SUM(cb) AS c FROM buck JOIN lb USING (token)
+         |  GROUP BY 1, 2),
+         |rows_ AS (
+         |  SELECT a.i, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+         |  FROM cellA a JOIN cellB b USING (i, b) GROUP BY a.i),
+         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM rows_),
+         |ex AS (
+         |  SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS exact_size
+         |  FROM la JOIN lb USING (token))
+         |SELECT est, exact_size, est >= exact_size AS sound,
+         |  (est * 1000000) // GREATEST(exact_size, 1) AS ratio_ppm
+         |FROM est CROSS JOIN ex""".stripMargin
+    })
+
   // ------------------------------------------------------------- q88
   // BPE tokenizer vocabulary training ([[graft.operators.BpeTrainer]]):
   // 3 greedy merge steps over the frequency-weighted distinct-word
@@ -2347,6 +2440,7 @@ object TextAnalysis {
     "q175_source_overlap" -> q175,
     "q177_source_divergence" -> q177,
     "q180_hashed_drift" -> q180,
+    "q185_cms_join_size" -> q185,
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
     "q143_quality_curriculum" -> q143,
