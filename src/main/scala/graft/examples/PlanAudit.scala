@@ -272,6 +272,16 @@ object PlanAudit {
         Check("single-exact-scan", p =>
           """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
           "the exact-intersection comparison is the one remaining scan")),
+      // the sliding-distinct window merges read the checkpointed
+      // per-hour sketch frame; the one remaining event scan is the
+      // gate-only exact-distinct comparison
+      "q186_sliding_distinct" -> Seq(
+        Check("sketches-checkpointed", _.contains("Scan ExistingRDD"),
+          "window merges read the pinned hourly sketch frame, not a " +
+            "recomputation of the corpus aggregate"),
+        Check("single-exact-scan", p =>
+          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          "the exact-distinct comparison is the one remaining scan")),
       // the balance audit's train+assign+score pass ran once at
       // construction; the returned plan reads the nCells-row
       // checkpointed stats frame with a broadcast 1-row total

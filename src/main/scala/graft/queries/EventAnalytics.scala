@@ -734,7 +734,86 @@ object EventAnalytics {
       |FROM cs WHERE s_micro > 2 * mean_micro
       |ORDER BY event_type, hr""".stripMargin)
 
+  // ------------------------------------------------------------- q186
+  // SLIDING-WINDOW distinct users via per-hour KMV sketch REUSE — the
+  // sketch-algebra answer to "distinct users in every trailing 6-hour
+  // window": a KMV sketch of a union equals the k-min of the union of
+  // the per-part k-mins (k smallest of A∪B survive inside
+  // kmin(A)∪kmin(B) by construction), so per-HOUR sketches are
+  // computed once and every overlapping window merges 6 of them —
+  // work ∝ hours × window, never rows × windows. At 100 TB/day this
+  // is THE way trailing-window distinct is served (the naive form
+  // re-scans every row |window|/|slide| times); the exact distinct
+  // rides along gate-only so sketch error is measured, not asserted.
+  //
+  // Scale shape: one event scan → (hour)-keyed KMV aggregate (O(K)
+  // map-side partials, the q105 contract); the hour↔window range join
+  // and the flatten-distinct-sort merges run on the HOURS-bounded
+  // sketch frame (checkpoint-pinned so the window self-join can't
+  // recompute the corpus agg). Estimates are the q105 integer formula,
+  // so the oracle rebuilds every value bit-for-bit (q175's merge
+  // algebra, on the time axis instead of the source axis).
+  private val q186 = QueryDef.of(
+    (s, d) => {
+      val kmv = udaf(graft.functions.KmvAgg)
+      val e = eventsRaw(s, d).select(
+        expr("unix_micros(ts) div 3600000000L").as("hr"),
+        expr("""cast(conv(substring(md5(cast(user_id as string)), 1, 12),
+              |  16, 10) as bigint)""".stripMargin).as("h"))
+      val hourly = graft.Resources.retain(
+        e.groupBy(col("hr")).agg(kmv(col("h")).as("sk"))
+          .localCheckpoint())
+      val windows = hourly.select(col("hr").as("w"))
+      val merged = windows
+        .join(hourly, col("hr").between(col("w") - 5, col("w")))
+        .groupBy(col("w"))
+        .agg(expr(
+          """slice(array_sort(array_distinct(flatten(collect_list(sk)))),
+            |  1, 64)""".stripMargin).as("mu"))
+        .select(col("w"), expr(
+          """CASE WHEN size(mu) < 64 THEN cast(size(mu) AS bigint)
+            |ELSE (63L * 281474976710656L) div element_at(mu, 64) END"""
+            .stripMargin).as("est_distinct"))
+      val exact = windows
+        .join(e, col("hr").between(col("w") - 5, col("w")))
+        .groupBy(col("w"))
+        .agg(countDistinct(col("h")).as("exact_distinct"))
+      merged.join(exact, "w")
+        .select(col("w").as("w_hr"), col("est_distinct"),
+          col("exact_distinct"))
+        .orderBy(col("w_hr"))
+    },
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+      |      AS BIGINT) AS h
+      |  FROM events),
+      |hd AS MATERIALIZED (SELECT DISTINCT hr, h FROM e),
+      |hs AS MATERIALIZED (
+      |  SELECT hr, list_slice(list(h ORDER BY h), 1, 64) AS mins
+      |  FROM hd GROUP BY hr),
+      |merged AS (
+      |  SELECT w.hr AS w,
+      |    list_slice(list_sort(list_distinct(flatten(list(s.mins)))),
+      |      1, 64) AS mu
+      |  FROM hs w JOIN hs s ON s.hr BETWEEN w.hr - 5 AND w.hr
+      |  GROUP BY w.hr),
+      |est AS (
+      |  SELECT w,
+      |    CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS BIGINT)
+      |         ELSE (63 * 281474976710656) // mu[64] END AS est_distinct
+      |  FROM merged),
+      |ex AS (
+      |  SELECT w.hr AS w, CAST(COUNT(DISTINCT e.h) AS BIGINT)
+      |      AS exact_distinct
+      |  FROM hs w JOIN e ON e.hr BETWEEN w.hr - 5 AND w.hr
+      |  GROUP BY w.hr)
+      |SELECT est.w AS w_hr, est_distinct, exact_distinct
+      |FROM est JOIN ex USING (w)
+      |ORDER BY w_hr""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q186_sliding_distinct" -> q186,
     "q181_cusum_changepoints" -> q181,
     "q110_ewma_fold" -> q110,
     "q166_heavy_hitters" -> q166,
