@@ -844,6 +844,56 @@ object ScaleStress {
       n
     }
 
+    // q183's IVM-refresh shape — the probe times ONLY the two
+    // delta-sided joins + rollup (the base join is the materialized
+    // view and never re-runs at refresh); replication scales base and
+    // delta together, so the ratio checks that the refresh PLAN scans
+    // and shuffles stay proportional — the ∝-delta claim itself is
+    // structural (only delta-filtered sides feed the joins)
+    def ivmRun(o: DataFrame, l: DataFrame): Long = {
+      val cut = lit("1999-01-01").cast("date")
+      val oo = o.select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      val ll = l.select(col("l_orderkey"),
+        col("l_shipdate").cast("date").as("sd"), col("l_extendedprice"))
+      val dA = oo.filter(col("od") >= cut)
+        .join(ll, col("o_orderkey") === col("l_orderkey"))
+      val dB = oo.filter(col("od") < cut)
+        .join(ll.filter(col("sd") >= cut),
+          col("o_orderkey") === col("l_orderkey"))
+      def proj(df: DataFrame) = df.select(
+        date_format(col("od"), "yyyy-MM").as("ym"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      proj(dA).unionByName(proj(dB))
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        .count()
+    }
+
+    // q186's sliding-distinct shape — per-hour KMV sketches merged per
+    // trailing window; 10× events over the SAME time range means the
+    // hour-keyed aggregate absorbs 10× rows map-side while the window
+    // merges stay hours-bounded: expected strongly sublinear
+    def slidingRun(ev: DataFrame): Long = {
+      val kmv = udaf(graft.functions.KmvAgg)
+      val e = ev.select(
+        expr("unix_micros(ts) div 3600000000L").as("hr"),
+        expr("""cast(conv(substring(md5(cast(user_id as string)), 1, 12),
+              |  16, 10) as bigint)""".stripMargin).as("h"))
+      val hourly = e.groupBy(col("hr")).agg(kmv(col("h")).as("sk"))
+        .localCheckpoint(true)
+      val n = hourly.select(col("hr").as("w"))
+        .join(hourly, col("hr").between(col("w") - 5, col("w")))
+        .groupBy(col("w"))
+        .agg(expr(
+          """slice(array_sort(array_distinct(flatten(collect_list(sk)))),
+            |  1, 64)""".stripMargin).as("mu"))
+        .count()
+      graft.Resources.releaseCheckpoint(hourly)
+      n
+    }
+
     // q178's centroid-similarity shape — one join+posexplode corpus
     // scan into a (source, dim) partial-sum aggregate, then pair
     // algebra on the sources-bounded centroid frame; the corpus pass
@@ -1052,6 +1102,11 @@ object ScaleStress {
     val (ceT10, _) = time(centroidRun(d10, e10))
     val (cvT1, _) = time(coverRun(d1))
     val (cvT10, _) = time(coverRun(d10))
+    ivmRun(or1, li1); slidingRun(ev1) // warm up
+    val (ivT1, _) = time(ivmRun(or1, li1))
+    val (ivT10, _) = time(ivmRun(or10, li10))
+    val (slT1, _) = time(slidingRun(ev1))
+    val (slT10, _) = time(slidingRun(ev10))
 
     println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
       f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
@@ -1093,7 +1148,9 @@ object ScaleStress {
       f""""tcurve_1x_s":$tcT1%.2f,"tcurve_10x_s":$tcT10%.2f,"tcurve_ratio":${tcT10 / tcT1}%.1f,""" +
       f""""cdc_1x_s":$cdT1%.2f,"cdc_10x_s":$cdT10%.2f,"cdc_ratio":${cdT10 / cdT1}%.1f,""" +
       f""""centroid_1x_s":$ceT1%.2f,"centroid_10x_s":$ceT10%.2f,"centroid_ratio":${ceT10 / ceT1}%.1f,""" +
-      f""""cover_1x_s":$cvT1%.2f,"cover_10x_s":$cvT10%.2f,"cover_ratio":${cvT10 / cvT1}%.1f}""")
+      f""""cover_1x_s":$cvT1%.2f,"cover_10x_s":$cvT10%.2f,"cover_ratio":${cvT10 / cvT1}%.1f,""" +
+      f""""ivm_1x_s":$ivT1%.2f,"ivm_10x_s":$ivT10%.2f,"ivm_ratio":${ivT10 / ivT1}%.1f,""" +
+      f""""sliding_1x_s":$slT1%.2f,"sliding_10x_s":$slT10%.2f,"sliding_ratio":${slT10 / slT1}%.1f}""")
     graft.Resources.releaseAll()
     spark.stop()
   }
