@@ -72,9 +72,33 @@ object PlanAudit {
         "q153_bfs_distance", "q154_label_propagation", "q158_skyline",
         "q160_skyline_3d", "q163_dup_span_removal", "q164_curation_funnel",
         "q165_mixture_allocation", "q166_heavy_hitters",
-        "q167_span_novelty", "q168_budget_sample", "q169_vocab_growth")
+        "q167_span_novelty", "q168_budget_sample", "q169_vocab_growth",
+        // r10 lesson: every registered check must be in the DEFAULT list —
+        // checks that only run when named explicitly rot silently (4 were
+        // failing unnoticed because this list stopped at q169)
+        "q170_threshold_curve", "q171_clustering_coefficient",
+        "q172_cdc_chunk_dedup", "q173_temperature_mixture",
+        "q174_rater_agreement", "q175_source_overlap",
+        "q176_weighted_sample", "q177_source_divergence",
+        "q178_centroid_similarity", "q179_coverage_selection",
+        "q180_hashed_drift", "q181_cusum_changepoints",
+        "q182_mixture_schedule", "q183_ivm_join", "q184_ivf_balance",
+        "q185_cms_join_size", "q186_sliding_distinct")
 
     case class Check(name: String, test: String => Boolean, why: String)
+    // Parquet scan NODES in the FINAL plan only. The formatted dump emits a
+    // "(N) Scan parquet" detail block for every node in BOTH the final and
+    // the "== Initial Plan ==" trees; before AQE's ReusedExchange collapses
+    // a duplicate subtree, the initial tree keeps its own scan node (own
+    // id, own detail block), so counting detail blocks over-counts exactly
+    // the reuse a single-scan check exists to verify (r10: q175/q181/q186
+    // false alarms). The executedPlan.toString section appended below the
+    // formatted dump is already Initial-Plan-stripped (split at "== Initial
+    // Plan ==") and renders scans as "FileScan parquet" — a token the
+    // formatted section never emits — so this count is final-plan-only and
+    // AQE-independent.
+    def parquetScans(p: String): Int =
+      "FileScan parquet".r.findAllIn(p).size
     // shuffle-join queries load via Tables.raw: their only exchanges must
     // be key shuffles (hash) or broadcasts — a RoundRobinPartitioning
     // would mean the parallelism floor leaked back in and the fact bytes
@@ -107,16 +131,9 @@ object PlanAudit {
           }),
           "HLL sketch must never aggregate per distinct value"),
         // the r8 defect: the fact table was scanned twice. The true
-        // invariant (deterministic, AQE-independent): exactly ONE
-        // parquet scan NODE. Count in the final-plan tree only — AQE's
-        // "== Initial Plan ==" section re-renders the same node, and the
-        // node-details section repeats the header once more.
-        Check("single-scan", p =>
-          // formatted explain emits exactly one "(N) Scan parquet" detail
-          // block per unique scan NODE (tree lines render "Scan parquet
-          // (N)", details "(N) Scan parquet") — counting detail blocks is
-          // AQE-independent and catches any second physical scan
-          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+        // invariant: exactly ONE parquet scan NODE in the FINAL plan
+        // (parquetScans counts the Initial-Plan-stripped tree only).
+        Check("single-scan", p => parquetScans(p) == 1,
           "exact + HLL must share one fact-table scan")),
       // the join inputs are pre-bucketed on the key — the only exchange
       // allowed in the whole plan is the final (tiny) segment aggregate
@@ -238,13 +255,12 @@ object PlanAudit {
       // exactly one corpus scan feeds it
       "q173_temperature_mixture" -> Seq(
         Check("single-scan", p =>
-          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          parquetScans(p) == 1,
           "one corpus scan; the isqrt solve runs on |sources| rows")),
       // the *ALL* row re-aggregates the checkpointed per-source frame —
       // the final plan must contain NO second corpus scan at all
       "q174_rater_agreement" -> Seq(
-        Check("sources-bounded-union", p =>
-          !p.contains("Scan parquet"),
+        Check("sources-bounded-union", p => parquetScans(p) == 0,
           "both union legs read the checkpointed |sources| frame")),
       // the weighted sample's bottom-K is TakeOrdered — per-partition
       // top-K partials, never a global sort of the corpus
@@ -255,11 +271,15 @@ object PlanAudit {
           !p.contains("Exchange rangepartitioning"),
           "no range-partitioned full sort for a K-row sample")),
       // the divergence solve derives every marginal from the ONE
-      // (source, token) aggregate — a single corpus scan; the
-      // sources-bounded frames broadcast back onto the vocab join
+      // checkpoint-pinned (source, token) aggregate — the corpus scan
+      // happened at construction; the returned plan reads only the pin
+      // (r10: trusting exchange reuse left a real second corpus scan —
+      // the two branches' pushed filters differed, so reuse never fired)
       "q177_source_divergence" -> Seq(
-        Check("single-scan", p =>
-          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+        Check("sw-checkpointed", _.contains("Scan ExistingRDD"),
+          "marginals, totals and the join probe read the pinned " +
+            "(source, token) frame"),
+        Check("no-corpus-rescan", p => parquetScans(p) == 0,
           "token marginal and totals derive from one corpus aggregate"),
         Check("broadcast-totals", _.contains("BroadcastHashJoin"),
           "per-source totals broadcast onto the vocab-keyed join")),
@@ -270,7 +290,7 @@ object PlanAudit {
           "pair joins read the checkpointed sketch frame, not two " +
             "recomputations of the corpus aggregate"),
         Check("single-exact-scan", p =>
-          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          parquetScans(p) == 1,
           "the exact-intersection comparison is the one remaining scan")),
       // the sliding-distinct window merges read the checkpointed
       // per-hour sketch frame; the one remaining event scan is the
@@ -280,7 +300,7 @@ object PlanAudit {
           "window merges read the pinned hourly sketch frame, not a " +
             "recomputation of the corpus aggregate"),
         Check("single-exact-scan", p =>
-          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          parquetScans(p) == 1,
           "the exact-distinct comparison is the one remaining scan")),
       // the balance audit's train+assign+score pass ran once at
       // construction; the returned plan reads the nCells-row
@@ -288,7 +308,7 @@ object PlanAudit {
       "q184_ivf_balance" -> Seq(
         Check("stats-checkpointed", _.contains("Scan ExistingRDD"),
           "shares and means read the pinned nCells-row stats frame"),
-        Check("no-corpus-rescan", p => !p.contains("Scan parquet"),
+        Check("no-corpus-rescan", p => parquetScans(p) == 0,
           "the corpus pass (assign + distance) ran once at construction")),
       // the IVM refresh must read the MATERIALIZED base result, never
       // re-join history: the returned plan carries the checkpointed
@@ -297,14 +317,14 @@ object PlanAudit {
         Check("base-materialized", _.contains("Scan ExistingRDD"),
           "A⋈B comes from the checkpointed base, not a re-join"),
         Check("delta-joins-only", p =>
-          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 4,
+          parquetScans(p) == 4,
           "refresh scans are the two delta joins' sides only")),
       // CUSUM's windows run on the hours-bounded hourly frame — one
       // event scan feeds the count aggregate; the per-type stats
       // broadcast back onto it
       "q181_cusum_changepoints" -> Seq(
         Check("single-scan", p =>
-          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          parquetScans(p) == 1,
           "hourly counts and per-type means derive from one event scan"),
         Check("broadcast-stats", _.contains("BroadcastHashJoin"),
           "per-type means broadcast onto the hours-bounded series")),
@@ -314,7 +334,7 @@ object PlanAudit {
         Check("take-ordered", _.contains("TakeOrderedAndProject"),
           "global bottom-K by virtual time is TakeOrdered"),
         Check("single-scan", p =>
-          """\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+          parquetScans(p) == 1,
           "one corpus scan for the token masses; slots are " +
             "sources-bounded")),
       // the drift twin's reference counts ride the ONE corpus aggregate
@@ -324,7 +344,7 @@ object PlanAudit {
         Check("bucket-frame-checkpointed", _.contains("Scan ExistingRDD"),
           "totals, contributions and top-5 all read the pinned bucket " +
             "frame"),
-        Check("no-corpus-rescan", p => !p.contains("Scan parquet"),
+        Check("no-corpus-rescan", p => parquetScans(p) == 0,
           "reference counts are a conditional count on the same " +
             "aggregate, not a second scan")),
       // all pair algebra (dim self-join, norm joins) runs on the
@@ -334,7 +354,7 @@ object PlanAudit {
         Check("centroids-checkpointed", _.contains("Scan ExistingRDD"),
           "pair joins read the checkpointed centroid frame, not two " +
             "recomputations of the corpus aggregate"),
-        Check("no-corpus-scan", p => !p.contains("Scan parquet"),
+        Check("no-corpus-scan", p => parquetScans(p) == 0,
           "everything after the centroid build is sources-bounded"),
         Check("broadcast-norms", _.contains("BroadcastHashJoin"),
           "per-source norms broadcast onto the pair frame")),
@@ -342,7 +362,7 @@ object PlanAudit {
       // argmax jobs against the checkpointed token frame); the returned
       // frame is the K-row selection itself — pure control plane
       "q179_coverage_selection" -> Seq(
-        Check("bounded-result", p => !p.contains("Scan parquet"),
+        Check("bounded-result", p => parquetScans(p) == 0,
           "the returned frame is the K-row greedy prefix, not a plan " +
             "that re-runs the selection")),
       // the trained symbolization frame (the encoder table) comes from
@@ -521,7 +541,7 @@ object PlanAudit {
         Check("no-expand", p => !p.contains("Expand"),
           "multi-column NDV must be sketches, not the distinct rewrite"),
         Check("single-scan", p =>
-          "FileScan parquet".r.findAllIn(p).size <= 1,
+          parquetScans(p) <= 1,
           "the whole profile reads the table once")),
       // the ε-join must stay an equi-join on (day, bucket): a raw theta
       // join would plan as a nested-loop cartesian per day

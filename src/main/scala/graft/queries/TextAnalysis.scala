@@ -2070,11 +2070,18 @@ object TextAnalysis {
   // product ever materializes. tv_ppm = (numerator·10⁶) div denom.
   //
   // Scale shape: one (source, token) aggregate (map-side partials over
-  // the token stream), the token marginal DERIVES from it (vocab-sized
-  // re-aggregate, not a second corpus scan), one vocab-bounded join
-  // back, sources-bounded everything after. Headroom: Σ|c_sw·T −
-  // c_w·T_s| ≤ 2·T_s·T, so decimal(38,0)/HUGEINT carries the solve to
-  // T ≈ 7e18 tokens.
+  // the token stream), CHECKPOINT-PINNED like its siblings (q175's
+  // sketch frame, q178's centroid frame, q180's bucket frame) — the
+  // token marginal, the per-source totals, AND the join probe all read
+  // the pinned frame, so the corpus is scanned exactly once, at
+  // construction. (r10 lesson: relying on Catalyst exchange reuse here
+  // only partially fired — the marginal's branch lacked the
+  // IsNotNull(source) pushed filter of the join branch, breaking
+  // canonical plan equality, and the final plan scanned the corpus
+  // TWICE. The pin makes single-scan structural, not optimizer-
+  // dependent.) One vocab-bounded join back, sources-bounded everything
+  // after. Headroom: Σ|c_sw·T − c_w·T_s| ≤ 2·T_s·T, so
+  // decimal(38,0)/HUGEINT carries the solve to T ≈ 7e18 tokens.
   // ------------------------------------------------------------- q180
   // HASHED-bucket distribution drift — the oracle-checked BATCH TWIN of
   // the standing [[graft.streaming.IncrementalDrift]] stage, completing
@@ -2164,10 +2171,12 @@ object TextAnalysis {
 
   private val q177 = QueryDef.of(
     (s, d) => {
-      val sw = Tables.documents(s, d)
-        .select(col("source"),
-          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
-        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      val sw = graft.Resources.retain(
+        Tables.documents(s, d)
+          .select(col("source"),
+            explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+          .localCheckpoint())
       val byW = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
       val byS = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
       val tot = byS.agg(sum(col("t_s")).as("t"))
