@@ -242,15 +242,23 @@ object IvfIndex {
     cents
   }
 
-  /** Index-balance diagnostic: per-cell member count and exact sum of
-    * squared distances to the assigned centroid, from one deterministic
-    * train + assign pass. Distances are EXACT integers carried in
-    * doubles (quantized features make every squared diff an integer,
-    * and the per-vector fold stays under 2^53), so the decimal sum is
-    * order- and partition-invariant — the DuckDB replay matches
-    * bit-for-bit. The cell-count skew this reports is THE operational
-    * IVF health metric: an overloaded cell is scanned by every probe
-    * that lands in it, so max-share directly bounds tail latency. */
+  /** Index-balance diagnostic: per-cell member count and sum of squared
+    * distances to the assigned centroid, from one deterministic train +
+    * assign pass. Features are exact integers but CENTROIDS are double
+    * means (integer sum / n), so per-dim squared diffs are generally
+    * NON-integer; cross-engine parity rests on (a) the left-associative
+    * IEEE fold being evaluated in the same order by both engines (the
+    * house distSql/sqlKmDist contract) and (b) an EXPLICIT round() to
+    * the nearest integer before the integer cast — both Spark's round
+    * (HALF_UP) and DuckDB's round (std::round) take ties away from
+    * zero, so the rounded value is identical even on exact .5
+    * fractions, where a bare double→decimal vs double→HUGEINT cast
+    * pair would be trusting two engines' implicit conversions to
+    * agree. The rounded sum stays under 2^53 per vector, so the
+    * decimal sum is order- and partition-invariant. The cell-count
+    * skew this reports is THE operational IVF health metric: an
+    * overloaded cell is scanned by every probe that lands in it, so
+    * max-share directly bounds tail latency. */
   def cellStats(embeddings: DataFrame, nCells: Int, iters: Int)
       : DataFrame = {
     val cents = trainCentroids(embeddings, nCells, iters)
@@ -261,7 +269,7 @@ object IvfIndex {
            |  ${distSql("qv", "cc.c")} AS dist,
            |  cc.cell AS cell)))""".stripMargin))
       .select(expr("m.cell").as("cell"),
-        expr("cast(m.dist as decimal(38,0))").as("dq"))
+        expr("cast(round(m.dist) as decimal(38,0))").as("dq"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("dq")).as("sum_sq"))
   }

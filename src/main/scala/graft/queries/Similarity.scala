@@ -1298,11 +1298,15 @@ object Similarity {
   // overload flag at 2× the ideal share. Cell skew is the operational
   // IVF metric (every probe landing in an overloaded cell scans it
   // whole — max share bounds tail latency; a drifted corpus shows up
-  // here before recall@k moves). Distances are exact integers riding
-  // doubles (quantized features; per-vector fold < 2^53), summed as
-  // decimal(38,0) — order-invariant, so the DuckDB replay of the FULL
-  // train+assign+distance chain (shared q42b generators) matches
-  // bit-for-bit.
+  // here before recall@k moves). Distances are doubles (integer
+  // features against double-mean centroids) folded left-associatively
+  // in the same order by both engines, then EXPLICITLY round()ed —
+  // half-away-from-zero on both — before the integer cast (the
+  // IvfIndex.cellStats contract: never trust double→decimal vs
+  // double→HUGEINT implicit conversions to tie-break .5 identically),
+  // summed as decimal(38,0) — order-invariant, so the DuckDB replay of
+  // the FULL train+assign+distance chain (shared q42b generators)
+  // matches bit-for-bit.
   //
   // Scale shape: one corpus pass assigns and scores simultaneously
   // (the argmin struct carries its own distance out — no second
@@ -1331,7 +1335,7 @@ object Similarity {
        |${sqlKmAssign("af", "qz", q42bTrain._2, 64)},
        |ad AS (
        |  SELECT af.cell,
-       |    CAST(${sqlKmDist("af.qv", "i.c", 64)} AS HUGEINT) AS dq
+       |    CAST(round(${sqlKmDist("af.qv", "i.c", 64)}) AS HUGEINT) AS dq
        |  FROM af JOIN ${q42bTrain._2} i USING (cell)),
        |st AS (
        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,

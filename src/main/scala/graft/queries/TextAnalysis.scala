@@ -1284,7 +1284,14 @@ object TextAnalysis {
          |rows_ AS (
          |  SELECT a.i, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
          |  FROM cellA a JOIN cellB b USING (i, b) GROUP BY a.i),
-         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM rows_),
+         |-- a CMS row with ZERO (i,b) overlap between the sides has no
+         |-- rows_ entry, but its true inner product is 0 and the Spark
+         |-- side's full-array zip_with correctly includes it — generate
+         |-- all D row ids and COALESCE so MIN sees the 0 (degenerate-
+         |-- input parity; on the fixture every row overlaps)
+         |est AS (
+         |  SELECT CAST(MIN(COALESCE(ip, 0)) AS BIGINT) AS est
+         |  FROM generate_series(0, 3) d(i) LEFT JOIN rows_ ON rows_.i = d.i),
          |ex AS (
          |  SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS exact_size
          |  FROM la JOIN lb USING (token))

@@ -66,17 +66,21 @@ object IncrementalDrift {
       lastBatch: Long = -1L) {
     /** Exact TV vs the reference in ppm — the q177 rational form on the
       * union of occupied buckets (≤2·2^13 driver-side terms):
-      * tv_ppm = (Σ_b |c_b·T_r − r_b·T| · 10⁶) div (2·T·T_r). BigInt
-      * keeps the cross products safe at any stream length. */
+      * tv_ppm = (Σ_b |c_b·T_r − r_b·T| · 10⁶) div max(2·T·T_r, 1).
+      * The max(…, 1) denominator guard is EXACTLY the batch twin's
+      * GREATEST(2*t*tr, 1) (q180), so an empty stream or empty
+      * reference reads 0 ppm in BOTH — the documented bit-for-bit twin
+      * parity holds on degenerate inputs too (r10 ADVICE: the stage
+      * used to return 10⁶ where the twin printed 0). BigInt keeps the
+      * cross products safe at any stream length. */
     def tvPpm(ref: Reference): Long = {
-      if (n == 0L || ref.total == 0L) return 1000000L
       val t = BigInt(n); val tr = BigInt(ref.total)
       val keys = counts.keySet ++ ref.counts.keySet
       val num = keys.iterator.map { b =>
         (BigInt(counts.getOrElse(b, 0L)) * tr -
           BigInt(ref.counts.getOrElse(b, 0L)) * t).abs
       }.sum
-      ((num * 1000000) / (2 * t * tr)).toLong
+      ((num * 1000000) / ((2 * t * tr) max BigInt(1))).toLong
     }
   }
 
@@ -88,6 +92,35 @@ object IncrementalDrift {
 
   private def stateFile(checkpointDir: String): Path =
     Paths.get(checkpointDir, "graft-drift-state", "counts")
+
+  private def refFile(checkpointDir: String): Path =
+    Paths.get(checkpointDir, "graft-drift-state", "reference")
+
+  /** Atomic persist of the FROZEN reference (same temp + ATOMIC_MOVE
+    * discipline as the summary snapshot). Written once, at the first
+    * `start()` against this checkpoint dir. */
+  private[streaming] def persistRef(file: Path, r: Reference): Unit = {
+    Files.createDirectories(file.getParent)
+    val tmp = file.resolveSibling("reference.tmp")
+    val body = (s"${r.total}" +:
+      r.counts.toSeq.sorted.map { case (b, c) => s"$b $c" })
+      .mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private[streaming] def loadRef(file: Path): Option[Reference] =
+    if (!Files.exists(file)) None
+    else {
+      val lines = Files.readAllLines(file, StandardCharsets.UTF_8)
+      val counts = (1 until lines.size).iterator
+        .map(lines.get(_).trim).filter(_.nonEmpty)
+        .map { l => val p = l.split(' '); p(0).toLong -> p(1).toLong }
+        .toMap
+      Some(Reference(counts, lines.get(0).trim.toLong))
+    }
 
   /** Atomic persist (temp sibling + ATOMIC_MOVE): old or new snapshot,
     * never a torn read. ≤2^13 lines. */
@@ -120,18 +153,32 @@ object IncrementalDrift {
     * partials; the collect is bounded at ≤2^13 rows), merged into the
     * standing counts. `onUpdate` fires after every micro-batch
     * (including skipped redeliveries) with the summary and its TV vs
-    * `reference`. */
+    * the EFFECTIVE reference.
+    *
+    * The reference FREEZES at the first `start()` against a checkpoint
+    * dir: it is persisted beside the summary snapshot (same atomic
+    * discipline) and every later start LOADS it, ignoring the offered
+    * `reference`. Without this, a restarting caller recomputes
+    * `referenceOf` against whatever the reference corpus looks like
+    * NOW — if that corpus moved between runs, the TV series silently
+    * changes meaning mid-stream (r10 VERDICT #4). A caller that
+    * genuinely wants to re-baseline starts a fresh checkpoint dir —
+    * the same contract as changing a streaming query's aggregation. */
   def start(tokenStream: DataFrame, reference: Reference, state: State,
       checkpointDir: String,
       onUpdate: (Summary, Long) => Unit): StreamingQuery = {
     val file = stateFile(checkpointDir)
     load(file).foreach(state.ref.set)
+    val rFile = refFile(checkpointDir)
+    val frozenRef = loadRef(rFile).getOrElse {
+      persistRef(rFile, reference); reference
+    }
     tokenStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cur = state.ref.get()
         if (batchId <= cur.lastBatch) {
-          onUpdate(cur, cur.tvPpm(reference)) // redelivery: already merged
+          onUpdate(cur, cur.tvPpm(frozenRef)) // redelivery: already merged
         } else {
           val rows = batch.select(expr(bucketExpr("w")).as("b"))
             .groupBy(col("b")).agg(count(lit(1)).as("c"))
@@ -148,7 +195,7 @@ object IncrementalDrift {
           // between the two replays the batch, the guard skips it
           persist(file, next)
           state.ref.set(next)
-          onUpdate(next, next.tvPpm(reference))
+          onUpdate(next, next.tvPpm(frozenRef))
         }
         ()
       }

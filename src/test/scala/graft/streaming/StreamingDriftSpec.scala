@@ -40,16 +40,17 @@ class StreamingDriftSpec extends AnyFunSuite {
   private def localCounts(ws: Seq[String]): Map[Long, Long] =
     ws.groupBy(bucket).map { case (b, g) => b -> g.length.toLong }
 
-  /** Independent rational TV replay in BigInt (the q177 form). */
+  /** Independent rational TV replay in BigInt (the q177 form, with
+    * q180's GREATEST(2·t·tr, 1) denominator guard — the degenerate-
+    * input convention both twins share). */
   private def localTvPpm(cur: Map[Long, Long], n: Long,
       ref: Map[Long, Long], refT: Long): Long = {
-    if (n == 0L || refT == 0L) return 1000000L
     val t = BigInt(n); val tr = BigInt(refT)
     val num = (cur.keySet ++ ref.keySet).iterator.map { b =>
       (BigInt(cur.getOrElse(b, 0L)) * tr -
         BigInt(ref.getOrElse(b, 0L)) * t).abs
     }.sum
-    ((num * 1000000) / (2 * t * tr)).toLong
+    ((num * 1000000) / ((2 * t * tr) max BigInt(1))).toLong
   }
 
   /** Reference = the first half of the corpus (a frozen "training
@@ -204,14 +205,58 @@ class StreamingDriftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("TV edge cases: empty stream, identical distribution, disjoint") {
+  test("TV edge cases: empty halves match q180's convention; disjoint → 1") {
     val ref = IncrementalDrift.Reference(Map(1L -> 5L, 2L -> 5L), 10L)
-    assert(IncrementalDrift.Summary(Map.empty, 0L).tvPpm(ref) == 1000000L)
+    // Degenerate halves follow the batch twin's GREATEST(2*t*tr, 1)
+    // guard: numerator terms all carry a factor of the empty half's
+    // total, so the ppm reads 0 in BOTH the stage and q180 (r10 ADVICE:
+    // the stage used to print 10⁶ here while the twin printed 0).
+    assert(IncrementalDrift.Summary(Map.empty, 0L).tvPpm(ref) == 0L)
+    assert(IncrementalDrift.Summary(Map(1L -> 3L), 3L)
+      .tvPpm(IncrementalDrift.Reference(Map.empty, 0L)) == 0L)
+    assert(localTvPpm(Map.empty, 0L, ref.counts, ref.total) == 0L)
     // identical shape at a different scale → TV 0 (distribution, not mass)
     assert(IncrementalDrift.Summary(Map(1L -> 10L, 2L -> 10L), 20L)
       .tvPpm(ref) == 0L)
     // fully disjoint support → TV 1
     assert(IncrementalDrift.Summary(Map(7L -> 4L), 4L)
       .tvPpm(ref) == 1000000L)
+  }
+
+  test("reference freezes at first start: a restart offering a DIFFERENT " +
+      "reference keeps the original") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val chunks = chunksOf(4)
+    val (refA, _, _) = refHalf
+    // a genuinely different reference: the SECOND half of the corpus
+    val otherHalf = allTokens.drop(allTokens.length / 2)
+    val refB = IncrementalDrift.referenceOf(otherHalf.toDF("w"))
+    assert(refA != refB, "fixture halves must differ for this test to bite")
+
+    val ckpt = Files.createTempDirectory("drift-frozen-ref").toString
+    val src = MemoryStream[String]
+    val q1 = feed(src, refA, new IncrementalDrift.State, ckpt, chunks.take(2))
+    q1.stop()
+    // the frozen reference must be durable beside the summary snapshot
+    assert(Files.exists(java.nio.file.Paths.get(
+      ckpt, "graft-drift-state", "reference")))
+
+    // restart: the caller recomputed its reference against a MOVED
+    // corpus (here: the other half) — the stage must keep refA, or the
+    // TV series silently changes meaning mid-stream
+    val state2 = new IncrementalDrift.State
+    var lastTv = -1L
+    val q2 = IncrementalDrift.start(src.toDF().toDF("w"), refB, state2, ckpt,
+      (_, tv) => lastTv = tv)
+    try {
+      chunks.drop(2).foreach { c => src.addData(c); q2.processAllAvailable() }
+      val snap = state2.get
+      assert(lastTv == snap.tvPpm(refA),
+        "reported TV must be against the FROZEN first-start reference")
+      assert(snap.tvPpm(refA) != snap.tvPpm(refB),
+        "the two references must disagree on this stream for the " +
+          "assertion above to discriminate")
+    } finally q2.stop()
   }
 }
