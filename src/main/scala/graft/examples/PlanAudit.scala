@@ -83,7 +83,9 @@ object PlanAudit {
         "q178_centroid_similarity", "q179_coverage_selection",
         "q180_hashed_drift", "q181_cusum_changepoints",
         "q182_mixture_schedule", "q183_ivm_join", "q184_ivf_balance",
-        "q185_cms_join_size", "q186_sliding_distinct")
+        "q185_cms_join_size", "q186_sliding_distinct",
+        "q175b_source_overlap_sketch", "q185b_cms_join_size_sketch",
+        "q186b_sliding_distinct_sketch")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // Parquet scan NODES in the FINAL plan only. The formatted dump emits a
@@ -292,6 +294,27 @@ object PlanAudit {
         Check("single-exact-scan", p =>
           parquetScans(p) == 1,
           "the exact-intersection comparison is the one remaining scan")),
+      // the PRODUCTION sketch-only entry points (r10 VERDICT #3): their
+      // plans read nothing but the pinned sketch frames — zero corpus
+      // scans beyond the sketch build, which happened at construction
+      "q175b_source_overlap_sketch" -> Seq(
+        Check("sketches-checkpointed", _.contains("Scan ExistingRDD"),
+          "pair algebra reads the pinned |S|-row sketch frame"),
+        Check("no-corpus-scan", p => parquetScans(p) == 0,
+          "the production overlap matrix never re-touches the corpus")),
+      "q186b_sliding_distinct_sketch" -> Seq(
+        Check("sketches-checkpointed", _.contains("Scan ExistingRDD"),
+          "window merges read the pinned hourly sketch frame"),
+        Check("no-corpus-scan", p => parquetScans(p) == 0,
+          "the production trailing-window series never re-scans events")),
+      // q185b's sketch build is itself the query (two one-pass 32 KB
+      // aggregates riding when-guards) — exactly ONE fact scan, and the
+      // inner product runs on the 1-row sketch frame
+      "q185b_cms_join_size_sketch" -> Seq(
+        Check("single-scan", p => parquetScans(p) == 1,
+          "both sides' sketches build from one lineitem pass"),
+        Check("no-expand", p => !p.contains("Expand"),
+          "the two sketch aggregates share one Aggregate node")),
       // the sliding-distinct window merges read the checkpointed
       // per-hour sketch frame; the one remaining event scan is the
       // gate-only exact-distinct comparison

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -753,28 +753,54 @@ object EventAnalytics {
   // recompute the corpus agg). Estimates are the q105 integer formula,
   // so the oracle rebuilds every value bit-for-bit (q175's merge
   // algebra, on the time axis instead of the source axis).
+  /** The per-event (hour, 48-bit user hash) stream behind the hourly
+    * KMV sketches — shared by the sketch build and q186's gate-only
+    * exact leg. */
+  private def hourUserHashes(s: SparkSession, d: String): DataFrame =
+    eventsRaw(s, d).select(
+      expr("unix_micros(ts) div 3600000000L").as("hr"),
+      expr("""cast(conv(substring(md5(cast(user_id as string)), 1, 12),
+            |  16, 10) as bigint)""".stripMargin).as("h"))
+
+  /** Per-hour KMV sketch artifact — the checkpoint-pinned hours-row
+    * frame every trailing-window merge reads. Memoized per (session,
+    * corpus) so the gated (q186) and production sketch-only (q186b)
+    * entry points share ONE event scan per session (the clusterLabels
+    * memo discipline). */
+  private val hourlySkCache = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]
+  private val hourlySkHook = new java.util.concurrent.atomic.AtomicBoolean
+  private def hourlyUserSketches(s: SparkSession, d: String): DataFrame = {
+    if (hourlySkHook.compareAndSet(false, true))
+      graft.Resources.onReleaseAll(() => hourlySkCache.clear())
+    hourlySkCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+      val kmv = udaf(graft.functions.KmvAgg)
+      graft.Resources.retain(
+        hourUserHashes(s, d).groupBy(col("hr"))
+          .agg(kmv(col("h")).as("sk")).localCheckpoint())
+    })
+  }
+
+  /** Trailing 6-hour window merges over the pinned hourly sketch frame
+    * — work ∝ hours × window, never rows × windows. */
+  private def slidingDistinctEstimates(hourly: DataFrame): DataFrame =
+    hourly.select(col("hr").as("w"))
+      .join(hourly, col("hr").between(col("w") - 5, col("w")))
+      .groupBy(col("w"))
+      .agg(expr(
+        """slice(array_sort(array_distinct(flatten(collect_list(sk)))),
+          |  1, 64)""".stripMargin).as("mu"))
+      .select(col("w"), expr(
+        """CASE WHEN size(mu) < 64 THEN cast(size(mu) AS bigint)
+          |ELSE (63L * 281474976710656L) div element_at(mu, 64) END"""
+          .stripMargin).as("est_distinct"))
+
   private val q186 = QueryDef.of(
     (s, d) => {
-      val kmv = udaf(graft.functions.KmvAgg)
-      val e = eventsRaw(s, d).select(
-        expr("unix_micros(ts) div 3600000000L").as("hr"),
-        expr("""cast(conv(substring(md5(cast(user_id as string)), 1, 12),
-              |  16, 10) as bigint)""".stripMargin).as("h"))
-      val hourly = graft.Resources.retain(
-        e.groupBy(col("hr")).agg(kmv(col("h")).as("sk"))
-          .localCheckpoint())
-      val windows = hourly.select(col("hr").as("w"))
-      val merged = windows
-        .join(hourly, col("hr").between(col("w") - 5, col("w")))
-        .groupBy(col("w"))
-        .agg(expr(
-          """slice(array_sort(array_distinct(flatten(collect_list(sk)))),
-            |  1, 64)""".stripMargin).as("mu"))
-        .select(col("w"), expr(
-          """CASE WHEN size(mu) < 64 THEN cast(size(mu) AS bigint)
-            |ELSE (63L * 281474976710656L) div element_at(mu, 64) END"""
-            .stripMargin).as("est_distinct"))
-      val exact = windows
+      val e = hourUserHashes(s, d)
+      val hourly = hourlyUserSketches(s, d)
+      val merged = slidingDistinctEstimates(hourly)
+      val exact = hourly.select(col("hr").as("w"))
         .join(e, col("hr").between(col("w") - 5, col("w")))
         .groupBy(col("w"))
         .agg(countDistinct(col("h")).as("exact_distinct"))
@@ -812,8 +838,43 @@ object EventAnalytics {
       |FROM est JOIN ex USING (w)
       |ORDER BY w_hr""".stripMargin)
 
+  // ------------------------------------------------------------ q186b
+  // The PRODUCTION entry point of q186: per-window estimates from the
+  // pinned hourly sketch frame ONLY. The gated variant's exact leg
+  // re-scans every event row |window| times through the range join —
+  // exactly the rows × windows blow-up the per-hour sketch reuse
+  // exists to avoid — so the 100 TB/day trailing-window dashboard runs
+  // THIS query (r10 VERDICT #3). Zero event scans beyond the sketch
+  // build, which the session shares with q186 via the memo; same
+  // estimates bit-for-bit.
+  private val q186b = QueryDef.of(
+    (s, d) => slidingDistinctEstimates(hourlyUserSketches(s, d))
+      .select(col("w").as("w_hr"), col("est_distinct"))
+      .orderBy(col("w_hr")),
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+      |      AS BIGINT) AS h
+      |  FROM events),
+      |hd AS MATERIALIZED (SELECT DISTINCT hr, h FROM e),
+      |hs AS MATERIALIZED (
+      |  SELECT hr, list_slice(list(h ORDER BY h), 1, 64) AS mins
+      |  FROM hd GROUP BY hr),
+      |merged AS (
+      |  SELECT w.hr AS w,
+      |    list_slice(list_sort(list_distinct(flatten(list(s.mins)))),
+      |      1, 64) AS mu
+      |  FROM hs w JOIN hs s ON s.hr BETWEEN w.hr - 5 AND w.hr
+      |  GROUP BY w.hr)
+      |SELECT w AS w_hr,
+      |  CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS BIGINT)
+      |       ELSE (63 * 281474976710656) // mu[64] END AS est_distinct
+      |FROM merged
+      |ORDER BY w_hr""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q186_sliding_distinct" -> q186,
+    "q186b_sliding_distinct_sketch" -> q186b,
     "q181_cusum_changepoints" -> q181,
     "q110_ewma_fold" -> q110,
     "q166_heavy_hitters" -> q166,

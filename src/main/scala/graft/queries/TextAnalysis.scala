@@ -1300,6 +1300,70 @@ object TextAnalysis {
          |FROM est CROSS JOIN ex""".stripMargin
     })
 
+  // ------------------------------------------------------------ q185b
+  // The PRODUCTION entry point of q185: the CMS inner-product estimate
+  // WITHOUT the gate-only exact join size — at 100 TB the exact leg is
+  // the very key-grouped count join the sketch estimator exists to
+  // avoid (r10 VERDICT #3). Bonus over the gated variant: both sides'
+  // sketches build from ONE lineitem scan (CountMinAgg ignores NULLs,
+  // so each side's membership rides a `when` guard into its own
+  // aggregate — two 32 KB buffers, one pass; when the sides live in
+  // different relations, as in a real optimizer, each keeps its own
+  // one-pass build). Output is the estimate alone — the number a join
+  // planner consumes.
+  private val q185b = QueryDef.of(
+    (s, d) => {
+      val cms = udaf(graft.functions.CountMinAgg)
+      val W = graft.functions.CountMinAgg.W
+      val sk = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("string").as("token"),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          cms(when(col("l_returnflag") === "R", col("token"))).as("ska"),
+          cms(when(col("l_linestatus") === "O", col("token"))).as("skb"))
+      val inner = (0 until graft.functions.CountMinAgg.D).map { i =>
+        s"""aggregate(zip_with(
+           |  slice(ska, ${i * W} + 1, $W), slice(skb, ${i * W} + 1, $W),
+           |  (x, y) -> x * y), 0L, (acc, v) -> acc + v)""".stripMargin
+      }.mkString("least(", ", ", ")")
+      sk.select(expr(inner).as("est"))
+    },
+    {
+      val A = graft.functions.MinHashSig.A
+      val B = graft.functions.MinHashSig.B
+      val P = graft.functions.MinHashSig.P
+      val W = graft.functions.CountMinAgg.W
+      val aL = A.take(4).mkString(", ")
+      val bL = B.take(4).mkString(", ")
+      s"""WITH la AS (
+         |  SELECT CAST(l_partkey AS VARCHAR) AS token, COUNT(*) AS ca
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         |lb AS (
+         |  SELECT CAST(l_partkey AS VARCHAR) AS token, COUNT(*) AS cb
+         |  FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1),
+         |keys AS (SELECT token FROM la UNION SELECT token FROM lb),
+         |h AS (
+         |  SELECT token,
+         |    CAST('0x' || substring(md5(token), 1, 5) AS BIGINT) AS h20
+         |  FROM keys),
+         |buck AS (
+         |  SELECT token, i.i AS i,
+         |    ((([$aL])[i.i + 1] * h20 + ([$bL])[i.i + 1]) % $P) % $W AS b
+         |  FROM h CROSS JOIN generate_series(0, 3) i(i)),
+         |cellA AS (
+         |  SELECT i, b, SUM(ca) AS c FROM buck JOIN la USING (token)
+         |  GROUP BY 1, 2),
+         |cellB AS (
+         |  SELECT i, b, SUM(cb) AS c FROM buck JOIN lb USING (token)
+         |  GROUP BY 1, 2),
+         |rows_ AS (
+         |  SELECT a.i, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+         |  FROM cellA a JOIN cellB b USING (i, b) GROUP BY a.i)
+         |SELECT CAST(MIN(COALESCE(ip, 0)) AS BIGINT) AS est
+         |FROM generate_series(0, 3) d(i) LEFT JOIN rows_ ON rows_.i = d.i"""
+        .stripMargin
+    })
+
   // ------------------------------------------------------------- q88
   // BPE tokenizer vocabulary training ([[graft.operators.BpeTrainer]]):
   // 3 greedy merge steps over the frequency-weighted distinct-word
@@ -1983,45 +2047,66 @@ object TextAnalysis {
   // pinned so the two join sides don't recompute the corpus agg). The
   // exact-intersection comparison is one (source, token)-distinct
   // shuffle — vocabulary-bounded, and the one piece a pure-sketch
-  // production run would drop. Estimates are integer div expressions,
-  // so the oracle rebuilds every value bit-for-bit (the q105 contract).
-  private val q175 = QueryDef.of(
-    (s, d) => {
+  // production run drops: q175b below is that production entry point
+  // (sketch-only plan; shares this query's sketch frame via the
+  // session memo). Estimates are integer div expressions, so the
+  // oracle rebuilds every value bit-for-bit (the q105 contract).
+  /** The raw (source, token, 48-bit hash) stream behind the KMV
+    * sketches — shared by the sketch build and q175's gate-only exact
+    * leg. */
+  private def sourceTokenHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(w), 1, 12), 16, 10) as bigint)"))
+
+  /** Per-source KMV sketch artifact — the checkpoint-pinned |S|-row
+    * frame all KMV set algebra runs on. Memoized per (session, corpus)
+    * so the gated (q175) and production sketch-only (q175b) entry
+    * points share ONE corpus scan per session (the clusterLabels memo
+    * discipline: ConcurrentHashMap.computeIfAbsent builds at most once;
+    * the onReleaseAll hook clears the memo when releaseAll kills the
+    * checkpoint). */
+  private val kmvSkCache = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]
+  private val kmvSkHook = new java.util.concurrent.atomic.AtomicBoolean
+  private[queries] def sourceKmvSketches(
+      s: SparkSession, d: String): DataFrame = {
+    if (kmvSkHook.compareAndSet(false, true))
+      graft.Resources.onReleaseAll(() => kmvSkCache.clear())
+    kmvSkCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
       val kmv = udaf(graft.functions.KmvAgg)
-      val tok = Tables.documents(s, d)
-        .select(col("source"),
-          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
-        .withColumn("h", expr(
-          "cast(conv(substring(md5(w), 1, 12), 16, 10) as bigint)"))
-      val sk = graft.Resources.retain(
-        tok.groupBy(col("source")).agg(kmv(col("h")).as("sk"))
-          .localCheckpoint())
-      def est(c: String) =
-        s"""CASE WHEN size($c) < 64 THEN cast(size($c) AS bigint)
-           |ELSE (63L * 281474976710656L) div element_at($c, 64) END"""
-          .stripMargin
-      val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
-        .join(sk.select(col("source").as("source_b"), col("sk").as("skb")),
-          col("source_a") < col("source_b"))
-        .withColumn("mu",
-          expr("slice(array_sort(array_union(ska, skb)), 1, 64)"))
-        .select(col("source_a"), col("source_b"),
-          expr(est("ska")).as("est_a"), expr(est("skb")).as("est_b"),
-          expr(est("mu")).as("est_union"))
-        .withColumn("est_inter",
-          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
-      val dw = tok.select(col("source"), col("w")).distinct()
-      val ex = dw.select(col("source").as("source_a"), col("w"))
-        .join(dw.select(col("source").as("source_b"), col("w")), Seq("w"))
-        .filter(col("source_a") < col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("exact_inter"))
-      pairs.join(ex, Seq("source_a", "source_b"), "left")
-        .select(col("source_a"), col("source_b"), col("est_a"),
-          col("est_b"), col("est_union"), col("est_inter"),
-          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
-        .orderBy(col("source_a"), col("source_b"))
-    },
+      graft.Resources.retain(
+        sourceTokenHashes(s, d).groupBy(col("source"))
+          .agg(kmv(col("h")).as("sk")).localCheckpoint())
+    })
+  }
+
+  /** All-pairs KMV overlap algebra over the pinned sketch frame: union
+    * by merged k-min, intersection by inclusion–exclusion — |S|² pairs
+    * of 64-long arrays, never corpus-sized. */
+  private def kmvOverlapPairs(sk: DataFrame): DataFrame = {
+    def est(c: String) =
+      s"""CASE WHEN size($c) < 64 THEN cast(size($c) AS bigint)
+         |ELSE (63L * 281474976710656L) div element_at($c, 64) END"""
+        .stripMargin
+    sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      .join(sk.select(col("source").as("source_b"), col("sk").as("skb")),
+        col("source_a") < col("source_b"))
+      .withColumn("mu",
+        expr("slice(array_sort(array_union(ska, skb)), 1, 64)"))
+      .select(col("source_a"), col("source_b"),
+        expr(est("ska")).as("est_a"), expr(est("skb")).as("est_b"),
+        expr(est("mu")).as("est_union"))
+      .withColumn("est_inter",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+  }
+
+  /** Shared oracle CTE prefix for the KMV overlap algebra (q175/q175b
+    * both replay it — single definition so the two oracles can't
+    * drift). */
+  private val kmvOverlapCtes =
     """WITH th AS MATERIALIZED (
       |  SELECT source, w, CAST('0x' || substring(md5(w), 1, 12) AS BIGINT)
       |    AS h
@@ -2047,7 +2132,25 @@ object TextAnalysis {
       |         ELSE (63 * 281474976710656) // mb[64] END AS est_b,
       |    CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS BIGINT)
       |         ELSE (63 * 281474976710656) // mu[64] END AS est_union
-      |  FROM pr),
+      |  FROM pr)""".stripMargin
+
+  private val q175 = QueryDef.of(
+    (s, d) => {
+      val pairs = kmvOverlapPairs(sourceKmvSketches(s, d))
+      val dw = sourceTokenHashes(s, d)
+        .select(col("source"), col("w")).distinct()
+      val ex = dw.select(col("source").as("source_a"), col("w"))
+        .join(dw.select(col("source").as("source_b"), col("w")), Seq("w"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs.join(ex, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("est_a"),
+          col("est_b"), col("est_union"), col("est_inter"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    s"""$kmvOverlapCtes,
       |dw AS MATERIALIZED (SELECT DISTINCT source, w FROM th),
       |ex AS (
       |  SELECT a.source AS source_a, b.source AS source_b,
@@ -2059,6 +2162,24 @@ object TextAnalysis {
       |  COALESCE(ex.exact_inter, 0) AS exact_inter
       |FROM es LEFT JOIN ex USING (source_a, source_b)
       |ORDER BY es.source_a, es.source_b""".stripMargin)
+
+  // ------------------------------------------------------------ q175b
+  // The PRODUCTION entry point of q175: sketch algebra ONLY. The gated
+  // variant's exact-intersection leg is a full (source, token)-distinct
+  // corpus shuffle — precisely the work the KMV operator exists to
+  // avoid — so a production overlap matrix at 100 TB runs THIS query:
+  // its plan touches nothing but the pinned |S|-row sketch frame (zero
+  // corpus scans beyond the sketch build, which the session shares with
+  // q175 via the memo). Same estimates bit-for-bit; the oracle replays
+  // the same CTE prefix (r10 VERDICT #3).
+  private val q175b = QueryDef.of(
+    (s, d) => kmvOverlapPairs(sourceKmvSketches(s, d))
+      .orderBy(col("source_a"), col("source_b")),
+    s"""$kmvOverlapCtes
+      |SELECT source_a, source_b, est_a, est_b, est_union,
+      |  GREATEST(0, est_a + est_b - est_union) AS est_inter
+      |FROM es
+      |ORDER BY source_a, source_b""".stripMargin)
 
   // ------------------------------------------------------------- q177
   // DISTRIBUTION drift per source: exact total-variation distance
@@ -2454,9 +2575,11 @@ object TextAnalysis {
     "q118_tokenizer_eval" -> q118,
     "q105_kmv_distinct" -> q105,
     "q175_source_overlap" -> q175,
+    "q175b_source_overlap_sketch" -> q175b,
     "q177_source_divergence" -> q177,
     "q180_hashed_drift" -> q180,
     "q185_cms_join_size" -> q185,
+    "q185b_cms_join_size_sketch" -> q185b,
     "q107_pmi_collocations" -> q107,
     "q92_lm_quality" -> q92,
     "q143_quality_curriculum" -> q143,
