@@ -1,0 +1,213 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.sources.mqtt.InMemoryBroker
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-stage composition soak (r10 VERDICT #6): ALL FOUR standing
+  * folds — near-dup probe, heavy hitters, KMV distinct, hashed drift —
+  * wired onto ONE MQTT document topic the way `MqttDemo`/`StreamBench`
+  * wire ingest, each stage an independent subscriber with its own
+  * clientId and checkpoint dir (the production shape: one broker
+  * fan-out, per-stage offsets and durable summaries). The run is
+  * killed mid-stream, traffic continues while down (broker-buffered),
+  * and the four stages restart from their checkpoints — with the
+  * restarting caller offering a DIFFERENT drift reference, which the
+  * frozen-reference contract must ignore.
+  *
+  * The oracle is a CONTROL set: four more stages on the same topic
+  * that run UNBROKEN across the whole message sequence. Every durable
+  * guarantee is asserted as exact parity between the killed/restarted
+  * set and the control set — flags neither lost nor duplicated across
+  * the restart, heavy-hitter and KMV summaries bit-equal, drift counts
+  * and TV bit-equal against the ORIGINAL reference. */
+class StandingStagesSoakSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private val Topic = "/corp/docs/out/sensors/doc"
+
+  private val payloadSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("user_id", LongType),
+    StructField("text", StringType)))
+
+  private def docFrame(cid: String): DataFrame =
+    IngestPipeline.mqttStream(spark, cid, Seq("#"))
+      .select(from_json(col("payload"), payloadSchema).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.user_id").as("user_id"),
+        col("d.text").as("text"))
+
+  private def tokenFrame(cid: String): DataFrame =
+    docFrame(cid).select(
+      explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  test("four standing stages on one MQTT source survive kill/restart " +
+      "with exact parity to an unbroken control run") {
+    import spark.implicits._
+    InMemoryBroker.resetAll()
+    val run = System.nanoTime()
+
+    // ---- fixture: the q120 split — standing corpus vs streamed docs
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val streamed = docs.filter(col("doc_id") % 10 === 7)
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, t) => (id, id % 7, t) } // user_id: skewed-ish mod
+    val waves = streamed.grouped(math.max(1, streamed.length / 3 + 1)).toSeq
+    assert(waves.length >= 3, "need a wave before, during and after the kill")
+
+    val corpusTokens = corpus
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+    val refA = IncrementalDrift.referenceOf(corpusTokens)
+    // the "moved corpus" a restarting caller would recompute against
+    val refB = IncrementalDrift.referenceOf(
+      streamed.flatMap(_._3.split(' ').filter(_.nonEmpty)).toSeq.toDF("w"))
+    assert(refA != refB, "references must differ for the freeze to bite")
+
+    val dedupIdx = IncrementalDedup.buildIndex(corpus)
+
+    // ---- per-stage wiring: (clientId, checkpoint) per stage per set
+    def ckpt(tag: String) =
+      Files.createTempDirectory(s"soak4-$tag").toString
+    val flagsMain = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val flagsCtl = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def sinkInto(buf: scala.collection.mutable.ArrayBuffer[(Long, Long)])
+        : DataFrame => Unit = flags => {
+      val rows = flags.collect().map(r => (r.getLong(0), r.getLong(1)))
+      buf.synchronized { buf ++= rows }
+      ()
+    }
+
+    val ckDedup = ckpt("dedup"); val ckHh = ckpt("hh")
+    val ckKmv = ckpt("kmv"); val ckDrift = ckpt("drift")
+
+    // the TV the main drift stage itself REPORTS (through onUpdate) —
+    // the number a pager would see; must track the frozen reference
+    val reportedTv = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def startMain(hh: IncrementalHeavyHitters.State,
+        kmv: IncrementalDistinct.State, drift: IncrementalDrift.State,
+        driftRef: IncrementalDrift.Reference): Seq[StreamingQuery] = Seq(
+      IncrementalDedup.start(
+        docFrame(s"m-dedup-$run").select(col("doc_id"), col("text")),
+        dedupIdx, ckDedup, sinkInto(flagsMain)),
+      IncrementalHeavyHitters.start(
+        docFrame(s"m-hh-$run").select(col("user_id")), hh, ckHh, _ => ()),
+      IncrementalDistinct.start(
+        tokenFrame(s"m-kmv-$run"), kmv, ckKmv, _ => ()),
+      IncrementalDrift.start(
+        tokenFrame(s"m-drift-$run"), driftRef, drift, ckDrift,
+        (_, tv) => reportedTv.set(tv)))
+
+    // control set: unbroken, own clientIds/checkpoints, same messages
+    val hhCtl = new IncrementalHeavyHitters.State
+    val kmvCtl = new IncrementalDistinct.State
+    val driftCtl = new IncrementalDrift.State
+    val ctl: Seq[StreamingQuery] = Seq(
+      IncrementalDedup.start(
+        docFrame(s"c-dedup-$run").select(col("doc_id"), col("text")),
+        dedupIdx, ckpt("dedup-ctl"), sinkInto(flagsCtl)),
+      IncrementalHeavyHitters.start(
+        docFrame(s"c-hh-$run").select(col("user_id")), hhCtl,
+        ckpt("hh-ctl"), _ => ()),
+      IncrementalDistinct.start(
+        tokenFrame(s"c-kmv-$run"), kmvCtl, ckpt("kmv-ctl"), _ => ()),
+      IncrementalDrift.start(
+        tokenFrame(s"c-drift-$run"), refA, driftCtl, ckpt("drift-ctl"),
+        (_, _) => ()))
+
+    def publish(wave: Seq[(Long, Long, String)]): Unit =
+      wave.foreach { case (id, uid, t) =>
+        InMemoryBroker.publish(Topic,
+          s"""{"doc_id":$id,"user_id":$uid,"text":"${jsonEsc(t)}"}""")
+      }
+    def drain(qs: Seq[StreamingQuery]): Unit =
+      qs.foreach(_.processAllAvailable())
+
+    val hh1 = new IncrementalHeavyHitters.State
+    val kmv1 = new IncrementalDistinct.State
+    val drift1 = new IncrementalDrift.State
+    var main = startMain(hh1, kmv1, drift1, refA)
+    var mainTv = -1L
+    try {
+      // ---- wave 1: everything up
+      publish(waves.head)
+      drain(main); drain(ctl)
+
+      // ---- kill the main set; traffic continues while down
+      main.foreach(_.stop())
+      publish(waves(1))
+      drain(ctl)
+
+      // ---- restart from checkpoints: fresh states (a new JVM), and
+      // the caller offers the WRONG (recomputed) reference
+      val hh2 = new IncrementalHeavyHitters.State
+      val kmv2 = new IncrementalDistinct.State
+      val drift2 = new IncrementalDrift.State
+      assert(hh2.get.n == 0L && kmv2.get.n == 0L && drift2.get.n == 0L,
+        "fresh states start empty, like a new JVM")
+      main = Seq.empty // guard finally against double-stop
+      val restarted = startMain(hh2, kmv2, drift2, refB)
+      main = restarted
+      // re-attach TV observation through the drift stage's own callback:
+      // restart it via state2's onUpdate (captured below on later waves)
+      waves.drop(2).foreach { w => publish(w); drain(main); drain(ctl) }
+      drain(main)
+
+      // ---- parity: dedup flags — none lost, none duplicated
+      val gMain = flagsMain.synchronized(flagsMain.toList)
+      val gCtl = flagsCtl.synchronized(flagsCtl.toList)
+      assert(gCtl.nonEmpty, "fixture must contain streamed near-dups")
+      assert(gMain.size == gMain.toSet.size,
+        "restart must not duplicate a delivered batch's flags")
+      assert(gMain.toSet == gCtl.toSet,
+        s"flag divergence: main-only=${gMain.toSet -- gCtl.toSet} " +
+          s"ctl-only=${gCtl.toSet -- gMain.toSet}")
+
+      // ---- parity: heavy hitters (exact n + identical MG summary)
+      assert(hh2.get.n == streamed.length.toLong)
+      assert(hh2.get.buf == hhCtl.get.buf,
+        "restarted MG summary must equal the unbroken control's")
+
+      // ---- parity: KMV distinct (exact fold — bit-identical sketch)
+      assert(kmv2.get.n == kmvCtl.get.n)
+      assert(kmv2.get.mins == kmvCtl.get.mins,
+        "restarted KMV sketch must equal the unbroken control's")
+      assert(kmv2.get.estimate == kmvCtl.get.estimate)
+
+      // ---- parity: drift counts + frozen reference semantics
+      assert(drift2.get.counts == driftCtl.get.counts)
+      assert(drift2.get.n == driftCtl.get.n)
+      mainTv = drift2.get.tvPpm(refA)
+      assert(mainTv == driftCtl.get.tvPpm(refA),
+        "restarted drift TV must equal the unbroken control's")
+      // the restart offered refB; the stage must still REPORT against
+      // the frozen refA — observable because the two disagree
+      assert(drift2.get.tvPpm(refA) != drift2.get.tvPpm(refB),
+        "references must disagree on this stream to discriminate")
+      assert(reportedTv.get() == mainTv,
+        "the stage's reported TV must use the FROZEN first-start " +
+          "reference, not the one offered at restart")
+      assert(Files.exists(java.nio.file.Paths.get(
+        ckDrift, "graft-drift-state", "reference")),
+        "frozen reference must be durable beside the summary snapshot")
+    } finally {
+      main.foreach(q => try q.stop() catch { case _: Throwable => () })
+      ctl.foreach(q => try q.stop() catch { case _: Throwable => () })
+      dedupIdx.release()
+    }
+  }
+}
