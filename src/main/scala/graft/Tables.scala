@@ -13,8 +13,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, path) scan memo. `spark.read.parquet` builds a fresh
+    * InMemoryFileIndex (a filesystem listing) and re-reads the footer
+    * schema on EVERY call; a 185-query session makes hundreds of such
+    * calls against the same ten immutable fixture paths, and [[table]]'s
+    * split-count probe additionally plans the bare scan physically each
+    * time (`df.rdd` — a lazy val, so memoizing the Dataset memoizes the
+    * probe too). Sharing one Dataset per (session, path) pays listing +
+    * schema + split planning once per session — the same shared-catalog
+    * behavior a real deployment gets from a table catalog, not a bench
+    * special (the logical plan is immutable; handing the same object to
+    * every query is safe). Contract: paths read through Tables are
+    * immutable for the session's lifetime — the fixture/warehouse-path
+    * contract every query here already assumes. A test that rewrites a
+    * path mid-session must use a fresh directory (they all do: fixture
+    * specs write each temp dir exactly once). */
+  private val scanCache = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]
+  private def cached(spark: SparkSession, path: String,
+      floor: Boolean): DataFrame =
+    scanCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$floor:$path",
+      _ => {
+        val df = spark.read.parquet(path)
+        if (floor) scatter(df) else df
+      })
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    scatter(spark.read.parquet(s"$sfDir/$name.parquet"))
+    cached(spark, s"$sfDir/$name.parquet", floor = true)
 
   /** Scan WITHOUT the parallelism floor — for queries whose first wide
     * operator is already a key shuffle (shuffle joins, shuffle aggs over
@@ -25,7 +51,7 @@ object Tables {
     * text scoring, vector math, cube expansion, broadcast-probe) keep
     * [[table]]'s floor, where pre-shuffle work dominates. */
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cached(spark, s"$sfDir/$name.parquet", floor = false)
 
   /** Parallelism floor for pathological inputs. A parquet scan's
     * parallelism comes from file/row-group splits; the fixtures are

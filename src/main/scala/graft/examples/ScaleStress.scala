@@ -22,9 +22,18 @@ object ScaleStress {
       .drop("copy")
 
   private def time(f: => Long): (Double, Long) = {
+    // min of two back-to-back runs (the Bench best-of-N rationale,
+    // local form): single-shot 10× probes showed 2-3× run-to-run
+    // variance (GC pauses, AQE stage timing) that flagged probes as
+    // superlinear spuriously — one run read triangle at 8.3×, the next
+    // at 3.1×, same code and data. The bodies are idempotent reads.
     val t0 = System.nanoTime()
     val n = f
-    ((System.nanoTime() - t0) / 1e9, n)
+    val r1 = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    f
+    val r2 = (System.nanoTime() - t1) / 1e9
+    (math.min(r1, r2), n)
   }
 
   def main(args: Array[String]): Unit = {
@@ -1108,49 +1117,51 @@ object ScaleStress {
     val (slT1, _) = time(slidingRun(ev1))
     val (slT10, _) = time(slidingRun(ev10))
 
-    println(f"""{"metric":"scale_stress","rows_1x":$aggN1,"rows_10x":$aggN10,""" +
-      f""""agg_1x_s":$aggT1%.2f,"agg_10x_s":$aggT10%.2f,"agg_ratio":${aggT10 / aggT1}%.1f,""" +
-      f""""lsh_1x_s":$lshT1%.2f,"lsh_10x_s":$lshT10%.2f,"lsh_ratio":${lshT10 / lshT1}%.1f,""" +
-      f""""quality_1x_s":$quT1%.2f,"quality_10x_s":$quT10%.2f,"quality_ratio":${quT10 / quT1}%.1f,""" +
-      f""""quant_1x_s":$qzT1%.2f,"quant_10x_s":$qzT10%.2f,"quant_ratio":${qzT10 / qzT1}%.1f,""" +
-      f""""decont_1x_s":$dcT1%.2f,"decont_10x_s":$dcT10%.2f,"decont_ratio":${dcT10 / dcT1}%.1f,""" +
-      f""""pack_1x_s":$pkT1%.2f,"pack_10x_s":$pkT10%.2f,"pack_ratio":${pkT10 / pkT1}%.1f,""" +
-      f""""simhash_1x_s":$shT1%.2f,"simhash_10x_s":$shT10%.2f,"simhash_ratio":${shT10 / shT1}%.1f,""" +
-      f""""cms_1x_s":$cmT1%.2f,"cms_10x_s":$cmT10%.2f,"cms_ratio":${cmT10 / cmT1}%.1f,""" +
-      f""""bloom_1x_s":$blT1%.2f,"bloom_10x_s":$blT10%.2f,"bloom_ratio":${blT10 / blT1}%.1f,""" +
-      f""""pq_1x_s":$pqT1%.2f,"pq_10x_s":$pqT10%.2f,"pq_ratio":${pqT10 / pqT1}%.1f,""" +
-      f""""pagerank_1x_s":$prT1%.2f,"pagerank_10x_s":$prT10%.2f,"pagerank_ratio":${prT10 / prT1}%.1f,""" +
-      f""""funnel_1x_s":$fnT1%.2f,"funnel_10x_s":$fnT10%.2f,"funnel_ratio":${fnT10 / fnT1}%.1f,""" +
-      f""""zorder_1x_s":$zoT1%.2f,"zorder_10x_s":$zoT10%.2f,"zorder_ratio":${zoT10 / zoT1}%.1f,""" +
-      f""""lm_1x_s":$lmT1%.2f,"lm_10x_s":$lmT10%.2f,"lm_ratio":${lmT10 / lmT1}%.1f,""" +
-      f""""kmv_1x_s":$kvT1%.2f,"kmv_10x_s":$kvT10%.2f,"kmv_ratio":${kvT10 / kvT1}%.1f,""" +
-      f""""ewma_1x_s":$ewT1%.2f,"ewma_10x_s":$ewT10%.2f,"ewma_ratio":${ewT10 / ewT1}%.1f,""" +
-      f""""semdedup_1x_s":$sdT1%.2f,"semdedup_10x_s":$sdT10%.2f,"semdedup_ratio":${sdT10 / sdT1}%.1f,""" +
-      f""""spans_1x_s":$spT1%.2f,"spans_10x_s":$spT10%.2f,"spans_ratio":${spT10 / spT1}%.1f,""" +
-      f""""epsjoin_1x_s":$epT1%.2f,"epsjoin_10x_s":$epT10%.2f,"epsjoin_ratio":${epT10 / epT1}%.1f,""" +
-      f""""mmr_1x_s":$mmT1%.2f,"mmr_10x_s":$mmT10%.2f,"mmr_ratio":${mmT10 / mmT1}%.1f,""" +
-      f""""dsir_1x_s":$dsT1%.2f,"dsir_10x_s":$dsT10%.2f,"dsir_ratio":${dsT10 / dsT1}%.1f,""" +
-      f""""triangle_1x_s":$trT1%.2f,"triangle_10x_s":$trT10%.2f,"triangle_ratio":${trT10 / trT1}%.1f,""" +
-      f""""exjoin_1x_s":$pjT1%.2f,"exjoin_10x_s":$pjT10%.2f,"exjoin_ratio":${pjT10 / pjT1}%.1f,""" +
-      f""""sentdedup_1x_s":$snT1%.2f,"sentdedup_10x_s":$snT10%.2f,"sentdedup_ratio":${snT10 / snT1}%.1f,""" +
-      f""""patterns_1x_s":$ptT1%.2f,"patterns_10x_s":$ptT10%.2f,"patterns_ratio":${ptT10 / ptT1}%.1f,""" +
-      f""""rank_1x_s":$rkT1%.2f,"rank_10x_s":$rkT10%.2f,"rank_ratio":${rkT10 / rkT1}%.1f,""" +
-      f""""bfs_1x_s":$bfT1%.2f,"bfs_10x_s":$bfT10%.2f,"bfs_ratio":${bfT10 / bfT1}%.1f,""" +
-      f""""gram_1x_s":$gmT1%.2f,"gram_10x_s":$gmT10%.2f,"gram_ratio":${gmT10 / gmT1}%.1f,""" +
-      f""""lpa_1x_s":$lpT1%.2f,"lpa_10x_s":$lpT10%.2f,"lpa_ratio":${lpT10 / lpT1}%.1f,""" +
-      f""""hits_1x_s":$htT1%.2f,"hits_10x_s":$htT10%.2f,"hits_ratio":${htT10 / htT1}%.1f,""" +
-      f""""skyline_1x_s":$skT1%.2f,"skyline_10x_s":$skT10%.2f,"skyline_ratio":${skT10 / skT1}%.1f,""" +
-      f""""cc_1x_s":$ccT1%.2f,"cc_10x_s":$ccT10%.2f,"cc_ratio":${ccT10 / ccT1}%.1f,""" +
-      f""""spanrm_1x_s":$srT1%.2f,"spanrm_10x_s":$srT10%.2f,"spanrm_ratio":${srT10 / srT1}%.1f,""" +
-      f""""curation_1x_s":$cuT1%.2f,"curation_10x_s":$cuT10%.2f,"curation_ratio":${cuT10 / cuT1}%.1f,""" +
-      f""""novelty_1x_s":$nvT1%.2f,"novelty_10x_s":$nvT10%.2f,"novelty_ratio":${nvT10 / nvT1}%.1f,""" +
-      f""""hh_1x_s":$hhT1%.2f,"hh_10x_s":$hhT10%.2f,"hh_ratio":${hhT10 / hhT1}%.1f,""" +
-      f""""tcurve_1x_s":$tcT1%.2f,"tcurve_10x_s":$tcT10%.2f,"tcurve_ratio":${tcT10 / tcT1}%.1f,""" +
-      f""""cdc_1x_s":$cdT1%.2f,"cdc_10x_s":$cdT10%.2f,"cdc_ratio":${cdT10 / cdT1}%.1f,""" +
-      f""""centroid_1x_s":$ceT1%.2f,"centroid_10x_s":$ceT10%.2f,"centroid_ratio":${ceT10 / ceT1}%.1f,""" +
-      f""""cover_1x_s":$cvT1%.2f,"cover_10x_s":$cvT10%.2f,"cover_ratio":${cvT10 / cvT1}%.1f,""" +
-      f""""ivm_1x_s":$ivT1%.2f,"ivm_10x_s":$ivT10%.2f,"ivm_ratio":${ivT10 / ivT1}%.1f,""" +
-      f""""sliding_1x_s":$slT1%.2f,"sliding_10x_s":$slT10%.2f,"sliding_ratio":${slT10 / slT1}%.1f}""")
+    // Structured artifact (r10 VERDICT #5): per-probe 1×/10× seconds and
+    // ratios as ONE parseable JSON object written beside the bench
+    // output (SPARK_GRAFT_SCALE_OUT, default scale_out.json), so the
+    // >5×-cost rule is a field a driver can gate on instead of NOTES
+    // prose. `flagged_over_5x` lists probes whose 10× run cost more
+    // than 5× the 1× run — superlinear growth worth a look (ambient
+    // load can flag a probe spuriously; loadavg rides along so a reader
+    // can tell, the Bench discipline).
+    val probes: Seq[(String, Double, Double)] = Seq(
+      ("agg", aggT1, aggT10), ("lsh", lshT1, lshT10),
+      ("quality", quT1, quT10), ("quant", qzT1, qzT10),
+      ("decont", dcT1, dcT10), ("pack", pkT1, pkT10),
+      ("simhash", shT1, shT10), ("cms", cmT1, cmT10),
+      ("bloom", blT1, blT10), ("pq", pqT1, pqT10),
+      ("pagerank", prT1, prT10), ("funnel", fnT1, fnT10),
+      ("zorder", zoT1, zoT10), ("lm", lmT1, lmT10),
+      ("kmv", kvT1, kvT10), ("ewma", ewT1, ewT10),
+      ("semdedup", sdT1, sdT10), ("spans", spT1, spT10),
+      ("epsjoin", epT1, epT10), ("mmr", mmT1, mmT10),
+      ("dsir", dsT1, dsT10), ("triangle", trT1, trT10),
+      ("exjoin", pjT1, pjT10), ("sentdedup", snT1, snT10),
+      ("patterns", ptT1, ptT10), ("rank", rkT1, rkT10),
+      ("bfs", bfT1, bfT10), ("gram", gmT1, gmT10),
+      ("lpa", lpT1, lpT10), ("hits", htT1, htT10),
+      ("skyline", skT1, skT10), ("cc", ccT1, ccT10),
+      ("spanrm", srT1, srT10), ("curation", cuT1, cuT10),
+      ("novelty", nvT1, nvT10), ("hh", hhT1, hhT10),
+      ("tcurve", tcT1, tcT10), ("cdc", cdT1, cdT10),
+      ("centroid", ceT1, ceT10), ("cover", cvT1, cvT10),
+      ("ivm", ivT1, ivT10), ("sliding", slT1, slT10))
+    val flagged = probes.collect {
+      case (n, t1, t10) if t10 / t1 > 5.0 => n
+    }
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val json = f"""{"metric":"scale_stress","rows_1x":$aggN1,""" +
+      f""""rows_10x":$aggN10,"loadavg":$loadavg%.1f,""" +
+      s""""flagged_over_5x":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
+      probes.map { case (n, t1, t10) =>
+        f""""${n}_1x_s":$t1%.2f,"${n}_10x_s":$t10%.2f""" +
+          f""","${n}_ratio":${t10 / t1}%.1f"""
+      }.mkString(",") + "}"
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     graft.Resources.releaseAll()
     spark.stop()
   }
