@@ -56,7 +56,15 @@ object ConnectedComponents {
         .filter(col("n.component") =!= col("o.component"))
         .count() // bounded driver read: one long
       labels.unpersist()
-      graft.Resources.releaseCheckpoint(labels) // checkpoint RDDs bypass the CacheManager
+      // checkpoint RDDs bypass the CacheManager — but ONLY release
+      // rounds ≥ 1: their frames are self-contained LogicalRDDs,
+      // whereas round 0's frame still carries the CALLER's lineage,
+      // and releaseCheckpoint walks every LogicalRDD leaf in it — a
+      // caller whose `nodes` derives from its own retained checkpoint
+      // (q170's endpoint set over the pinned pair frame) would have
+      // that checkpoint's blocks silently dropped from under it
+      // (measured: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at bench)
+      if (i > 0) graft.Resources.releaseCheckpoint(labels)
       labels = next
       i += 1
     }

@@ -234,7 +234,11 @@ object IvfIndex {
       // frame stays alive (retained) until the caller consumed the lazy
       // assignment and the session owner releases
       val next = update(assign(cents)).localCheckpoint(true)
-      graft.Resources.releaseCheckpoint(cents) // no-op on init (no checkpoint)
+      // only rounds ≥ 1: round 0's `cents` is the caller-lineage init
+      // frame, and releaseCheckpoint walks EVERY LogicalRDD leaf in a
+      // plan — a checkpoint-backed embeddings input would lose its
+      // blocks here (the ConnectedComponents round-0 lesson)
+      if (i > 0) graft.Resources.releaseCheckpoint(cents)
       cents = next
       i += 1
     }

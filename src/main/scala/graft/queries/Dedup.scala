@@ -1012,15 +1012,25 @@ object Dedup {
           size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
         .filter(col("inter") * 100 >= col("uni") * 50)
         .localCheckpoint())
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
       def statsAt(t: Int): org.apache.spark.sql.DataFrame = {
         val edges = pj.filter(col("inter") * 100 >= col("uni") * t)
         val labels =
           if (t == 50)
             clusterLabels(s, d)
               .select(col("doc_id").as("id"), col("cluster").as("component"))
-          else graft.operators.ConnectedComponents.labels(nodes,
-            edges.select(col("doc1").as("src"), col("doc2").as("dst")))
+          else {
+            // CC over edge ENDPOINTS only, not the whole corpus: every
+            // non-endpoint is an isolated node whose size-1 component
+            // the n >= 2 filter below drops anyway, so the aggregate is
+            // identical — and the fixpoint's per-round frames carry
+            // |dup endpoints| rows (hundreds) instead of |corpus|
+            // (r10 bench: q170 was the suite's most expensive query,
+            // and the two fresh CC runs were the cost)
+            val endpoints = edges.select(col("doc1").as("id"))
+              .union(edges.select(col("doc2").as("id"))).distinct()
+            graft.operators.ConnectedComponents.labels(endpoints,
+              edges.select(col("doc1").as("src"), col("doc2").as("dst")))
+          }
         val nPairs = edges.count()
         labels.groupBy(col("component")).agg(count(lit(1)).as("n"))
           .agg(

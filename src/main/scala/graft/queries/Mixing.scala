@@ -373,17 +373,29 @@ object Mixing {
       while (picked.size < CoverK && !stop) {
         val ids = picked.map(_._2)
         var rem = tok
+        // covered grows to thousands of bigrams — as an isin() it became
+        // a thousands-literal In expression (per-row linear scan + a
+        // plan that grows every round); a broadcast anti-join keeps the
+        // probe a hash lookup and the plan constant-size. The ≤K picked
+        // ids stay an isin (bounded, tiny).
         if (covered.nonEmpty)
-          rem = rem.filter(!col("w").isin(covered.toSeq: _*))
+          rem = rem.join(
+            broadcast(covered.toSeq.toDF("w")), Seq("w"), "left_anti")
         if (ids.nonEmpty)
           rem = rem.filter(!col("doc_id").isin(ids: _*))
+        // argmax carries ONLY (doc_id, gain) — the r10 shape also
+        // collect_list'ed every candidate doc's remaining bigrams into
+        // the TakeOrdered just to read the winner's; fetching the one
+        // winner's tokens afterwards is a pushdown-filtered scan of the
+        // pinned frame (one cheap extra job ≪ building lists for all)
         val top = rem.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("gain"), collect_list(col("w")).as("ws"))
+          .agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id"))
           .limit(1).collect()
         if (top.isEmpty) stop = true
         else {
-          covered ++= top(0).getSeq[String](2)
+          covered ++= rem.filter(col("doc_id") === top(0).getLong(0))
+            .select(col("w")).as[String].collect()
           picked :+= ((picked.size + 1L, top(0).getLong(0),
             top(0).getLong(1), covered.size.toLong))
         }
