@@ -85,7 +85,7 @@ object PlanAudit {
         "q182_mixture_schedule", "q183_ivm_join", "q184_ivf_balance",
         "q185_cms_join_size", "q186_sliding_distinct",
         "q175b_source_overlap_sketch", "q185b_cms_join_size_sketch",
-        "q186b_sliding_distinct_sketch")
+        "q186b_sliding_distinct_sketch", "q187_matryoshka_recall")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // Parquet scan NODES in the FINAL plan only. The formatted dump emits a
@@ -513,6 +513,16 @@ object PlanAudit {
       "q105_kmv_distinct" -> Seq(
         Check("no-expand", p => !p.contains("Expand"),
           "sketch and distinct aggs must stay in separate Aggregates")),
+      // each truncated-dim leg broadcasts the probes onto the corpus
+      // scan (q40 contract) and the hit join reads the persisted
+      // ground-truth artifact — the corpus never shuffles
+      "q187_matryoshka_recall" -> Seq(
+        Check("broadcast-probes", _.contains("BroadcastNestedLoopJoin"),
+          "the 20-probe truncated vectors broadcast onto the corpus"),
+        Check("shared-ground-truth", _.contains("InMemoryTableScan"),
+          "hits join the persisted exactTop5 artifact, not a recompute"),
+        Check("codegen-scoring", _.contains("dot_product"),
+          "truncated scoring runs the native codegen'd kernel")),
       // both rankings reuse the broadcast-probe scan: nested-loop for
       // brute force, hash for the label-pruned side; the corpus must
       // never shuffle to meet a probe

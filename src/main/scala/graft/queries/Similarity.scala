@@ -34,10 +34,17 @@ object Similarity {
     * alone went 13.6 s → 1.5 s at sf0.1). Fixed 64 dims is the
     * embeddings-table contract every caller passes. */
   private[queries] def sqlDot(a: String, b: String): String =
-    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+    sqlDotN(a, b, 64)
+  /** [[sqlDot]] over the first `n` dims — the truncated-vector form
+    * (q187's matryoshka eval); same unrolled left-associative fold. */
+  private[queries] def sqlDotN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
       .mkString("(", " + ", ")")
   private[queries] def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+  private[queries] def sqlCosN(a: String, b: String, n: Int): String =
+    s"(${sqlDotN(a, b, n)} / (sqrt(${sqlDotN(a, a, n)}) * " +
+      s"sqrt(${sqlDotN(b, b, n)})))"
 
   private def scored(s: SparkSession, d: String,
       probeFilter: String, labelRel: String): DataFrame = {
@@ -1086,6 +1093,90 @@ object Similarity {
        |GROUP BY g.probe_id
        |ORDER BY probe_id""".stripMargin)
 
+  // ------------------------------------------------------------- q187
+  // MATRYOSHKA truncation eval (Kusupati et al. '22, MRL): recall@5 of
+  // cosine top-k computed on only the FIRST D dims (D = 16/32/64)
+  // against the full-dim exact ground truth — the eval an embedding
+  // team runs before switching the serving index to truncated vectors
+  // (truncation is the cheapest 4× index shrink there is IF recall
+  // holds; this is the "does it hold" readout, q106's recall harness
+  // pointed at the dimension axis instead of the index). D = 64 is the
+  // harness's own sanity leg — recall 10⁶ by construction.
+  //
+  // Scale shape: each D is one broadcast-probe corpus scan (the q40
+  // contract — the corpus never shuffles to meet a probe) with ONE
+  // dot fold per pair (norms precomputed per row, the `scored` trick),
+  // a probe-keyed top-5 window, and a semi-join against the persisted
+  // ground-truth artifact (q106's cache). Hits are integers and recall
+  // is integer ppm, so the oracle replays every value bit-for-bit; the
+  // float math only ORDERS candidates, and the kernels fold dims
+  // left-associatively on both engines (the q40/q106 parity contract,
+  // here at each truncated length).
+  private val q187 = QueryDef.of(
+    (s, d) => {
+      VectorFunctions.register(s)
+      val gt = exactTop5(s, d)
+      val gtN = broadcast(gt.agg(count(lit(1)).as("gtn")))
+      val e = Tables.embeddings(s, d)
+      def recallAt(dims: Int): DataFrame = {
+        val t = e.select(col("vec_id"),
+            expr(s"slice(embedding, 1, $dims)").as("te"))
+          .withColumn("tn", expr("vec_norm(te)"))
+        val probes = t.filter(col("vec_id") < 20).select(
+          col("vec_id").as("probe_id"), col("te").as("pe"),
+          col("tn").as("pn"))
+        val top5 = topK(
+          t.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+            .withColumn("score", expr("dot_product(pe, te) / (pn * tn)"))
+            .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              col("score")), 5)
+          .select(col("probe_id"), col("neighbor_id"))
+        gt.join(top5, Seq("probe_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(gtN)
+          .select(lit(dims.toLong).as("dims"), col("n_hits"),
+            expr("(n_hits * 1000000L) div gtn").as("recall_ppm"))
+      }
+      Seq(16, 32, 64).map(recallAt).reduce(_.union(_))
+        .orderBy(col("dims"))
+    }, {
+      def leg(dims: Int) =
+        s"""t$dims AS (
+           |  SELECT probe_id, e.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+           |      PARTITION BY probe_id
+           |      ORDER BY ${sqlCosN("pe", "e.embedding", dims)} DESC,
+           |        e.vec_id) AS rank
+           |  FROM probes CROSS JOIN embeddings e
+           |  WHERE e.vec_id <> probe_id),
+           |h$dims AS (
+           |  SELECT CAST($dims AS BIGINT) AS dims,
+           |    CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM gt JOIN (SELECT probe_id, neighbor_id FROM t$dims
+           |                WHERE rank <= 5) x
+           |    USING (probe_id, neighbor_id))""".stripMargin
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id < 20),
+         |bf AS (
+         |  SELECT probe_id, e.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY probe_id
+         |      ORDER BY ${sqlCos("pe", "e.embedding")} DESC, e.vec_id)
+         |      AS rank
+         |  FROM probes CROSS JOIN embeddings e
+         |  WHERE e.vec_id <> probe_id),
+         |gt AS MATERIALIZED (
+         |  SELECT probe_id, neighbor_id FROM bf WHERE rank <= 5),
+         |gtn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gt),
+         |${leg(16)},
+         |${leg(32)},
+         |${leg(64)}
+         |SELECT dims, n_hits,
+         |  (n_hits * 1000000) // (SELECT n FROM gtn) AS recall_ppm
+         |FROM (SELECT * FROM h16 UNION ALL SELECT * FROM h32
+         |      UNION ALL SELECT * FROM h64)
+         |ORDER BY dims""".stripMargin
+    })
+
   // ------------------------------------------------------------- q111
   // Semantic dedup decision (the SemDeDup shape, Abbas et al. '23):
   // within each embedding cluster, drop every vector that is
@@ -1355,6 +1446,7 @@ object Similarity {
     "q116_dedup_agreement" -> q116,
     "q111_semantic_dedup" -> q111,
     "q106_ann_recall" -> q106,
+    "q187_matryoshka_recall" -> q187,
     "q42b_ann_ivf_deterministic" -> q42b,
     "q144_cluster_topics" -> q144,
     "q151_modularity" -> q151,
