@@ -85,7 +85,8 @@ object PlanAudit {
         "q182_mixture_schedule", "q183_ivm_join", "q184_ivf_balance",
         "q185_cms_join_size", "q186_sliding_distinct",
         "q175b_source_overlap_sketch", "q185b_cms_join_size_sketch",
-        "q186b_sliding_distinct_sketch", "q187_matryoshka_recall")
+        "q186b_sliding_distinct_sketch", "q187_matryoshka_recall",
+        "q188_repetition_budget", "q189_ivf_retrain_churn")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // Parquet scan NODES in the FINAL plan only. The formatted dump emits a
@@ -513,6 +514,22 @@ object PlanAudit {
       "q105_kmv_distinct" -> Seq(
         Check("no-expand", p => !p.contains("Expand"),
           "sketch and distinct aggs must stay in separate Aggregates")),
+      // the epoch ladder and budget window run on the sources-bounded
+      // frame — exactly one corpus scan feeds the token masses
+      "q188_repetition_budget" -> Seq(
+        Check("single-scan", p => parquetScans(p) == 1,
+          "per-source masses come from one corpus scan; the ladder is " +
+            "|S|·E rows")),
+      // current assignment is the persisted offline artifact; the
+      // candidate generation costs ONE shuffle-free assign pass over
+      // the corpus (broadcast centroid argmin — training ran at
+      // construction on nCells-row frames)
+      "q189_ivf_retrain_churn" -> Seq(
+        Check("index-plus-one-pass", p => parquetScans(p) == 2,
+          "scans = the persisted index + the candidate assign pass"),
+        Check("broadcast-centroids", _.contains("BroadcastNestedLoopJoin"),
+          "candidate centroids broadcast; the corpus never shuffles " +
+            "to be assigned")),
       // each truncated-dim leg broadcasts the probes onto the corpus
       // scan (q40 contract) and the hit join reads the persisted
       // ground-truth artifact — the corpus never shuffles

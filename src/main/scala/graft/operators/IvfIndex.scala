@@ -156,6 +156,21 @@ object IvfIndex {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Train on `trainSet`, assign `corpus` — the RETRAIN-PREVIEW shape
+    * (q189): a candidate generation is trained on a corpus snapshot
+    * and previewed against everything currently indexed before a
+    * rebuild is committed. Same bit-reproducible trainer and argmin
+    * as [[trainDeterministic]] (which is the `trainSet == corpus`
+    * special case). Returns (vec_id, cell). */
+  def trainAssign(trainSet: DataFrame, corpus: DataFrame, nCells: Int,
+      iters: Int): DataFrame = {
+    val cents = trainCentroids(trainSet, nCells, iters)
+    quantize(corpus)
+      .crossJoin(broadcast(centroidArray(cents, "cs")))
+      .withColumn("cell", expr(argminCell("cs", "qv")))
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** round(x·2^20) feature quantization — the shared contract between
     * trainer, encoder, and the DuckDB oracle replay. */
   private[operators] def quantize(embeddings: DataFrame): DataFrame =

@@ -466,11 +466,90 @@ object Mixing {
        |  source, k, CAST(vtime AS BIGINT) AS vtime
        |FROM top ORDER BY slot""".stripMargin)
 
+  // ------------------------------------------------------------ q188
+  // REPETITION-AWARE token-budget allocation (the data-constrained
+  // scaling shape, Muennighoff et al. '23: repeated epochs of the same
+  // data are worth less than fresh tokens) — given a training budget
+  // B = 1.5× the corpus's unique token mass, plan how many epochs each
+  // source runs and what the DECAYED effective yield is. The decay is
+  // made integer-exact: epoch e of source s (unique mass w_s) yields
+  // w_s div 2^e effective tokens (δ = ½ halving per repeat — the
+  // qualitative diminishing-returns curve with bit-reproducible
+  // arithmetic, the q173 isqrt precedent). Utility per budget token
+  // within an epoch is the constant 2^-e, so the greedy optimum is
+  // layer-by-layer: all sources' epoch 0, then epoch 1, … — with the
+  // boundary epoch filled in source order and its yield prorated
+  // ((alloc·u) div max(w,1) — the q182 zero-mass-source guard). This is the "do we repeat source X a third
+  // time or stop" planning readout a data-constrained run consults
+  // next to q165's water-filling and q173's temperature shares.
+  //
+  // Scale shape: one corpus scan for per-source unique masses; the
+  // epoch ladder and the running-budget window run on the
+  // sources-bounded |S|·E frame (rows = dozens — the single-partition
+  // window is control-plane-sized by construction, the q165 rule).
+  private val BudgetEpochs = 5
+  private val q188 = QueryDef.of(
+    (s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("source"),
+          expr("size(filter(split(text, ' '), t -> t <> ''))")
+            .cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("w"))
+      val tot = w.agg(sum(col("w")).as("total"))
+      val units = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("w"),
+          expr("(3L * total) div 2L").as("budget"),
+          explode(expr(s"sequence(0, ${BudgetEpochs - 1})")).as("e"))
+        .withColumn("u", expr("w div shiftleft(1L, e)"))
+      val win = Window.orderBy(col("e"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      units
+        .withColumn("cum", sum(col("w")).over(win))
+        .withColumn("alloc", expr(
+          """CASE WHEN cum <= budget THEN w
+            |     WHEN cum - w < budget THEN budget - (cum - w)
+            |     ELSE 0L END""".stripMargin))
+        .groupBy(col("source"))
+        .agg(first(col("w")).as("w_tokens"),
+          sum(col("alloc")).as("alloc_tokens"),
+          sum(when(col("alloc") === col("w"), 1L).otherwise(0L))
+            .as("full_epochs"),
+          sum(expr("(alloc * u) div greatest(w, 1L)")).as("yield_tokens"))
+        .orderBy(col("source"))
+    },
+    s"""WITH w AS (
+       |  SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '),
+       |      t -> t <> ''))) AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT (3 * CAST(SUM(w) AS BIGINT)) // 2 AS budget FROM w),
+       |units AS (
+       |  SELECT source, w, budget, e.e AS e, w // (1 << e.e) AS u
+       |  FROM w CROSS JOIN tot
+       |  CROSS JOIN generate_series(0, ${BudgetEpochs - 1}) e(e)),
+       |r AS (
+       |  SELECT source, w, e, u, budget,
+       |    SUM(w) OVER (ORDER BY e, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM units),
+       |a AS (
+       |  SELECT source, w, e, u,
+       |    CASE WHEN cum <= budget THEN w
+       |         WHEN cum - w < budget THEN budget - (cum - w)
+       |         ELSE 0 END AS alloc
+       |  FROM r)
+       |SELECT source, ANY_VALUE(w) AS w_tokens,
+       |  CAST(SUM(alloc) AS BIGINT) AS alloc_tokens,
+       |  CAST(SUM(CASE WHEN alloc = w THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS full_epochs,
+       |  CAST(SUM((alloc * u) // GREATEST(w, 1)) AS BIGINT) AS yield_tokens
+       |FROM a GROUP BY source ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q165_mixture_allocation" -> q165,
     "q168_budget_sample" -> q168,
     "q173_temperature_mixture" -> q173,
     "q176_weighted_sample" -> q176,
     "q179_coverage_selection" -> q179,
-    "q182_mixture_schedule" -> q182)
+    "q182_mixture_schedule" -> q182,
+    "q188_repetition_budget" -> q188)
 }

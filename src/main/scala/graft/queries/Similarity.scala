@@ -619,6 +619,75 @@ object Similarity {
        |  COUNT(*) OVER (PARTITION BY cell) AS cell_size
        |FROM af ORDER BY vec_id""".stripMargin)
 
+  // ------------------------------------------------------------ q189
+  // IVF RETRAIN-CHURN audit — the readout an ANN owner consults BEFORE
+  // committing an index rebuild: train a CANDIDATE generation on the
+  // even-vec_id half (the corpus as it stood at the last snapshot, the
+  // q180 reference convention) with the same deterministic trainer,
+  // assign the FULL corpus under it, and report per CURRENT cell how
+  // many members stay together (the modal candidate cell) vs move.
+  // Churn bounds the rebuild's data-migration cost (every moved vector
+  // is a rewrite into another cell partition) and pairs with q184's
+  // balance audit: balance says whether to rebuild, churn says what it
+  // costs. Labels between generations don't align, so the statistic is
+  // label-invariant (modal co-location, the q135 idea per-cell).
+  //
+  // Scale shape: the current assignment is the persisted q42b artifact
+  // (offline, read-only); the candidate is one bounded training loop
+  // (nCells-row frames per round) + ONE shuffle-free assign pass over
+  // the corpus (broadcast centroid argmin); the contingency is a
+  // (cell, cell)-keyed aggregate — ≤ nCells² rows. All counts are
+  // integers; churn is integer ppm — the oracle replays BOTH training
+  // chains (shared q42b generators) bit-for-bit.
+  private val q189 = QueryDef.of(
+    (s, d) => {
+      val cur = s.read.parquet(ensureDetIndex(s, d))
+        .select(col("vec_id"), col("cell").cast("int").as("cell_cur"))
+      val cand = graft.operators.IvfIndex.trainAssign(
+          Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0),
+          Tables.embeddings(s, d), KCells, KIters)
+        .select(col("vec_id"), col("cell").as("cell_cand"))
+      cur.join(cand, "vec_id")
+        .groupBy(col("cell_cur"), col("cell_cand"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("cell_cur"))
+        .agg(sum(col("c")).as("n_vecs"),
+          max(struct(col("c"), (-col("cell_cand")).as("nc"))).as("m"))
+        .select(col("cell_cur").cast("long").as("cell"), col("n_vecs"),
+          col("m.c").as("modal_together"),
+          (col("n_vecs") - col("m.c")).as("moved"),
+          expr("((n_vecs - m.c) * 1000000L) div n_vecs").as("churn_ppm"))
+        .orderBy(col("cell"))
+    }, {
+      val eTrain = sqlKmTrain("e", "qze", 64, KCells, KIters)
+      s"""WITH qz AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT))
+         |      AS qv
+         |  FROM embeddings),
+         |qze AS MATERIALIZED (SELECT * FROM qz WHERE vec_id % 2 = 0),
+         |${q42bTrain._1},
+         |${sqlKmAssign("af", "qz", q42bTrain._2, 64)},
+         |${eTrain._1},
+         |${sqlKmAssign("ef", "qz", eTrain._2, 64)},
+         |j AS (
+         |  SELECT af.cell AS cell_cur, ef.cell AS cell_cand,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM af JOIN ef USING (vec_id) GROUP BY 1, 2),
+         |m AS (
+         |  SELECT cell_cur, c AS modal_together FROM (
+         |    SELECT cell_cur, c, ROW_NUMBER() OVER (PARTITION BY cell_cur
+         |      ORDER BY c DESC, cell_cand) AS r FROM j)
+         |  WHERE r = 1),
+         |n AS (SELECT cell_cur, CAST(SUM(c) AS BIGINT) AS n_vecs
+         |      FROM j GROUP BY cell_cur)
+         |SELECT CAST(cell_cur AS BIGINT) AS cell, n_vecs, modal_together,
+         |  n_vecs - modal_together AS moved,
+         |  ((n_vecs - modal_together) * 1000000) // n_vecs AS churn_ppm
+         |FROM n JOIN m USING (cell_cur)
+         |ORDER BY cell""".stripMargin
+    })
+
   // ------------------------------------------------------------ q144
   // Cluster-and-describe (topic exploration): label every embedded doc
   // with its deterministic k-means cell (the q42b offline index), then
@@ -1447,6 +1516,7 @@ object Similarity {
     "q111_semantic_dedup" -> q111,
     "q106_ann_recall" -> q106,
     "q187_matryoshka_recall" -> q187,
+    "q189_ivf_retrain_churn" -> q189,
     "q42b_ann_ivf_deterministic" -> q42b,
     "q144_cluster_topics" -> q144,
     "q151_modularity" -> q151,
