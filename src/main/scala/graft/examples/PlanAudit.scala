@@ -86,7 +86,8 @@ object PlanAudit {
         "q185_cms_join_size", "q186_sliding_distinct",
         "q175b_source_overlap_sketch", "q185b_cms_join_size_sketch",
         "q186b_sliding_distinct_sketch", "q187_matryoshka_recall",
-        "q188_repetition_budget", "q189_ivf_retrain_churn")
+        "q188_repetition_budget", "q189_ivf_retrain_churn",
+        "q190_calibration_bins")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // Parquet scan NODES in the FINAL plan only. The formatted dump emits a
@@ -514,6 +515,17 @@ object PlanAudit {
       "q105_kmv_distinct" -> Seq(
         Check("no-expand", p => !p.contains("Expand"),
           "sketch and distinct aggs must stay in separate Aggregates")),
+      // scoring and binning read the persisted feature frame (training
+      // ran as D+1-long aggregations at construction); the min/max and
+      // ECE frames are 1-row broadcasts
+      "q190_calibration_bins" -> Seq(
+        Check("bins-pinned", _.contains("Scan ExistingRDD"),
+          "the returned plan and the ECE leg read the pinned 10-row " +
+            "bin table"),
+        Check("no-corpus-rescan", p => parquetScans(p) == 0,
+          "feature extraction and binning ran once, at construction"),
+        Check("broadcast-ece", _.contains("BroadcastNestedLoopJoin"),
+          "the 1-row ECE frame broadcasts onto the bin table")),
       // the epoch ladder and budget window run on the sources-bounded
       // frame — exactly one corpus scan feeds the token masses
       "q188_repetition_budget" -> Seq(

@@ -288,6 +288,107 @@ object Training {
        |    THEN (auc_num * 500000) // (n_pos * n_neg) END AS auc_micro
        |FROM t""".stripMargin)
 
+  // ------------------------------------------------------------ q190
+  // CALIBRATION / reliability table for the trained probe — the eval
+  // beside q148's discrimination readout (AUC says the model RANKS
+  // well; calibration says its scores MEAN what they claim, which is
+  // what a curation pipeline needs before thresholding a 100 TB corpus
+  // on them). The score range is split into 10 equal-width bins; per
+  // bin: examples, positives, observed positive rate, and the mean
+  // score — plus the expected-calibration-error headline, ECE =
+  // Σ_b n_b·|rate_b − clamp(mean_score_b, 0, 1)| / N, riding every row
+  // in micro-units (the raw µ-score IS the model's probability claim
+  // in this integer-sigmoid-free probe, clamped to [0, 1]).
+  //
+  // Scale shape: scoring reuses the persisted feature frame (training
+  // ran as D+1-long aggregations, the q136 contract); the min/max
+  // frame is one row broadcast back; the bin table is 10 rows. All
+  // integer arithmetic (truncating division verified ≡ on negatives),
+  // so the oracle replays training, scoring, binning and ECE
+  // bit-for-bit.
+  private val q190 = QueryDef.of(
+    (s, d) => {
+      val f = features(s, d).persist()
+      try {
+        val n = f.count()
+        require(n > 0, "q190 needs a non-empty documents table")
+        val (_, w) = gdSteps(f, n)
+        val scored = f.select(
+          expr(s"(${(0 until Dim).map(j => s"x$j * ${w(j)}L")
+            .mkString(" + ")}) div $M").as("score"),
+          col("y"))
+        val mm = scored.agg(min(col("score")).as("mn"),
+          max(col("score")).as("mx"))
+        // the 10-row bin table is checkpoint-pinned BEFORE the feature
+        // frame unpersists in the finally below (the q148 discipline):
+        // the returned plan and the ECE leg both read the pin — without
+        // it they would silently recompute features from parquet after
+        // the unpersist
+        val bins = graft.Resources.retain(scored.crossJoin(broadcast(mm))
+          .withColumn("bin", expr("((score - mn) * 10) div (mx - mn + 1)"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") === M, 1L).otherwise(0L)).as("n_pos"),
+            sum(col("score")).as("score_sum"))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            expr(s"(n_pos * $M) div n_docs").as("pos_rate_micro"),
+            expr("score_sum div n_docs").as("mean_score_micro"))
+          .localCheckpoint())
+        val ece = bins.agg(expr(
+          s"""sum(n_docs * abs(pos_rate_micro
+             |  - greatest(least(mean_score_micro, ${M}L), 0L)))
+             |  div sum(n_docs)""".stripMargin).as("ece_micro"))
+        bins.crossJoin(broadcast(ece)).orderBy(col("bin"))
+      } finally { f.unpersist(); () }
+    },
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(1000000 AS BIGINT) AS x0,
+       |    (1000000 * least(length(text), 2000)) // 2000 AS x1,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, '[aeiou]', '', 'g'))))
+       |      // (length(text) + 1) AS x2,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, ' ', '', 'g'))))
+       |      // (length(text) + 1) AS x3,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, '[A-Za-z]', '', 'g'))))
+       |      // (length(text) + 1) AS x4,
+       |    CASE WHEN lang = 'en' THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |  CAST(0 AS BIGINT) AS w4),
+       |${sqlIter(1, "w0")},
+       |${sqlIter(2, "w1")},
+       |${sqlIter(3, "w2")},
+       |sc AS (
+       |  SELECT CAST((x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3
+       |    + x4*w.w4) // 1000000 AS BIGINT) AS score, y
+       |  FROM f CROSS JOIN w3 w),
+       |mm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM sc),
+       |b AS (
+       |  SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(SUM(score) AS BIGINT) AS score_sum
+       |  FROM sc CROSS JOIN mm GROUP BY 1),
+       |r AS (
+       |  SELECT bin, n_docs, n_pos,
+       |    (n_pos * 1000000) // n_docs AS pos_rate_micro,
+       |    score_sum // n_docs AS mean_score_micro
+       |  FROM b),
+       |e AS (
+       |  SELECT CAST(SUM(n_docs * abs(pos_rate_micro
+       |      - GREATEST(LEAST(mean_score_micro, 1000000), 0)))
+       |    // SUM(n_docs) AS BIGINT) AS ece_micro
+       |  FROM r)
+       |SELECT bin, n_docs, n_pos, pos_rate_micro, mean_score_micro,
+       |  ece_micro
+       |FROM r CROSS JOIN e ORDER BY bin""".stripMargin)
+
   // ------------------------------------------------------------ q174
   // RATER AGREEMENT (Cohen's κ) between two independent quality rules —
   // the calibration readout a curation team runs before trusting any
@@ -398,5 +499,6 @@ object Training {
   val defs: Map[String, QueryDef] = Map(
     "q136_gd_probe_train" -> q136,
     "q148_classifier_eval" -> q148,
-    "q174_rater_agreement" -> q174)
+    "q174_rater_agreement" -> q174,
+    "q190_calibration_bins" -> q190)
 }
