@@ -95,4 +95,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(base.values.toSet.size > 1, "training collapsed to one cell")
     graft.Resources.releaseAll()
   }
+
+  test("trainAssign(c, c) is trainDeterministic; a subset-trained " +
+      "generation still assigns every corpus vector") {
+    val self = IvfIndex.trainAssign(corpus, corpus, nCells = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val det = IvfIndex.trainDeterministic(corpus, nCells = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(self == det,
+      "trainAssign with trainSet == corpus must be exactly " +
+        "trainDeterministic (same trainer, same argmin)")
+    // the q189 shape: train on half the corpus, assign all of it —
+    // every vector must land in exactly one of the candidate's cells
+    val half = IvfIndex.trainAssign(
+        corpus.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
+        corpus, nCells = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(half.size == det.size, "total assignment must cover the corpus")
+    assert(half.values.forall(c => c >= 0 && c < 8))
+    assert(half != det,
+      "a generation trained on half the corpus should differ somewhere " +
+        "(otherwise q189's churn readout is vacuous on this fixture)")
+    graft.Resources.releaseAll()
+  }
 }
