@@ -87,7 +87,7 @@ object PlanAudit {
         "q175b_source_overlap_sketch", "q185b_cms_join_size_sketch",
         "q186b_sliding_distinct_sketch", "q187_matryoshka_recall",
         "q188_repetition_budget", "q189_ivf_retrain_churn",
-        "q190_calibration_bins")
+        "q190_calibration_bins", "q191_split_leakage")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // Parquet scan NODES in the FINAL plan only. The formatted dump emits a
@@ -515,6 +515,17 @@ object PlanAudit {
       "q105_kmv_distinct" -> Seq(
         Check("no-expand", p => !p.contains("Expand"),
           "sketch and distinct aggs must stay in separate Aggregates")),
+      // the leak test reads the shared cluster-label artifact and is
+      // one semi-join against the distinct-cluster-bounded train set;
+      // every count is a 1-row broadcast cross join
+      "q191_split_leakage" -> Seq(
+        Check("shared-cluster-artifact", _.contains("Scan ExistingRDD"),
+          "splits ride the memoized clusterLabels checkpoint, not a " +
+            "fresh CC fixpoint"),
+        Check("no-corpus-scan", p => parquetScans(p) == 0,
+          "the audit reads only the label artifact"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "the leak test is a cluster-keyed semi-join")),
       // scoring and binning read the persisted feature frame (training
       // ran as D+1-long aggregations at construction); the min/max and
       // ECE frames are 1-row broadcasts

@@ -1311,6 +1311,63 @@ object Dedup {
        |GROUP BY split ORDER BY split""".stripMargin
       .replaceFirst("^WITH ", "WITH RECURSIVE "))
 
+  // ------------------------------------------------------------ q191
+  // Split-LEAKAGE audit — the counterfactual q161 exists to prevent,
+  // measured: under a NAIVE per-document hash split (the split every
+  // pipeline starts with), what fraction of test documents share a
+  // near-dup cluster with a train document? Every such document is
+  // memorization leaking into the eval; q161 splits BY CLUSTER so its
+  // rate is structurally zero, and this audit is the number that
+  // justifies paying for it (run it on any externally-supplied split
+  // before trusting its eval). One row: train/test sizes, leaked test
+  // docs, leak ppm, and how many clusters span the boundary.
+  //
+  // Scale shape: reads the shared cluster-label artifact (built once
+  // per session); the train-cluster set is distinct-cluster-bounded
+  // and the leak test is one semi-join against it; all counts are
+  // 1-row aggregates cross-joined by broadcast. Oracle replays the
+  // closure (shared clustersCtes) + the same md5 split.
+  private val q191 = QueryDef.of(
+    (s, d) => {
+      val sp = clusterLabels(s, d).withColumn("h", expr(
+        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8),
+          |  16, 10) as bigint) % 10""".stripMargin))
+      val train = sp.filter(col("h") < 8)
+      val test = sp.filter(col("h") >= 8)
+      val trainClusters = train.select(col("cluster")).distinct()
+      val leaked = test.join(trainClusters, Seq("cluster"), "left_semi")
+      train.agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"))))
+        .crossJoin(broadcast(leaked.agg(
+          coalesce(count(lit(1)), lit(0L)).as("n_leaked"),
+          countDistinct(col("cluster")).as("n_spanning_clusters"))))
+        .select(col("n_train"), col("n_test"), col("n_leaked"),
+          expr("(n_leaked * 1000000L) div greatest(n_test, 1L)")
+            .as("leak_ppm"),
+          col("n_spanning_clusters"))
+    },
+    s"""$clustersCtes,
+       |sp AS (
+       |  SELECT doc_id, cluster,
+       |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) % 10 AS h
+       |  FROM labeled),
+       |tr AS (SELECT DISTINCT cluster FROM sp WHERE h < 8),
+       |lk AS (
+       |  SELECT t.doc_id, t.cluster
+       |  FROM sp t JOIN tr ON t.cluster = tr.cluster
+       |  WHERE t.h >= 8)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sp WHERE h < 8) AS n_train,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sp WHERE h >= 8) AS n_test,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lk) AS n_leaked,
+       |  ((SELECT COUNT(*) FROM lk) * 1000000)
+       |    // GREATEST((SELECT COUNT(*) FROM sp WHERE h >= 8), 1)
+       |    AS leak_ppm,
+       |  (SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) FROM lk)
+       |    AS n_spanning_clusters""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE "))
+
   // ------------------------------------------------------------- q120
   // INCREMENTAL near-dup: an incoming batch (doc_id ≡ 7 mod 10 plays
   // the newly crawled slice) checked against the EXISTING corpus — the
@@ -1832,6 +1889,7 @@ object Dedup {
     "q150_containment_join" -> q150,
     "q159_golden_record" -> q159,
     "q161_leakage_safe_split" -> q161,
+    "q191_split_leakage" -> q191,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q163_dup_span_removal" -> q163,
