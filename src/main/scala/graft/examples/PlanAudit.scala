@@ -87,7 +87,8 @@ object PlanAudit {
         "q175b_source_overlap_sketch", "q185b_cms_join_size_sketch",
         "q186b_sliding_distinct_sketch", "q187_matryoshka_recall",
         "q188_repetition_budget", "q189_ivf_retrain_churn",
-        "q190_calibration_bins", "q191_split_leakage")
+        "q190_calibration_bins", "q191_split_leakage",
+        "q192_dup_flow_matrix")
 
     case class Check(name: String, test: String => Boolean, why: String)
     // Parquet scan NODES in the FINAL plan only. The formatted dump emits a
@@ -515,6 +516,13 @@ object PlanAudit {
       "q105_kmv_distinct" -> Seq(
         Check("no-expand", p => !p.contains("Expand"),
           "sketch and distinct aggs must stay in separate Aggregates")),
+      // pair generation must be the shared LSH candidate path (bucket
+      // grouping, never all-pairs); source attachment is two key joins
+      "q192_dup_flow_matrix" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "pairs come from the bucketed candidate index, not all-pairs"),
+        Check("shared-candidate-cache", _.contains("InMemoryTableScan"),
+          "candidates ride the persisted LSH index, not a rebuild")),
       // the leak test reads the shared cluster-label artifact and is
       // one semi-join against the distinct-cluster-bounded train set;
       // every count is a 1-row broadcast cross join

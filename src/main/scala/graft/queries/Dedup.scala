@@ -1368,6 +1368,54 @@ object Dedup {
        |    AS n_spanning_clusters""".stripMargin
       .replaceFirst("^WITH ", "WITH RECURSIVE "))
 
+  // ------------------------------------------------------------ q192
+  // Cross-source DUPLICATION-FLOW matrix: verified near-dup pairs
+  // grouped by the (unordered) source pair — the "which sources copy
+  // from which" readout a curation team reads next to q175's
+  // vocabulary overlap (q175 says two sources SPEAK alike; this says
+  // they literally share documents — syndication, mirrors, scraped
+  // re-posts). Within-source mass (source_a = source_b) is internal
+  // redundancy; off-diagonal mass is the cross-source syndication a
+  // per-source dedup would MISS — the number that justifies global
+  // (not per-source) dedup. Sources are lex-ordered per pair so the
+  // matrix is upper-triangular and direction-free (doc-id order says
+  // nothing about provenance).
+  //
+  // Scale shape: the verified-pair frame (LSH-bucketed, ~10⁻⁶ of all
+  // pairs) joins the (doc_id, source) projection twice by key, then
+  // one (source, source)-keyed aggregate — pair-bounded throughout,
+  // never corpus × corpus. Counts are integers; the oracle replays the
+  // shared verified-pair CTEs.
+  private val q192 = QueryDef.of(
+    (s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      verifiedPairs(s, d)
+        .join(src.select(col("doc_id").as("doc1"),
+          col("source").as("s1")), "doc1")
+        .join(src.select(col("doc_id").as("doc2"),
+          col("source").as("s2")), "doc2")
+        .select(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source",
+          (col("source_a") =!= col("source_b")).cast("int"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    s"""$verifiedCtes,
+       |ds AS (SELECT doc_id, source FROM documents),
+       |fl AS (
+       |  SELECT LEAST(a.source, b.source) AS source_a,
+       |    GREATEST(a.source, b.source) AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM verified v
+       |  JOIN ds a ON v.doc1 = a.doc_id
+       |  JOIN ds b ON v.doc2 = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_pairs,
+       |  CASE WHEN source_a <> source_b THEN 1 ELSE 0 END AS cross_source
+       |FROM fl ORDER BY source_a, source_b""".stripMargin)
+
   // ------------------------------------------------------------- q120
   // INCREMENTAL near-dup: an incoming batch (doc_id ≡ 7 mod 10 plays
   // the newly crawled slice) checked against the EXISTING corpus — the
@@ -1890,6 +1938,7 @@ object Dedup {
     "q159_golden_record" -> q159,
     "q161_leakage_safe_split" -> q161,
     "q191_split_leakage" -> q191,
+    "q192_dup_flow_matrix" -> q192,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q163_dup_span_removal" -> q163,
