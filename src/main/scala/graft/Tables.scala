@@ -28,16 +28,65 @@ object Tables {
     * contract every query here already assumes. A test that rewrites a
     * path mid-session must use a fresh directory (they all do: fixture
     * specs write each temp dir exactly once). */
+  // Keyed by the SparkSession OBJECT (identity equals/hashCode — no
+  // identityHashCode collisions possible), with three eviction paths so
+  // entries never outlive their session (r11 ADVICE/VERDICT: the memo
+  // previously had NO invalidation and pinned dead sessions for the JVM
+  // lifetime): (1) Resources.releaseAll() clears the whole memo, same
+  // lifecycle as labelsCache/kmvSkCache/hourlySkCache — every session
+  // owner in the repo (Bench/Verify/PlanAudit/ScaleStress/specs) calls
+  // it before stop; (2) an application-end listener registered at a
+  // session's FIRST insert evicts that session when its context stops
+  // (SparkSession.stop() stops the context in classic deployments, so
+  // this IS session-stop); (3) explicit [[invalidate]] for a caller
+  // that must rewrite a path mid-session. Weak keys were considered and
+  // rejected: a cached DataFrame strongly references its session
+  // through QueryExecution, so a WeakHashMap's values would pin its
+  // keys — the cycle makes weak eviction a no-op, not a safety net.
   private val scanCache = new java.util.concurrent.ConcurrentHashMap[
-    String, DataFrame]
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  graft.Resources.onReleaseAll(() => scanCache.clear())
+  private def sessionCache(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+    scanCache.computeIfAbsent(spark, s => {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = evictSession(s)
+        })
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    })
   private def cached(spark: SparkSession, path: String,
       floor: Boolean): DataFrame =
-    scanCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$floor:$path",
+    sessionCache(spark).computeIfAbsent(s"$floor:$path",
       _ => {
         val df = spark.read.parquet(path)
         if (floor) scatter(df) else df
       })
+
+  /** Drop every memoized scan for `spark` — the application-end
+    * listener's hook, callable directly by a test or an embedding
+    * driver that retires a session without stopping the context. */
+  private[graft] def evictSession(spark: SparkSession): Unit = {
+    scanCache.remove(spark)
+    ()
+  }
+
+  /** Drop the memoized scans of `path` for `spark` — the escape hatch
+    * for a caller that rewrites a fixture path mid-session (none in the
+    * repo do today; they use fresh temp dirs). */
+  def invalidate(spark: SparkSession, path: String): Unit = {
+    val m = scanCache.get(spark)
+    if (m != null) { m.remove(s"true:$path"); m.remove(s"false:$path"); () }
+  }
+
+  /** Test-only visibility: does the memo currently hold any entry for
+    * this session? */
+  private[graft] def cacheHolds(spark: SparkSession): Boolean = {
+    val m = scanCache.get(spark)
+    m != null && !m.isEmpty
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached(spark, s"$sfDir/$name.parquet", floor = true)

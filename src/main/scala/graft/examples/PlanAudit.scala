@@ -11,6 +11,17 @@ import org.apache.spark.sql.SparkSession
   * {{{ sbt "runMain graft.examples.PlanAudit [queryName ...]" }}}
   */
 object PlanAudit {
+  /** The plain no-arg invocation audits EVERY registered query (sorted by
+    * name — the Verify/Bench order). Spec-pinned equal to the registry so
+    * the default run can never rot behind it. */
+  def defaultNames: Seq[String] = graft.SparkEntry.queries.keys.toSeq.sorted
+
+  /** Check keys that name no registered query — such a check would never
+    * run (the r10 silent-rot class). main fails loudly when non-empty;
+    * spec-exercised with a deliberate orphan. */
+  def orphanedChecks(checkKeys: Set[String]): Set[String] =
+    checkKeys.diff(graft.SparkEntry.queries.keySet)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -42,53 +53,14 @@ object PlanAudit {
       s"nullTokOk=${ext.getBoolean(4)} wide=${ext.getBoolean(5)} " +
       s"zval=${ext.getBoolean(6)}")
 
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q02_filter_project", "q03_top_revenue_orders",
-        "q04_semi_join_priority", "q05_anti_join_no_orders",
-        "q06_scan_filter_agg",
-        "q07_broadcast_brand_volume", "q08_star_join_region_revenue",
-        "q18_approx_distinct",
-        "q31_minhash_lsh", "q40_ann_bruteforce", "q42_ann_ivf_kmeans",
-        "q42b_ann_ivf_deterministic", "q44_ann_ivfpq", "q59_date_arith",
-        "q86_pagerank",
-        "q73_decontaminate", "q74_sequence_packing", "q75_inverted_index",
-        "q77_bm25_retrieval", "q79_shard_shuffle", "q80_simhash_neardup",
-        "q82_bloom_join_filter",
-        "q89_hybrid_rrf", "q90_funnel", "q93_linear_classifier",
-        "q100_bpe_encode", "q140_media_features",
-        "q94_zorder_zonemap", "q96_incremental_agg", "q97_attribution",
-        "q101_bucketed_join",
-        "q105_kmv_distinct", "q106_ann_recall", "q107_pmi_collocations",
-        "q108_media_phash_neardup", "q109_equidepth_histogram",
-        "q110_ewma_fold", "q111_semantic_dedup",
-        "q112_dup_spans", "q113_stats_profile",
-        "q121_epsilon_join", "q122_mad_outliers",
-        "q124_bloom_point_lookup", "q125_mmr_diversify",
-        "q126_dsir_selection", "q127_dpp_join", "q131_triangle_count",
-        "q132_exact_jaccard_join", "q134_kcore", "q137_event_patterns",
-        "q141_pca_power", "q142_crossencoder_rerank",
-        "q148_classifier_eval", "q149_textrank_keywords",
-        "q150_containment_join", "q152_assoc_rules",
-        "q153_bfs_distance", "q154_label_propagation", "q158_skyline",
-        "q160_skyline_3d", "q163_dup_span_removal", "q164_curation_funnel",
-        "q165_mixture_allocation", "q166_heavy_hitters",
-        "q167_span_novelty", "q168_budget_sample", "q169_vocab_growth",
-        // r10 lesson: every registered check must be in the DEFAULT list —
-        // checks that only run when named explicitly rot silently (4 were
-        // failing unnoticed because this list stopped at q169)
-        "q170_threshold_curve", "q171_clustering_coefficient",
-        "q172_cdc_chunk_dedup", "q173_temperature_mixture",
-        "q174_rater_agreement", "q175_source_overlap",
-        "q176_weighted_sample", "q177_source_divergence",
-        "q178_centroid_similarity", "q179_coverage_selection",
-        "q180_hashed_drift", "q181_cusum_changepoints",
-        "q182_mixture_schedule", "q183_ivm_join", "q184_ivf_balance",
-        "q185_cms_join_size", "q186_sliding_distinct",
-        "q175b_source_overlap_sketch", "q185b_cms_join_size_sketch",
-        "q186b_sliding_distinct_sketch", "q187_matryoshka_recall",
-        "q188_repetition_budget", "q189_ivf_retrain_churn",
-        "q190_calibration_bins", "q191_split_leakage",
-        "q192_dup_flow_matrix")
+    // The default run is DERIVED from the query registry — every
+    // registered query gets its plan dumped, and every registered check
+    // runs, on the plain no-arg invocation. The r10 lesson (a hand-kept
+    // default list silently stopped at q169 and four checks rotted
+    // unexercised) is closed structurally: there is no list to forget to
+    // extend. A named-args run remains the local iteration path.
+    val names = if (args.nonEmpty) args.toSeq else defaultNames
+
 
     case class Check(name: String, test: String => Boolean, why: String)
     // Parquet scan NODES in the FINAL plan only. The formatted dump emits a
@@ -807,6 +779,16 @@ object PlanAudit {
         Check("one-hash-exchange", p =>
           "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
           "attribution is one user-keyed window, no self-join")))
+
+    // Fail loudly on an orphaned check: a check keyed on a name that is
+    // not a registered query (a typo, or a query renamed out from under
+    // its check) would never run — the exact silent-rot class r10 hit.
+    // With defaultNames derived from the registry this is the only way a
+    // check can still go dark, so it is a hard error, not a warning.
+    val orphaned = orphanedChecks(checks.keySet)
+    require(orphaned.isEmpty,
+      s"PlanAudit checks keyed on unregistered queries (would rot " +
+        s"silently): ${orphaned.toSeq.sorted.mkString(", ")}")
 
     var failed = 0
     names.foreach { n =>

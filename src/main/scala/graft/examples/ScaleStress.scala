@@ -1161,7 +1161,13 @@ object ScaleStress {
       }.mkString(",") + "}"
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // stdout already carries the artifact — an unwritable file path must
+    // not fail the run (or skip release/stop) after all probes completed
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch {
+      case e: Throwable =>
+        System.err.println(s"scale out write failed ($out): $e — JSON is on stdout")
+    }
     graft.Resources.releaseAll()
     spark.stop()
   }

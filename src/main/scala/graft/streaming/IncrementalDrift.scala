@@ -113,14 +113,27 @@ object IncrementalDrift {
 
   private[streaming] def loadRef(file: Path): Option[Reference] =
     if (!Files.exists(file)) None
-    else {
-      val lines = Files.readAllLines(file, StandardCharsets.UTF_8)
-      val counts = (1 until lines.size).iterator
-        .map(lines.get(_).trim).filter(_.nonEmpty)
-        .map { l => val p = l.split(' '); p(0).toLong -> p(1).toLong }
-        .toMap
-      Some(Reference(counts, lines.get(0).trim.toLong))
-    }
+    else
+      try {
+        val lines = Files.readAllLines(file, StandardCharsets.UTF_8)
+        val counts = (1 until lines.size).iterator
+          .map(lines.get(_).trim).filter(_.nonEmpty)
+          .map { l => val p = l.split(' '); p(0).toLong -> p(1).toLong }
+          .toMap
+        Some(Reference(counts, lines.get(0).trim.toLong))
+      } catch {
+        // A reference this stage wrote is never torn (temp+ATOMIC_MOVE);
+        // an unparsable file means a hand edit or a copy that skipped the
+        // atomic-move discipline. Name the file and the re-baseline
+        // contract instead of letting a bare NumberFormatException escape
+        // start() with no hint which file caused it.
+        case e @ (_: NumberFormatException | _: IndexOutOfBoundsException) =>
+          throw new IllegalStateException(
+            s"corrupt frozen-reference file $file: ${e.getMessage}. " +
+              "The reference freezes at the first start() against this " +
+              "checkpoint dir; delete the checkpoint dir to re-freeze " +
+              "from the reference offered at the next start().", e)
+      }
 
   /** Atomic persist (temp sibling + ATOMIC_MOVE): old or new snapshot,
     * never a torn read. ≤2^13 lines. */

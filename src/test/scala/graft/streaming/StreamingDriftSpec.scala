@@ -259,4 +259,20 @@ class StreamingDriftSpec extends AnyFunSuite {
           "assertion above to discriminate")
     } finally q2.stop()
   }
+  test("corrupt frozen-reference file fails with the file path and the " +
+      "re-baseline contract, not a bare NumberFormatException") {
+    val dir = Files.createTempDirectory("drift-corrupt-ref")
+    val f = dir.resolve("reference")
+    // a hand-edit / non-atomic copy: header is not a number
+    Files.write(f, "garbage header\n12 x\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      IncrementalDrift.loadRef(f)
+    }
+    assert(e.getMessage.contains(f.toString),
+      "error must name the unreadable file")
+    assert(e.getMessage.toLowerCase.contains("delete the checkpoint"),
+      "error must state the re-baseline contract")
+    // absent file is still cleanly absent, not an error
+    assert(IncrementalDrift.loadRef(dir.resolve("nope")).isEmpty)
+  }
 }
