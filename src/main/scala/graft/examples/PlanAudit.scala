@@ -509,6 +509,27 @@ object PlanAudit {
       // scoring and binning read the persisted feature frame (training
       // ran as D+1-long aggregations at construction); the min/max and
       // ECE frames are 1-row broadcasts
+      // cross-hash agreement: one corpus scan builds the persisted
+      // (id, ah, dh) frame; candidates are band-bucket groups; the
+      // decode seam never ships bytes — shuffles carry band keys and
+      // 8-byte hashes only
+      "q193_media_cross_hash" -> Seq(
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "candidates come from bucket grouping, not all-pairs"),
+        Check("pruned-schema", p => !p.contains("text") ||
+            !p.split("Exchange").drop(1).mkString.contains("text,"),
+          "shuffles must carry hashes and ids, never document text " +
+            "or thumbnail bytes")),
+      // the sweep is bin×bin algebra over the checkpoint-pinned 10-row
+      // bin table — the returned plan reads zero parquet
+      "q194_threshold_selection" -> Seq(
+        Check("bins-pinned", _.contains("Scan ExistingRDD"),
+          "the sweep reads the pinned 10-row bin table"),
+        Check("no-corpus-rescan", p => parquetScans(p) == 0,
+          "feature extraction, scoring and binning ran once, at " +
+            "construction"),
+        Check("broadcast-argmax", _.contains("BroadcastNestedLoopJoin"),
+          "the 1-row max-F1/chosen-bin frames broadcast onto the sweep")),
       "q190_calibration_bins" -> Seq(
         Check("bins-pinned", _.contains("Scan ExistingRDD"),
           "the returned plan and the ECE leg read the pinned 10-row " +

@@ -413,11 +413,189 @@ object Multimodal {
          |ORDER BY probe_id, rank""".stripMargin
     })
 
+  // ------------------------------------------------------------ q193
+  // CROSS-HASH media near-dup agreement — the q117-style report for the
+  // perceptual-hash family: run TWO independent hashes over the same
+  // decoded thumbnail stream (aHash = brighter-than-mean, q108's recipe;
+  // dHash = horizontal gradient sign, the other standard perceptual
+  // hash) and measure where their near-dup flag sets agree. A single
+  // perceptual hash has blind spots (aHash is mean-shift sensitive,
+  // dHash ignores absolute brightness); the agreement/union matrix per
+  // pair class is the evidence a pipeline owner needs before trusting
+  // either alone — the media twin of q117's lexical savings report and
+  // q174's rater-agreement κ.
+  //
+  // The planted structure extends q108's: an exact byte-duplicate for
+  // every doc_id ≡ 7 (mod 50) and a RE-ENCODE for doc_id ≡ 19 (mod 50)
+  // that perturbs THREE thumbnail bytes by +96 (mod 256) — perturbing
+  // the BYTES (not the hash, as q108 did) so both hashes see the same
+  // re-encode through their own lens: dHash takes up to two flipped
+  // gradient bits per perturbed byte (can exceed the Hamming-3 gate),
+  // aHash takes mean-shift plus mean-crossing flips (sometimes exceeds
+  // it too, differently) — the disagreement cells are structurally
+  // non-trivial, not decorative.
+  //
+  // Scale shape: ONE corpus scan builds the (doc_id, ah, dh) frame
+  // (persisted; hashes are 8-byte longs); candidates come from banding
+  // BOTH hashes (4×15-bit bands each, band ids disjoint — pigeonhole-
+  // exact for Hamming ≤ 3 per hash, so the union candidate set covers
+  // every pair either hash flags) through the shared [[Dedup
+  // .bucketPairs]] cap; verification joins hashes by id, never bytes;
+  // the report is one pair-class aggregate. Shuffles carry
+  // (band, 15-bit key, id) and 16 bytes of hash per pair — blobs and
+  // thumbnails never leave the map side (the decode-seam contract,
+  // PlanAudit-pinned).
+  private val q193 = QueryDef.of(
+    (s, d) => {
+      val pb = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("thumb", concat(md5(col("text")),
+          md5(concat(col("text"), lit("r1"))),
+          md5(concat(col("text"), lit("r2"))),
+          md5(concat(col("text"), lit("r3")))))
+        .withColumn("bytes", expr(
+          "transform(sequence(0, 59), j -> " +
+            "cast(conv(substring(thumb, 2 * j + 1, 2), 16, 10) as int))"))
+        .select(col("doc_id"), col("bytes"))
+      val dups = pb.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("bytes"))
+      // delta per index is order-independent (96 × #matching positions;
+      // positions may coincide — then the byte takes the summed delta)
+      val reenc = pb.filter(col("doc_id") % 50 === 19)
+        .select((col("doc_id") + 2000000L).as("doc_id"), expr(
+          """transform(sequence(0, 59), j -> cast(
+            |  (get(bytes, j) + 96 * (
+            |    (CASE WHEN j = cast(doc_id % 60 AS INT) THEN 1 ELSE 0 END) +
+            |    (CASE WHEN j = cast((doc_id * 7) % 60 AS INT) THEN 1 ELSE 0 END) +
+            |    (CASE WHEN j = cast((doc_id * 13) % 60 AS INT) THEN 1 ELSE 0 END)
+            |  )) % 256 as int))""".stripMargin).as("bytes"))
+      val hashes = graft.Resources.retain(
+        pb.unionByName(dups).unionByName(reenc)
+          .withColumn("mean",
+            expr("aggregate(bytes, 0, (a, x) -> a + x) div 60"))
+          .select(col("doc_id"),
+            expr(
+              """aggregate(sequence(0, 59), 0L, (acc, j) ->
+                |  acc + CASE WHEN get(bytes, j) > mean
+                |             THEN shiftleft(1L, j) ELSE 0L END)"""
+                .stripMargin).as("ah"),
+            expr(
+              """aggregate(sequence(0, 58), 0L, (acc, j) ->
+                |  acc + CASE WHEN get(bytes, j + 1) > get(bytes, j)
+                |             THEN shiftleft(1L, j) ELSE 0L END)"""
+                .stripMargin).as("dh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // band ids 0-3 slice ah, 4-7 slice dh — one bucket machinery,
+      // disjoint key spaces, candidates deduped by bucketPairs
+      def bandsOf(hcol: String, off: Int) =
+        hashes.select(col("doc_id"), expr(
+          s"""explode(transform(sequence(0, 3), b -> struct(
+             |  b + $off AS band,
+             |  shiftright($hcol, 15 * b) & 32767 AS bkey)))""".stripMargin)
+          .as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bkey").as("bkey"))
+      Dedup.bucketPairs(bandsOf("ah", 0).unionByName(bandsOf("dh", 4)))
+        .join(hashes.select(col("doc_id").as("doc1"),
+          col("ah").as("ah1"), col("dh").as("dh1")), "doc1")
+        .join(hashes.select(col("doc_id").as("doc2"),
+          col("ah").as("ah2"), col("dh").as("dh2")), "doc2")
+        .withColumn("ham_a", expr("cast(bit_count(ah1 ^ ah2) as int)"))
+        .withColumn("ham_d", expr("cast(bit_count(dh1 ^ dh2) as int)"))
+        .filter(col("ham_a") <= 3 || col("ham_d") <= 3)
+        .withColumn("pair_class",
+          when(col("doc2") >= 2000000L, "reencoded")
+            .when(col("doc2") >= 1000000L, "exact_dup")
+            .otherwise("organic"))
+        .withColumn("fa", when(col("ham_a") <= 3, 1L).otherwise(0L))
+        .withColumn("fd", when(col("ham_d") <= 3, 1L).otherwise(0L))
+        .groupBy(col("pair_class"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(col("fa") * col("fd")).as("n_both"),
+          sum(col("fa") * (lit(1L) - col("fd"))).as("n_a_only"),
+          sum((lit(1L) - col("fa")) * col("fd")).as("n_d_only"),
+          sum(when(col("fa") === 1L, col("ham_a").cast("long"))
+            .otherwise(0L)).as("sum_ham_a_flagged"),
+          sum(when(col("fd") === 1L, col("ham_d").cast("long"))
+            .otherwise(0L)).as("sum_ham_d_flagged"))
+        .orderBy(col("pair_class"))
+    },
+    s"""WITH th AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'r1') || md5(text || 'r2')
+      |    || md5(text || 'r3') AS thumb
+      |  FROM documents),
+      |pb AS MATERIALIZED (
+      |  SELECT doc_id, list_transform(range(0, 60),
+      |    j -> CAST('0x' || substring(thumb, 2 * j + 1, 2) AS BIGINT)) AS bytes
+      |  FROM th),
+      |allm AS (
+      |  SELECT doc_id, bytes FROM pb
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, bytes FROM pb WHERE doc_id % 50 = 7
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, list_transform(range(0, 60), j ->
+      |      (bytes[j + 1] + 96 * (
+      |        (CASE WHEN j = doc_id % 60 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN j = (doc_id * 7) % 60 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN j = (doc_id * 13) % 60 THEN 1 ELSE 0 END))) % 256)
+      |  FROM pb WHERE doc_id % 50 = 19),
+      |hm AS (SELECT doc_id, bytes, list_sum(bytes) // 60 AS mean FROM allm),
+      |hashes AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 60), j ->
+      |      CASE WHEN bytes[j + 1] > mean THEN (CAST(1 AS BIGINT) << j)
+      |           ELSE 0 END)) AS BIGINT) AS ah,
+      |    CAST(list_sum(list_transform(range(0, 59), j ->
+      |      CASE WHEN bytes[j + 2] > bytes[j + 1] THEN (CAST(1 AS BIGINT) << j)
+      |           ELSE 0 END)) AS BIGINT) AS dh
+      |  FROM hm),
+      |banded AS (
+      |  SELECT doc_id, h.h * 4 + b.b AS band,
+      |    ((CASE WHEN h.h = 0 THEN ah ELSE dh END) >> (15 * b.b)) & 32767
+      |      AS bkey
+      |  FROM hashes CROSS JOIN generate_series(0, 1) AS h(h)
+      |    CROSS JOIN generate_series(0, 3) AS b(b)),
+      |bcap AS (
+      |  SELECT doc_id, band, bkey FROM (
+      |    SELECT doc_id, band, bkey, ROW_NUMBER() OVER (
+      |      PARTITION BY band, bkey ORDER BY doc_id) AS rn
+      |    FROM banded) WHERE rn <= ${Dedup.MaxBucket}),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+      |  FROM bcap x JOIN bcap y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |ver AS (
+      |  SELECT doc1, doc2,
+      |    CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS ham_a,
+      |    CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS ham_d
+      |  FROM cand JOIN hashes a ON cand.doc1 = a.doc_id
+      |            JOIN hashes b ON cand.doc2 = b.doc_id),
+      |fl AS (
+      |  SELECT CASE WHEN doc2 >= 2000000 THEN 'reencoded'
+      |              WHEN doc2 >= 1000000 THEN 'exact_dup'
+      |              ELSE 'organic' END AS pair_class,
+      |    ham_a, ham_d,
+      |    CASE WHEN ham_a <= 3 THEN 1 ELSE 0 END AS fa,
+      |    CASE WHEN ham_d <= 3 THEN 1 ELSE 0 END AS fd
+      |  FROM ver WHERE ham_a <= 3 OR ham_d <= 3)
+      |SELECT pair_class,
+      |  CAST(COUNT(*) AS BIGINT) AS n_union,
+      |  CAST(SUM(fa * fd) AS BIGINT) AS n_both,
+      |  CAST(SUM(fa * (1 - fd)) AS BIGINT) AS n_a_only,
+      |  CAST(SUM((1 - fa) * fd) AS BIGINT) AS n_d_only,
+      |  CAST(SUM(CASE WHEN fa = 1 THEN ham_a ELSE 0 END) AS BIGINT)
+      |    AS sum_ham_a_flagged,
+      |  CAST(SUM(CASE WHEN fd = 1 THEN ham_d ELSE 0 END) AS BIGINT)
+      |    AS sum_ham_d_flagged
+      |FROM fl GROUP BY pair_class
+      |ORDER BY pair_class""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q140_media_features" -> q140,
     "q139_media_resize" -> q139,
     "q60_multimodal_meta" -> q60,
     "q61_multimodal_decode" -> q61,
     "q62_frame_sample" -> q62,
-    "q108_media_phash_neardup" -> q108)
+    "q108_media_phash_neardup" -> q108,
+    "q193_media_cross_hash" -> q193)
 }

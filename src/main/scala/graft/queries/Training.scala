@@ -389,6 +389,154 @@ object Training {
        |  ece_micro
        |FROM r CROSS JOIN e ORDER BY bin""".stripMargin)
 
+  // ------------------------------------------------------------ q194
+  // THRESHOLD SELECTION from the calibration bin table — the missing
+  // last step between q148 (does the probe rank?) / q190 (do its scores
+  // mean anything?) and actually USING the probe to gate a corpus:
+  // sweep the 10 bin lower edges as candidate operating points, report
+  // the full confusion + precision/recall/F1 at each (integer
+  // micro-units), and flag the max-F1 point (ties → lowest threshold,
+  // the recall-favoring choice). The output is the table a curation
+  // owner reads to pick "gate at score ≥ X" — and the `chosen` row is
+  // the answer q143's curriculum binning would consume.
+  //
+  // Scale shape: training + scoring are the shared q136/q190 machinery
+  // (D+1-long aggregations over the persisted feature frame); the bin
+  // table is checkpoint-pinned at 10 rows BEFORE the feature frame
+  // unpersists, and the entire sweep — suffix sums, argmax, chosen
+  // flag — is bin×bin algebra over that pin (≤100 intermediate rows,
+  // zero parquet in the returned plan; PlanAudit asserts it). The
+  // threshold is reported in score units: bin b's lower edge is
+  // mn + ceil(b·W/10) with W = mx−mn+1, exactly the smallest score
+  // whose bin index reaches b under the q190 binning rule.
+  private val q194 = QueryDef.of(
+    (s, d) => {
+      val f = features(s, d).persist()
+      try {
+        val n = f.count()
+        require(n > 0, "q194 needs a non-empty documents table")
+        val (_, w) = gdSteps(f, n)
+        val scored = f.select(
+          expr(s"(${(0 until Dim).map(j => s"x$j * ${w(j)}L")
+            .mkString(" + ")}) div $M").as("score"),
+          col("y"))
+        val mm = scored.agg(min(col("score")).as("mn"),
+          max(col("score")).as("mx"))
+        // mn/mx ride the pinned bin rows (constant per row — max() is
+        // just the determinism-safe way to carry them through the agg)
+        // so the sweep reads ONLY the pin
+        val bins = graft.Resources.retain(scored.crossJoin(broadcast(mm))
+          .withColumn("bin", expr("((score - mn) * 10) div (mx - mn + 1)"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") === M, 1L).otherwise(0L)).as("n_pos"),
+            max(col("mn")).as("mn"), max(col("mx")).as("mx"))
+          .localCheckpoint())
+        val sweep = bins.select(col("bin").as("thr_bin"), col("mn"),
+            col("mx"))
+          .crossJoin(bins.select(col("bin").as("u_bin"),
+            col("n_docs").as("u_docs"), col("n_pos").as("u_pos")))
+          .groupBy(col("thr_bin"))
+          .agg(max(col("mn")).as("mn"), max(col("mx")).as("mx"),
+            sum(when(col("u_bin") >= col("thr_bin"), col("u_pos"))
+              .otherwise(0L)).as("tp"),
+            sum(when(col("u_bin") >= col("thr_bin"),
+              col("u_docs") - col("u_pos")).otherwise(0L)).as("fp"),
+            sum(col("u_pos")).as("tot_pos"),
+            sum(col("u_docs")).as("tot"))
+          .withColumn("thr_score_micro",
+            col("mn") + expr("(thr_bin * (mx - mn + 1) + 9) div 10"))
+          .withColumn("fn", col("tot_pos") - col("tp"))
+          .withColumn("tn", col("tot") - col("tot_pos") - col("fp"))
+          .withColumn("precision_micro",
+            when(col("tp") + col("fp") > 0,
+              expr(s"(tp * $M) div (tp + fp)")).otherwise(0L))
+          .withColumn("recall_micro",
+            when(col("tot_pos") > 0, expr(s"(tp * $M) div tot_pos"))
+              .otherwise(0L))
+          // F1 = 2·TP/(2·TP+FP+FN) = 2·TP/(TP+FP+P) — same simplified
+          // denominator on both engines
+          .withColumn("f1_micro",
+            when(col("tp") + col("fp") + col("tot_pos") > 0,
+              expr(s"(2 * tp * $M) div (tp + fp + tot_pos)"))
+              .otherwise(0L))
+        val chosenBin = sweep
+          .crossJoin(broadcast(sweep.agg(max(col("f1_micro")).as("mxf"))))
+          .filter(col("f1_micro") === col("mxf"))
+          .agg(min(col("thr_bin")).as("chosen_bin"))
+        sweep.crossJoin(broadcast(chosenBin))
+          .select(col("thr_bin"), col("thr_score_micro"), col("tp"),
+            col("fp"), col("fn"), col("tn"), col("precision_micro"),
+            col("recall_micro"), col("f1_micro"),
+            (col("thr_bin") === col("chosen_bin")).cast("long")
+              .as("chosen"))
+          .orderBy(col("thr_bin"))
+      } finally { f.unpersist(); () }
+    },
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id, CAST(1000000 AS BIGINT) AS x0,
+       |    (1000000 * least(length(text), 2000)) // 2000 AS x1,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, '[aeiou]', '', 'g'))))
+       |      // (length(text) + 1) AS x2,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, ' ', '', 'g'))))
+       |      // (length(text) + 1) AS x3,
+       |    (1000000 * (length(text) -
+       |      length(regexp_replace(text, '[A-Za-z]', '', 'g'))))
+       |      // (length(text) + 1) AS x4,
+       |    CASE WHEN lang = 'en' THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |  CAST(0 AS BIGINT) AS w4),
+       |${sqlIter(1, "w0")},
+       |${sqlIter(2, "w1")},
+       |${sqlIter(3, "w2")},
+       |sc AS (
+       |  SELECT CAST((x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3
+       |    + x4*w.w4) // 1000000 AS BIGINT) AS score, y
+       |  FROM f CROSS JOIN w3 w),
+       |mm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM sc),
+       |b AS MATERIALIZED (
+       |  SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(MAX(mn) AS BIGINT) AS mn, CAST(MAX(mx) AS BIGINT) AS mx
+       |  FROM sc CROSS JOIN mm GROUP BY 1),
+       |sw AS MATERIALIZED (
+       |  SELECT t.bin AS thr_bin, MAX(t.mn) AS mn, MAX(t.mx) AS mx,
+       |    CAST(SUM(CASE WHEN u.bin >= t.bin THEN u.n_pos ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN u.bin >= t.bin THEN u.n_docs - u.n_pos
+       |      ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(u.n_pos) AS BIGINT) AS tot_pos,
+       |    CAST(SUM(u.n_docs) AS BIGINT) AS tot
+       |  FROM b t CROSS JOIN b u GROUP BY t.bin),
+       |m2 AS MATERIALIZED (
+       |  SELECT thr_bin,
+       |    mn + (thr_bin * (mx - mn + 1) + 9) // 10 AS thr_score_micro,
+       |    tp, fp, tot_pos - tp AS fn, tot - tot_pos - fp AS tn,
+       |    CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp)
+       |         ELSE 0 END AS precision_micro,
+       |    CASE WHEN tot_pos > 0 THEN (tp * 1000000) // tot_pos
+       |         ELSE 0 END AS recall_micro,
+       |    CASE WHEN tp + fp + tot_pos > 0
+       |         THEN (2 * tp * 1000000) // (tp + fp + tot_pos)
+       |         ELSE 0 END AS f1_micro
+       |  FROM sw),
+       |ch AS (
+       |  SELECT MIN(thr_bin) AS chosen_bin FROM m2
+       |  WHERE f1_micro = (SELECT MAX(f1_micro) FROM m2))
+       |SELECT thr_bin, thr_score_micro, tp, fp, fn, tn, precision_micro,
+       |  recall_micro, f1_micro,
+       |  CAST(CASE WHEN thr_bin = chosen_bin THEN 1 ELSE 0 END AS BIGINT)
+       |    AS chosen
+       |FROM m2 CROSS JOIN ch ORDER BY thr_bin""".stripMargin)
+
   // ------------------------------------------------------------ q174
   // RATER AGREEMENT (Cohen's κ) between two independent quality rules —
   // the calibration readout a curation team runs before trusting any
@@ -500,5 +648,6 @@ object Training {
     "q136_gd_probe_train" -> q136,
     "q148_classifier_eval" -> q148,
     "q174_rater_agreement" -> q174,
-    "q190_calibration_bins" -> q190)
+    "q190_calibration_bins" -> q190,
+    "q194_threshold_selection" -> q194)
 }
