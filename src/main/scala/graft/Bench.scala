@@ -17,6 +17,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,10 +81,29 @@ object Bench {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
     val inputRead = new java.util.concurrent.atomic.AtomicLong
+    // scheduling-vs-execution decomposition (r11 VERDICT #1c): per-query
+    // job/stage counts and the wall time covered by ≥1 RUNNING TASK.
+    // wall − covered ≈ driver-side gap (job submission, DAG planning,
+    // AQE replanning, broadcast builds) — the per-stage scheduling floor
+    // that amortizes at scale. Attributed to pass 1 only, profile-grade
+    // (listener events are async; a 50 ms drain pause settles them).
+    val jobsN = new java.util.concurrent.atomic.AtomicLong
+    val stagesN = new java.util.concurrent.atomic.AtomicLong
+    val taskIv = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobsN.incrementAndGet(); ()
+        }
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo != null) {
+            taskIv.add((e.taskInfo.launchTime, e.taskInfo.finishTime)); ()
+          }
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stagesN.incrementAndGet()
           val m = sc.stageInfo.taskMetrics
           if (m != null) {
             shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -93,11 +113,24 @@ object Bench {
           }
         }
       })
+    // union length of task intervals: wall ms with at least one task live
+    def coveredMs(iv: Seq[(Long, Long)]): Long = {
+      val s = iv.sortBy(_._1)
+      var cov = 0L; var end = Long.MinValue
+      s.foreach { case (a, b) =>
+        if (a > end) { cov += b - a; end = b }
+        else if (b > end) { cov += b - end; end = b }
+      }
+      cov
+    }
 
     // a set: a query whose rerun also fails must appear (and count) once
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val profile =
       scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    // pass-1 decomposition per query: (jobs, stages, gap seconds)
+    val decomp =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Double)]
     // Best-of-N (default 2), INTERLEAVED: run the full suite once, then
     // sweep the whole suite again, and report the per-query MIN.
     // Ambient load on a shared driver box has injected 5-40x phantom
@@ -159,10 +192,18 @@ object Bench {
       case (name, fn) =>
         val (w0, r0, i0) =
           (shuffleWrite.get(), shuffleRead.get(), inputRead.get())
+        val (j0, s0) = (jobsN.get(), stagesN.get())
+        taskIv.clear()
         val (ok1, t1) = once(name, fn)
         Thread.sleep(50) // let stage-completion events drain
         profile(name) = (shuffleWrite.get() - w0, shuffleRead.get() - r0,
           inputRead.get() - i0)
+        val cov = {
+          import scala.collection.JavaConverters._
+          coveredMs(taskIv.asScala.toSeq) / 1e3
+        }
+        decomp(name) = (jobsN.get() - j0, stagesN.get() - s0,
+          math.max(0.0, t1 - cov))
         allRuns(name) = Seq(t1)
         (name, fn, ok1, t1)
     }
@@ -231,10 +272,19 @@ object Bench {
     // artifact: the filter list rides BOTH lines whenever it is active
     def onlyJson = only.fold("")(s =>
       s""","only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+    // decomposition summaries (r11 VERDICT #1c): what the suite total
+    // splits into — per-query fixed floor × n, driver-side scheduling
+    // gap (pass-1 union-of-task-intervals complement), and the rest
+    // (genuine task execution above the floor). ~80 bytes, rides both
+    // lines; the per-query split is in the profile artifact.
+    val schedGapTotal = decomp.values.map(_._3).sum
+    val aboveFloorTotal =
+      math.max(0.0, total - floorPerQuery * results.size)
     def mkLine(short: Boolean) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${
         qsJson(short)},"sf":"$sfDir","load":$loadJson,"floor_per_query":${
-        r3(floorPerQuery)},"warmup_sec":${r3(warmupTotal)},"failed_n":${
+        r3(floorPerQuery)},"warmup_sec":${r3(warmupTotal)},"above_floor_total":${
+        r3(aboveFloorTotal)},"sched_gap_total":${r3(schedGapTotal)},"failed_n":${
         failed.size},"failed":${failedJson(short)}$onlyJson${
         if (short) "" else s""","floor":$floorJson,"warmup":$warmupJson,"runs":$runsJson"""}}"""
     val line = mkLine(short = false)
@@ -257,8 +307,13 @@ object Bench {
       def mb(v: Long): String =
         "%.1f".formatLocal(java.util.Locale.ROOT, v / 1e6)
       val profJson = profile.map { case (k, (w, r, in)) =>
+        val (j, st, gap) = decomp.getOrElse(k, (0L, 0L, 0.0))
+        val aboveFloor =
+          math.max(0.0, allRuns.get(k).map(_.min).getOrElse(0.0) -
+            floorPerQuery)
         s""""$k":{"shuffle_write_mb":${mb(w)},"shuffle_read_mb":${mb(r)},""" +
-          s""""input_mb":${mb(in)}}"""
+          s""""input_mb":${mb(in)},"jobs":$j,"stages":$st,""" +
+          s""""sched_gap_s":${r3(gap)},"above_floor_s":${r3(aboveFloor)}}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_profile.json"),

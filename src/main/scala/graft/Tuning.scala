@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/** Size-aware partitioning for persisted artifact frames (graph edge
+  * sets, prepared adjacencies, index frames).
+  *
+  * The problem (measured, round 12): artifacts are persisted with
+  * `repartition(key)` at the session's shuffle-partition count, so a
+  * 124k-row edge set occupies 32 near-empty cached partitions and every
+  * superstep that scans it launches 32 map tasks — and each map task's
+  * shuffle WRITE paid a fixed cost per reduce partition (≈6 ms CPU per
+  * partition-file with the bypass-merge writer; forcing the sort-based
+  * writer via spark.shuffle.sort.bypassMergeThreshold=0 cut a
+  * kcore-round-shaped stage from ~15.5 s to ~2.4 s of task time at 64
+  * tasks, and right-sizing to 4 partitions cut it to ~0.5 s — the
+  * MicroProbe numbers). At 100 TB the same rule yields thousands of
+  * partitions: this is data-proportional sizing, not a bench special.
+  */
+object Tuning {
+  /** Target rows per cached partition for bounded artifact frames.
+    * Artifact rows are narrow (two or three longs); 500k rows ≈ 10-20 MB
+    * a partition — comfortably task-sized, far from the near-empty
+    * regime. */
+  val ArtifactRowsPerPartition = 500000L
+
+  /** Partition count for a frame of `rows` rows: ceil(rows/target),
+    * floor 4 (tiny frames still overlap scan with downstream work), no
+    * meaningful upper cap (a 10¹⁰-row edge set gets ~20k partitions —
+    * the 100 TB shape). */
+  def partsFor(rows: Long,
+      rowsPerPartition: Long = ArtifactRowsPerPartition): Int = {
+    val p = (rows + rowsPerPartition - 1) / rowsPerPartition
+    math.min(math.max(4L, p), 1L << 20).toInt
+  }
+
+  /** Run `body` with the session's shuffle-partition count temporarily
+    * set to `n`, restoring the caller's value after. For
+    * DRIVER-COORDINATED loops that materialize per round (connected
+    * components, k-core peeling, BFS rings): every round's shuffles and
+    * eager localCheckpoints plan under the temporary value, so a
+    * dup-bounded fixpoint stops paying 32-partition map fan-out per
+    * superstep. Callers pass [[partsFor]] of a MEASURED row count —
+    * size-proportional, so a corpus-scale loop keeps full parallelism.
+    * Only shuffles PLANNED inside `body` are affected; a lazily
+    * returned frame planned later uses the session default again. */
+  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
+  /** Eagerly localCheckpoint `df`, then — if the materialized partition
+    * count is more than 2× what the ROW COUNT warrants — re-checkpoint
+    * compacted to [[partsFor]] partitions and release the oversized
+    * original's blocks. For pinned ARTIFACT frames (verified-pair
+    * stats, bin tables) whose checkpoint inherits the build plan's full
+    * shuffle width: every downstream scan of a 300-row frame on 64
+    * partitions pays 64 map-task fixed costs. The compact pass reads
+    * the already-materialized blocks once; releasing the staged
+    * checkpoint is safe because the compacted one is eager. */
+  def compactCheckpoint(df: DataFrame): DataFrame = {
+    val staged = df.localCheckpoint(true)
+    val rows = staged.count()
+    val want = partsFor(rows)
+    if (want * 2 <= staged.rdd.getNumPartitions) {
+      val compact = staged.repartition(want).localCheckpoint(true)
+      Resources.releaseCheckpoint(staged)
+      compact
+    } else staged
+  }
+
+  /** Persist `df`, then — if its materialized partition count is more
+    * than 2× what its ROW COUNT warrants — re-persist compacted to
+    * [[partsFor]] partitions hash-keyed on `keys` (consumers key their
+    * joins on these columns; the cached partitioning stays reusable)
+    * and drop the oversized original. The build runs ONCE (the compact
+    * pass reads the already-persisted blocks); the count is the same
+    * count every artifact's `ensure` entry point already pays. Frames
+    * that are already right-sized (or genuinely large) are returned
+    * as-persisted — at production scale this is a no-op by
+    * construction. */
+  def compactPersist(df: DataFrame, keys: Seq[Column],
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val staged = df.persist(level)
+    val rows = staged.count()
+    val want = partsFor(rows)
+    val have = staged.rdd.getNumPartitions
+    if (want * 2 <= have) {
+      val compact = staged.repartition(want, keys: _*).persist(level)
+      compact.count()
+      staged.unpersist()
+      compact
+    } else staged
+  }
+}

@@ -29,6 +29,16 @@ object ConnectedComponents {
     * @return (id, component) — component = min id in the node's
     *         connected component; isolated nodes map to themselves. */
   def labels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Size EVERYTHING in the fixpoint — sym's own distinct shuffle, the
+    // per-round joins, the eager checkpoints — to the measured input
+    // edge count (graft.Tuning): dedup-cluster graphs are tiny and were
+    // paying full-width (32-partition) cached frames and shuffle
+    // fan-out per superstep; a corpus-scale graph gets proportionally
+    // many partitions. The one count of the caller's edge frame is the
+    // price of sizing (for every repo caller that frame is a filter
+    // over an already-pinned artifact).
+    val loopParts = graft.Tuning.partsFor(2 * edges.count())
+    graft.Tuning.withShufflePartitions(nodes.sparkSession, loopParts) {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -42,19 +52,21 @@ object ConnectedComponents {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("component")).as("nbr_min"))
-      // eager localCheckpoint, not persist: each round's frame embeds the
-      // previous round's plan twice (the join here + the changed-count
-      // join below), so logical-plan size doubles per round and the
-      // optimizer OOMs near ~15 rounds even on tiny data
+      // eager localCheckpoint, not persist: each round's frame embeds
+      // the previous round's plan (the join here), so logical-plan size
+      // grows per round and the optimizer OOMs near ~15 rounds even on
+      // tiny data. The per-round CHANGE FLAG rides the checkpointed
+      // frame itself (min-propagation labels only decrease, so
+      // changed ⟺ new ≠ old is computable row-local in the same
+      // projection) — the convergence probe is then a narrow count over
+      // the pinned frame instead of a second labels-join job per round.
+      val newComp =
+        least(col("component"), coalesce(col("nbr_min"), col("component")))
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+        .select(col("id"), newComp.as("component"),
+          (newComp =!= col("component")).as("chg"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count() // bounded driver read: one long
+      changed = next.filter(col("chg")).count() // bounded driver read
       labels.unpersist()
       // checkpoint RDDs bypass the CacheManager — but ONLY release
       // rounds ≥ 1: their frames are self-contained LogicalRDDs,
@@ -70,8 +82,12 @@ object ConnectedComponents {
     }
     sym.unpersist()
     // the caller consumes the persisted fixpoint lazily, so release is
-    // deferred to the session owner via the retained-frames registry
+    // deferred to the session owner via the retained-frames registry;
+    // the change-flag column is internal — project it away (narrow,
+    // reads the pinned frame)
     graft.Resources.retain(labels)
+    labels.select(col("id"), col("component"))
+    }
   }
 
   /** Alternating large-star / small-star connected components (Kiveris
@@ -107,6 +123,10 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var rounds = 0
     var done = cur.isEmpty
+    // size-matched loop shuffles (see labels() above); count reads the
+    // just-checkpointed frame
+    val loopParts = graft.Tuning.partsFor(cur.count())
+    graft.Tuning.withShufflePartitions(edges.sparkSession, loopParts) {
     while (!done && rounds < maxIters) {
       // large-star: for each u, attach strictly-larger neighbors to
       // m = min(N(u) ∪ {u}); every output edge points bigger → smaller
@@ -129,6 +149,7 @@ object ConnectedComponents {
       graft.Resources.releaseCheckpoint(cur)
       cur = next
       rounds += 1
+    }
     }
     val lbl = nodes
       .join(cur.select(col("u").as("id"), col("v").as("component")),

@@ -351,21 +351,16 @@ object Dedup {
   // near-dup pipeline (candidates are ~10^-6 of all pairs, so the exact
   // set comparison touches almost nothing — that asymmetry is the point).
   private val q33 = QueryDef.of(
-    (s, d) => {
-      val sets = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
-        .select(col("doc_id"), col("shset"))
-      val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
-      val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
-      candidates(s, d).join(a, "doc1").join(b, "doc2")
+    (s, d) =>
+      // reads the pinned verify artifact (see [[pairStats]]); the
+      // jaccard double is the same inter/uni division the inline form
+      // computed — identical integers, identical IEEE result
+      pairStats(s, d)
         .withColumn("jaccard",
-          size(array_intersect(col("sa"), col("sb"))).cast("double") /
-            size(array_union(col("sa"), col("sb"))))
-        .filter(col("jaccard") >= 0.5)
+          col("inter").cast("double") / col("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
         .select(col("doc1"), col("doc2"), col("jaccard"))
-        .orderBy(col("doc1"), col("doc2"))
-    },
+        .orderBy(col("doc1"), col("doc2")),
     s"""$sqlShingled,
        |$sqlMinhash,
        |sets AS (
@@ -482,20 +477,59 @@ object Dedup {
   // id-list against the (tiny) verified-pair set — the corpus never
   // shuffles its bodies, and at 100 TB the pair set is the ~10^-6
   // candidate fraction that survived verification.
-  /** Verified near-dup pairs: LSH candidates whose exact shingle Jaccard
-    * clears 0.5 — the pair set q33 emits, shared by q64/q65. */
-  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sets = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
-      .select(col("doc_id"), col("shset"))
-    val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
-    val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
-    candidates(s, d).join(a, "doc1").join(b, "doc2")
-      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-        size(array_union(col("sa"), col("sb"))) >= 0.5)
-      .select(col("doc1"), col("doc2"))
+  /** Exact per-candidate (intersection, union) shingle-overlap stats —
+    * the VERIFY artifact, memoized per (session, corpus) like the
+    * candidate index it derives from: q33 emits pairs+jaccard from it,
+    * [[verifiedPairs]] thresholds it at 0.5 (feeding q64/q65/q192 and
+    * the cluster-label build), q170 sweeps it at 50/95/98 %. Before
+    * r12 each of those queries re-ran the whole verify pass — corpus
+    * scan, shingle transform ×2, candidate join — per query; a
+    * production dedup job materializes the verified-pair stats once.
+    *
+    * Two scale choices inside the build: shingle sets are computed only
+    * for candidate ENDPOINTS (a broadcast semi-join before the
+    * transform — candidates are ~10⁻⁶ of all pairs, so endpoints are a
+    * sliver of the corpus and the expensive array work never touches
+    * the rest), and the result is localCheckpoint-pinned (pair-count-
+    * sized, id+two-long rows). Exact integer (inter, uni) make every
+    * downstream threshold exact: inter/uni ≥ t/100 ⟺ inter·100 ≥ uni·t
+    * (q170's documented equivalence, incl. the IEEE-exact t = 50). */
+  private val pairStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]
+  private val pairStatsHook = new java.util.concurrent.atomic.AtomicBoolean
+  private[queries] def pairStats(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    if (pairStatsHook.compareAndSet(false, true))
+      graft.Resources.onReleaseAll(() => pairStatsCache.clear())
+    pairStatsCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+      val cand = candidates(s, d)
+      val ep = cand.select(col("doc1").as("doc_id"))
+        .union(cand.select(col("doc2").as("doc_id"))).distinct()
+      val sets = Tables.documents(s, d)
+        .join(broadcast(ep), Seq("doc_id"), "left_semi")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
+        .select(col("doc_id"), col("shset"))
+      val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
+      val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
+      graft.Resources.retain(graft.Tuning.compactCheckpoint(
+        cand.join(a, "doc1").join(b, "doc2")
+          .select(col("doc1"), col("doc2"),
+            size(array_intersect(col("sa"), col("sb"))).cast("long")
+              .as("inter"),
+            size(array_union(col("sa"), col("sb"))).cast("long")
+              .as("uni"))))
+    })
   }
+
+  /** Verified near-dup pairs: LSH candidates whose exact shingle Jaccard
+    * clears 0.5 — the pair set q33 emits, shared by q64/q65/q192. Reads
+    * the pinned [[pairStats]]; inter·2 ≥ uni is the exact-integer form
+    * of jaccard ≥ 0.5 (equivalence documented at pairStats). */
+  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairStats(s, d)
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc1"), col("doc2"))
 
   private val q64 = QueryDef.of(
     (s, d) => {
@@ -998,20 +1032,23 @@ object Dedup {
   // measured, not guessed). Output: 3 rows.
   private val q170 = QueryDef.of(
     (s, d) => {
-      val sets = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("shset", expr(s"array_distinct($shinglesExpr)"))
-        .select(col("doc_id"), col("shset"))
-      val a = sets.withColumnsRenamed(Map("doc_id" -> "doc1", "shset" -> "sa"))
-      val b = sets.withColumnsRenamed(Map("doc_id" -> "doc2", "shset" -> "sb"))
-      val pj = graft.Resources.retain(candidates(s, d)
-        .join(a, "doc1").join(b, "doc2")
-        .select(col("doc1"), col("doc2"),
-          size(array_intersect(col("sa"), col("sb"))).cast("long")
-            .as("inter"),
-          size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
+      // the shared pinned verify artifact (see [[pairStats]]) IS the
+      // one-pass (inter, uni) frame this query used to pin privately
+      val pj = pairStats(s, d)
         .filter(col("inter") * 100 >= col("uni") * 50)
-        .localCheckpoint())
+      // all three thresholds' pair counts in ONE narrow job over the
+      // pinned stats (was one count job per threshold)
+      val pcRow = pj.agg(
+        count(lit(1)).as("n50"),
+        sum(when(col("inter") * 100 >= col("uni") * 95, 1L).otherwise(0L))
+          .as("n95"),
+        sum(when(col("inter") * 100 >= col("uni") * 98, 1L).otherwise(0L))
+          .as("n98")).head()
+      val nPairsAt = Map(50 -> pcRow.getLong(0),
+        95 -> java.lang.Long.valueOf(
+          if (pcRow.isNullAt(1)) 0L else pcRow.getLong(1)).longValue(),
+        98 -> java.lang.Long.valueOf(
+          if (pcRow.isNullAt(2)) 0L else pcRow.getLong(2)).longValue())
       def statsAt(t: Int): org.apache.spark.sql.DataFrame = {
         val edges = pj.filter(col("inter") * 100 >= col("uni") * t)
         val labels =
@@ -1031,7 +1068,7 @@ object Dedup {
             graft.operators.ConnectedComponents.labels(endpoints,
               edges.select(col("doc1").as("src"), col("doc2").as("dst")))
           }
-        val nPairs = edges.count()
+        val nPairs = nPairsAt(t)
         labels.groupBy(col("component")).agg(count(lit(1)).as("n"))
           .agg(
             coalesce(sum(when(col("n") >= 2, lit(1L))), lit(0L))

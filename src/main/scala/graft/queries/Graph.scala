@@ -40,17 +40,21 @@ object Graph {
         .filter(col("l_quantity") >= 35)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      li.select(col("ok"), col("pk").as("x"))
-        .join(li.select(col("ok").as("ok2"), col("pk").as("y")),
-          col("ok") === col("ok2") && col("x") < col("y"))
-        .select(col("x"), col("y")).distinct()
-        // cache PARTITIONED ON x (not distinct's (x,y) hash): both
-        // consumers' first wide op keys on x — q131's degree/orientation
-        // join, q134's x semi-join — so the cached partitioning is
-        // reusable and the edge list is never re-shuffled on read
-        // (measured: first post-warmup triangle run 5.0s → 2.3s)
-        .repartition(col("x"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // cache PARTITIONED ON x (not distinct's (x,y) hash): both
+      // consumers' first wide op keys on x — q131's degree/orientation
+      // join, q134's x semi-join — so the cached partitioning is
+      // reusable and the edge list is never re-shuffled on read
+      // (measured: first post-warmup triangle run 5.0s → 2.3s).
+      // Partition COUNT is size-matched (graft.Tuning): a 124k-row edge
+      // set on 32 near-empty partitions made every superstep scan pay
+      // 32 map-task fixed costs — r12's biggest graph-family lever.
+      graft.Tuning.compactPersist(
+        li.select(col("ok"), col("pk").as("x"))
+          .join(li.select(col("ok").as("ok2"), col("pk").as("y")),
+            col("ok") === col("ok2") && col("x") < col("y"))
+          .select(col("x"), col("y")).distinct()
+          .repartition(col("x")),
+        Seq(col("x")))
     })
 
   /** Offline build entry point (idempotent per session+corpus). */
@@ -58,6 +62,15 @@ object Graph {
     coEdges(s, d).count()
     ()
   }
+
+  // memoized edge count: loop-shuffle sizing (graft.Tuning.partsFor)
+  // reads it once per (session, corpus); the count scans the persisted
+  // frame. Entries drop with the session's edgeCache in releaseCoEdges.
+  private val edgeCountCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Long]
+  private def coEdgeCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    edgeCountCache.getOrElseUpdate((s, d), coEdges(s, d).count())
 
   /** q86's customer↔supplier authority graph, [[graft.operators
     * .PageRank.prepare]]d (degree-annotated edges pre-partitioned on
@@ -120,13 +133,14 @@ object Graph {
       val e = coEdges(s, d)
       val both = e.select(col("x").as("src"), col("y").as("dst"))
         .union(e.select(col("y").as("src"), col("x").as("dst")))
-      both
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("dst"))))
-        .withColumn("deg", count(lit(1)).over(
-          Window.partitionBy(col("src"))))
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Tuning.compactPersist(
+        both
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("dst"))))
+          .withColumn("deg", count(lit(1)).over(
+            Window.partitionBy(col("src"))))
+          .repartition(col("src")),
+        Seq(col("src")))
     })
 
   /** Offline build entry point (idempotent per session+corpus). */
@@ -137,6 +151,7 @@ object Graph {
 
   /** Release every cached edge frame built on `s` (all corpora). */
   def releaseCoEdges(s: org.apache.spark.sql.SparkSession): Unit = {
+    edgeCountCache.keys.filter(_._1 eq s).foreach(edgeCountCache.remove)
     edgeCache.keys.filter(_._1 eq s).foreach { k =>
       edgeCache.remove(k).foreach { df =>
         try df.unpersist()
@@ -435,15 +450,20 @@ object Graph {
       // needs an extra materialization job — exactly what it tried to
       // save. Per-ring eager materialization is the floor for exact
       // per-ring BFS output.
-      for (t <- 1 to BfsSteps) {
-        frontier = graft.Resources.retain(frontier
-          .join(both, col("node") === col("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(settled.select(col("node").as("seen")),
-            col("node") === col("seen"), "left_anti")
-          .withColumn("dist", lit(t))
-          .localCheckpoint())
-        settled = settled.union(frontier)
+      // loop shuffles sized to the measured (bidirectional) edge count
+      // — every ring is a subset of the dst side of one expand join
+      graft.Tuning.withShufflePartitions(s,
+        graft.Tuning.partsFor(2 * coEdgeCount(s, d))) {
+        for (t <- 1 to BfsSteps) {
+          frontier = graft.Resources.retain(frontier
+            .join(both, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(settled.select(col("node").as("seen")),
+              col("node") === col("seen"), "left_anti")
+            .withColumn("dist", lit(t))
+            .localCheckpoint())
+          settled = settled.union(frontier)
+        }
       }
       val rings = settled.groupBy(col("dist"))
         .agg(count(lit(1)).as("n_nodes"),
@@ -578,17 +598,18 @@ object Graph {
   private def hitsEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     hitsEdgeCache.getOrElseUpdate((s, d), {
-      Tables.raw(s, d, "orders")
-        .join(Tables.raw(s, d, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").cast("long").as("src"),
-          col("l_suppkey").cast("long").as("dst"))
-        .distinct()
-        // both half-rounds join on src OR dst; partition on src (the
-        // hub side joins reuse it, the auth side re-shuffles the small
-        // score frame, not the edges)
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both half-rounds join on src OR dst; partition on src (the
+      // hub side joins reuse it, the auth side re-shuffles the small
+      // score frame, not the edges); size-matched partition count
+      graft.Tuning.compactPersist(
+        Tables.raw(s, d, "orders")
+          .join(Tables.raw(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            col("l_suppkey").cast("long").as("dst"))
+          .distinct()
+          .repartition(col("src")),
+        Seq(col("src")))
     })
 
   /** Offline build entry point (idempotent per session+corpus). */
@@ -795,37 +816,42 @@ object Graph {
   private val q134 = QueryDef.of(
     (s, d) => {
       var e = coEdges(s, d)
+      // The up-front count (a cheap cached-scan job) does double duty:
+      // it sizes the loop's shuffles to the measured edge count
+      // (graft.Tuning — the peel frames only SHRINK from here), and it
+      // seeds the fixpoint early-exit: a peel round that removes no
+      // edge leaves every later round a no-op (degrees can only drop
+      // when edges do), so "degrees after 5 rounds" is reached the
+      // moment a round leaves the count unchanged — at sf0.1 that is
+      // round 2 of the 5 budgeted (measured: round-2..5 counts are
+      // identical), cutting 3 rounds of superstep jobs.
+      var prevCount = e.count()
       var round = 0
-      // fixpoint early-exit: a peel round that removes no edge leaves
-      // every later round a no-op (degrees can only drop when edges
-      // do), so "degrees after 5 rounds" is reached the moment two
-      // consecutive rounds agree — the count is a near-free job over
-      // the just-materialized checkpoint, and at sf0.1 it converges in
-      // 2 of the 5 budgeted rounds (measured: the round-2..5 edge
-      // counts are identical), cutting 3 rounds of superstep jobs
-      var prevCount = -1L
-      while (round < CoreRounds && {
-        val c = if (round == 0) -1L else e.count()
-        val converged = c >= 0 && c == prevCount
-        prevCount = c
-        !converged
-      }) {
-        // eager localCheckpoint per round (the ConnectedComponents
-        // pattern): `alive` feeds two semi-joins and `e` three subtrees
-        // — without truncation the lineage nests geometrically across
-        // rounds. Each round's edge set is small and only shrinks.
-        val prev = e
-        val deg = e.select(col("x").as("n"))
-          .union(e.select(col("y").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-        val alive = deg.filter(col("deg") >= CoreK).select(col("n"))
-        e = e.join(alive.withColumnRenamed("n", "x"), Seq("x"),
-            "left_semi")
-          .join(alive.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
-          .select(col("x"), col("y"))
-          .localCheckpoint(true)
-        graft.Resources.releaseCheckpoint(prev) // no-op on round 0's plan
-        round += 1
+      graft.Tuning.withShufflePartitions(s,
+        graft.Tuning.partsFor(prevCount)) {
+        var converged = false
+        while (round < CoreRounds && !converged) {
+          // eager localCheckpoint per round (the ConnectedComponents
+          // pattern): `alive` feeds two semi-joins and `e` three
+          // subtrees — without truncation the lineage nests
+          // geometrically across rounds. Each round's edge set is
+          // small and only shrinks.
+          val prev = e
+          val deg = e.select(col("x").as("n"))
+            .union(e.select(col("y").as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+          val alive = deg.filter(col("deg") >= CoreK).select(col("n"))
+          e = e.join(alive.withColumnRenamed("n", "x"), Seq("x"),
+              "left_semi")
+            .join(alive.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
+            .select(col("x"), col("y"))
+            .localCheckpoint(true)
+          graft.Resources.releaseCheckpoint(prev) // no-op on round 0's plan
+          round += 1
+          val c = e.count()
+          converged = c == prevCount
+          prevCount = c
+        }
       }
       graft.Resources.retain(e)
       e.select(col("x").as("n")).union(e.select(col("y").as("n")))

@@ -356,20 +356,28 @@ object Mixing {
   private val q179 = QueryDef.of(
     (s, d) => {
       import s.implicits._
-      val tok = graft.Resources.retain(
+      // size-matched pin (graft.Tuning): every round scans this frame —
+      // an oversized checkpoint multiplies the per-round map-task fixed
+      // cost; the loop's groupBy shuffles are sized to the same count
+      // per-doc bigram dedup happens MAP-SIDE (array_distinct before the
+      // explode) — (doc_id, w) distinctness is within-document by
+      // construction, so the old post-explode .distinct() shuffle of the
+      // whole bigram stream bought nothing (r12: the pin build was the
+      // query's single most expensive stage)
+      val tok = graft.Resources.retain(graft.Tuning.compactCheckpoint(
         Tables.documents(s, d)
           .select(col("doc_id"),
             expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
           .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(toks) >= 2 THEN
+            """array_distinct(CASE WHEN size(toks) >= 2 THEN
               |  transform(sequence(0, size(toks) - 2),
               |    i -> concat_ws(' ', toks[i], toks[i + 1]))
-              |ELSE array() END""".stripMargin)).as("w"))
-          .distinct()
-          .localCheckpoint())
+              |ELSE array() END)""".stripMargin)).as("w"))))
       var covered = Set.empty[String]
       var picked = Vector.empty[(Long, Long, Long, Long)]
       var stop = false
+      graft.Tuning.withShufflePartitions(s,
+        graft.Tuning.partsFor(tok.count())) {
       while (picked.size < CoverK && !stop) {
         val ids = picked.map(_._2)
         var rem = tok
@@ -383,23 +391,30 @@ object Mixing {
             broadcast(covered.toSeq.toDF("w")), Seq("w"), "left_anti")
         if (ids.nonEmpty)
           rem = rem.filter(!col("doc_id").isin(ids: _*))
-        // ONE pass per round: the argmax carries each candidate's
-        // remaining bigrams so the winner's tokens ride out with the
-        // pick (only per-partition top-1 rows ever move). A split form
-        // (light argmax job + a second fetch scan for the winner) was
-        // built and measured in-suite at 4.5 s vs this shape's 2.6 s —
-        // the second full scan of the pinned frame costs more than the
-        // collect_list construction it saves; reverted.
+        // TWO cheap jobs per round: a count-only argmax (the shuffle
+        // carries (doc_id, partial count) — never bigram strings) and a
+        // bounded winner-fetch filter over the pinned frame. History:
+        // r10 measured this split form WORSE (4.5 s vs 2.6 s) and kept
+        // the one-job collect_list argmax — but that measurement predates
+        // r12's sort-shuffle fix and the size-matched pin; re-measured
+        // now, the collect_list shuffle (every candidate doc's remaining
+        // bigram array, ~750k strings per round) is the dominant cost
+        // and the split form wins (2.1 s → 1.0 s in-suite). The fetch
+        // reads the winner's FULL bigram set; the covered-set union in
+        // the driver dedups.
         val top = rem.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("gain"), collect_list(col("w")).as("ws"))
+          .agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id"))
           .limit(1).collect()
         if (top.isEmpty) stop = true
         else {
-          covered ++= top(0).getSeq[String](2)
-          picked :+= ((picked.size + 1L, top(0).getLong(0),
+          val id = top(0).getLong(0)
+          covered ++= tok.filter(col("doc_id") === id)
+            .collect().map(_.getString(1))
+          picked :+= ((picked.size + 1L, id,
             top(0).getLong(1), covered.size.toLong))
         }
+      }
       }
       picked.toDF("sel_rank", "doc_id", "gain", "covered_total")
         .orderBy(col("sel_rank"))
