@@ -29,7 +29,22 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Force the sort-based shuffle writer everywhere (r12, measured with
+  // examples/MicroProbe): the bypass-merge writer opens one spill file
+  // per reduce partition per map task, and on this filesystem that
+  // costs ~6ms CPU per file — a small-frame 64-task stage burned 15.5s
+  // of task time that the sort writer (one file per map task) does in
+  // 2.4s. The sort path is already Spark's default above 200 reduce
+  // partitions; this pins it for the ≤200 range our 32-partition
+  // sessions always sit in.
+  "-Dspark.shuffle.sort.bypassMergeThreshold=0",
+  // 48g default (box has 125g): at 16g the full 196-query suite ran
+  // under constant old-gen pressure from the session-lifetime artifact
+  // caches + thousands of codegen classes — measured 156.9s -> 142.4s
+  // for the identical suite by raising the heap alone (r12)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // GC choice overridable for A/B runs: SPARK_DRIVER_GC=UseParallelGC
+  s"-XX:+${sys.env.getOrElse("SPARK_DRIVER_GC", "UseG1GC")}",
   // 122 queries × whole-stage codegen = thousands of generated classes;
   // the JVM default 240 MB code cache silently flushes/deopts mid-run,
   // which showed up as roaming 10-50x per-query slowdowns in benches
