@@ -67,8 +67,10 @@ class StandingStagesSoakSpec extends AnyFunSuite {
     val streamed = docs.filter(col("doc_id") % 10 === 7)
       .as[(Long, String)].collect().sortBy(_._1)
       .map { case (id, t) => (id, id % 7, t) } // user_id: skewed-ish mod
-    val waves = streamed.grouped(math.max(1, streamed.length / 3 + 1)).toSeq
-    assert(waves.length >= 3, "need a wave before, during and after the kill")
+    val waves = streamed.grouped(math.max(1, streamed.length / 4 + 1)).toSeq
+    assert(waves.length >= 4,
+      "need a wave before the kill, during it, after the restart, and " +
+        "through the index swap")
 
     val corpusTokens = corpus
       .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
@@ -78,7 +80,12 @@ class StandingStagesSoakSpec extends AnyFunSuite {
       streamed.flatMap(_._3.split(' ').filter(_.nonEmpty)).toSeq.toDF("w"))
     assert(refA != refB, "references must differ for the freeze to bite")
 
-    val dedupIdx = IncrementalDedup.buildIndex(corpus)
+    // SWAPPABLE standing index, shared by the main and control dedup
+    // stages so both observe the same refresh at the same logical point
+    // (r11 VERDICT #5: the swap must compose with the kill/restart soak,
+    // not just run on a quiet stream)
+    val dedupRef = new IncrementalDedup.StandingIndexRef(
+      IncrementalDedup.buildIndex(corpus))
 
     // ---- per-stage wiring: (clientId, checkpoint) per stage per set
     def ckpt(tag: String) =
@@ -103,7 +110,7 @@ class StandingStagesSoakSpec extends AnyFunSuite {
         driftRef: IncrementalDrift.Reference): Seq[StreamingQuery] = Seq(
       IncrementalDedup.start(
         docFrame(s"m-dedup-$run").select(col("doc_id"), col("text")),
-        dedupIdx, ckDedup, sinkInto(flagsMain)),
+        dedupRef, ckDedup, sinkInto(flagsMain)),
       IncrementalHeavyHitters.start(
         docFrame(s"m-hh-$run").select(col("user_id")), hh, ckHh, _ => ()),
       IncrementalDistinct.start(
@@ -119,7 +126,7 @@ class StandingStagesSoakSpec extends AnyFunSuite {
     val ctl: Seq[StreamingQuery] = Seq(
       IncrementalDedup.start(
         docFrame(s"c-dedup-$run").select(col("doc_id"), col("text")),
-        dedupIdx, ckpt("dedup-ctl"), sinkInto(flagsCtl)),
+        dedupRef, ckpt("dedup-ctl"), sinkInto(flagsCtl)),
       IncrementalHeavyHitters.start(
         docFrame(s"c-hh-$run").select(col("user_id")), hhCtl,
         ckpt("hh-ctl"), _ => ()),
@@ -164,7 +171,30 @@ class StandingStagesSoakSpec extends AnyFunSuite {
       main = restarted
       // re-attach TV observation through the drift stage's own callback:
       // restart it via state2's onUpdate (captured below on later waves)
-      waves.drop(2).foreach { w => publish(w); drain(main); drain(ctl) }
+      publish(waves(2)); drain(main); drain(ctl)
+
+      // ---- LIVE-TRAFFIC ATOMIC INDEX REFRESH (composes with the
+      // restart above): all eight standing queries keep running — none
+      // is stopped or restarted — while the index swaps to a corpus
+      // that now contains an exact twin (doc_id + 9,000,000) of every
+      // wave-4 document, with traffic on both sides of the swap
+      // (wave 3 served by the old generation, wave 4 by the new).
+      // Build-then-swap means no batch probes a half-built index. The
+      // swap point sits at a drained batch boundary so the expected
+      // flag set is DETERMINISTIC (a doc racing the swap could flag
+      // against a planted twin of a LATER wave's near-dup in one set
+      // and not the other — real, allowed behavior per the
+      // StandingIndexRef contract, but untestable as exact parity):
+      // wave-4 docs must flag against their planted twins IN BOTH SETS,
+      // pre-swap docs must never touch a planted id, and overall
+      // main-vs-control parity must still hold.
+      val wave4 = waves(3)
+      val planted = wave4.map { case (id, _, t) => (id + 9000000L, t) }
+      dedupRef.refresh(corpus.unionByName(
+        planted.toSeq.toDF("doc_id", "text")))
+      publish(wave4)
+      drain(main); drain(ctl)
+      waves.drop(4).foreach { w => publish(w); drain(main); drain(ctl) }
       drain(main)
 
       // ---- parity: dedup flags — none lost, none duplicated
@@ -176,6 +206,21 @@ class StandingStagesSoakSpec extends AnyFunSuite {
       assert(gMain.toSet == gCtl.toSet,
         s"flag divergence: main-only=${gMain.toSet -- gCtl.toSet} " +
           s"ctl-only=${gCtl.toSet -- gMain.toSet}")
+
+      // ---- swap semantics: every wave-4 doc flags against its planted
+      // twin (the refreshed index was live for the in-flight wave), and
+      // planted ids never appear for docs streamed BEFORE the swap
+      val wave4Ids = waves(3).map(_._1).toSet
+      wave4Ids.foreach { id =>
+        assert(gMain.contains((id, id + 9000000L)),
+          s"wave-4 doc $id must flag against its planted twin — the " +
+            "mid-traffic swap did not take effect")
+      }
+      gMain.filter(_._2 >= 9000000L).foreach { case (nd, _) =>
+        assert(wave4Ids.contains(nd),
+          s"doc $nd flagged against a planted twin but streamed before " +
+            "the swap — a pre-swap batch probed the refreshed index")
+      }
 
       // ---- parity: heavy hitters (exact n + identical MG summary)
       assert(hh2.get.n == streamed.length.toLong)
@@ -207,7 +252,7 @@ class StandingStagesSoakSpec extends AnyFunSuite {
     } finally {
       main.foreach(q => try q.stop() catch { case _: Throwable => () })
       ctl.foreach(q => try q.stop() catch { case _: Throwable => () })
-      dedupIdx.release()
+      dedupRef.release()
     }
   }
 }
