@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Paired-ratio denominator: time every oracle SQL in DuckDB (32 threads)
+against the fixture tables. Prints one JSON line {total, queries} so the
+bench-vs-oracle ratio can be computed from same-box, same-session runs.
+
+Usage: python3 tools/oracle_time.py <sfDir> <oracle_sql.json> [reps]
+
+reps (default 2): each query is timed `reps` times, MIN is reported —
+mirrors the bench's min-of-two discipline so one GC pause / page-cache
+miss doesn't inflate a single query.
+"""
+import sys, json, os, time
+import duckdb
+
+sfdir = sys.argv[1]
+oracle_path = sys.argv[2]
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+con = duckdb.connect()
+con.sql("SET threads TO 32")
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(oracle_path))
+times = {}
+t_all0 = time.perf_counter()
+for name in sorted(oracle):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        con.sql(oracle[name]).fetchall()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    times[name] = round(best, 3)
+wall = round(time.perf_counter() - t_all0, 3)
+total = round(sum(times.values()), 3)
+load = os.getloadavg()
+print(json.dumps({"metric": "oracle_total", "value": total, "unit": "sec",
+                  "wall_sec": wall, "reps": reps,
+                  "load": [round(x, 1) for x in load],
+                  "queries": times}))
