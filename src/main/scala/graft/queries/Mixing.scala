@@ -317,6 +317,10 @@ object Mixing {
   // with bit-identical output. The oracle unrolls the identical K
   // rounds as MATERIALIZED CTEs (the q125 greedy-chain pattern).
   private val CoverK = 8
+  // candidate-pool size for q179's lazy-greedy certificate; test-
+  // overridable (CoverageSelectionSpec shrinks it to force the
+  // distributed-fallback path — output must be identical at any value)
+  private[queries] var CoverPoolM = 256
   private def coverSql(k: Int): String = {
     val b = new StringBuilder
     b ++= """WITH tok AS MATERIALIZED (
@@ -378,41 +382,90 @@ object Mixing {
       var stop = false
       graft.Tuning.withShufflePartitions(s,
         graft.Tuning.partsFor(tok.count())) {
+      // CANDIDATE-POOL greedy with a submodular certificate (the lazy-
+      // greedy/CELF bound, Minoux '78): fetch the top-M docs by INITIAL
+      // gain (one TakeOrdered job) together with their bigram sets (one
+      // bounded fetch job — M·max-doc-bigrams rows, the q141 fixed-size
+      // class), then run the K greedy rounds ENTIRELY in the driver.
+      // Each driver pick is provably the global greedy pick whenever its
+      // conditional gain strictly exceeds the pool's minimum initial
+      // gain: for any doc outside the pool, conditional gain ≤ initial
+      // gain ≤ that bound (submodularity + TakeOrdered order). Ties at
+      // the bound fall back to the distributed per-round loop below
+      // (an outside doc with equal conditional gain and a smaller
+      // doc_id could win the deterministic tiebreak) — exactness never
+      // rests on the pool being "big enough". The per-round loop this
+      // replaces paid ~2 jobs × K rounds of per-stage scheduling floor
+      // (measured 3.4 s at sf0.1, over half inter-job gap); this shape
+      // is 4 jobs TOTAL regardless of K and identical output.
+      val PoolM = CoverPoolM
+      val pool = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id"))
+        .limit(PoolM).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // outside docs have initial gain ≤ the pool minimum (0 when the
+      // pool holds the whole corpus — then the certificate is vacuous)
+      val outsideBound =
+        if (pool.length < PoolM) 0L else pool.map(_._2).min
+      val poolSets: Map[Long, Set[String]] =
+        if (pool.isEmpty) Map.empty
+        else tok.join(
+            broadcast(pool.map(_._1).toSeq.toDF("doc_id")), Seq("doc_id"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (id, rows) =>
+            id -> rows.map(_.getString(1)).toSet }
       while (picked.size < CoverK && !stop) {
-        val ids = picked.map(_._2)
-        var rem = tok
-        // covered grows to thousands of bigrams — as an isin() it became
-        // a thousands-literal In expression (per-row linear scan + a
-        // plan that grows every round); a broadcast anti-join keeps the
-        // probe a hash lookup and the plan constant-size. The ≤K picked
-        // ids stay an isin (bounded, tiny).
-        if (covered.nonEmpty)
-          rem = rem.join(
-            broadcast(covered.toSeq.toDF("w")), Seq("w"), "left_anti")
-        if (ids.nonEmpty)
-          rem = rem.filter(!col("doc_id").isin(ids: _*))
-        // TWO cheap jobs per round: a count-only argmax (the shuffle
-        // carries (doc_id, partial count) — never bigram strings) and a
-        // bounded winner-fetch filter over the pinned frame. History:
-        // r10 measured this split form WORSE (4.5 s vs 2.6 s) and kept
-        // the one-job collect_list argmax — but that measurement predates
-        // r12's sort-shuffle fix and the size-matched pin; re-measured
-        // now, the collect_list shuffle (every candidate doc's remaining
-        // bigram array, ~750k strings per round) is the dominant cost
-        // and the split form wins (2.1 s → 1.0 s in-suite). The fetch
-        // reads the winner's FULL bigram set; the covered-set union in
-        // the driver dedups.
-        val top = rem.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("gain"))
-          .orderBy(col("gain").desc, col("doc_id"))
-          .limit(1).collect()
-        if (top.isEmpty) stop = true
-        else {
-          val id = top(0).getLong(0)
-          covered ++= tok.filter(col("doc_id") === id)
-            .collect().map(_.getString(1))
-          picked :+= ((picked.size + 1L, id,
-            top(0).getLong(1), covered.size.toLong))
+        val pickedIds = picked.map(_._2).toSet
+        // driver argmax over the pool: conditional gain, ties by doc_id
+        val best = poolSets.iterator
+          .filter { case (id, _) => !pickedIds.contains(id) }
+          .map { case (id, ws) => (id, (ws -- covered).size.toLong) }
+          .foldLeft(Option.empty[(Long, Long)]) {
+            case (acc, (id, g)) => acc match {
+              case Some((bid, bg)) if bg > g || (bg == g && bid < id) => acc
+              case _ => Some((id, g))
+            }
+          }
+        best match {
+          case Some((id, g)) if g > outsideBound ||
+              (pool.length < PoolM && g > 0L) =>
+            covered ++= poolSets(id)
+            picked :+= ((picked.size + 1L, id, g, covered.size.toLong))
+          case Some((_, 0L)) if pool.length < PoolM =>
+            // whole corpus in pool and nothing uncovered remains
+            stop = true
+          case _ =>
+            // certificate failed (or empty pool): ONE distributed round
+            // — the exact pre-pool form — then re-check the pool bound
+            val ids = picked.map(_._2)
+            var rem = tok
+            // covered grows to thousands of bigrams — as an isin() it
+            // became a thousands-literal In expression; a broadcast
+            // anti-join keeps the probe a hash lookup and the plan
+            // constant-size. The ≤K picked ids stay an isin (bounded).
+            if (covered.nonEmpty)
+              rem = rem.join(
+                broadcast(covered.toSeq.toDF("w")), Seq("w"), "left_anti")
+            if (ids.nonEmpty)
+              rem = rem.filter(!col("doc_id").isin(ids: _*))
+            val top = rem.groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("gain"))
+              .orderBy(col("gain").desc, col("doc_id"))
+              .limit(1).collect()
+            if (top.isEmpty || top(0).getLong(1) == 0L) stop = true
+            else {
+              val id = top(0).getLong(0)
+              // a distributed-round winner usually sits in the pool
+              // (high conditional gain ⇒ high initial gain) — its full
+              // bigram set is already driver-held, skipping the fetch
+              // job; only a genuinely outside winner pays the scan
+              covered ++= poolSets.getOrElse(id,
+                tok.filter(col("doc_id") === id)
+                  .collect().map(_.getString(1)).toSet)
+              picked :+= ((picked.size + 1L, id,
+                top(0).getLong(1), covered.size.toLong))
+            }
         }
       }
       }

@@ -60,6 +60,25 @@ class CoverageSelectionSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.last._4 <= sets.values.flatten.toSet.size)
   }
 
+  test("pool certificate: a starved pool falls back and stays exact") {
+    // CoverPoolM = 2 makes the lazy-greedy bound fail on nearly every
+    // round (the pool can't certify picks beyond its two candidates),
+    // forcing the distributed per-round fallback — the output must be
+    // bit-identical to the full-pool run and the local replay
+    val sets = bigramSets
+    val expected = greedy(sets, 8)
+    val saved = Mixing.CoverPoolM
+    try {
+      Mixing.CoverPoolM = 2
+      val got = SparkEntry.queries("q179_coverage_selection")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toVector.sortBy(_._1)
+      assert(got == expected,
+        s"fallback path diverged from replay:\n$got\n$expected")
+    } finally Mixing.CoverPoolM = saved
+  }
+
   test("early stop: a corpus whose bigrams one doc covers yields rank 1 only") {
     // synthetic: every doc's bigrams ⊆ doc 1's — after doc 1 no gain
     val sets = Map(
