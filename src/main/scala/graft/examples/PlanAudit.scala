@@ -506,6 +506,27 @@ object PlanAudit {
           "the audit reads only the label artifact"),
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "the leak test is a cluster-keyed semi-join")),
+      // per-source yield: one corpus scan builds (id, source, n_tok,
+      // md5); the near-keeper test reads the memoized label artifact
+      // (no fresh CC fixpoint); keeper joins are doc_id-keyed
+      "q195_effective_yield" -> Seq(
+        Check("shared-cluster-artifact", _.contains("Scan ExistingRDD"),
+          "near keepers ride the memoized clusterLabels checkpoint"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "keeper membership is keyed joins, never pair enumeration")),
+      // band tuning is sketch-bounded: ONE corpus scan builds the
+      // pinned signature frame; every config re-bands the 16-long
+      // signatures and the match verify joins signatures by id —
+      // documents are never rescanned
+      "q196_lsh_band_tuning" -> Seq(
+        Check("sigs-pinned", _.contains("Scan ExistingRDD"),
+          "all four configs re-band the checkpoint-pinned signature " +
+            "frame"),
+        Check("single-corpus-scan", p => parquetScans(p) == 0,
+          "the signature build ran once, at construction — the " +
+            "returned plan is sketch-only"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "candidates come from bucket grouping per config")),
       // scoring and binning read the persisted feature frame (training
       // ran as D+1-long aggregations at construction); the min/max and
       // ECE frames are 1-row broadcasts

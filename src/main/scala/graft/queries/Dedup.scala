@@ -1453,6 +1453,214 @@ object Dedup {
        |  CASE WHEN source_a <> source_b THEN 1 ELSE 0 END AS cross_source
        |FROM fl ORDER BY source_a, source_b""".stripMargin)
 
+  // ------------------------------------------------------------ q195
+  // Dedup-adjusted EFFECTIVE token yield per source — the "how much
+  // data do we actually have" readout (the number RefinedWeb/FineWeb
+  // report per pipeline stage): for every source, raw token mass, the
+  // mass surviving exact dedup (one keeper per identical text,
+  // smallest doc_id, assigned to the KEEPER's source — cross-source
+  // exact copies credit whoever published first by id), and the mass
+  // surviving near-dup cluster collapse (one keeper per q65 cluster —
+  // the cluster label IS its minimum member id, so keepers are the
+  // docs with doc_id = cluster, a map-side test on the shared label
+  // artifact). effective_ppm = near-dup-surviving tokens / raw tokens.
+  // q192 says who copies from whom; this says what each source is
+  // WORTH after the copying is removed.
+  //
+  // Scale shape: one corpus scan builds (doc_id, source, n_tok,
+  // md5(text)); the exact-keeper frame is an md5-keyed min aggregate
+  // (16-byte shuffle keys, the q30 discipline); the near-keeper test
+  // reads the per-session cluster-label artifact. Both keeper joins
+  // are doc_id-keyed; the final aggregate is sources-bounded. No pair
+  // enumeration anywhere — the expensive transitive closure is the
+  // shared memoized artifact, built once per session.
+  private val q195 = QueryDef.of(
+    (s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        expr("cast(size(filter(split(text, ' '), t -> t <> '')) as bigint)")
+          .as("n_tok"),
+        md5(col("text")).as("th"))
+      val exactKeep = base.groupBy(col("th"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(1L).as("is_exact"))
+      val nearKeep = clusterLabels(s, d)
+        .filter(col("doc_id") === col("cluster"))
+        .select(col("doc_id"), lit(1L).as("is_near"))
+      base
+        .join(exactKeep, Seq("doc_id"), "left")
+        .join(nearKeep, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("raw_tokens"),
+          sum(coalesce(col("is_exact"), lit(0L))).as("docs_exact"),
+          sum(when(col("is_exact").isNotNull, col("n_tok"))
+            .otherwise(0L)).as("tokens_exact"),
+          sum(coalesce(col("is_near"), lit(0L))).as("docs_near"),
+          sum(when(col("is_near").isNotNull, col("n_tok"))
+            .otherwise(0L)).as("tokens_near"))
+        .withColumn("effective_ppm",
+          expr("(tokens_near * 1000000L) div greatest(raw_tokens, 1L)"))
+        .orderBy(col("source"))
+    },
+    s"""$clustersCtes,
+       |base AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS BIGINT) AS n_tok,
+       |    md5(text) AS th
+       |  FROM documents),
+       |ek AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY th),
+       |nk AS (SELECT doc_id FROM labeled WHERE doc_id = cluster),
+       |fl AS (
+       |  SELECT b.source, b.n_tok,
+       |    CASE WHEN ek.doc_id IS NULL THEN 0 ELSE 1 END AS ise,
+       |    CASE WHEN nk.doc_id IS NULL THEN 0 ELSE 1 END AS isn
+       |  FROM base b
+       |  LEFT JOIN ek ON b.doc_id = ek.doc_id
+       |  LEFT JOIN nk ON b.doc_id = nk.doc_id),
+       |g AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+       |    CAST(SUM(ise) AS BIGINT) AS docs_exact,
+       |    CAST(SUM(ise * n_tok) AS BIGINT) AS tokens_exact,
+       |    CAST(SUM(isn) AS BIGINT) AS docs_near,
+       |    CAST(SUM(isn * n_tok) AS BIGINT) AS tokens_near
+       |  FROM fl GROUP BY source)
+       |SELECT source, n_docs, raw_tokens, docs_exact, tokens_exact,
+       |  docs_near, tokens_near,
+       |  (tokens_near * 1000000) // GREATEST(raw_tokens, 1)
+       |    AS effective_ppm
+       |FROM g ORDER BY source""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE "))
+
+  // ------------------------------------------------------------ q196
+  // LSH band-tuning audit — the S-curve, REALIZED: the (bands ×
+  // rows-per-band) split of the 16-hash MinHash signature is THE
+  // operating knob of every LSH dedup deployment (collision
+  // probability at Jaccard j is 1−(1−j^r)^b), and this query reports,
+  // per config over the same signatures: candidate-pair volume, how
+  // many candidates the signatures themselves estimate as true dups
+  // (≥ 8/16 matching hashes ⟺ estimated Jaccard ≥ 0.5), the realized
+  // precision, and the closed-form theoretical catch rate at j = 0.5 —
+  // theory next to practice, the table a curation team reads before
+  // fixing (b, r) for a 100 TB run. On this corpus the four configs
+  // span ~1k → ~100k candidates: r = 1 is the textbook recall-at-any-
+  // cost blowup, r = 8 the high-precision starve.
+  //
+  // Scale shape: ONE corpus scan builds the pinned signature frame
+  // (16 longs/doc); each config re-bands THE SIGNATURES (16-long rows,
+  // never documents) and runs the shared capped bucketPairs; the
+  // match-count verify joins signatures by doc id — sketch-bounded
+  // end to end, documents are never rescanned or shuffled. The
+  // estimated-Jaccard verify is the production screen; the exact-
+  // shingle verify stays where it belongs (q33, on the chosen config).
+  private val BandConfigs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+  private def theoryPpm(b: Int, r: Int): Long =
+    ((1L << 16) - math.round(math.pow((1 << r) - 1, b))) * 1000000L / 65536L
+  private val q196 = QueryDef.of(
+    (s, d) => {
+      import s.implicits._
+      graft.functions.VectorFunctions.register(s)
+      val sigs = graft.Resources.retain(graft.Tuning.compactCheckpoint(
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("mh", expr("minhash_sig(toks)"))
+          .filter(col("mh").isNotNull)
+          .select(col("doc_id"), col("mh"))))
+      val cand = BandConfigs.map { case (b, r) =>
+        val bandedC = sigs.select(col("doc_id"), expr(
+          s"""explode(array_distinct(transform(sequence(0, ${b - 1}),
+             |  bd -> struct(bd AS band,
+             |    concat_ws(',', slice(mh, bd * $r + 1, $r)) AS bkey))))"""
+            .stripMargin).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bkey").as("bkey"))
+        bucketPairs(bandedC)
+          .withColumn("bands", lit(b.toLong))
+          .withColumn("rows_per_band", lit(r.toLong))
+      }.reduce(_.unionByName(_))
+      val est = cand
+        .join(sigs.select(col("doc_id").as("doc1"), col("mh").as("mh1")),
+          "doc1")
+        .join(sigs.select(col("doc_id").as("doc2"), col("mh").as("mh2")),
+          "doc2")
+        .withColumn("matches", expr(
+          "cast(size(filter(zip_with(mh1, mh2, (x, y) -> x = y), v -> v)) as bigint)"))
+        .groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("matches") >= 8L, 1L).otherwise(0L))
+            .as("n_est_dup"))
+      val spine = BandConfigs
+        .map { case (b, r) => (b.toLong, r.toLong, theoryPpm(b, r)) }
+        .toDF("bands", "rows_per_band", "theory_at_j50_ppm")
+      spine.join(est, Seq("bands", "rows_per_band"), "left")
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_est_dup"), lit(0L)).as("n_est_dup"),
+          expr("""(coalesce(n_est_dup, 0L) * 1000000L)
+                 |  div greatest(coalesce(n_candidates, 0L), 1L)"""
+            .stripMargin).as("precision_ppm"),
+          col("theory_at_j50_ppm"))
+        .orderBy(col("bands"))
+    },
+    {
+      val perConfig = BandConfigs.map { case (b, r) =>
+        val sel = (0 until b).map { bd =>
+          val ks = (1 to r).map(j => s"m${bd * r + j}").mkString(", ")
+          s"  SELECT doc_id, $bd AS band, concat_ws(',', $ks) AS bkey FROM mhr"
+        }.mkString("\n  UNION ALL\n")
+        s"""banded_$b AS (
+           |$sel),
+           |bcap_$b AS (
+           |  SELECT doc_id, band, bkey FROM (
+           |    SELECT doc_id, band, bkey, ROW_NUMBER() OVER (
+           |      PARTITION BY band, bkey ORDER BY doc_id) AS rn
+           |    FROM banded_$b) WHERE rn <= $MaxBucket),
+           |cand_$b AS (
+           |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+           |    $b AS bands, $r AS rows_per_band
+           |  FROM bcap_$b x JOIN bcap_$b y
+           |    ON x.band = y.band AND x.bkey = y.bkey
+           |      AND x.doc_id < y.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val union = BandConfigs
+        .map { case (b, _) => s"SELECT * FROM cand_$b" }
+        .mkString(" UNION ALL ")
+      val matchSum = (1 to 16)
+        .map(i => s"(CASE WHEN a.m$i = bb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val spine = BandConfigs
+        .map { case (b, r) => s"($b, $r, ${theoryPpm(b, r)})" }
+        .mkString(", ")
+      s"""$sqlShingled,
+         |$sqlMinhash,
+         |$perConfig,
+         |allc AS ($union),
+         |est AS (
+         |  SELECT bands, rows_per_band, $matchSum AS matches
+         |  FROM allc JOIN mhr a ON allc.doc1 = a.doc_id
+         |            JOIN mhr bb ON allc.doc2 = bb.doc_id),
+         |g AS (
+         |  SELECT bands, rows_per_band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |    CAST(SUM(CASE WHEN matches >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_est_dup
+         |  FROM est GROUP BY 1, 2)
+         |SELECT CAST(sp.bands AS BIGINT) AS bands,
+         |  CAST(sp.rows_per_band AS BIGINT) AS rows_per_band,
+         |  COALESCE(n_candidates, 0) AS n_candidates,
+         |  COALESCE(n_est_dup, 0) AS n_est_dup,
+         |  (COALESCE(n_est_dup, 0) * 1000000)
+         |    // GREATEST(COALESCE(n_candidates, 0), 1) AS precision_ppm,
+         |  CAST(sp.theory_at_j50_ppm AS BIGINT) AS theory_at_j50_ppm
+         |FROM (VALUES $spine)
+         |  sp(bands, rows_per_band, theory_at_j50_ppm)
+         |LEFT JOIN g ON sp.bands = g.bands
+         |  AND sp.rows_per_band = g.rows_per_band
+         |ORDER BY sp.bands""".stripMargin
+    })
+
   // ------------------------------------------------------------- q120
   // INCREMENTAL near-dup: an incoming batch (doc_id ≡ 7 mod 10 plays
   // the newly crawled slice) checked against the EXISTING corpus — the
@@ -1976,6 +2184,8 @@ object Dedup {
     "q161_leakage_safe_split" -> q161,
     "q191_split_leakage" -> q191,
     "q192_dup_flow_matrix" -> q192,
+    "q195_effective_yield" -> q195,
+    "q196_lsh_band_tuning" -> q196,
     "q117_dedup_report" -> q117,
     "q112_dup_spans" -> q112,
     "q163_dup_span_removal" -> q163,
