@@ -10,23 +10,27 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Cross-stage composition soak (r10 VERDICT #6): ALL FOUR standing
-  * folds — near-dup probe, heavy hitters, KMV distinct, hashed drift —
-  * wired onto ONE MQTT document topic the way `MqttDemo`/`StreamBench`
-  * wire ingest, each stage an independent subscriber with its own
-  * clientId and checkpoint dir (the production shape: one broker
-  * fan-out, per-stage offsets and durable summaries). The run is
-  * killed mid-stream, traffic continues while down (broker-buffered),
-  * and the four stages restart from their checkpoints — with the
-  * restarting caller offering a DIFFERENT drift reference, which the
-  * frozen-reference contract must ignore.
+/** Cross-stage composition soak (r10 VERDICT #6): ALL FIVE standing
+  * folds — near-dup probe, heavy hitters, KMV distinct, hashed drift,
+  * near-dup cluster maintenance — wired onto ONE MQTT document topic
+  * the way `MqttDemo`/`StreamBench` wire ingest, each stage an
+  * independent subscriber with its own clientId and checkpoint dir
+  * (the production shape: one broker fan-out, per-stage offsets and
+  * durable summaries). The run is killed mid-stream, traffic continues
+  * while down (broker-buffered), and the stages restart from their
+  * checkpoints — with the restarting caller offering a DIFFERENT drift
+  * reference (which the frozen-reference contract must ignore) and a
+  * cluster index rebuilt warehouse-style from the corpus as it then
+  * stands.
   *
-  * The oracle is a CONTROL set: four more stages on the same topic
-  * that run UNBROKEN across the whole message sequence. Every durable
+  * The oracle is a CONTROL set: the same stages on the same topic
+  * running UNBROKEN across the whole message sequence. Every durable
   * guarantee is asserted as exact parity between the killed/restarted
   * set and the control set — flags neither lost nor duplicated across
   * the restart, heavy-hitter and KMV summaries bit-equal, drift counts
-  * and TV bit-equal against the ORIGINAL reference. */
+  * and TV bit-equal against the ORIGINAL reference, cluster label maps
+  * bit-equal (the union-find's edge set is batch-boundary invariant,
+  * so the two sets' different post-restart batching must not matter). */
 class StandingStagesSoakSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
@@ -54,7 +58,7 @@ class StandingStagesSoakSpec extends AnyFunSuite {
       case c => c.toString
     }
 
-  test("four standing stages on one MQTT source survive kill/restart " +
+  test("five standing stages on one MQTT source survive kill/restart " +
       "with exact parity to an unbroken control run") {
     import spark.implicits._
     InMemoryBroker.resetAll()
@@ -101,12 +105,30 @@ class StandingStagesSoakSpec extends AnyFunSuite {
 
     val ckDedup = ckpt("dedup"); val ckHh = ckpt("hh")
     val ckKmv = ckpt("kmv"); val ckDrift = ckpt("drift")
+    val ckCl = ckpt("clusters")
+
+    // cluster-stage wiring: the seed pair set (the offline batch job's
+    // corpus-internal verified pairs — identical for both sets), and
+    // one GrowingIndex PER SET (each subscriber appends its own
+    // delivered batches; release ownership stays per-set)
+    val clSeedIdx = IncrementalDedup.buildIndex(corpus)
+    val clSeeds = IncrementalDedup.flag(corpus, clSeedIdx)
+      .filter(col("new_doc") < col("old_doc"))
+      .select(col("new_doc"), col("old_doc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    clSeedIdx.release()
+    var clIdxMain = new IncrementalClusters.GrowingIndex(
+      IncrementalDedup.buildIndex(corpus))
+    val clIdxCtl = new IncrementalClusters.GrowingIndex(
+      IncrementalDedup.buildIndex(corpus))
 
     // the TV the main drift stage itself REPORTS (through onUpdate) —
     // the number a pager would see; must track the frozen reference
     val reportedTv = new java.util.concurrent.atomic.AtomicLong(-1L)
     def startMain(hh: IncrementalHeavyHitters.State,
         kmv: IncrementalDistinct.State, drift: IncrementalDrift.State,
+        cl: IncrementalClusters.State,
+        clIdx: IncrementalClusters.GrowingIndex,
         driftRef: IncrementalDrift.Reference): Seq[StreamingQuery] = Seq(
       IncrementalDedup.start(
         docFrame(s"m-dedup-$run").select(col("doc_id"), col("text")),
@@ -117,12 +139,16 @@ class StandingStagesSoakSpec extends AnyFunSuite {
         tokenFrame(s"m-kmv-$run"), kmv, ckKmv, _ => ()),
       IncrementalDrift.start(
         tokenFrame(s"m-drift-$run"), driftRef, drift, ckDrift,
-        (_, tv) => reportedTv.set(tv)))
+        (_, tv) => reportedTv.set(tv)),
+      IncrementalClusters.start(
+        docFrame(s"m-cl-$run").select(col("doc_id"), col("text")),
+        clIdx, clSeeds, ckCl, cl, _ => ()))
 
     // control set: unbroken, own clientIds/checkpoints, same messages
     val hhCtl = new IncrementalHeavyHitters.State
     val kmvCtl = new IncrementalDistinct.State
     val driftCtl = new IncrementalDrift.State
+    val clCtl = new IncrementalClusters.State
     val ctl: Seq[StreamingQuery] = Seq(
       IncrementalDedup.start(
         docFrame(s"c-dedup-$run").select(col("doc_id"), col("text")),
@@ -134,7 +160,10 @@ class StandingStagesSoakSpec extends AnyFunSuite {
         tokenFrame(s"c-kmv-$run"), kmvCtl, ckpt("kmv-ctl"), _ => ()),
       IncrementalDrift.start(
         tokenFrame(s"c-drift-$run"), refA, driftCtl, ckpt("drift-ctl"),
-        (_, _) => ()))
+        (_, _) => ()),
+      IncrementalClusters.start(
+        docFrame(s"c-cl-$run").select(col("doc_id"), col("text")),
+        clIdxCtl, clSeeds, ckpt("cl-ctl"), clCtl, _ => ()))
 
     def publish(wave: Seq[(Long, Long, String)]): Unit =
       wave.foreach { case (id, uid, t) =>
@@ -147,7 +176,8 @@ class StandingStagesSoakSpec extends AnyFunSuite {
     val hh1 = new IncrementalHeavyHitters.State
     val kmv1 = new IncrementalDistinct.State
     val drift1 = new IncrementalDrift.State
-    var main = startMain(hh1, kmv1, drift1, refA)
+    val cl1 = new IncrementalClusters.State
+    var main = startMain(hh1, kmv1, drift1, cl1, clIdxMain, refA)
     var mainTv = -1L
     try {
       // ---- wave 1: everything up
@@ -159,15 +189,26 @@ class StandingStagesSoakSpec extends AnyFunSuite {
       publish(waves(1))
       drain(ctl)
 
-      // ---- restart from checkpoints: fresh states (a new JVM), and
-      // the caller offers the WRONG (recomputed) reference
+      // ---- restart from checkpoints: fresh states (a new JVM), the
+      // caller offers the WRONG (recomputed) drift reference, and the
+      // cluster index is rebuilt warehouse-style from the corpus as it
+      // now stands (original corpus + the delivered wave-1 docs; the
+      // broker-buffered wave-2 docs are NEW batches the restarted
+      // stage appends itself)
       val hh2 = new IncrementalHeavyHitters.State
       val kmv2 = new IncrementalDistinct.State
       val drift2 = new IncrementalDrift.State
-      assert(hh2.get.n == 0L && kmv2.get.n == 0L && drift2.get.n == 0L,
+      val cl2 = new IncrementalClusters.State
+      assert(hh2.get.n == 0L && kmv2.get.n == 0L && drift2.get.n == 0L &&
+        cl2.get.root.isEmpty,
         "fresh states start empty, like a new JVM")
+      clIdxMain.release()
+      clIdxMain = new IncrementalClusters.GrowingIndex(
+        IncrementalDedup.buildIndex(corpus.unionByName(
+          waves.head.map { case (id, _, t) => (id, t) }.toSeq
+            .toDF("doc_id", "text"))))
       main = Seq.empty // guard finally against double-stop
-      val restarted = startMain(hh2, kmv2, drift2, refB)
+      val restarted = startMain(hh2, kmv2, drift2, cl2, clIdxMain, refB)
       main = restarted
       // re-attach TV observation through the drift stage's own callback:
       // restart it via state2's onUpdate (captured below on later waves)
@@ -249,10 +290,21 @@ class StandingStagesSoakSpec extends AnyFunSuite {
       assert(Files.exists(java.nio.file.Paths.get(
         ckDrift, "graft-drift-state", "reference")),
         "frozen reference must be durable beside the summary snapshot")
+
+      // ---- parity: near-dup cluster labels (within-batch, cross-batch
+      // and vs-corpus edges all present; the restarted set batched the
+      // buffered waves differently than the control, which must not
+      // matter — the union-find's edge set is batch-boundary invariant)
+      assert(clCtl.get.root.nonEmpty,
+        "fixture must produce non-singleton clusters")
+      assert(cl2.get.root == clCtl.get.root,
+        "restarted cluster labels diverged from the unbroken control's")
     } finally {
       main.foreach(q => try q.stop() catch { case _: Throwable => () })
       ctl.foreach(q => try q.stop() catch { case _: Throwable => () })
       dedupRef.release()
+      clIdxMain.release()
+      clIdxCtl.release()
     }
   }
 }
