@@ -493,8 +493,20 @@ object PlanAudit {
       "q192_dup_flow_matrix" -> Seq(
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "pairs come from the bucketed candidate index, not all-pairs"),
-        Check("shared-candidate-cache", _.contains("InMemoryTableScan"),
-          "candidates ride the persisted LSH index, not a rebuild")),
+        // the pair set is the shared pairStats artifact: either the
+        // checkpoint pin (every reader after the first) or, when this
+        // query happens to BUILD the memo, the persisted candidate
+        // index inside the build plan. Registry order decides which —
+        // r12 lesson: pinning the artifact's FORM ("InMemoryTableScan")
+        // rotted the moment map order moved the build elsewhere; pin
+        // the invariant instead (no extra corpus scans beyond the two
+        // source-attach reads)
+        Check("shared-pair-artifact", p =>
+          p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan"),
+          "candidates ride the shared pinned pair artifact"),
+        Check("source-scans-only", p => parquetScans(p) <= 2,
+          "beyond the pinned pairs, only the two (doc_id, source) " +
+            "attach reads may touch parquet")),
       // the leak test reads the shared cluster-label artifact and is
       // one semi-join against the distinct-cluster-bounded train set;
       // every count is a 1-row broadcast cross join
