@@ -518,6 +518,15 @@ object PlanAudit {
           "the audit reads only the label artifact"),
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "the leak test is a cluster-keyed semi-join")),
+      // the probe sample broadcasts onto one corpus scan (q40's
+      // discipline); the dot kernel is the codegen'd expression
+      "q197_knn_label_purity" -> Seq(
+        Check("broadcast-probes", _.contains("BroadcastHashJoin"),
+          "the bounded probe sample broadcasts; the corpus never " +
+            "shuffles for the scan"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "probe x corpus scoring rides the broadcast join, not a " +
+            "cartesian")),
       // per-source yield: one corpus scan builds (id, source, n_tok,
       // md5); the near-keeper test reads the memoized label artifact
       // (no fresh CC fixpoint); keeper joins are doc_id-keyed

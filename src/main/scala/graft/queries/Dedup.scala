@@ -294,6 +294,26 @@ object Dedup {
         .as("p"))
       .select(col("p.doc1"), col("p.doc2")).distinct()
 
+  /** [[bucketPairs]] with a per-bucket carry column (any expression of
+    * `band`/`bkey` — q196 derives its (bands, rows_per_band) config
+    * from the band id); pairs dedup PER carry value, so one grouped
+    * shuffle serves several disjoint-keyed banding schemes at once. */
+  private[queries] def bucketPairsBy(
+      bandedFrame: org.apache.spark.sql.DataFrame,
+      carry: org.apache.spark.sql.Column) =
+    bandedFrame
+      .withColumn("cfg", carry)
+      .groupBy(col("cfg"), col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
+      .filter(size(col("all_ids")) >= 2)
+      .withColumn("ids", slice(col("all_ids"), 1, MaxBucket))
+      .select(col("cfg"), explode(expr(
+        """array_distinct(flatten(transform(sequence(0, size(ids) - 2), i ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    d2 -> struct(ids[i] AS doc1, d2 AS doc2)))))""".stripMargin))
+        .as("p"))
+      .select(col("cfg"), col("p.doc1"), col("p.doc2")).distinct()
+
   private def buildCandidates(s: org.apache.spark.sql.SparkSession, d: String) =
     bucketPairs(banded(s, d))
 
@@ -1568,18 +1588,29 @@ object Dedup {
           .withColumn("mh", expr("minhash_sig(toks)"))
           .filter(col("mh").isNotNull)
           .select(col("doc_id"), col("mh"))))
-      val cand = BandConfigs.map { case (b, r) =>
-        val bandedC = sigs.select(col("doc_id"), expr(
-          s"""explode(array_distinct(transform(sequence(0, ${b - 1}),
-             |  bd -> struct(bd AS band,
-             |    concat_ws(',', slice(mh, bd * $r + 1, $r)) AS bkey))))"""
-            .stripMargin).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"),
-            col("bb.bkey").as("bkey"))
-        bucketPairs(bandedC)
-          .withColumn("bands", lit(b.toLong))
-          .withColumn("rows_per_band", lit(r.toLong))
-      }.reduce(_.unionByName(_))
+      // ONE banding pass for all four configs: band ids carry a
+      // config offset (cfg b's bands live at [100·b, 100·b + b)), so a
+      // single (band, bkey) group-and-pair shuffle serves every config
+      // — measured vs the four-separate-bucketPairs form, this halves
+      // the query's shuffle count; candidate SETS are identical (keys
+      // never collide across configs)
+      val bandStructs = BandConfigs.map { case (b, r) =>
+        s"""transform(sequence(0, ${b - 1}), bd -> struct(
+           |  ${100 * b} + bd AS band,
+           |  concat_ws(',', slice(mh, bd * $r + 1, $r)) AS bkey))"""
+          .stripMargin
+      }.mkString("concat(", ", ", ")")
+      val bandedAll = sigs.select(col("doc_id"),
+          expr(s"explode(array_distinct($bandStructs))").as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
+      val cfgOf = BandConfigs.map { case (b, r) =>
+        s"WHEN band div 100 = $b THEN struct(${b}L AS bands, ${r}L AS rows_per_band)"
+      }.mkString("CASE ", " ", " END")
+      val cand = bucketPairsBy(bandedAll, expr(cfgOf))
+        .select(col("cfg.bands").as("bands"),
+          col("cfg.rows_per_band").as("rows_per_band"),
+          col("doc1"), col("doc2"))
       val est = cand
         .join(sigs.select(col("doc_id").as("doc1"), col("mh").as("mh1")),
           "doc1")

@@ -1509,7 +1509,83 @@ object Similarity {
        |       ELSE CAST(0 AS BIGINT) END AS overloaded
        |FROM st CROSS JOIN tt ORDER BY cell""".stripMargin)
 
+  // ------------------------------------------------------------ q197
+  // kNN LABEL PURITY — the cheap cousin of linear-probe accuracy and
+  // the standard "is this embedding space learnable" eval: for a
+  // deterministic 1-in-25 probe sample, the fraction of each probe's
+  // 10 nearest neighbors (exact cosine, the q40 contract) that share
+  // the probe's label, reported per label plus the *ALL* row (q174
+  // convention). High purity ⟹ a kNN classifier works ⟹ the space
+  // separates the classes; a label whose purity sits at chance is
+  // invisible to retrieval no matter how good recall@k is — this is
+  // the readout that says whether q106's recall MEANS anything.
+  //
+  // Scale shape: the probe sample is bounded and broadcasts (q40's
+  // probe discipline — one corpus scan, one codegen'd dot fold per
+  // pair); the label attach joins are id-keyed on the probes×k
+  // neighbor frame; purity is integer ppm. An offline eval, run per
+  // corpus snapshot next to the stored ground-truth artifact.
+  private val q197 = QueryDef.of(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val neigh = topK(scored(s, d, "vec_id % 25 = 0", labelRel = "any"),
+        10)
+      val perProbe = neigh
+        .join(e.select(col("vec_id").as("probe_id"),
+          col("label").as("probe_label")), "probe_id")
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .groupBy(col("probe_id"), col("probe_label"))
+        .agg(sum(when(col("n_label") === col("probe_label"), 1L)
+          .otherwise(0L)).as("hits"), count(lit(1)).as("k"))
+      val perLabel = perProbe
+        .groupBy(col("probe_label").cast("string").as("label"))
+        .agg(count(lit(1)).as("n_probes"), sum(col("hits")).as("n_hits"),
+          sum(col("k")).as("n_neighbors"))
+      val all = perProbe
+        .agg(count(lit(1)).as("n_probes"), sum(col("hits")).as("n_hits"),
+          sum(col("k")).as("n_neighbors"))
+        .select(lit("*ALL*").as("label"), col("n_probes"), col("n_hits"),
+          col("n_neighbors"))
+      perLabel.unionByName(all)
+        .withColumn("purity_ppm",
+          expr("(n_hits * 1000000L) div greatest(n_neighbors, 1L)"))
+        .orderBy(col("label"))
+    },
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, label AS probe_label, embedding AS pe
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |sc AS (
+       |  SELECT probe_id, probe_label, e.vec_id AS neighbor_id,
+       |    e.label AS n_label,
+       |    ${sqlCos("pe", "e.embedding")} AS score
+       |  FROM probes CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc),
+       |pp AS (
+       |  SELECT probe_id, probe_label,
+       |    SUM(CASE WHEN n_label = probe_label THEN 1 ELSE 0 END) AS hits,
+       |    COUNT(*) AS k
+       |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+       |g AS (
+       |  SELECT CAST(probe_label AS VARCHAR) AS label,
+       |    CAST(COUNT(*) AS BIGINT) AS n_probes,
+       |    CAST(SUM(hits) AS BIGINT) AS n_hits,
+       |    CAST(SUM(k) AS BIGINT) AS n_neighbors
+       |  FROM pp GROUP BY 1
+       |  UNION ALL
+       |  SELECT '*ALL*', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+       |  FROM pp)
+       |SELECT label, n_probes, n_hits, n_neighbors,
+       |  (n_hits * 1000000) // GREATEST(n_neighbors, 1) AS purity_ppm
+       |FROM g ORDER BY label""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q197_knn_label_purity" -> q197,
     "q184_ivf_balance" -> q184,
     "q178_centroid_similarity" -> q178,
     "q116_dedup_agreement" -> q116,
