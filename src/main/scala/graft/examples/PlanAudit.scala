@@ -518,6 +518,18 @@ object PlanAudit {
           "the audit reads only the label artifact"),
         Check("no-cartesian", p => !p.contains("CartesianProduct"),
           "the leak test is a cluster-keyed semi-join")),
+      // the sweep reads the persisted assignment artifact; ranked
+      // cells and probe vectors broadcast onto cell-keyed candidate
+      // joins — only candidates are ever scored
+      "q198_ivf_probe_sweep" -> Seq(
+        Check("broadcast-cells", _.contains("BroadcastHashJoin"),
+          "ranked cells / probe vectors broadcast; candidate fetch " +
+            "is a cell-keyed join against the partitioned index"),
+        Check("no-cartesian", p => !p.contains("CartesianProduct"),
+          "the only cross joins are 1-row broadcast stat frames"),
+        Check("ground-truth-cached", p =>
+          p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+          "recall reads the persisted exact-top-5 artifact")),
       // the probe sample broadcasts onto one corpus scan (q40's
       // discipline); the dot kernel is the codegen'd expression
       "q197_knn_label_purity" -> Seq(

@@ -187,7 +187,7 @@ object IvfIndex {
   /** Exact-integer squared L2 fold between feature expr `fv` (bigint
     * array) and centroid expr `cv` (double array), in dimension order —
     * the replayable distance kernel. */
-  private[operators] def distSql(fv: String, cv: String): String =
+  private[graft] def distSql(fv: String, cv: String): String =
     s"""aggregate(zip_with($fv, $cv, (x, y) ->
        |  (cast(x as double) - y) * (cast(x as double) - y)),
        |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin

@@ -1509,6 +1509,147 @@ object Similarity {
        |       ELSE CAST(0 AS BIGINT) END AS overloaded
        |FROM st CROSS JOIN tt ORDER BY cell""".stripMargin)
 
+  // ------------------------------------------------------------ q198
+  // IVF PROBE-BUDGET sweep — recall@5 vs nprobe ∈ {1, 2, 4}, the
+  // operating curve of every IVF deployment (q196 is the same table
+  // for LSH bands; this is it for cell fan-out): per probe budget,
+  // how much of the exact top-5 the cell-pruned scan recovers and how
+  // many candidate rows it had to score — recall bought per row
+  // scanned, the number that sets nprobe in production. Cells are
+  // ranked per probe by the trainer's own distance kernel against
+  // centroids RECOMPUTED FROM THE SERVING ARTIFACT (the persisted
+  // q42b assignment — one exact-integer per-dim sum per cell, then a
+  // single double division; the artifact alone determines the sweep,
+  // no training-time state needed).
+  //
+  // Scale shape: centroid recompute is one (cell, dim)-keyed aggregate
+  // over the corpus (map-side combined, KCells×64 rows out); the
+  // ranked-cell table is probes×KCells (bounded, broadcast); each
+  // budget's candidate fetch is a cell-keyed join against the
+  // partitioned assignment — the partition-pruned read an IVF index
+  // exists for — and only candidate rows are ever scored. All counts
+  // integer; the oracle replays training, assignment, the recompute,
+  // the per-probe cell ranking, and every scored pair bit-for-bit.
+  private val SweepProbes = Seq(1, 2, 4)
+  private val q198 = QueryDef.of(
+    (s, d) => {
+      VectorFunctions.register(s)
+      val assigned = s.read.parquet(ensureDetIndex(s, d))
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      val qv = Tables.embeddings(s, d).select(col("vec_id"), expr(
+        """transform(embedding,
+          |  x -> cast(round(cast(x as double) * 1048576, 0) as bigint))"""
+          .stripMargin).as("qv"))
+      val cents = assigned.join(qv, "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(expr(
+          """transform(sort_array(collect_list(struct(pos,
+            |  cast(sm as double) / cast(n as double) AS m))), t -> t.m)"""
+            .stripMargin).as("c"))
+      val centArr = cents.groupBy()
+        .agg(expr("sort_array(collect_list(struct(cell, c)))").as("cs"))
+      val rankedCells = qv.filter(col("vec_id") < 20)
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id").as("probe_id"), expr(
+          s"""transform(array_sort(transform(cs, cc -> struct(
+             |  ${graft.operators.IvfIndex.distSql("qv", "cc.c")} AS dist,
+             |  cc.cell AS cell))), t -> t.cell)""".stripMargin)
+          .as("cells_ranked"))
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb_norm", expr("vec_norm(embedding)"))
+      val pv = e.filter(col("vec_id") < 20).select(
+        col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("emb_norm").as("probe_norm"))
+      val gt = exactTop5(s, d)
+      SweepProbes.map { np =>
+        val sel = rankedCells.select(col("probe_id"),
+          explode(expr(s"slice(cells_ranked, 1, $np)")).as("cell"))
+        val cand = assigned.join(broadcast(sel), "cell")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"))
+        val top = topK(cand
+          .join(e.select(col("vec_id"), col("embedding"), col("emb_norm")),
+            "vec_id")
+          .join(broadcast(pv), "probe_id")
+          .withColumn("score", expr(
+            "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("score")), 5)
+          .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+        gt.join(top, Seq("probe_id", "neighbor_id"), "left")
+          .agg(count(col("hit")).as("n_hits"),
+            countDistinct(col("probe_id")).as("n_probes"))
+          .crossJoin(broadcast(
+            cand.agg(count(lit(1)).as("scanned_rows"))))
+          .select(lit(np.toLong).as("nprobe"), col("n_probes"),
+            col("n_hits"),
+            expr("(n_hits * 1000000L) div greatest(n_probes * 5, 1L)")
+              .as("recall_ppm"),
+            col("scanned_rows"))
+      }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    }, {
+      def npBlock(np: Int): String =
+        s"""cand_$np AS (
+           |  SELECT rc.probe_id, af.vec_id AS neighbor_id
+           |  FROM rankedcells rc JOIN af ON af.cell = rc.cell
+           |  WHERE rc.r <= $np AND af.vec_id <> rc.probe_id),
+           |top_$np AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT c.probe_id, c.neighbor_id, ROW_NUMBER() OVER (
+           |        PARTITION BY c.probe_id
+           |        ORDER BY ${sqlCos("p.pe", "e.embedding")} DESC,
+           |          c.neighbor_id) AS rank
+           |    FROM cand_$np c
+           |    JOIN embeddings e ON c.neighbor_id = e.vec_id
+           |    JOIN probes p ON c.probe_id = p.probe_id)
+           |  WHERE rank <= 5),
+           |row_$np AS (
+           |  SELECT CAST($np AS BIGINT) AS nprobe,
+           |    (SELECT CAST(COUNT(DISTINCT probe_id) AS BIGINT) FROM bf5)
+           |      AS n_probes,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM bf5 g
+           |       JOIN top_$np t USING (probe_id, neighbor_id)) AS n_hits,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$np)
+           |      AS scanned_rows)""".stripMargin
+      s"""WITH qz AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT))
+         |      AS qv
+         |  FROM embeddings),
+         |${q42bTrain._1},
+         |${sqlKmAssign("af", "qz", q42bTrain._2, 64)},
+         |${sqlKmUpdate("cfin", "af", 64)},
+         |probes AS MATERIALIZED (
+         |  SELECT e.vec_id AS probe_id, qz.qv AS pqv, e.embedding AS pe
+         |  FROM embeddings e JOIN qz ON e.vec_id = qz.vec_id
+         |  WHERE e.vec_id < 20),
+         |rankedcells AS MATERIALIZED (
+         |  SELECT probe_id, cell, ROW_NUMBER() OVER (
+         |      PARTITION BY probe_id ORDER BY dist, cell) AS r
+         |  FROM (SELECT probe_id, i.cell,
+         |          ${sqlKmDist("pqv", "i.c", 64)} AS dist
+         |        FROM probes CROSS JOIN cfin i)),
+         |bf5 AS MATERIALIZED (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, e.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+         |        PARTITION BY probe_id
+         |        ORDER BY ${sqlCos("pe", "e.embedding")} DESC, e.vec_id)
+         |      AS rank
+         |    FROM probes CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> probe_id)
+         |  WHERE rank <= 5),
+         |${SweepProbes.map(npBlock).mkString(",\n")}
+         |SELECT nprobe, n_probes, n_hits,
+         |  (n_hits * 1000000) // GREATEST(n_probes * 5, 1) AS recall_ppm,
+         |  scanned_rows
+         |FROM (${SweepProbes.map(np => s"SELECT * FROM row_$np")
+          .mkString(" UNION ALL ")})
+         |ORDER BY nprobe""".stripMargin
+    })
+
   // ------------------------------------------------------------ q197
   // kNN LABEL PURITY — the cheap cousin of linear-probe accuracy and
   // the standard "is this embedding space learnable" eval: for a
@@ -1585,6 +1726,7 @@ object Similarity {
        |FROM g ORDER BY label""".stripMargin)
 
   val defs: Map[String, QueryDef] = Map(
+    "q198_ivf_probe_sweep" -> q198,
     "q197_knn_label_purity" -> q197,
     "q184_ivf_balance" -> q184,
     "q178_centroid_similarity" -> q178,
