@@ -164,6 +164,7 @@ object Bench {
       math.round(l * 100) / 100.0
     }
     val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+    val jiffies0 = graft.Tuning.cpuJiffies()
     // noop sink: forces full materialization of every output column
     // (count() would let Catalyst skip computing projections)
     def once(name: String,
@@ -282,9 +283,13 @@ object Bench {
     val schedGapTotal = decomp.values.map(_._3).sum
     val aboveFloorTotal =
       math.max(0.0, total - floorPerQuery * results.size)
+    // host-steal over the measured window — the pollution loadavg can't
+    // see on a shared virtualized box (graft.Tuning.stealPct rationale:
+    // guest loadavg reads idle while the host inflates wall time)
+    val stealPct = graft.Tuning.stealPct(jiffies0, graft.Tuning.cpuJiffies())
     def mkLine(short: Boolean) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${
-        qsJson(short)},"sf":"$sfDir","load":$loadJson,"floor_per_query":${
+        qsJson(short)},"sf":"$sfDir","load":$loadJson,"steal_pct":$stealPct,"floor_per_query":${
         r3(floorPerQuery)},"warmup_sec":${r3(warmupTotal)},"above_floor_total":${
         r3(aboveFloorTotal)},"sched_gap_total":${r3(schedGapTotal)},"failed_n":${
         failed.size},"failed":${failedJson(short)}$onlyJson${

@@ -96,4 +96,28 @@ object Tuning {
       compact
     } else staged
   }
+
+  /** (total, steal) jiffies from the guest's /proc/stat — host-steal
+    * telemetry for benchmark artifacts on shared virtualized boxes.
+    * Guest loadavg reads idle while a host neighbor steals cycles and
+    * inflates wall time (r12: a ScaleStress probe read 2.3 s and 37 s
+    * across two back-to-back runs on a 0.0-loadavg box — min-of-two
+    * can't suppress a steal window longer than the probe). (0, 0) when
+    * unavailable. */
+  def cpuJiffies(): (Long, Long) = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().find(_.startsWith("cpu "))
+        .getOrElse("").trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } finally src.close()
+  } catch { case _: Throwable => (0L, 0L) }
+
+  /** Percent of guest CPU capacity stolen by the host between two
+    * [[cpuJiffies]] readings (2 decimals; 0 when unmeasurable). */
+  def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
+    val dt = after._1 - before._1
+    if (dt <= 0L) 0.0
+    else math.round((after._2 - before._2) * 10000.0 / dt) / 100.0
+  }
 }

@@ -47,6 +47,7 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     VectorFunctions.register(spark)
+    val jiffies0 = graft.Tuning.cpuJiffies()
 
     def aggRun(li: DataFrame): Long =
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1152,8 +1153,12 @@ object ScaleStress {
     }
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // host-steal over the whole run: the pollution loadavg CANNOT see
+    // on a shared virtualized box (graft.Tuning.stealPct rationale)
+    val steal = graft.Tuning.stealPct(jiffies0, graft.Tuning.cpuJiffies())
     val json = f"""{"metric":"scale_stress","rows_1x":$aggN1,""" +
       f""""rows_10x":$aggN10,"loadavg":$loadavg%.1f,""" +
+      s""""steal_pct":$steal,""" +
       s""""flagged_over_5x":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
       probes.map { case (n, t1, t10) =>
         f""""${n}_1x_s":$t1%.2f,"${n}_10x_s":$t10%.2f""" +
