@@ -37,7 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 2.4s. The sort path is already Spark's default above 200 reduce
   // partitions; this pins it for the ≤200 range our 32-partition
   // sessions always sit in.
-  "-Dspark.shuffle.sort.bypassMergeThreshold=0",
+  // overridable for A/B runs: SPARK_SHUFFLE_BYPASS_THRESHOLD=200
+  // restores Spark's default (bypass writer at ≤200 reduce partitions)
+  s"-Dspark.shuffle.sort.bypassMergeThreshold=${
+    sys.env.getOrElse("SPARK_SHUFFLE_BYPASS_THRESHOLD", "0")}",
   // 48g default (box has 125g): at 16g the full 196-query suite ran
   // under constant old-gen pressure from the session-lifetime artifact
   // caches + thousands of codegen classes — measured 156.9s -> 142.4s
@@ -45,8 +48,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // GC choice overridable for A/B runs: SPARK_DRIVER_GC=UseParallelGC
   s"-XX:+${sys.env.getOrElse("SPARK_DRIVER_GC", "UseG1GC")}",
-  // 122 queries × whole-stage codegen = thousands of generated classes;
+  // 200 queries × whole-stage codegen = thousands of generated classes;
   // the JVM default 240 MB code cache silently flushes/deopts mid-run,
-  // which showed up as roaming 10-50x per-query slowdowns in benches
-  "-XX:ReservedCodeCacheSize=512m",
+  // which shows up as roaming 10-50x per-query slowdowns. 512m was
+  // enough until r12's surface: the 42-probe ScaleStress sweep then
+  // showed the same signature intermittently (a pure per-row map
+  // reading 0.3s on one run and 30s on the next, min-of-two BOTH slow
+  // — a flush window outlasts back-to-back samples). At 1g three
+  // consecutive sweeps ran clean. Overridable for A/B runs.
+  s"-XX:ReservedCodeCacheSize=${
+    sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -1151,6 +1151,22 @@ object ScaleStress {
     val flagged = probes.collect {
       case (n, t1, t10) if t10 / t1 > 5.0 => n
     }
+    // The 5× bound above is the LEGACY gate — kept for artifact
+    // continuity, but it false-positives once a probe's 1× run sheds
+    // its fixed floor: a PERFECTLY LINEAR probe reads ratio → 10 as
+    // t1 approaches pure data-proportional cost. r12's floor work did
+    // exactly that (novelty improved at BOTH scales, 0.64→0.42 s and
+    // 2.61→2.17 s vs r11, and crossed 5× only because 1× improved
+    // more; triangle's true answer grows exactly 10× by construction,
+    // so 5.3× TIME is sublinear). The principled superlinearity test —
+    // cost growing FASTER than data — is t10 > 10×t1, with the
+    // measured per-job floor below for reading the margins.
+    val flaggedSuper = probes.collect {
+      case (n, t1, t10) if t10 > 10.0 * t1 => n
+    }
+    val (probeFloor, _) = time {
+      spark.range(2).repartition(2).count()
+    }
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // host-steal over the whole run: the pollution loadavg CANNOT see
@@ -1159,6 +1175,9 @@ object ScaleStress {
     val json = f"""{"metric":"scale_stress","rows_1x":$aggN1,""" +
       f""""rows_10x":$aggN10,"loadavg":$loadavg%.1f,""" +
       s""""steal_pct":$steal,""" +
+      f""""probe_floor_s":$probeFloor%.3f,""" +
+      s""""flagged_superlinear_10x":[${
+        flaggedSuper.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""flagged_over_5x":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
       probes.map { case (n, t1, t10) =>
         f""""${n}_1x_s":$t1%.2f,"${n}_10x_s":$t10%.2f""" +
