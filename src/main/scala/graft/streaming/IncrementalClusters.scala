@@ -90,6 +90,29 @@ object IncrementalClusters {
     }
     private[streaming] def append(seg: StandingIndex): Unit =
       segs = segs :+ seg
+    /** Number of live segments (base + one per delivered batch since
+      * the last compaction) — the operational signal a deploy watches
+      * to schedule [[compact]]. */
+    def segments: Int = segs.length
+
+    /** Fold every per-batch segment back into one base — the same
+      * build-then-swap discipline as
+      * [[IncrementalDedup.StandingIndexRef.refresh]]: the replacement
+      * index is signed and materialized from `corpus` (the warehouse
+      * state including every streamed doc) BEFORE the swap, so a batch
+      * in flight keeps whichever segment vector it resolved via
+      * [[composite]] (persisted frames stay recomputable as cache-only
+      * drops), and batches after the swap probe one segment instead of
+      * N. Run it between micro-batches on the stage's driver (the
+      * foreachBatch callback thread), or accept the in-flight-batch
+      * semantics above. The union-find state is untouched — compaction
+      * changes WHERE signatures live, never what was flagged. */
+    def compact(corpus: DataFrame): Unit = {
+      val next = buildIndex(corpus)
+      val prev = segs
+      segs = Vector(next)
+      prev.foreach(_.release())
+    }
     def release(): Unit = segs.foreach(_.release())
   }
 

@@ -137,6 +137,37 @@ class StreamingClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-stream segment compaction leaves labels exact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val chunks = streamed.grouped(
+      math.max(1, streamed.length / 4 + 1)).map(_.toSeq).toSeq
+    assert(chunks.length >= 3)
+    val base = IncrementalDedup.buildIndex(corpus)
+    val idx = new IncrementalClusters.GrowingIndex(base)
+    val seeds = seedPairs(base)
+    val state = new IncrementalClusters.State
+    val src = MemoryStream[(Long, String)]
+    val q = feed(src, idx, seeds, state,
+      Files.createTempDirectory("clusters-compact").toString,
+      chunks.take(2))
+    try {
+      assert(idx.segments >= 3, // base + one per delivered batch
+        s"expected per-batch segments, got ${idx.segments}")
+      // warehouse-style compaction: the corpus as it now stands —
+      // original + every streamed-and-committed doc
+      idx.compact(corpus.unionByName(
+        chunks.take(2).flatten.toDF("doc_id", "text")))
+      assert(idx.segments == 1, "compaction must fold to one base")
+      chunks.drop(2).foreach { c => src.addData(c); q.processAllAvailable() }
+      assert(state.get.root == expectedLabels,
+        "labels after mid-stream compaction diverged from batch q65")
+    } finally {
+      q.stop()
+      idx.release()
+    }
+  }
+
   test("redelivered batch is skipped and never re-appended") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
