@@ -138,6 +138,26 @@ object IncrementalClusters {
     p.keysIterator.toSeq.map(k => k -> find(k)).toMap
   }
 
+  /** q191's split-leakage audit over the standing state — runnable
+    * after ANY micro-batch (an onUpdate consumer): test docs sharing a
+    * near-dup cluster with a train doc, and the spanning-cluster
+    * count. EXACT for the whole corpus despite the pair-bounded state:
+    * only pair endpoints can leak (a singleton's cluster has no other
+    * member, so it can never span the split boundary), and the state
+    * holds every endpoint. Driver-side algebra over O(state) — the
+    * continuous form of the batch audit, so a pipeline can watch
+    * leak counts rise AS near-dups stream in instead of discovering
+    * them at eval time. Returns (leaked test docs, spanning clusters);
+    * the caller supplies its own split rule and, for a ppm, its own
+    * test-doc total (corpus-sized counts are not state the fold keeps). */
+  def leakAudit(c: Clusters, isTrain: Long => Boolean): (Long, Long) = {
+    val spanning = c.root.groupBy(_._2).valuesIterator.filter { ms =>
+      ms.exists(m => isTrain(m._1)) && ms.exists(m => !isTrain(m._1))
+    }.toSeq
+    (spanning.iterator.map(_.count(m => !isTrain(m._1)).toLong).sum,
+      spanning.size.toLong)
+  }
+
   private def stateFile(checkpointDir: String): Path =
     Paths.get(checkpointDir, "graft-clusters-state", "snapshot")
 

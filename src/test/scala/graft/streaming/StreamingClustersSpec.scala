@@ -137,6 +137,41 @@ class StreamingClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("leakAudit over the standing state equals batch q191") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the q191 split rule, replicated: first 8 md5 hex chars of the
+    // doc id as a long, mod 10 — train < 8
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10 < 8
+    }
+    val base = IncrementalDedup.buildIndex(corpus)
+    val idx = new IncrementalClusters.GrowingIndex(base)
+    val state = new IncrementalClusters.State
+    val src = MemoryStream[(Long, String)]
+    val chunks = streamed.grouped(
+      math.max(1, streamed.length / 3 + 1)).map(_.toSeq).toSeq
+    val q = feed(src, idx, seedPairs(base), state,
+      Files.createTempDirectory("clusters-leak").toString, chunks)
+    try {
+      val (leaked, spanning) =
+        IncrementalClusters.leakAudit(state.get, isTrain)
+      val exp = SparkEntry.queries("q191_split_leakage")(spark, sfDir)
+        .collect()(0)
+      assert(leaked == exp.getLong(2),
+        s"streaming leak count $leaked != batch q191 ${exp.getLong(2)}")
+      assert(spanning == exp.getLong(4),
+        s"spanning clusters $spanning != batch ${exp.getLong(4)}")
+      assert(spanning > 0L, "fixture must have spanning clusters")
+    } finally {
+      q.stop()
+      idx.release()
+    }
+  }
+
   test("mid-stream segment compaction leaves labels exact") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
