@@ -30,11 +30,15 @@ import org.apache.spark.sql.DataFrame
 object IncrementalDedup {
 
   /** The standing corpus artifact: banded signatures + shingle sets,
-    * both persisted (callers release via [[StandingIndex.release]]). */
+    * both persisted (callers release via [[StandingIndex.release]]).
+    * Release also drops `localCheckpoint` blocks, so checkpoint-pinned
+    * segments ([[buildSegment]]) share the same lifecycle. */
   final case class StandingIndex(bands: DataFrame, sets: DataFrame) {
     def release(): Unit = {
       bands.unpersist()
       sets.unpersist()
+      graft.Resources.releaseCheckpoint(bands)
+      graft.Resources.releaseCheckpoint(sets)
       ()
     }
   }
@@ -50,6 +54,27 @@ object IncrementalDedup {
     bands.count()
     sets.count()
     StandingIndex(bands, sets)
+  }
+
+  /** [[buildIndex]] variant whose frames are SELF-CONTAINED (eager
+    * `localCheckpoint` — `LogicalRDD` leaves with no upstream lineage).
+    * For PER-BATCH segments of a growing index
+    * ([[IncrementalClusters.GrowingIndex]]): a persist()-only segment
+    * built inside `foreachBatch` stays lineage-rooted in the ephemeral
+    * micro-batch frame, so a cache-block loss after the batch commits
+    * would recompute against an expired batch relation — for sources
+    * that discard batch data after commit that silently yields EMPTY
+    * signatures and future cross-batch pairs are missed. The checkpoint
+    * severs that root: a lost block is rebuilt from the checkpoint's
+    * own storage, never the batch. Costs one extra pass over the
+    * (batch-sized) staged frames. Release via [[StandingIndex.release]]
+    * (checkpoint-aware). */
+  def buildSegment(batchDocs: DataFrame): StandingIndex = {
+    val staged = buildIndex(batchDocs)
+    val seg = StandingIndex(staged.bands.localCheckpoint(true),
+      staged.sets.localCheckpoint(true))
+    staged.release()
+    seg
   }
 
   /** Flag the verified near-dups of `batch` (a (doc_id, text) frame)
