@@ -28,15 +28,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * DRIVER-MEMORY BOUND — pair-bounded is still unbounded on an
   * adversarial mirror-heavy stream (every doc a near-dup), so the fold
   * takes an explicit `maxResident` cap: when the resident root map
-  * exceeds it after a merge, every entry whose cluster was NOT touched
-  * by the current batch is spilled to an append-only last-wins log
-  * beside the snapshot (values fully resolved at eviction) and dropped
-  * from memory. A later pair touching a spilled doc reloads its entry
-  * by streaming the log (one pass per parent-chain hop — chains stay
-  * short because evictions write resolved roots). Degradation is
-  * therefore O(spill-file) extra I/O per batch that references cold
-  * clusters, never extra memory; resident stays ≤
-  * max(maxResident, endpoints touched by one batch). [[Clusters.root]]
+  * exceeds it after a merge, every entry that is neither an endpoint
+  * of the current batch's pairs nor a resolved root of one is spilled
+  * to an append-only last-wins log beside the snapshot (values fully
+  * resolved at eviction) and dropped from memory — including cold
+  * members of still-hot clusters, so a single always-touched mirror
+  * cluster cannot pin its whole membership. A later pair touching a
+  * spilled doc reloads its entry by streaming the log (one pass per
+  * parent-chain hop — chains stay short because evictions write
+  * resolved roots). Degradation is therefore O(spill-file) extra I/O
+  * per batch that references cold docs, never extra memory; resident
+  * stays ≤ max(maxResident, endpoints∪roots of the current batch's
+  * pairs) — the irreducible working set, since a batch's pairs can
+  * legitimately name every past doc on a fully-mirrored stream.
+  * [[Clusters.root]]
   * then holds only the RESIDENT entries — readouts that need the whole
   * map ([[resolvedAll]], [[leakAudit]] in bounded mode) stream the
   * spill transiently. [[State.metrics]] exposes (resident roots, spill
@@ -375,13 +380,17 @@ object IncrementalClusters {
             val next =
               if (full.size <= maxResident) Clusters(full, batchId)
               else {
-                // spill every entry whose cluster this batch did not
-                // touch; values are fully resolved, so a reload is one
-                // log pass away
+                // spill every entry that is neither an endpoint of this
+                // batch's pairs nor a resolved root of one — cold
+                // MEMBERS of hot clusters spill too (their values are
+                // fully resolved, so correctness never needs them
+                // resident; a reload is one log pass away). Keeping
+                // whole touched clusters instead would let one
+                // always-hot mirror cluster pin its entire membership
+                // forever, defeating the bound.
                 val touchedRoots = endpoints.flatMap(full.get)
-                val (keep, evict) = full.partition { case (k, v) =>
-                  endpoints.contains(k) || touchedRoots.contains(v) ||
-                    touchedRoots.contains(k)
+                val (keep, evict) = full.partition { case (k, _) =>
+                  endpoints.contains(k) || touchedRoots.contains(k)
                 }
                 appendSpill(spill, evict)
                 state.spillAppends += evict.size
