@@ -35,6 +35,14 @@ object Tuning {
     math.min(math.max(4L, p), 1L << 20).toInt
   }
 
+  /** One lock object per live session (weak keys — a stopped session's
+    * entry is collectable). Guards [[withShufflePartitions]]: the
+    * shuffle-partition conf is SESSION-global mutable state, so two
+    * concurrent scoped overrides on the same session would interleave
+    * set/restore and leave a stale value behind. */
+  private val sessionLocks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+
   /** Run `body` with the session's shuffle-partition count temporarily
     * set to `n`, restoring the caller's value after. For
     * DRIVER-COORDINATED loops that materialize per round (connected
@@ -44,13 +52,28 @@ object Tuning {
     * superstep. Callers pass [[partsFor]] of a MEASURED row count —
     * size-proportional, so a corpus-scale loop keeps full parallelism.
     * Only shuffles PLANNED inside `body` are affected; a lazily
-    * returned frame planned later uses the session default again. */
+    * returned frame planned later uses the session default again.
+    *
+    * CONCURRENCY: scoped overrides on the same session serialize on a
+    * per-session lock (monitor — reentrant, so a nested override
+    * restores LIFO-correctly), so two fixpoints can never interleave
+    * set/restore and leak a temporary value. Planning that does NOT go
+    * through this helper (e.g. a streaming micro-batch thread sharing
+    * the session) can still plan WHILE an override is active and pick
+    * up `n` — harmless to correctness (partition count never changes
+    * results), at worst a differently-sized shuffle; deploys that care
+    * should give standing streams their own session
+    * (`spark.newSession()` shares the context and catalog but not the
+    * conf). */
   def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
       n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
+    val lock = sessionLocks.computeIfAbsent(spark, _ => new Object)
+    lock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, old)
+    }
   }
 
   /** Eagerly localCheckpoint `df`, then — if the materialized partition
