@@ -277,14 +277,19 @@ object Dedup {
 
   /** Intra-bucket pair emission shared by the MinHash (q31) and SimHash
     * (q80) LSH paths: group each (band, bkey) bucket, emit sorted
-    * all-pairs capped at [[MaxBucket]] members — one shuffle carrying
-    * only keys and ids, never documents. */
-  private[queries] def bucketPairs(bandedFrame: org.apache.spark.sql.DataFrame) =
+    * all-pairs capped at `cap` ([[MaxBucket]]) members — one shuffle
+    * carrying only keys and ids, never documents. The cap is a skew
+    * defense, NOT free: a boilerplate-degenerate bucket silently drops
+    * candidates past it — q199 counts exactly what was dropped so a
+    * run can see the recall erosion (`cap` is a parameter so the q199
+    * spec can force a degenerate bucket at test scale). */
+  private[queries] def bucketPairs(bandedFrame: org.apache.spark.sql.DataFrame,
+      cap: Int = MaxBucket) =
     bandedFrame
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
       .filter(size(col("all_ids")) >= 2)
-      .withColumn("ids", slice(col("all_ids"), 1, MaxBucket))
+      .withColumn("ids", slice(col("all_ids"), 1, cap))
       // array_distinct barrier (pairs are unique by i<j construction) —
       // see banded() above for why exploding a bare lambda chain is slow
       .select(explode(expr(
@@ -733,9 +738,8 @@ object Dedup {
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr("simhash_wide(toks)").as("sig"))
   }
-  private val sqlSimWide =
-    s"""$sqlShingled,
-       |ths AS (
+  private val sqlSimChain =
+    s"""ths AS (
        |  SELECT doc_id, list_transform(list_distinct(sh),
        |    tk -> CAST('0x' || substring(md5(tk), 1, 15) AS BIGINT)) AS hs
        |  FROM shingled),
@@ -760,16 +764,23 @@ object Dedup {
        |  FROM scap x JOIN scap y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
       .stripMargin
+  private val sqlSimWide = s"$sqlShingled,\n$sqlSimChain"
+
+  /** 4×15-bit band rows of a (doc_id, sig) SimHash frame — shared by
+    * q80's candidate probe and q199's cap audit. */
+  private def simBandedOf(sigs: org.apache.spark.sql.DataFrame) =
+    sigs.select(col("doc_id"), expr(
+      """explode(array_distinct(transform(sequence(0, 3), b ->
+        |  struct(b AS band, shiftright(sig, 15 * b) & 32767 AS bkey))))"""
+        .stripMargin).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+
   private val q80 = QueryDef.of(
     (s, d) => {
       val sigs = graft.Resources.retain(simSigs(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val bandedSigs = sigs.select(col("doc_id"), expr(
-        """explode(array_distinct(transform(sequence(0, 3), b ->
-          |  struct(b AS band, shiftright(sig, 15 * b) & 32767 AS bkey))))"""
-          .stripMargin).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bkey").as("bkey"))
+      val bandedSigs = simBandedOf(sigs)
       bucketPairs(bandedSigs)
         .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), "doc1")
         .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), "doc2")
@@ -2204,7 +2215,72 @@ object Dedup {
       |FROM nc LEFT JOIN per USING (doc_id)
       |ORDER BY nc.doc_id""".stripMargin)
 
+  // ------------------------------------------------------------ q199
+  // The LSH bucket cap made VISIBLE. [[bucketPairs]] truncates each
+  // (band, bkey) bucket at MaxBucket members — the right defense
+  // against boilerplate-degenerate keys (an all-pairs explosion inside
+  // one bucket is quadratic), but past the cap it silently drops
+  // candidate pairs, and at 100 TB a boilerplate-heavy corpus WILL
+  // have such buckets. This readout counts, per banding space
+  // (minhash = q31's 4-band signature, simhash = q80's 4×15-bit bands)
+  // and band: buckets emitting pairs, the largest bucket, buckets over
+  // the cap, pairs kept, and pairs dropped — so a production run reads
+  // its recall erosion as a number instead of inferring it from
+  // downstream quality. Counts are per-bucket pre-distinct emission
+  // (the same pair surviving in another band still counts as dropped
+  // here — this audits the cap, not end-to-end recall; a pair is only
+  // LOST if every shared bucket dropped it).
+  // Scale shape: two (band, bkey)-keyed aggregates over the banded
+  // frames the dedup family already computes; the shuffle carries keys
+  // and counts only. Fixture buckets sit far under the cap, so
+  // capped_buckets = 0 here — CapAuditSpec forces a degenerate bucket
+  // through the parameterized cap to pin the arithmetic.
+  private[queries] def capAuditOf(bandedFrame: org.apache.spark.sql.DataFrame,
+      space: String, cap: Int = MaxBucket) = {
+    val kept = s"(least(sz, ${cap}L) * (least(sz, ${cap}L) - 1)) div 2"
+    bandedFrame
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") > cap, 1L).otherwise(0L)).as("capped_buckets"),
+        expr(s"sum($kept)").as("pairs_kept"),
+        expr(s"sum((sz * (sz - 1)) div 2 - $kept)").as("dropped_pairs"))
+      .select(lit(space).as("space"), col("band"), col("n_buckets"),
+        col("max_bucket"), col("capped_buckets"), col("pairs_kept"),
+        col("dropped_pairs"))
+  }
+
+  private def capAuditSql(src: String, space: String) =
+    s"""SELECT '$space' AS space, CAST(band AS BIGINT) AS band,
+       |  COUNT(*) AS n_buckets, MAX(sz) AS max_bucket,
+       |  CAST(SUM(CASE WHEN sz > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS capped_buckets,
+       |  CAST(SUM((LEAST(sz, $MaxBucket) * (LEAST(sz, $MaxBucket) - 1)) // 2)
+       |    AS BIGINT) AS pairs_kept,
+       |  CAST(SUM((sz * (sz - 1)) // 2
+       |    - (LEAST(sz, $MaxBucket) * (LEAST(sz, $MaxBucket) - 1)) // 2)
+       |    AS BIGINT) AS dropped_pairs
+       |FROM (SELECT band, COUNT(*) AS sz FROM $src
+       |      GROUP BY band, bkey HAVING COUNT(*) >= 2) g
+       |GROUP BY band""".stripMargin
+
+  private val q199 = QueryDef.of(
+    (s, d) => capAuditOf(banded(s, d), "minhash")
+      .unionByName(capAuditOf(simBandedOf(simSigs(s, d)), "simhash"))
+      .orderBy(col("space"), col("band")),
+    s"""$sqlShingled,
+       |$sqlMinhash,
+       |$sqlSimChain
+       |${capAuditSql("banded", "minhash")}
+       |UNION ALL
+       |${capAuditSql("sbanded", "simhash")}
+       |ORDER BY space, band""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q199_lsh_cap_audit" -> q199,
     "q172_cdc_chunk_dedup" -> q172,
     "q133_sentence_dedup" -> q133,
     "q135_cluster_agreement" -> q135,

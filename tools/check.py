@@ -7,15 +7,37 @@ import sys, json, glob, os
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    # driver fixtures are single files; synthetic scale-up fixtures
-    # (MakeSyntheticSf) are Spark-written directories — accept both
-    p = f"{sfdir}/{t}.parquet"
-    if os.path.isdir(p):
-        p = f"{p}/*.parquet"
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+
+def connect():
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        # driver fixtures are single files; synthetic scale-up fixtures
+        # (MakeSyntheticSf) are Spark-written directories — accept both
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+con = connect()
+
+
+def run_df(sql):
+    # DuckDB's buffer accounting can fill up over a ~200-oracle suite on
+    # one connection and fail tiny allocations mid-suite (intermittent,
+    # box-dependent); a fresh connection releases everything — retry
+    # once on it rather than aborting the whole gate.
+    global con
+    try:
+        return con.sql(sql).df()
+    except duckdb.OutOfMemoryException:
+        con.close()
+        con = connect()
+        return con.sql(sql).df()
+
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
@@ -23,11 +45,11 @@ for name in sorted(os.listdir(outdir)):
     path = os.path.join(outdir, name)
     if not os.path.isdir(path):
         continue
-    got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
+    got = run_df(f"SELECT * FROM '{path}/*.parquet'")
     if name not in oracle:
         print(f"{name}: NO-ORACLE rows={len(got)}")
         continue
-    exp = con.sql(oracle[name]).df()
+    exp = run_df(oracle[name])
     # driver compare: sort columns by name, then compare values
     got = got[sorted(got.columns)]
     exp = exp[sorted(exp.columns)]
