@@ -49,6 +49,65 @@ class IngestPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("wildcard filter set over TCP: +/# filters route, others drop") {
+    // the reference's Consul topic map is a set of wildcard filters in
+    // production MQTT deployments — this is that set, over the real
+    // TCP wire path (MqttSourceSpec pins the matching rules in
+    // isolation; here they gate a full pipeline)
+    import graft.sources.mqtt.{MiniMqttBroker, MqttConnectors, MqttSettings, TcpMqttConnector}
+    val broker = new MiniMqttBroker()
+    val cid = s"pipe-wild-${System.nanoTime()}"
+    val conn = new TcpMqttConnector(MqttSettings(
+      host = "127.0.0.1", port = broker.port, clientId = cid,
+      keepAliveSecs = 5, reconnectDelayMillis = 50L)).connect()
+    val connectorName = s"pipe-wild-$cid"
+    MqttConnectors.register(connectorName, conn)
+    conn.setSubscriptions(cid, Seq("/+/+/out/sensors/#", "/alerts/#"))
+    val wh = Files.createTempDirectory("wild-wh").toString
+    val catalog = TableCatalog.default(spark, wh)
+    val source = spark.readStream.format("mqtt")
+      .option("connector", connectorName)
+      .option("clientId", cid)
+      .option("topics", "/+/+/out/sensors/#,/alerts/#")
+      .load()
+    val q = IngestPipeline.start(source,
+      new TableRouter(new SchemaRegistry, catalog),
+      Files.createTempDirectory("wild-ckpt").toString)
+    // evaluate cond at most once per poll — cond has side effects here
+    // (publish), so a trailing re-evaluation would double-send
+    def await(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline) {
+        if (cond) return true
+        Thread.sleep(20)
+      }
+      cond
+    }
+    try {
+      q.processAllAvailable()
+      // + matches exactly one level; # matches the rest
+      assert(await(broker.publish("/c1/d1/out/sensors/temp",
+        """{"value":1.5}""") == 1))
+      assert(await(broker.publish("/c2/d9/out/sensors/deep/nested/hum",
+        """{"value":2.5}""") == 1))
+      assert(await(broker.publish("/alerts/a/b/c/fire",
+        """{"value":"ALARM"}""") == 1))
+      // one + level cannot span two segments; non-matching root drops
+      assert(broker.publish("/c1/d1/extra/out/sensors/temp",
+        """{"value":9.9}""") == 0, "+ must not span levels")
+      assert(broker.publish("/other/x/y/z/w", """{"value":9.9}""") == 0)
+      assert(await(conn.latestSeq(cid) >= 3L))
+      q.processAllAvailable()
+      assert(catalog.read("temp").count() == 1)
+      assert(catalog.read("hum").head().getAs[Double]("value") == 2.5)
+      assert(catalog.read("fire").head().getAs[String]("value") == "ALARM")
+    } finally {
+      q.stop()
+      conn.close()
+      broker.close()
+    }
+  }
+
   test("poison message goes to rejected sink; query survives") {
     val cid = s"poison-${System.nanoTime()}"
     InMemoryBroker.reset(cid)
