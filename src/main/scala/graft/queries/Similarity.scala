@@ -1564,26 +1564,46 @@ object Similarity {
         col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("emb_norm").as("probe_norm"))
       val gt = exactTop5(s, d)
+      // FUSED sweep: candidate sets are ranked-cell PREFIXES, so the
+      // np ∈ {1,2,4} legs nest — fetch + score candidates ONCE at the
+      // LARGEST budget, carrying each candidate's per-probe cell rank,
+      // and every smaller budget is a filter over that pinned scored
+      // frame (bounded: probes × candidates-in-4-cells rows). The
+      // un-fused form re-ran the cell-keyed fetch and the scoring
+      // joins per leg — 3× the corpus-side work for byte-identical
+      // output (a candidate's score doesn't depend on the budget that
+      // admitted it). localCheckpoint pins the shared frame so the
+      // three legs re-read instead of re-join (the repo's shared-
+      // artifact discipline; at 100 TB this is the difference between
+      // one partition-pruned index read and three).
+      val maxNp = SweepProbes.max
+      val sel = rankedCells.select(col("probe_id"),
+        posexplode(expr(s"slice(cells_ranked, 1, $maxNp)"))
+          .as(Seq("r0", "cell")))
+        .select(col("probe_id"), (col("r0") + 1).as("cell_rank"),
+          col("cell"))
+      val cand = assigned.join(broadcast(sel), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("cell_rank"))
+      val scored = cand
+        .join(e.select(col("vec_id"), col("embedding"), col("emb_norm")),
+          "vec_id")
+        .join(broadcast(pv), "probe_id")
+        .withColumn("score", expr(
+          "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("cell_rank"), col("score"))
+        .localCheckpoint()
       SweepProbes.map { np =>
-        val sel = rankedCells.select(col("probe_id"),
-          explode(expr(s"slice(cells_ranked, 1, $np)")).as("cell"))
-        val cand = assigned.join(broadcast(sel), "cell")
-          .filter(col("vec_id") =!= col("probe_id"))
-          .select(col("probe_id"), col("vec_id"))
-        val top = topK(cand
-          .join(e.select(col("vec_id"), col("embedding"), col("emb_norm")),
-            "vec_id")
-          .join(broadcast(pv), "probe_id")
-          .withColumn("score", expr(
-            "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            col("score")), 5)
+        val c = scored.filter(col("cell_rank") <= np)
+        val top = topK(
+          c.select(col("probe_id"), col("neighbor_id"), col("score")), 5)
           .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
-        gt.join(top, Seq("probe_id", "neighbor_id"), "left")
+        gt.join(broadcast(top), Seq("probe_id", "neighbor_id"), "left")
           .agg(count(col("hit")).as("n_hits"),
             countDistinct(col("probe_id")).as("n_probes"))
           .crossJoin(broadcast(
-            cand.agg(count(lit(1)).as("scanned_rows"))))
+            c.agg(count(lit(1)).as("scanned_rows"))))
           .select(lit(np.toLong).as("nprobe"), col("n_probes"),
             col("n_hits"),
             expr("(n_hits * 1000000L) div greatest(n_probes * 5, 1L)")
