@@ -62,6 +62,7 @@ object Bench {
     warm("bloom") { graft.queries.Warehouse.ensureBloomTable(spark, sfDir) }
     warm("dpp") { graft.queries.Layout.ensureDpp(spark, sfDir) }
     warm("bucket") { graft.queries.Layout.ensureBucketed(spark, sfDir) }
+    warm("coverTok") { graft.queries.Mixing.ensureCoverTok(spark, sfDir) }
 
     // Per-query fixed floor, measured in THIS session right after warmup
     // (r8 judge item: the floor decomposition must live in the artifact,
