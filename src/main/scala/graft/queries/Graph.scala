@@ -627,28 +627,37 @@ object Graph {
         .select(col("src"), lit(1000000L).as("h"))
       var auth: org.apache.spark.sql.DataFrame = null
       // each half-round's raw-score frame is referenced TWICE (its own
-      // max subquery + the next join) and the final output references
-      // auth both directly and through hub — un-truncated lineage
-      // re-executes every earlier round per reference (the q153
-      // lesson; measured 11.8 s vs ~2 s). The frames are node-sized,
-      // so an eager localCheckpoint per half-round is cheap.
+      // max + the next join) and the final output references auth both
+      // directly and through hub — un-truncated lineage re-executes
+      // every earlier round per reference (the q153 lesson; measured
+      // 11.8 s vs ~2 s). The frames are node-sized, so an eager
+      // localCheckpoint per half-round is cheap. Only the RAW frame is
+      // checkpointed: the max is collected once as a literal (a 1-row
+      // driver read of a fixed-size stat — no broadcast build, no
+      // crossJoin plan) and the normalization stays a lazy projection
+      // over the pinned parent, so re-references re-read the
+      // checkpoint and redo one integer div, never the join (r13: the
+      // second per-half checkpoint + broadcast machinery was half the
+      // query's job count for zero saved work).
       for (_ <- 1 to 2) {
         val authRaw = graft.Resources.retain(e.join(hub, "src")
           .groupBy(col("dst")).agg(sum(col("h")).as("a"))
           .localCheckpoint())
-        val amax = authRaw.agg(max(col("a")).as("amax"))
-        auth = graft.Resources.retain(authRaw
-          .crossJoin(broadcast(amax))
-          .select(col("dst"), expr("(a * 1000000L) div amax").as("a"))
-          .localCheckpoint())
+        // max of an EMPTY frame is a single null row — fall back to 1
+        // (the frame is empty anyway, the literal never meets a row)
+        def statMax(df: org.apache.spark.sql.DataFrame,
+            c: String): Long =
+          Option(df.agg(max(col(c))).head().get(0))
+            .fold(1L)(_.asInstanceOf[Long])
+        val amax = statMax(authRaw, "a")
+        auth = authRaw
+          .select(col("dst"), expr(s"(a * 1000000L) div ${amax}L").as("a"))
         val hubRaw = graft.Resources.retain(e.join(auth, "dst")
           .groupBy(col("src")).agg(sum(col("a")).as("h"))
           .localCheckpoint())
-        val hmax = hubRaw.agg(max(col("h")).as("hmax"))
-        hub = graft.Resources.retain(hubRaw
-          .crossJoin(broadcast(hmax))
-          .select(col("src"), expr("(h * 1000000L) div hmax").as("h"))
-          .localCheckpoint())
+        val hmax = statMax(hubRaw, "h")
+        hub = hubRaw
+          .select(col("src"), expr(s"(h * 1000000L) div ${hmax}L").as("h"))
       }
       auth.select(lit("s").as("role"), col("dst").as("node"),
           col("a").as("score_micro"))
