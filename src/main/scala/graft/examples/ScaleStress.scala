@@ -1118,6 +1118,88 @@ object ScaleStress {
     val (slT1, _) = time(slidingRun(ev1))
     val (slT10, _) = time(slidingRun(ev10))
 
+    // ---- 768-dim ANN probes (r12 VERDICT #5). The embeddings fixture
+    // is 64-dim and q44's PQ subspaces are 16-wide; production
+    // embedding widths are 768-4096. These probes push the full ANN
+    // stack — CosineSim codegen, deterministic IVF train/assign, PQ
+    // encode + ADC search — through 768-wide vectors so a JIT or
+    // codegen cliff at production width (HugeMethodLimit is ~8 KB of
+    // bytecode per method) would show up as a superlinear or
+    // grossly-off-profile time here. The kernels are loops over the
+    // array (CosineSim's doGenCode loop and the HOF folds), not
+    // dim-unrolled expressions, so generated-method size is
+    // dim-INDEPENDENT by construction — this probe verifies that claim
+    // with wall time rather than trusting it. Vectors are synthetic
+    // hash floats in [-0.999, 0.999] (no fixture dependency,
+    // deterministic across runs).
+    def hdVecs(n: Long): DataFrame =
+      spark.range(n).toDF("vec_id")
+        .withColumn("embedding", expr(
+          // the cast wraps the DIVISION: float / float-literal still
+          // promotes to double, and cosine_sim is array<float>-typed
+          """transform(sequence(1, 768), i ->
+            |  cast((pmod(hash(vec_id * 768 + i), 1999) - 999) / 1000.0
+            |    AS float))""".stripMargin))
+    val hd1 = hdVecs(2000L).localCheckpoint(true)
+    val hd10 = hdVecs(20000L).localCheckpoint(true)
+    // brute-force cosine top-k against 8 broadcast probes: the
+    // codegen'd CosineSim kernel does 768-wide dot products per pair
+    def hdBruteRun(corpus: DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+      val probes = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb"))
+      corpus.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("score", expr("cosine_sim(embedding, probe_emb)"))
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("probe_id"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rk") <= 5).count()
+    }
+    // bit-reproducible IVF train + assign at 768 dims: per-iteration
+    // cost is one nCells×768 broadcast + a shuffle-free argmin pass +
+    // a (cell, dim) integer-sum shuffle whose map partials collapse to
+    // nCells×768 rows — the corpus never moves
+    def hdIvfRun(corpus: DataFrame): Long =
+      graft.operators.IvfIndex
+        .trainDeterministic(corpus, nCells = 8, iters = 2)
+        .agg(sum(col("cell") + col("vec_id"))).head().getLong(0)
+    // PQ at production shape (m=8 × 96-wide subspaces): encode the
+    // corpus, then ADC-search 4 probes — LUT build is probe-side and
+    // corpus-size-independent, scoring reads codes only
+    lazy val hdCb = graft.operators.PqIndex.train(
+      hd1, nCells = 8, m = 8, subDim = 96, kSub = 8, iters = 2)
+    def hdPqRun(corpus: DataFrame): Long = {
+      val codes = graft.operators.PqIndex.encode(corpus, hdCb)
+      val probes = hd1.filter(col("vec_id") < 4)
+      graft.operators.PqIndex
+        .search(codes, hdCb, probes, k = 5, nProbe = 2).count()
+    }
+    hdBruteRun(hd1); hdIvfRun(hd1); hdPqRun(hd1) // warm up
+    val (hbT1, _) = time(hdBruteRun(hd1))
+    val (hbT10, _) = time(hdBruteRun(hd10))
+    val (hiT1, _) = time(hdIvfRun(hd1))
+    val (hiT10, _) = time(hdIvfRun(hd10))
+    val (hpT1, _) = time(hdPqRun(hd1))
+    val (hpT10, _) = time(hdPqRun(hd10))
+
+    // ---- 30× confirmation points (r12 VERDICT #6) for the four
+    // probes whose 10× ratios sat highest last round (novelty 5.0,
+    // bloom 4.7, spanrm 4.5, decont 4.3) — all attributed to the 1×
+    // run shedding its fixed floor, which the 10× ratio alone cannot
+    // prove. One more decade-scale point per probe: if the 10× ratio
+    // was floor-shedding, the 30×/10× ratio must fall back to ~3× (the
+    // data growth); if it was real superlinearity, it grows. The
+    // artifact carries floor-SUBTRACTED ratios so the claim is
+    // arithmetic, not prose.
+    val d30 = replicate(d1, 30, "doc_id", 1000000000L)
+    val li30 = replicate(li1, 30, "l_orderkey", 1000000000L)
+    val (dcT30, _) = time(decontRun(d30))
+    val (blT30, _) = time(bloomRun(li30))
+    val (srT30, _) = time(spanrmRun(d30))
+    val (nvT30, _) = time(noveltyRun(d30))
+
     // Structured artifact (r10 VERDICT #5): per-probe 1×/10× seconds and
     // ratios as ONE parseable JSON object written beside the bench
     // output (SPARK_GRAFT_SCALE_OUT, default scale_out.json), so the
@@ -1147,7 +1229,9 @@ object ScaleStress {
       ("novelty", nvT1, nvT10), ("hh", hhT1, hhT10),
       ("tcurve", tcT1, tcT10), ("cdc", cdT1, cdT10),
       ("centroid", ceT1, ceT10), ("cover", cvT1, cvT10),
-      ("ivm", ivT1, ivT10), ("sliding", slT1, slT10))
+      ("ivm", ivT1, ivT10), ("sliding", slT1, slT10),
+      ("hdbrute", hbT1, hbT10), ("hdivf", hiT1, hiT10),
+      ("hdpq", hpT1, hpT10))
     val flagged = probes.collect {
       case (n, t1, t10) if t10 / t1 > 5.0 => n
     }
@@ -1167,6 +1251,17 @@ object ScaleStress {
     val (probeFloor, _) = time {
       spark.range(2).repartition(2).count()
     }
+    // 30× gate, floor-subtracted on BOTH sides: a probe is superlinear
+    // iff its above-floor cost grew faster than the data (30×). The
+    // max(1 ms) guard keeps a sub-floor 1× time from dividing to
+    // infinity.
+    val probes30: Seq[(String, Double, Double, Double)] = Seq(
+      ("decont", dcT1, dcT10, dcT30), ("bloom", blT1, blT10, blT30),
+      ("spanrm", srT1, srT10, srT30), ("novelty", nvT1, nvT10, nvT30))
+    def adj(t: Double): Double = math.max(0.001, t - probeFloor)
+    val flaggedSuper30 = probes30.collect {
+      case (n, t1, _, t30) if adj(t30) > 30.0 * adj(t1) => n
+    }
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // host-steal over the whole run: the pollution loadavg CANNOT see
@@ -1178,10 +1273,16 @@ object ScaleStress {
       f""""probe_floor_s":$probeFloor%.3f,""" +
       s""""flagged_superlinear_10x":[${
         flaggedSuper.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""flagged_superlinear_30x":[${
+        flaggedSuper30.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""flagged_over_5x":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
       probes.map { case (n, t1, t10) =>
         f""""${n}_1x_s":$t1%.2f,"${n}_10x_s":$t10%.2f""" +
           f""","${n}_ratio":${t10 / t1}%.1f"""
+      }.mkString(",") + "," +
+      probes30.map { case (n, t1, _, t30) =>
+        f""""${n}_30x_s":$t30%.2f""" +
+          f""","${n}_ratio30_adj":${adj(t30) / adj(t1)}%.1f"""
       }.mkString(",") + "}"
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")

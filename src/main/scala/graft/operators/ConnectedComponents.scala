@@ -105,9 +105,12 @@ object ConnectedComponents {
     * component min), unique and partitioning-independent, so the result
     * is deterministic and identical to [[labels]].
     *
-    * The convergence probe is an exact two-sided `except` — right for
-    * dedup-scale graphs; at billions of edges swap it for a
-    * (count, ordered hash) signature to save the extra shuffles.
+    * The convergence probe is SIGNATURE-GATED: a (count, hash-sum)
+    * signature per round (one narrow agg over the pinned frame) proves
+    * non-convergence whenever the signatures differ, and the exact
+    * two-sided `except` runs only on a signature match — once, at the
+    * true fixpoint. A hash collision merely runs the exact probe early
+    * and finds "not converged"; exactness never rests on the hash.
     *
     * @return (labels frame as in [[labels]], rounds used) */
   def labelsStar(nodes: DataFrame, edges: DataFrame,
@@ -123,6 +126,18 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var rounds = 0
     var done = cur.isEmpty
+    // (count, hash-sum) signature of an edge frame — one narrow agg job
+    // over the just-checkpointed frame. Different signatures PROVE the
+    // sets differ, so the expensive exact probe below only runs on a
+    // signature match (in practice: once, at the true fixpoint; a hash
+    // collision merely runs the exact probe early and finds "not
+    // converged" — exactness never rests on the hash)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(expr("hash(u, v)")).cast("long")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var curSig = if (done) (0L, 0L) else sig(cur)
     // size-matched loop shuffles (see labels() above); count reads the
     // just-checkpointed frame
     val loopParts = graft.Tuning.partsFor(cur.count())
@@ -145,9 +160,12 @@ object ConnectedComponents {
         .union(sMin.select(col("u"), col("mn").as("v")))
         .distinct()
         .localCheckpoint(true)
-      done = next.except(cur).union(cur.except(next)).isEmpty
+      val nextSig = sig(next)
+      done = nextSig == curSig &&
+        next.except(cur).union(cur.except(next)).isEmpty
       graft.Resources.releaseCheckpoint(cur)
       cur = next
+      curSig = nextSig
       rounds += 1
     }
     }
