@@ -1585,7 +1585,7 @@ object Similarity {
       val cand = assigned.join(broadcast(sel), "cell")
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"), col("cell_rank"))
-      val scored = cand
+      val scored = graft.Resources.retain(cand
         .join(e.select(col("vec_id"), col("embedding"), col("emb_norm")),
           "vec_id")
         .join(broadcast(pv), "probe_id")
@@ -1593,7 +1593,7 @@ object Similarity {
           "dot_product(probe_emb, embedding) / (probe_norm * emb_norm)"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           col("cell_rank"), col("score"))
-        .localCheckpoint()
+        .localCheckpoint())
       SweepProbes.map { np =>
         val c = scored.filter(col("cell_rank") <= np)
         val top = topK(
