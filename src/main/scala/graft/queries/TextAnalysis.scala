@@ -348,11 +348,18 @@ object TextAnalysis {
       val docs = Tables.documents(s, d)
       val terms = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("n_dt"))
-      val len = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
-      val df = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      // ONE token-stream explode: len_d = Σ_t n_dt and df_t = rows per
+      // term are both derivable from the (doc, term) count frame, so
+      // the corpus-sized explode+shuffle runs once and the two side
+      // stats aggregate the much smaller pinned tf frame (r13 — the
+      // old shape exploded the full token stream three times; at
+      // 100 TB the explode IS the query's cost)
+      val tf = graft.Resources.retain(
+        terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("n_dt"))
+          .localCheckpoint())
+      val len = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("len_d"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
       val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("salience").desc, col("term"))
