@@ -282,14 +282,33 @@ object Dedup {
     * defense, NOT free: a boilerplate-degenerate bucket silently drops
     * candidates past it — q199 counts exactly what was dropped so a
     * run can see the recall erosion (`cap` is a parameter so the q199
-    * spec can force a degenerate bucket at test scale). */
+    * spec can force a degenerate bucket at test scale).
+    *
+    * The cap is enforced BEFORE aggregation: a `row_number() <= cap`
+    * rank filter drops past-cap bucket members so `collect_list` never
+    * buffers more than `cap` ids per bucket. The output is identical to
+    * capping after the fact (row_number over doc_id asc keeps exactly
+    * the sorted prefix the old `slice(sort_array(...), 1, cap)` kept),
+    * but the reduce-task buffer is now bounded: at 100 TB a
+    * boilerplate-degenerate bucket (millions of identical-key docs)
+    * costs a discarded stream of rows instead of an executor-OOM-sized
+    * array in one aggregation buffer. Catalyst turns the rank filter
+    * into a [[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]
+    * with a Partial mode BELOW the shuffle, so past-cap members are
+    * dropped map-side and never shuffled at all (pinned by
+    * CapBufferSpec). The window's hash partitioning matches the
+    * groupBy's, so no second exchange is introduced. */
   private[queries] def bucketPairs(bandedFrame: org.apache.spark.sql.DataFrame,
-      cap: Int = MaxBucket) =
+      cap: Int = MaxBucket) = {
+    require(cap >= 2, s"bucket cap must be >= 2 to emit any pair, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
     bandedFrame
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
       .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
-      .filter(size(col("all_ids")) >= 2)
-      .withColumn("ids", slice(col("all_ids"), 1, cap))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
       // array_distinct barrier (pairs are unique by i<j construction) —
       // see banded() above for why exploding a bare lambda chain is slow
       .select(explode(expr(
@@ -298,26 +317,34 @@ object Dedup {
           |    d2 -> struct(ids[i] AS doc1, d2 AS doc2)))))""".stripMargin))
         .as("p"))
       .select(col("p.doc1"), col("p.doc2")).distinct()
+  }
 
   /** [[bucketPairs]] with a per-bucket carry column (any expression of
     * `band`/`bkey` — q196 derives its (bands, rows_per_band) config
     * from the band id); pairs dedup PER carry value, so one grouped
-    * shuffle serves several disjoint-keyed banding schemes at once. */
+    * shuffle serves several disjoint-keyed banding schemes at once.
+    * Same pre-aggregation rank cap as [[bucketPairs]] — the
+    * `collect_list` buffer is bounded at [[MaxBucket]] per
+    * (cfg, band, bkey) bucket. */
   private[queries] def bucketPairsBy(
       bandedFrame: org.apache.spark.sql.DataFrame,
-      carry: org.apache.spark.sql.Column) =
+      carry: org.apache.spark.sql.Column) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cfg"), col("band"), col("bkey")).orderBy(col("doc_id"))
     bandedFrame
       .withColumn("cfg", carry)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxBucket)
       .groupBy(col("cfg"), col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
-      .filter(size(col("all_ids")) >= 2)
-      .withColumn("ids", slice(col("all_ids"), 1, MaxBucket))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
       .select(col("cfg"), explode(expr(
         """array_distinct(flatten(transform(sequence(0, size(ids) - 2), i ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |    d2 -> struct(ids[i] AS doc1, d2 AS doc2)))))""".stripMargin))
         .as("p"))
       .select(col("cfg"), col("p.doc1"), col("p.doc2")).distinct()
+  }
 
   private def buildCandidates(s: org.apache.spark.sql.SparkSession, d: String) =
     bucketPairs(banded(s, d))

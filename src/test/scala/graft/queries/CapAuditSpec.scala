@@ -36,6 +36,31 @@ class CapAuditSpec extends AnyFunSuite {
     assert(Dedup.bucketPairs(degenerate).count() == 69)
   }
 
+  test("bucket cap bounds the aggregation BUFFER, not just emission") {
+    // The rank filter must sit BELOW the collect_list aggregate so a
+    // degenerate bucket can never materialize an unbounded array in one
+    // reduce buffer; Catalyst further rewrites `row_number() <= cap`
+    // into WindowGroupLimit with a Partial mode BELOW the shuffle, so
+    // past-cap members are dropped map-side and never shuffled.
+    val plan = Dedup.bucketPairs(degenerate, cap = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit rank-filter rewrite in:\n$plan")
+    assert(plan.contains("Partial"), // map-side partial group-limit
+      s"expected a Partial (pre-shuffle) WindowGroupLimit in:\n$plan")
+    val aggIdx = plan.indexOf("ObjectHashAggregate")
+    val wglIdx = plan.lastIndexOf("WindowGroupLimit")
+    assert(aggIdx >= 0 && wglIdx > aggIdx,
+      "the group-limit must appear below (after, in tree print order) " +
+        s"the collect_list aggregate:\n$plan")
+    // and a bucket wider than the cap still yields exactly capped pairs
+    val wide = {
+      import spark.implicits._
+      (1L to 50L).map(id => (0, "z", id)).toDF("band", "bkey", "doc_id")
+    }
+    assert(Dedup.bucketPairs(wide, cap = 10).count() == 45L) // C(10,2)
+  }
+
   test("capAuditOf counts capped buckets and dropped pairs exactly") {
     val row = Dedup.capAuditOf(degenerate, "t", cap = 5).collect()
     assert(row.length == 1)
