@@ -288,15 +288,100 @@ object Bench {
     // see on a shared virtualized box (graft.Tuning.stealPct rationale:
     // guest loadavg reads idle while the host inflates wall time)
     val stealPct = graft.Tuning.stealPct(jiffies0, graft.Tuning.cpuJiffies())
-    def mkLine(short: Boolean) =
+
+    // ---- paired oracle run (r13 VERDICT #4): time the DuckDB oracle
+    // for the same query set in the same process, so the committed
+    // artifact embeds {engine_s, oracle_s, steal_pct, ratio} for ONE
+    // box and one window — the only ratio that survives a noisy host —
+    // plus the per-query oracle breakdown so the ≤2× gate can be judged
+    // per query. The oracle runs AFTER resource release + spark.stop()
+    // (below) so it never competes with a heap-holding executor JVM.
+    // Fail-soft: no python3/duckdb, or SPARK_GRAFT_ORACLE=0, → the pair
+    // fields are absent and the artifact is exactly the old shape.
+    // duckdb is driver-side tooling (tools/check.py lineage), never a
+    // library dependency — Bench only shells out to it for the
+    // denominator of its own honesty metric.
+    def jsonEsc(v: String): String = v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+    def runOracle(): Option[(String, String)] = {
+      if (sys.env.getOrElse("SPARK_GRAFT_ORACLE", "1") == "0") return None
+      try {
+        val ran = results.map(_._1).toSet
+        val oracled = SparkEntry.oracleSql.filter { case (n, _) => ran(n) }
+        if (oracled.isEmpty) return None
+        val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+        java.nio.file.Files.write(tmp, oracled.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + jsonEsc(k) + "\":\"" + jsonEsc(v) + "\"" }
+          .mkString("{", ",", "}")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val tool = sys.env.getOrElse("SPARK_GRAFT_ORACLE_TOOL",
+          "tools/oracle_time.py")
+        val oj0 = graft.Tuning.cpuJiffies()
+        val pb = new ProcessBuilder("python3", tool, sfDir, tmp.toString)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val rc = proc.waitFor()
+        val oSteal = graft.Tuning.stealPct(oj0, graft.Tuning.cpuJiffies())
+        if (rc != 0) { System.err.println(s"oracle pair rc=$rc"); return None }
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(out.linesIterator.filter(_.startsWith("{")).toSeq.last)
+        val oracleS = node.get("value").asDouble()
+        val oracleWall = node.get("wall_sec").asDouble()
+        val oq = node.get("queries")
+        // engine seconds over the SAME oracled set — the numerator a
+        // per-query or total ratio must use (no-oracle queries would
+        // inflate engine_s against a denominator that never ran them)
+        val engineOracledS = results.collect {
+          case (n, t) if oracled.contains(n) => t
+        }.sum
+        val ratio =
+          if (oracleS > 0) math.round(engineOracledS / oracleS * 100) / 100.0
+          else 0.0
+        import scala.collection.JavaConverters._
+        val oqJson = oq.properties().asScala.toSeq
+          .sortBy(_.getKey).map { e =>
+            "\"" + e.getKey + "\":" + r3(e.getValue.asDouble())
+          }.mkString("{", ",", "}")
+        // q179 asymmetry (r13 ADVICE): the engine's coverTok posting
+        // frame is a warmed lifecycle artifact (warmup.coverTok), while
+        // the oracle's q179 SQL builds its tok CTE inside the timed
+        // run — the per-query q179 ratio must be read with the build
+        // cost added back; it rides here as an explicit component.
+        val asym = warmup.get("coverTok").fold("") { w =>
+          s""","engine_warm_components":{"q179_coverage_selection":${r3(w)}}"""
+        }
+        val full =
+          s""""pair":{"engine_oracled_s":${r3(engineOracledS)},"oracle_s":${
+            r3(oracleS)},"oracle_wall_s":${r3(oracleWall)},"ratio":$ratio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal$asym,"oracle_queries":$oqJson}"""
+        val short =
+          s""""pair":{"engine_oracled_s":${r3(engineOracledS)},"oracle_s":${
+            r3(oracleS)},"ratio":$ratio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal}"""
+        Some((short, full))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"oracle pair skipped: $e"); None
+      }
+    }
+
+    def mkLine(short: Boolean, pair: Option[(String, String)]) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${
         qsJson(short)},"sf":"$sfDir","load":$loadJson,"steal_pct":$stealPct,"floor_per_query":${
         r3(floorPerQuery)},"warmup_sec":${r3(warmupTotal)},"above_floor_total":${
         r3(aboveFloorTotal)},"sched_gap_total":${r3(schedGapTotal)},"failed_n":${
         failed.size},"failed":${failedJson(short)}$onlyJson${
-        if (short) "" else s""","floor":$floorJson,"warmup":$warmupJson,"runs":$runsJson"""}}"""
-    val line = mkLine(short = false)
-    val streamLine = mkLine(short = true)
+        if (short) "" else s""","floor":$floorJson,"warmup":$warmupJson,"runs":$runsJson"""}${
+        // pair LAST: the driver captures the stream line's ~2 KB TAIL,
+        // so the paired-ratio summary must sit at the end to survive
+        pair.fold("")(p => "," + (if (short) p._1 else p._2))}}"""
     // The bare full-name line goes to a file for the judge; the short
     // stream line is printed ONCE, on stdout only, AFTER spark.stop() so
     // it is the last line the process emits. (r03 post-mortem: printing
@@ -304,6 +389,20 @@ object Bench {
     // window — the surviving copy truncated or [info]-prefixed. build.sbt
     // sets run/outputStrategy := StdoutOutput so sbt passes the forked
     // run's output through raw, without the [info] prefix.)
+    // resource hygiene: release shared-index caches before shutdown.
+    // Stop + release runs BEFORE the paired oracle so the DuckDB window
+    // never competes with a heap-holding executor JVM.
+    try {
+      graft.queries.Dedup.releaseCandidateIndex(spark)
+      graft.queries.Graph.releaseCoEdges(spark)
+      graft.queries.TextAnalysis.releaseBpe(spark)
+      graft.queries.Similarity.releaseGroundTruth(spark)
+      Resources.releaseAll()
+    } catch { case _: Throwable => () }
+    spark.stop()
+    val pair = runOracle()
+    val line = mkLine(short = false, pair)
+    val streamLine = mkLine(short = true, pair)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -327,15 +426,6 @@ object Bench {
         java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_profile.json"),
         (profJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench out write failed: $e") }
-    // resource hygiene: release shared-index caches before shutdown
-    try {
-      graft.queries.Dedup.releaseCandidateIndex(spark)
-      graft.queries.Graph.releaseCoEdges(spark)
-      graft.queries.TextAnalysis.releaseBpe(spark)
-      graft.queries.Similarity.releaseGroundTruth(spark)
-      Resources.releaseAll()
-    } catch { case _: Throwable => () }
-    spark.stop()
     println(streamLine)
   }
 }

@@ -19,6 +19,33 @@ object Resources {
     df
   }
 
+  /** Collision-free cache-key identity for a session. Module memos
+    * (Dedup/TextAnalysis/Mixing/…) key per-(session, corpus) artifacts
+    * on this instead of `System.identityHashCode`: after a session is
+    * stopped and GC'd, a NEW session can (rarely) collide on the same
+    * identity hash and be served a checkpointed frame bound to the dead
+    * session if releaseAll was never called in between. `sessionUUID`
+    * The key is a monotonic counter assigned per session OBJECT in a
+    * weak-keyed identity map: never reused for the JVM's lifetime (so
+    * no cross-GC collision is possible), and the map entry itself is
+    * GC-evicted with the session (values are plain strings that don't
+    * reference the key, so the weak eviction actually fires — unlike
+    * caching the frames themselves under weak keys, see Tables).
+    * (`SparkSession.sessionUUID` would be the natural key but is
+    * `private[sql]`.) */
+  private val sessionKeys =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong
+  def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    sessionKeys.synchronized {
+      var k = sessionKeys.get(s)
+      if (k == null) {
+        k = s"sess-${sessionSeq.incrementAndGet()}"
+        sessionKeys.put(s, k)
+      }
+      k
+    }
+
   /** Register a callback fired by every [[releaseAll]] — for module
     * caches that MEMOIZE retained frames (e.g. the shared cluster-label
     * artifact): releasing the checkpoint under a memoized reference

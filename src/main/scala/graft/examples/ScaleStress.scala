@@ -1183,6 +1183,12 @@ object ScaleStress {
     val (hiT10, _) = time(hdIvfRun(hd10))
     val (hpT1, _) = time(hdPqRun(hd1))
     val (hpT10, _) = time(hdPqRun(hd10))
+    // hd1/hd10 are eager localCheckpoints (20k × 768 floats ≈ 65 MB
+    // plus overhead): release their pinned blocks before the 30×
+    // probes so the memory conditions those timings run under are not
+    // polluted by the finished hd* section (r13 ADVICE).
+    graft.Resources.releaseCheckpoint(hd1)
+    graft.Resources.releaseCheckpoint(hd10)
 
     // ---- 30× confirmation points (r12 VERDICT #6) for the four
     // probes whose 10× ratios sat highest last round (novelty 5.0,

@@ -157,7 +157,7 @@ object Dedup {
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private[queries] def candidates(s: org.apache.spark.sql.SparkSession, d: String) =
-    candCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    candCache.getOrElseUpdate(s"${graft.Resources.sessionKey(s)}:$d",
       buildCandidates(s, d).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -181,7 +181,7 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) =
-    shingleCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+    shingleCache.getOrElseUpdate(s"${graft.Resources.sessionKey(s)}:$d", {
       val shing = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
@@ -237,7 +237,7 @@ object Dedup {
       : org.apache.spark.sql.DataFrame = {
     if (labelsHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => labelsCache.clear())
-    labelsCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+    labelsCache.computeIfAbsent(s"${graft.Resources.sessionKey(s)}:$d", _ => {
       val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
       val edges = verifiedPairs(s, d)
         .select(col("doc1").as("src"), col("doc2").as("dst"))
@@ -254,7 +254,7 @@ object Dedup {
   }
 
   def releaseCandidateIndex(s: org.apache.spark.sql.SparkSession): Unit = {
-    val prefix = s"${System.identityHashCode(s)}:"
+    val prefix = s"${graft.Resources.sessionKey(s)}:"
     // the label memo points at Resources-owned checkpoints; dropping the
     // keys here is enough (the storage is released by releaseAll, and
     // the onReleaseAll hook clears any entries for OTHER sessions too)
@@ -553,7 +553,7 @@ object Dedup {
       d: String): org.apache.spark.sql.DataFrame = {
     if (pairStatsHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => pairStatsCache.clear())
-    pairStatsCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+    pairStatsCache.computeIfAbsent(s"${graft.Resources.sessionKey(s)}:$d", _ => {
       val cand = candidates(s, d)
       val ep = cand.select(col("doc1").as("doc_id"))
         .union(cand.select(col("doc2").as("doc_id"))).distinct()

@@ -773,7 +773,7 @@ object EventAnalytics {
   private def hourlyUserSketches(s: SparkSession, d: String): DataFrame = {
     if (hourlySkHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => hourlySkCache.clear())
-    hourlySkCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+    hourlySkCache.computeIfAbsent(s"${graft.Resources.sessionKey(s)}:$d", _ => {
       val kmv = udaf(graft.functions.KmvAgg)
       graft.Resources.retain(
         hourUserHashes(s, d).groupBy(col("hr"))

@@ -644,11 +644,15 @@ object Graph {
           .groupBy(col("dst")).agg(sum(col("h")).as("a"))
           .localCheckpoint())
         // max of an EMPTY frame is a single null row — fall back to 1
-        // (the frame is empty anyway, the literal never meets a row)
+        // (the frame is empty anyway, the literal never meets a row).
+        // The agg casts to long EXPLICITLY so a future type widening
+        // of a/h (e.g. decimal from an overflow fix) fails at analysis
+        // time instead of a runtime ClassCastException here.
         def statMax(df: org.apache.spark.sql.DataFrame,
-            c: String): Long =
-          Option(df.agg(max(col(c))).head().get(0))
-            .fold(1L)(_.asInstanceOf[Long])
+            c: String): Long = {
+          val row = df.agg(max(col(c)).cast("long")).head()
+          if (row.isNullAt(0)) 1L else row.getLong(0)
+        }
         val amax = statMax(authRaw, "a")
         auth = authRaw
           .select(col("dst"), expr(s"(a * 1000000L) div ${amax}L").as("a"))

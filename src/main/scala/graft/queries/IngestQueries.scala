@@ -45,13 +45,22 @@ object IngestQueries {
       .select(col("event_id"), col("topic"), col("payload"))
   }
 
-  /** SQL twin of [[mqttFrame]] (DuckDB dialect). */
+  /** SQL twin of [[mqttFrame]] (DuckDB dialect).
+    *
+    * Memory-lean by design (r13 VERDICT #2: the driver's q20 oracle OOMed
+    * on a memory-squeezed host): no `string_split` — the per-row LIST
+    * allocations were the only heap-heavy primitive in this chain — and
+    * each layer carries only the columns the next one reads (the wide
+    * `payload`/`topic` strings drop out of `full_rec`). Topic fields come
+    * from scalar regexp_extract instead of a materialized parts list:
+    * `tableName` = last segment, `client`/`device` = 1st/2nd segment of a
+    * leading-slash topic (valid rows always have one), and the ≥5-parts
+    * arity check is a slash COUNT (len(parts) >= 5 ⟺ count('/') >= 4). */
   private val mqttSql =
-    """WITH raw AS (
+    """WITH src AS (
       |  SELECT event_id,
-      |    '/client' || CAST(user_id % 3 AS VARCHAR) ||
-      |      '/device' || CAST(user_id AS VARCHAR) ||
-      |      '/out/sensors/' || event_type AS good_topic,
+      |    CASE WHEN event_id % 11 = 0 THEN substring(good_topic, 2)
+      |         ELSE good_topic END AS topic,
       |    CASE
       |      WHEN event_id % 7 = 0 THEN props
       |      WHEN event_id % 7 = 1 THEN '{"value":"' || event_type || '"}'
@@ -60,16 +69,15 @@ object IngestQueries {
       |      WHEN event_id % 7 = 4 THEN '{"nested":{"value":9},"value":"' || event_type || '"}'
       |      ELSE '{"value":' || CAST("value" AS VARCHAR) || '}'
       |    END AS payload
-      |  FROM events),
-      |src AS (
-      |  SELECT event_id,
-      |    CASE WHEN event_id % 11 = 0 THEN substring(good_topic, 2)
-      |         ELSE good_topic END AS topic,
-      |    payload
-      |  FROM raw),
+      |  FROM (SELECT event_id, props, "value", event_type,
+      |          '/client' || CAST(user_id % 3 AS VARCHAR) ||
+      |            '/device' || CAST(user_id AS VARCHAR) ||
+      |            '/out/sensors/' || event_type AS good_topic
+      |        FROM events)),
       |parsed AS (
       |  SELECT event_id, topic, payload,
-      |    string_split(topic, '/') AS parts,
+      |    (starts_with(topic, '/')
+      |      AND len(topic) - len(replace(topic, '/', '')) >= 4) AS topic_ok,
       |    CASE
       |      WHEN regexp_matches(payload, '"value"\s*:\s*-?(\d|\.\d)') THEN 'Float64'
       |      WHEN regexp_matches(payload, '"value"\s*:\s*"') THEN 'String'
@@ -77,13 +85,14 @@ object IngestQueries {
       |    json_extract_string(payload, '$.value') AS value_raw
       |  FROM src),
       |full_rec AS (
-      |  SELECT event_id, topic, payload,
-      |    parts[-1] AS tableName, parts[2] AS client, parts[3] AS device,
+      |  SELECT event_id,
+      |    regexp_extract(topic, '([^/]*)$', 1) AS tableName,
+      |    regexp_extract(topic, '^/([^/]*)', 1) AS client,
+      |    regexp_extract(topic, '^/[^/]*/([^/]*)', 1) AS device,
       |    value_type,
       |    CASE WHEN value_type = 'Float64' THEN TRY_CAST(value_raw AS DOUBLE) END AS value_d,
       |    CASE WHEN value_type = 'String' THEN value_raw END AS value_s,
-      |    (starts_with(topic, '/') AND len(parts) >= 5
-      |      AND value_type IS NOT NULL AND value_raw IS NOT NULL
+      |    (topic_ok AND value_type IS NOT NULL AND value_raw IS NOT NULL
       |      AND (value_type <> 'Float64'
       |           OR TRY_CAST(value_raw AS DOUBLE) IS NOT NULL)) AS valid
       |  FROM parsed)
@@ -126,14 +135,13 @@ object IngestQueries {
       .orderBy(col("reason")),
     mqttSql +
       """SELECT CASE
-        |    WHEN NOT (starts_with(topic, '/') AND len(parts) >= 5) THEN 'invalid_topic'
+        |    WHEN NOT topic_ok THEN 'invalid_topic'
         |    WHEN NOT contains(payload, '"value"') THEN 'missing_value'
         |    WHEN value_type IS NULL THEN 'unsupported_value_type'
         |    ELSE 'null_value' END AS reason,
         |  COUNT(*) AS n
-        |FROM (SELECT topic, payload, parts, value_type, value_raw,
-        |        (starts_with(topic, '/') AND len(parts) >= 5
-        |          AND value_type IS NOT NULL AND value_raw IS NOT NULL
+        |FROM (SELECT topic_ok, payload, value_type, value_raw,
+        |        (topic_ok AND value_type IS NOT NULL AND value_raw IS NOT NULL
         |          AND (value_type <> 'Float64'
         |               OR TRY_CAST(value_raw AS DOUBLE) IS NOT NULL)) AS valid
         |      FROM parsed)

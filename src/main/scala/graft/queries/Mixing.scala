@@ -336,7 +336,7 @@ object Mixing {
   private[queries] def coverTok(s: SparkSession, d: String): DataFrame = {
     if (coverTokHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => coverTokCache.clear())
-    coverTokCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ =>
+    coverTokCache.computeIfAbsent(s"${graft.Resources.sessionKey(s)}:$d", _ =>
       // per-doc bigram dedup happens MAP-SIDE (array_distinct before
       // the explode) — (doc_id, w) distinctness is within-document by
       // construction, so a post-explode .distinct() shuffle of the

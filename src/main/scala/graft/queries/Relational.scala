@@ -609,7 +609,7 @@ object Relational {
     val needed =
       if (liOverride.isDefined) size5x
       else derivedAccuracy.getOrElseUpdate(
-        s"${System.identityHashCode(s)}:$d", size5x)
+        s"${graft.Resources.sessionKey(s)}:$d", size5x)
     // Past the accuracy ceiling (groups > ceiling/5 rows) the GK sketch
     // would stay cheap but lose bit-exactness — switch to the exact
     // value-distribution path, which is exact at ANY group size. The GK
@@ -661,7 +661,7 @@ object Relational {
         (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
           .as("pc"))
       val acc = derivedAccuracy.getOrElseUpdate(
-        s"${System.identityHashCode(s)}:$d:orders-prio", {
+        s"${graft.Resources.sessionKey(s)}:$d:orders-prio", {
           val sized = base.groupBy(col("prio")).count()
             .agg(max(col("count"))).head()
           val maxGroup = if (sized.isNullAt(0)) 0L else sized.getLong(0)

@@ -880,7 +880,7 @@ object TextAnalysis {
   private val bm25Cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private[queries] def bm25PerDoc(s: SparkSession, d: String): DataFrame =
-    bm25Cache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    bm25Cache.getOrElseUpdate(s"${graft.Resources.sessionKey(s)}:$d",
       buildBm25PerDoc(s, d).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -1453,7 +1453,7 @@ object TextAnalysis {
     }
     // the BM25 score table shares the release point: both are
     // TextAnalysis's per-(session, corpus) persisted artifacts
-    val prefix = s"${System.identityHashCode(s)}:"
+    val prefix = s"${graft.Resources.sessionKey(s)}:"
     bm25Cache.keys.filter(_.startsWith(prefix)).foreach { k =>
       bm25Cache.remove(k).foreach { df =>
         try df.unpersist()
@@ -2082,7 +2082,7 @@ object TextAnalysis {
       s: SparkSession, d: String): DataFrame = {
     if (kmvSkHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => kmvSkCache.clear())
-    kmvSkCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+    kmvSkCache.computeIfAbsent(s"${graft.Resources.sessionKey(s)}:$d", _ => {
       val kmv = udaf(graft.functions.KmvAgg)
       graft.Resources.retain(
         sourceTokenHashes(s, d).groupBy(col("source"))
