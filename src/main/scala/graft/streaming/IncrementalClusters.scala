@@ -334,6 +334,83 @@ object IncrementalClusters {
     }
   }
 
+  /** Restore (or seed) the fold's state from a checkpoint dir — the
+    * startup half of [[start]], public so a host pipeline that folds
+    * clusters inside its OWN foreachBatch (the ingest daemon) gets the
+    * same crash-restart semantics. */
+  def initState(checkpointDir: String, state: State,
+      seedPairs: Seq[(Long, Long)] = Nil): Unit =
+    load(stateFile(checkpointDir)) match {
+      case Some(c) => state.ref.set(c)
+      case None => state.ref.set(Clusters(merged(Map.empty, seedPairs)))
+    }
+
+  /** One micro-batch of the standing fold, callable from ANY
+    * foreachBatch — the daemon folds clusters in the same batch
+    * transaction as its warehouse route, so one source and one
+    * checkpoint lineage serve both. `batchDocs` is a batch-mode
+    * (doc_id, text) frame; replays (batchId ≤ lastBatch) are skipped
+    * with the already-current state, exactly as in [[start]]. Call
+    * [[initState]] once before the stream starts. */
+  def foldBatch(batchDocs: DataFrame, batchId: Long, idx: GrowingIndex,
+      checkpointDir: String, state: State, onUpdate: Clusters => Unit,
+      maxResident: Int = Int.MaxValue): Unit = {
+    val file = stateFile(checkpointDir)
+    val spill = spillFile(checkpointDir)
+    val cur = state.ref.get()
+    if (batchId <= cur.lastBatch) onUpdate(cur)
+    else {
+      val b = batchDocs.select(col("doc_id"), col("text")).persist()
+      try {
+        val seg = buildSegment(b)
+        val within = flag(b, seg)
+          .filter(col("new_doc") < col("old_doc"))
+          .select(col("new_doc"), col("old_doc")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val cross = flag(b, idx.composite)
+          .filter(col("new_doc") =!= col("old_doc"))
+          .select(col("new_doc"), col("old_doc")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val pairs = within ++ cross
+        // bounded mode: fault cold endpoints' entries in from the
+        // spill log before merging, so the union-find sees every
+        // chain it needs
+        val endpoints = pairs.iterator
+          .flatMap(p => Iterator(p._1, p._2)).toSet
+        val workingRoot =
+          if (maxResident == Int.MaxValue) cur.root
+          else loadSpilled(spill, cur.root, endpoints)
+        val full = merged(workingRoot, pairs)
+        val next =
+          if (full.size <= maxResident) Clusters(full, batchId)
+          else {
+            // spill every entry that is neither an endpoint of this
+            // batch's pairs nor a resolved root of one — cold
+            // MEMBERS of hot clusters spill too (their values are
+            // fully resolved, so correctness never needs them
+            // resident; a reload is one log pass away). Keeping
+            // whole touched clusters instead would let one
+            // always-hot mirror cluster pin its entire membership
+            // forever, defeating the bound.
+            val touchedRoots = endpoints.flatMap(full.get)
+            val (keep, evict) = full.partition { case (k, _) =>
+              endpoints.contains(k) || touchedRoots.contains(k)
+            }
+            appendSpill(spill, evict)
+            state.spillAppends += evict.size
+            Clusters(keep, batchId)
+          }
+        persist(file, next)
+        idx.append(seg)
+        state.ref.set(next)
+        onUpdate(next)
+      } finally {
+        b.unpersist()
+        ()
+      }
+    }
+  }
+
   /** Run the standing fold over a (doc_id, text) streaming frame;
     * `onUpdate` fires after every micro-batch (including skipped
     * redeliveries, with the already-current state). `maxResident`
@@ -344,68 +421,12 @@ object IncrementalClusters {
       seedPairs: Seq[(Long, Long)], checkpointDir: String, state: State,
       onUpdate: Clusters => Unit,
       maxResident: Int = Int.MaxValue): StreamingQuery = {
-    val file = stateFile(checkpointDir)
-    val spill = spillFile(checkpointDir)
-    load(file) match {
-      case Some(c) => state.ref.set(c)
-      case None => state.ref.set(Clusters(merged(Map.empty, seedPairs)))
-    }
+    initState(checkpointDir, state, seedPairs)
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cur = state.ref.get()
-        if (batchId <= cur.lastBatch) onUpdate(cur)
-        else {
-          val b = batch.select(col("doc_id"), col("text")).persist()
-          try {
-            val seg = buildSegment(b)
-            val within = flag(b, seg)
-              .filter(col("new_doc") < col("old_doc"))
-              .select(col("new_doc"), col("old_doc")).collect()
-              .map(r => (r.getLong(0), r.getLong(1))).toSeq
-            val cross = flag(b, idx.composite)
-              .filter(col("new_doc") =!= col("old_doc"))
-              .select(col("new_doc"), col("old_doc")).collect()
-              .map(r => (r.getLong(0), r.getLong(1))).toSeq
-            val pairs = within ++ cross
-            // bounded mode: fault cold endpoints' entries in from the
-            // spill log before merging, so the union-find sees every
-            // chain it needs
-            val endpoints = pairs.iterator
-              .flatMap(p => Iterator(p._1, p._2)).toSet
-            val workingRoot =
-              if (maxResident == Int.MaxValue) cur.root
-              else loadSpilled(spill, cur.root, endpoints)
-            val full = merged(workingRoot, pairs)
-            val next =
-              if (full.size <= maxResident) Clusters(full, batchId)
-              else {
-                // spill every entry that is neither an endpoint of this
-                // batch's pairs nor a resolved root of one — cold
-                // MEMBERS of hot clusters spill too (their values are
-                // fully resolved, so correctness never needs them
-                // resident; a reload is one log pass away). Keeping
-                // whole touched clusters instead would let one
-                // always-hot mirror cluster pin its entire membership
-                // forever, defeating the bound.
-                val touchedRoots = endpoints.flatMap(full.get)
-                val (keep, evict) = full.partition { case (k, _) =>
-                  endpoints.contains(k) || touchedRoots.contains(k)
-                }
-                appendSpill(spill, evict)
-                state.spillAppends += evict.size
-                Clusters(keep, batchId)
-              }
-            persist(file, next)
-            idx.append(seg)
-            state.ref.set(next)
-            onUpdate(next)
-          } finally {
-            b.unpersist()
-            ()
-          }
-        }
-        ()
+        foldBatch(batch, batchId, idx, checkpointDir, state, onUpdate,
+          maxResident)
       }
       .start()
   }

@@ -27,6 +27,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  Engine-side extensions (no reference analog — a Spark deploy needs
   *  them): -clientId, -checkpointDir, -rejectedDir, -connectors
   *  (topic-filter shards), -pollMillis (config watch cadence),
+  *  -dedupClusters (standing near-dup clusters over String records),
+  *  -maxResidentRoots (driver-memory bound for that stage's root map —
+  *  implies -dedupClusters; [[IncrementalClusters]] DRIVER-MEMORY
+  *  BOUND), -clustersCheckpointDir (default `<checkpointDir>-clusters`),
   *  -tlsConfig (path to the reference-shaped JSON
   *  `{"caPath":…,"certPath":…,"keyPath":…}`, default
   *  `config/configTLS.json` — config.go:12-21).
@@ -69,7 +73,10 @@ object IngestDaemon {
       checkpointDir: String = "graft-daemon-ckpt",
       rejectedDir: Option[String] = None,
       connectors: Int = 1,
-      pollMillis: Long = 1000L)
+      pollMillis: Long = 1000L,
+      dedupClusters: Boolean = false,
+      maxResidentRoots: Int = Int.MaxValue,
+      clustersCheckpointDir: Option[String] = None)
 
   /** Go-flag-style parser for the surface above. Unknown flags fail
     * loudly (the reference's flag package does too). */
@@ -106,6 +113,15 @@ object IngestDaemon {
         case "rejectedDir" => cfg = cfg.copy(rejectedDir = Some(v))
         case "connectors" => cfg = cfg.copy(connectors = v.toInt)
         case "pollMillis" => cfg = cfg.copy(pollMillis = v.toLong)
+        case "dedupClusters" =>
+          cfg = cfg.copy(dedupClusters = inline.forall(_.toBoolean))
+        case "maxResidentRoots" =>
+          // the cap only means something with the stage on — setting it
+          // implies -dedupClusters, so a deploy can't ask for a bound
+          // and silently get no dedup at all
+          cfg = cfg.copy(maxResidentRoots = v.toInt, dedupClusters = true)
+        case "clustersCheckpointDir" =>
+          cfg = cfg.copy(clustersCheckpointDir = Some(v))
         case other =>
           throw new IllegalArgumentException(s"unknown flag -$other")
       }
@@ -156,7 +172,10 @@ object IngestDaemon {
       /** Graceful stop — the QuitChannel analog: watcher first (no new
         * resubscribes), then the query (drains the current batch), then
         * whatever the caller owns (connector, catalog). */
-      stop: () => Unit)
+      stop: () => Unit,
+      /** Standing-cluster state when `-dedupClusters` is on — the
+        * resident/spilled gauge a deploy (and the spec) reads. */
+      clusters: Option[IncrementalClusters.State] = None)
 
   /** Wire config-watch + source + parse/route/reject + catalog into a
     * running pipeline. Every external endpoint is injected, so the full
@@ -175,12 +194,42 @@ object IngestDaemon {
       .option("connectors", cfg.connectors.toString)
       .option("topics", filters.mkString(","))
       .load()
+    // optional standing near-dup clusters over String-typed records.
+    // A fresh deploy starts from an EMPTY index (it grows one segment
+    // per batch); the state restores from its own checkpoint dir. The
+    // per-batch gauge line is the operational alarm the class doc asks
+    // a capped deploy to watch: resident vs spilled tells an operator
+    // whether -maxResidentRoots is sized right BEFORE the driver heap
+    // does.
+    val stage = if (!cfg.dedupClusters) None else {
+      val ckpt = cfg.clustersCheckpointDir
+        .getOrElse(cfg.checkpointDir.stripSuffix("/") + "-clusters")
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      val idx = new IncrementalClusters.GrowingIndex(
+        IncrementalDedup.buildIndex(empty))
+      val state = new IncrementalClusters.State
+      IncrementalClusters.initState(ckpt, state)
+      Some((IngestPipeline.ClustersStage(idx, state, ckpt,
+        cfg.maxResidentRoots, onUpdate = _ => {
+          val m = state.metrics
+          System.err.println(s"[graft-daemon] clusters " +
+            s"resident=${m.residentRoots} spilled=${m.spillAppends} " +
+            s"batch=${m.lastBatch} segments=${idx.segments}")
+        }), idx))
+    }
     val query = IngestPipeline.start(source, router, cfg.checkpointDir,
-      rejectedDir = cfg.rejectedDir)
+      rejectedDir = cfg.rejectedDir, clusters = stage.map(_._1))
     Assembled(query, watcher, () => {
       watcher.stop()
       query.stop()
-    })
+      stage.foreach(_._2.release())
+    }, clusters = stage.map(_._1.state))
   }
 
   def main(argv: Array[String]): Unit = {

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.ingest.Ingest
 import graft.sinks.TableRouter
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -52,13 +53,29 @@ object IngestPipeline {
     * (main.go:21-31) for bug-for-bug comparisons. */
   final class PoisonMessageException(msg: String) extends RuntimeException(msg)
 
+  /** Optional standing near-dup cluster stage, folded INSIDE the same
+    * micro-batch as the warehouse route (one source, one checkpoint
+    * lineage — see [[IncrementalClusters.foldBatch]]). String-typed
+    * records stream into the evolving union-find; `maxResident` bounds
+    * the driver-held root map (the production knob the daemon exposes
+    * as `-maxResidentRoots`), and `onUpdate` is the per-batch gauge
+    * hook. Caller owns idx/state lifecycle (initState before start,
+    * idx.release() on stop). */
+  final case class ClustersStage(
+      idx: IncrementalClusters.GrowingIndex,
+      state: IncrementalClusters.State,
+      checkpointDir: String,
+      maxResident: Int = Int.MaxValue,
+      onUpdate: IncrementalClusters.Clusters => Unit = _ => ())
+
   def start(
       source: DataFrame,
       router: TableRouter,
       checkpointDir: String,
       rejectedDir: Option[String] = None,
       dedupWithinWatermark: Option[String] = None,
-      strictPoisonStop: Boolean = false): StreamingQuery = {
+      strictPoisonStop: Boolean = false,
+      clusters: Option[ClustersStage] = None): StreamingQuery = {
 
     val deduped = dedupWithinWatermark match {
       case Some(delay) if source.columns.contains("receivedAt") =>
@@ -101,6 +118,20 @@ object IngestPipeline {
               rej.write.mode("append").parquet(dir)
           }
           router.routeBatch(Ingest.recordsOfParsed(parsed), batchId)
+          // standing cluster fold AFTER the data commit: a crash in
+          // between replays the batch — the router skips (isCommitted)
+          // and the fold runs (its own lastBatch guard), so neither
+          // side double-applies. doc_id = xxhash64(topic, payload) is
+          // replay-stable: a QoS-1 redelivery maps to the same id and
+          // the fold's self-pair guards drop it.
+          clusters.foreach { cs =>
+            val docs = parsed
+              .filter(col("valid") && col("value_type") === "String")
+              .select(xxhash64(col("topic"), col("payload")).as("doc_id"),
+                col("value_s").as("text"))
+            IncrementalClusters.foldBatch(docs, batchId, cs.idx,
+              cs.checkpointDir, cs.state, cs.onUpdate, cs.maxResident)
+          }
           ()
         } finally { parsed.unpersist(); () }
       }

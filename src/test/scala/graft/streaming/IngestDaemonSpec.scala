@@ -175,4 +175,106 @@ class IngestDaemonSpec extends AnyFunSuite {
       broker.close()
     }
   }
+
+  test("-maxResidentRoots bounds the daemon's cluster state with " +
+    "observable eviction") {
+    val broker = new MiniMqttBroker()
+    val cid = s"daemon-clusters-${System.nanoTime()}"
+    val conn = new TcpMqttConnector(MqttSettings(
+      host = "127.0.0.1", port = broker.port, clientId = cid,
+      keepAliveSecs = 5, reconnectDelayMillis = 50L)).connect()
+    val connectorName = s"daemon-spec-$cid"
+    MqttConnectors.register(connectorName, conn)
+
+    val backend = new ConsulKvBackend("consul.fake", 8500, http = { _ =>
+      ConsulKvBackend.Response(
+        kvBody("""{"sensors": "/plant/+/out/sensors/#"}""", 1L), Some(1L))
+    })
+    val db = s"memory:daemonclu${System.nanoTime()}"
+    DriverManager.getConnection(s"jdbc:derby:$db;create=true").close()
+    val catalog = new JdbcCatalog(
+      { val u = s"jdbc:derby:$db"; () => DriverManager.getConnection(u) },
+      DerbyDialect)
+
+    // near-dup String payloads: one-word-tail variants of 24-token
+    // templates (the StreamingClustersBoundedSpec shape — shingle
+    // Jaccard ≈ 0.91, well over the 0.5 verify threshold)
+    def variant(t: Int, v: Int): String =
+      ((1 to 23).map(i => s"t${t}w$i") :+ s"v$v").mkString(" ")
+    val topic = "/plant/p1/out/sensors/txt"
+    def payload(text: String): String = s"""{"value":"$text"}"""
+    // the fold keys docs on xxhash64(topic, payload) — compute the ids
+    // the daemon will assign, to assert the cross-batch merge exactly
+    def docId(text: String): Long = {
+      import org.apache.spark.sql.functions.{lit, xxhash64}
+      spark.range(1)
+        .select(xxhash64(lit(topic), lit(payload(text)))).head().getLong(0)
+    }
+
+    // -maxResidentRoots implies -dedupClusters (parse rule) — build the
+    // Config exactly as the CLI would
+    val cfg = IngestDaemon.parse(Array(
+      "-broker", "127.0.0.1", "-maxResidentRoots", "6",
+      "-clustersCheckpointDir",
+      Files.createTempDirectory("daemon-clu-ckpt").toString))
+      .copy(clientId = cid,
+        checkpointDir = Files.createTempDirectory("daemon-ckpt").toString,
+        pollMillis = 20L)
+    assert(cfg.dedupClusters && cfg.maxResidentRoots == 6)
+
+    val a = IngestDaemon.assemble(spark, cfg, conn, connectorName,
+      backend, catalog)
+    try {
+      assert(await(conn.isConfigured(cid)), "daemon never subscribed")
+      val st = a.clusters.getOrElse(fail("bounded daemon must expose " +
+        "the clusters gauge"))
+
+      // batch 1: four variants of template 0 — one 4-member cluster
+      val batchA = (1 to 4).map(v => variant(0, v))
+      batchA.foreach(t => assert(await(broker.publish(topic, payload(t)) == 1)))
+      assert(await(conn.latestSeq(cid) >= 4L))
+      a.query.processAllAvailable()
+      assert(await(st.metrics.residentRoots == 4),
+        s"expected the 4-endpoint cluster resident, got ${st.metrics}")
+      assert(st.metrics.spillAppends == 0L)
+
+      // batch 2: four variants of template 1 — resident would be 8 > 6,
+      // so the quiescent template-0 cluster must spill
+      val batchB = (1 to 4).map(v => variant(1, v))
+      batchB.foreach(t => assert(await(broker.publish(topic, payload(t)) == 1)))
+      assert(await(conn.latestSeq(cid) >= 8L))
+      a.query.processAllAvailable()
+      assert(await(st.metrics.spillAppends >= 4L),
+        s"cold cluster must spill past the cap, got ${st.metrics}")
+      assert(st.metrics.residentRoots <= 6,
+        s"resident must respect -maxResidentRoots, got ${st.metrics}")
+
+      // batch 3: revisit template 0 — a COLD (fully spilled) cluster;
+      // the fold must fault its entries back in and merge exactly
+      val revisit = variant(0, 9)
+      assert(await(broker.publish(topic, payload(revisit)) == 1))
+      assert(await(conn.latestSeq(cid) >= 9L))
+      a.query.processAllAvailable()
+      val expectRoot = (batchA.map(docId) :+ docId(revisit)).min
+      assert(await(st.get.label(docId(revisit)) == expectRoot),
+        s"cross-batch merge through the spill log: expected " +
+          s"$expectRoot, got ${st.get.label(docId(revisit))}")
+
+      // the stage must not break the warehouse route
+      val c = DriverManager.getConnection(s"jdbc:derby:$db")
+      try {
+        val rs = c.createStatement()
+          .executeQuery("""SELECT COUNT(*) FROM "txt"""")
+        rs.next()
+        assert(rs.getInt(1) == 9, "all String records still routed")
+      } finally c.close()
+
+      a.stop()
+      assert(!a.query.isActive)
+    } finally {
+      if (a.query.isActive) a.query.stop()
+      conn.close()
+      broker.close()
+    }
+  }
 }
