@@ -7,7 +7,14 @@ import org.apache.spark.sql.types._
   * reference works in (`ColumnsType{ColName, ColType}`,
   * /root/reference/message/message.go:26-29). */
 final case class ColumnDef(name: String, chType: String) {
-  def sparkType: DataType = TypeMapping.toSpark(chType)
+  /** Spark view of the column — read-side family mapping (a bootstrap
+    * table created outside the ingest path can carry DateTime64 /
+    * Decimal / sized-int columns; [[TypeMapping.toSparkRead]]). Fails
+    * loudly on a genuinely unrepresentable type instead of a bare
+    * NoSuchElementException. */
+  def sparkType: DataType = TypeMapping.toSparkRead(chType).getOrElse(
+    throw new IllegalArgumentException(
+      s"no Spark type for ClickHouse '$chType' (column '$name')"))
   def sparkField: StructField = StructField(name, sparkType)
 }
 

@@ -27,20 +27,8 @@ object ClickHouseDialect extends SqlDialect {
     * `LowCardinality(String)`, or both nested. The catalog stores the
     * canonical inner name (the reference's world only knows the plain
     * names — db.go:117-143), so strip wrappers before registry compare. */
-  override def chTypeOf(t: String): String = {
-    var s = t.trim
-    var changed = true
-    while (changed) {
-      changed = false
-      Seq("Nullable", "LowCardinality").foreach { w =>
-        if (s.startsWith(w + "(") && s.endsWith(")")) {
-          s = s.substring(w.length + 1, s.length - 1).trim
-          changed = true
-        }
-      }
-    }
-    s
-  }
+  override def chTypeOf(t: String): String =
+    graft.ingest.TypeMapping.unwrap(t)
   override def createTable(table: String, cols: Seq[ColumnDef]): String =
     ClickHouseSql.createTable(table, cols)
   override def alreadyExists(e: SQLException): Boolean = false // IF NOT EXISTS

@@ -163,6 +163,72 @@ class ClickHouseRoundTripSpec extends AnyFunSuite {
       ColumnDef("n", "String"), ColumnDef("i", "Int64")))
   }
 
+  test("production bootstrap metadata: DateTime64/Date/Decimal families " +
+    "round-trip and map to Spark read types") {
+    FakeClickHouse.reset()
+    // what a real server's externally-created table presents over JDBC
+    // metadata on LoadTables (db/db.go:75-107 reads the raw expression)
+    FakeClickHouse.tables.put("readings", Seq(
+      ("ts", "DateTime64(3)"),
+      ("ts_tz", "Nullable(DateTime64(3, 'UTC'))"),
+      ("day", "Date"),
+      ("day32", "Date32"),
+      ("dt", "DateTime('UTC')"),
+      ("amount", "Decimal(18, 4)"),
+      ("big", "UInt64"),
+      ("small", "LowCardinality(Nullable(Int32))"),
+      ("tag", "FixedString(16)"),
+      ("id", "UUID"),
+      ("v", "Nullable(Float64)")))
+    val cols = new JdbcCatalog(() => FakeClickHouse.connect(),
+      ClickHouseDialect).describe("readings")
+    // wrappers strip to the canonical inner expression; parameterized
+    // types keep their parameters (the reference stores the raw string)
+    assert(cols == Seq(
+      graft.registry.ColumnDef("ts", "DateTime64(3)"),
+      graft.registry.ColumnDef("ts_tz", "DateTime64(3, 'UTC')"),
+      graft.registry.ColumnDef("day", "Date"),
+      graft.registry.ColumnDef("day32", "Date32"),
+      graft.registry.ColumnDef("dt", "DateTime('UTC')"),
+      graft.registry.ColumnDef("amount", "Decimal(18, 4)"),
+      graft.registry.ColumnDef("big", "UInt64"),
+      graft.registry.ColumnDef("small", "Int32"),
+      graft.registry.ColumnDef("tag", "FixedString(16)"),
+      graft.registry.ColumnDef("id", "UUID"),
+      graft.registry.ColumnDef("v", "Float64")))
+    // the Spark read-side view of the same table
+    import org.apache.spark.sql.types._
+    assert(cols.map(_.sparkType) == Seq(
+      TimestampType, TimestampType, DateType, DateType, TimestampType,
+      DecimalType(18, 4), DecimalType(20, 0), IntegerType, StringType,
+      StringType, DoubleType))
+    // a genuinely unrepresentable type fails loudly, naming the column
+    val e = intercept[IllegalArgumentException] {
+      graft.registry.ColumnDef("agg", "AggregateFunction(sum, UInt64)")
+        .sparkType
+    }
+    assert(e.getMessage.contains("AggregateFunction"))
+  }
+
+  test("W3 rejects an ingest record against a DateTime64 column " +
+    "positionally (no crash, no silent write)") {
+    // the reference compares raw type strings per index
+    // (db/db.go:208-223); a Float64 record hitting a timestamp column
+    // must be INVALID, not an exception
+    val reg = new graft.registry.SchemaRegistry
+    val tableCols = Seq(
+      graft.registry.ColumnDef("client", "String"),
+      graft.registry.ColumnDef("ts", "DateTime64(3)"),
+      graft.registry.ColumnDef("value", "Float64"))
+    val record = Seq(
+      graft.registry.ColumnDef("client", "String"),
+      graft.registry.ColumnDef("device", "Float64"),
+      graft.registry.ColumnDef("value", "Float64"))
+    val err = reg.checkValid(tableCols, record)
+    assert(err.exists(_.contains("position 1")), s"got $err")
+    assert(err.exists(_.contains("DateTime64(3)")))
+  }
+
   test("describe('temp_1') does not merge columns from 'tempX1' (LIKE escape)") {
     FakeClickHouse.reset()
     FakeClickHouse.tables.put("temp_1", Seq(("value", "Float64")))
