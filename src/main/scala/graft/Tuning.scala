@@ -66,14 +66,62 @@ object Tuning {
     * (`spark.newSession()` shares the context and catalog but not the
     * conf). */
   def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
-      n: Int)(body: => T): T = {
+      n: Int)(body: => T): T =
+    withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Scoped session-conf overrides under the same per-session lock as
+    * [[withShufflePartitions]] (LIFO-correct restore, including unset
+    * keys). Only plans EXECUTED inside `body` see the overrides. */
+  def withConfs[T](spark: org.apache.spark.sql.SparkSession,
+      overrides: (String, String)*)(body: => T): T = {
     val lock = sessionLocks.computeIfAbsent(spark, _ => new Object)
     lock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val old = spark.conf.get(key)
-      spark.conf.set(key, n.toString)
-      try body finally spark.conf.set(key, old)
+      val olds = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
+  }
+
+  /** Conf scope for DRIVER-COORDINATED superstep loops (BFS rings, CC
+    * label rounds, HITS half-updates): explicit size-matched shuffle
+    * partitions AND adaptive execution OFF. AQE materializes every
+    * exchange as its own job to re-plan on runtime stats — the right
+    * trade on a genuinely large shuffle, pure per-job scheduling
+    * overhead on a superstep whose shuffles are node-sized, already
+    * explicitly sized via [[partsFor]] of a measured count, and
+    * eagerly checkpointed every round anyway (measured: q153's 4-ring
+    * BFS ran 39 jobs under AQE vs ~8 without, with the family's wall
+    * time dominated by inter-job gap). At 100 TB the loop body's
+    * partition count scales with the measured frame size, so turning
+    * AQE off here costs nothing a fixed `partsFor` sizing didn't
+    * already decide. */
+  def withSuperstepConf[T](spark: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val confs = Seq("spark.sql.shuffle.partitions" -> n.toString) ++
+      // AQE materializes every exchange as its own job to re-plan on
+      // runtime stats — the right trade on a genuinely large shuffle,
+      // pure per-job scheduling overhead on node-sized superstep
+      // shuffles already explicitly sized via partsFor of a measured
+      // count (measured: q153's 4-ring BFS ran 39 jobs under AQE vs 16
+      // without)
+      (if (!java.lang.Boolean.parseBoolean(
+        System.getProperty("graft.superstep.aqe", "false")))
+        Seq("spark.sql.adaptive.enabled" -> "false") else Nil) ++
+      // no auto-broadcast inside the loop: each broadcast build is its
+      // own driver-side collect JOB (per round, per side), and the
+      // frames a superstep joins are frontier-/node-sized — exactly the
+      // frames that grow with the graph, so a stats-driven broadcast
+      // here is an OOM hazard at scale and a per-round job tax at test
+      // scale. Keyed shuffle joins at the explicit partition count keep
+      // each round ONE job (its eager checkpoint) with deterministic
+      // memory.
+      (if (java.lang.Boolean.parseBoolean(
+        System.getProperty("graft.superstep.noBroadcast", "true")))
+        Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1") else Nil)
+    withConfs(spark, confs: _*)(body)
   }
 
   /** Eagerly localCheckpoint `df`, then — if the materialized partition

@@ -38,7 +38,7 @@ object ConnectedComponents {
     // price of sizing (for every repo caller that frame is a filter
     // over an already-pinned artifact).
     val loopParts = graft.Tuning.partsFor(2 * edges.count())
-    graft.Tuning.withShufflePartitions(nodes.sparkSession, loopParts) {
+    graft.Tuning.withSuperstepConf(nodes.sparkSession, loopParts) {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -141,11 +141,11 @@ object ConnectedComponents {
     // size-matched loop shuffles (see labels() above); count reads the
     // just-checkpointed frame
     val loopParts = graft.Tuning.partsFor(cur.count())
-    graft.Tuning.withShufflePartitions(edges.sparkSession, loopParts) {
-    while (!done && rounds < maxIters) {
+    // one large-star + small-star alternation as a LAZY plan transform
+    def starRound(in: DataFrame): DataFrame = {
       // large-star: for each u, attach strictly-larger neighbors to
       // m = min(N(u) ∪ {u}); every output edge points bigger → smaller
-      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val sym = in.union(in.select(col("v").as("u"), col("u").as("v")))
       val nMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
       val ls = sym.join(nMin, Seq("u"))
         .filter(col("v") > col("u"))
@@ -154,12 +154,21 @@ object ConnectedComponents {
       // small-star: edges now orient bigger → smaller; re-point each
       // node's smaller neighbors (and itself) at their minimum
       val sMin = ls.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      val next = ls.join(sMin, Seq("u"))
+      ls.join(sMin, Seq("u"))
         .filter(col("v") =!= col("mn"))
         .select(col("v").as("u"), col("mn").as("v"))
         .union(sMin.select(col("u"), col("mn").as("v")))
         .distinct()
-        .localCheckpoint(true)
+    }
+    graft.Tuning.withSuperstepConf(edges.sparkSession, loopParts) {
+    while (!done && rounds < maxIters) {
+      // ONE round per checkpoint. Pairwise fusion (two starRounds per
+      // checkpoint) was built and MEASURED here (r14): the fused plan
+      // references the checkpoint leaf ~16× and Catalyst's
+      // optimize/plan time on it dominated — q65b 3.1 s → 12.3 s at
+      // sf0.1 with 10.7 s of driver-side gap. Like q153's 2-hop stride
+      // (reverted in r10), per-round materialization is the floor.
+      val next = starRound(cur).localCheckpoint(true)
       val nextSig = sig(next)
       done = nextSig == curSig &&
         next.except(cur).union(cur.except(next)).isEmpty

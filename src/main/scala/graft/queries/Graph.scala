@@ -452,7 +452,7 @@ object Graph {
       // per-ring BFS output.
       // loop shuffles sized to the measured (bidirectional) edge count
       // — every ring is a subset of the dst side of one expand join
-      graft.Tuning.withShufflePartitions(s,
+      graft.Tuning.withSuperstepConf(s,
         graft.Tuning.partsFor(2 * coEdgeCount(s, d))) {
         for (t <- 1 to BfsSteps) {
           frontier = graft.Resources.retain(frontier
@@ -639,29 +639,36 @@ object Graph {
       // checkpoint and redo one integer div, never the join (r13: the
       // second per-half checkpoint + broadcast machinery was half the
       // query's job count for zero saved work).
-      for (_ <- 1 to 2) {
-        val authRaw = graft.Resources.retain(e.join(hub, "src")
-          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
-          .localCheckpoint())
-        // max of an EMPTY frame is a single null row — fall back to 1
-        // (the frame is empty anyway, the literal never meets a row).
-        // The agg casts to long EXPLICITLY so a future type widening
-        // of a/h (e.g. decimal from an overflow fix) fails at analysis
-        // time instead of a runtime ClassCastException here.
-        def statMax(df: org.apache.spark.sql.DataFrame,
-            c: String): Long = {
-          val row = df.agg(max(col(c)).cast("long")).head()
-          if (row.isNullAt(0)) 1L else row.getLong(0)
+      // superstep conf scope (see Tuning.withSuperstepConf): the
+      // half-round shuffles move node-sized score frames against the
+      // already-right-sized persisted edges, so AQE's per-exchange
+      // re-plan jobs are pure scheduling overhead here; partition
+      // count follows the edge artifact's own (size-matched) width
+      graft.Tuning.withSuperstepConf(s, e.rdd.getNumPartitions) {
+        for (_ <- 1 to 2) {
+          val authRaw = graft.Resources.retain(e.join(hub, "src")
+            .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+            .localCheckpoint())
+          // max of an EMPTY frame is a single null row — fall back to 1
+          // (the frame is empty anyway, the literal never meets a row).
+          // The agg casts to long EXPLICITLY so a future type widening
+          // of a/h (e.g. decimal from an overflow fix) fails at analysis
+          // time instead of a runtime ClassCastException here.
+          def statMax(df: org.apache.spark.sql.DataFrame,
+              c: String): Long = {
+            val row = df.agg(max(col(c)).cast("long")).head()
+            if (row.isNullAt(0)) 1L else row.getLong(0)
+          }
+          val amax = statMax(authRaw, "a")
+          auth = authRaw
+            .select(col("dst"), expr(s"(a * 1000000L) div ${amax}L").as("a"))
+          val hubRaw = graft.Resources.retain(e.join(auth, "dst")
+            .groupBy(col("src")).agg(sum(col("a")).as("h"))
+            .localCheckpoint())
+          val hmax = statMax(hubRaw, "h")
+          hub = hubRaw
+            .select(col("src"), expr(s"(h * 1000000L) div ${hmax}L").as("h"))
         }
-        val amax = statMax(authRaw, "a")
-        auth = authRaw
-          .select(col("dst"), expr(s"(a * 1000000L) div ${amax}L").as("a"))
-        val hubRaw = graft.Resources.retain(e.join(auth, "dst")
-          .groupBy(col("src")).agg(sum(col("a")).as("h"))
-          .localCheckpoint())
-        val hmax = statMax(hubRaw, "h")
-        hub = hubRaw
-          .select(col("src"), expr(s"(h * 1000000L) div ${hmax}L").as("h"))
       }
       auth.select(lit("s").as("role"), col("dst").as("node"),
           col("a").as("score_micro"))
@@ -840,7 +847,7 @@ object Graph {
       // identical), cutting 3 rounds of superstep jobs.
       var prevCount = e.count()
       var round = 0
-      graft.Tuning.withShufflePartitions(s,
+      graft.Tuning.withSuperstepConf(s,
         graft.Tuning.partsFor(prevCount)) {
         var converged = false
         while (round < CoreRounds && !converged) {

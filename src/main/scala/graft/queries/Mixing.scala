@@ -407,7 +407,7 @@ object Mixing {
       var covered = Set.empty[String]
       var picked = Vector.empty[(Long, Long, Long, Long)]
       var stop = false
-      graft.Tuning.withShufflePartitions(s,
+      graft.Tuning.withSuperstepConf(s,
         graft.Tuning.partsFor(tok.count())) {
       // CANDIDATE-POOL greedy with a submodular certificate (the lazy-
       // greedy/CELF bound, Minoux '78): fetch the top-M docs by INITIAL
