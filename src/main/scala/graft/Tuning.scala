@@ -144,6 +144,37 @@ object Tuning {
     } else staged
   }
 
+  /** Eagerly localCheckpoint `df` with aggregate `metrics` folded into
+    * the SAME materialization job via `Dataset.observe`
+    * (CollectMetricsExec): every driver-coordinated superstep loop
+    * needs a tiny per-round statistic — a convergence signature
+    * (ConnectedComponents), a normalization max (q155 HITS), a changed-
+    * row count, a surviving-edge count (q134 k-core) — and running it
+    * as its own narrow job over the just-pinned frame doubles the
+    * loop's driver-job count: at node-sized rounds the job-scheduling
+    * floor, not the data, dominates (r13 profile: q155 spent 3.0 s of
+    * its 3.2 s in inter-job gap). The observed aggregates ride the
+    * checkpoint job's own tasks, so a round is ONE job again.
+    *
+    * Correctness at scale: CollectMetrics accumulators are SQL-metric
+    * accumulators — Spark drops updates from failed task attempts, so
+    * retries/speculation don't double-count; the returned row is the
+    * exact aggregate over the materialized frame, bit-identical to a
+    * separate agg job. The metric row is read AFTER the eager
+    * checkpoint action completes, so the blocking `Observation.get`
+    * returns immediately. The CollectMetrics node itself is truncated
+    * away with the rest of the lineage — downstream re-reads of the
+    * pinned frame never re-fire it.
+    *
+    * @return (pinned frame, one-row metric values keyed by alias) */
+  def checkpointWithStats(df: DataFrame,
+      metrics: Column*): (DataFrame, Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val pinned = df.observe(obs, metrics.head, metrics.tail: _*)
+      .localCheckpoint(true)
+    (pinned, obs.get)
+  }
+
   /** Persist `df`, then — if its materialized partition count is more
     * than 2× what its ROW COUNT warrants — re-persist compacted to
     * [[partsFor]] partitions hash-keyed on `keys` (consumers key their

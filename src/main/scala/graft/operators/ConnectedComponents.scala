@@ -58,15 +58,20 @@ object ConnectedComponents {
       // tiny data. The per-round CHANGE FLAG rides the checkpointed
       // frame itself (min-propagation labels only decrease, so
       // changed ⟺ new ≠ old is computable row-local in the same
-      // projection) — the convergence probe is then a narrow count over
-      // the pinned frame instead of a second labels-join job per round.
+      // projection) — and the changed-row COUNT rides the checkpoint
+      // job itself via Tuning.checkpointWithStats (Dataset.observe),
+      // so a round is ONE driver job, not checkpoint + probe.
       val newComp =
         least(col("component"), coalesce(col("nbr_min"), col("component")))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), newComp.as("component"),
-          (newComp =!= col("component")).as("chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("chg")).count() // bounded driver read
+      val (next, st) = graft.Tuning.checkpointWithStats(
+        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"), newComp.as("component"),
+            (newComp =!= col("component")).as("chg")),
+        sum(when(col("chg"), 1L).otherwise(0L)).cast("long").as("changed"))
+      changed = st("changed") match {
+        case null => 0L
+        case v    => v.asInstanceOf[Long]
+      }
       labels.unpersist()
       // checkpoint RDDs bypass the CacheManager — but ONLY release
       // rounds ≥ 1: their frames are self-contained LogicalRDDs,
@@ -106,7 +111,8 @@ object ConnectedComponents {
     * is deterministic and identical to [[labels]].
     *
     * The convergence probe is SIGNATURE-GATED: a (count, hash-sum)
-    * signature per round (one narrow agg over the pinned frame) proves
+    * signature per round — computed inside the round's own checkpoint
+    * job via Dataset.observe, zero extra jobs — proves
     * non-convergence whenever the signatures differ, and the exact
     * two-sided `except` runs only on a signature match — once, at the
     * true fixpoint. A hash collision merely runs the exact probe early
@@ -121,26 +127,31 @@ object ConnectedComponents {
     // optimizer OOMs on the tree even though the data is tiny. Truncating
     // lineage per round keeps plan size O(1); this is the same reason
     // GraphX/GraphFrames checkpoint inside Pregel loops.
-    var cur = edges.select(col("src").as("u"), col("dst").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+    // (count, hash-sum) signature of an edge frame, folded into the
+    // SAME job that materializes the frame's checkpoint
+    // (Tuning.checkpointWithStats / Dataset.observe) — a round is ONE
+    // driver job, not checkpoint + signature probe. Different
+    // signatures PROVE the sets differ, so the expensive exact probe
+    // below only runs on a signature match (in practice: once, at the
+    // true fixpoint; a hash collision merely runs the exact probe
+    // early and finds "not converged" — exactness never rests on the
+    // hash). The initial count doubles as the isEmpty gate and the
+    // partsFor loop sizing, so round 0 is one job too.
+    val sigCols = Seq(count(lit(1)).cast("long").as("sig_n"),
+      sum(expr("hash(u, v)")).cast("long").as("sig_h"))
+    def sigOf(st: Map[String, Any]): (Long, Long) =
+      (st("sig_n").asInstanceOf[Long], st("sig_h") match {
+        case null => 0L
+        case v    => v.asInstanceOf[Long]
+      })
+    val (cur0, st0) = graft.Tuning.checkpointWithStats(
+      edges.select(col("src").as("u"), col("dst").as("v"))
+        .filter(col("u") =!= col("v")).distinct(), sigCols: _*)
+    var cur = cur0
     var rounds = 0
-    var done = cur.isEmpty
-    // (count, hash-sum) signature of an edge frame — one narrow agg job
-    // over the just-checkpointed frame. Different signatures PROVE the
-    // sets differ, so the expensive exact probe below only runs on a
-    // signature match (in practice: once, at the true fixpoint; a hash
-    // collision merely runs the exact probe early and finds "not
-    // converged" — exactness never rests on the hash)
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        sum(expr("hash(u, v)")).cast("long")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var curSig = if (done) (0L, 0L) else sig(cur)
-    // size-matched loop shuffles (see labels() above); count reads the
-    // just-checkpointed frame
-    val loopParts = graft.Tuning.partsFor(cur.count())
+    var curSig = sigOf(st0)
+    var done = curSig._1 == 0L
+    val loopParts = graft.Tuning.partsFor(curSig._1)
     // one large-star + small-star alternation as a LAZY plan transform
     def starRound(in: DataFrame): DataFrame = {
       // large-star: for each u, attach strictly-larger neighbors to
@@ -168,8 +179,9 @@ object ConnectedComponents {
       // optimize/plan time on it dominated — q65b 3.1 s → 12.3 s at
       // sf0.1 with 10.7 s of driver-side gap. Like q153's 2-hop stride
       // (reverted in r10), per-round materialization is the floor.
-      val next = starRound(cur).localCheckpoint(true)
-      val nextSig = sig(next)
+      val (next, stN) = graft.Tuning.checkpointWithStats(
+        starRound(cur), sigCols: _*)
+      val nextSig = sigOf(stN)
       done = nextSig == curSig &&
         next.except(cur).union(cur.except(next)).isEmpty
       graft.Resources.releaseCheckpoint(cur)

@@ -57,20 +57,38 @@ object Graph {
         Seq(col("x")))
     })
 
+  // Bidirectional (symmetrized) co-purchase edge list, persisted
+  // PARTITIONED ON src. The superstep families key every per-round
+  // join on src (q153's frontier expand, q154's label gather) — but a
+  // plain per-query union of the two coEdges orientations has NO
+  // single output partitioning, so each round was re-shuffling the
+  // full 2|E| edge list while only the frontier was supposed to move.
+  // One extra persisted copy (built once from the already-persisted
+  // coEdges blocks) makes "only the frontier moves" true: the edge
+  // list never re-shuffles inside a superstep again. At 100 TB this
+  // is the difference between rounds × |E| and rounds × |frontier|
+  // of shuffle traffic — the GraphX edge-partitioning argument.
+  private val biEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private def biEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    biEdgeCache.getOrElseUpdate((s, d), {
+      val e = coEdges(s, d)
+      graft.Tuning.compactPersist(
+        e.select(col("x").as("src"), col("y").as("dst"))
+          .union(e.select(col("y").as("src"), col("x").as("dst")))
+          .repartition(col("src")),
+        Seq(col("src")))
+    })
+
   /** Offline build entry point (idempotent per session+corpus). */
   def ensureCoEdges(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     coEdges(s, d).count()
+    biEdges(s, d).count()
     ()
   }
-
-  // memoized edge count: loop-shuffle sizing (graft.Tuning.partsFor)
-  // reads it once per (session, corpus); the count scans the persisted
-  // frame. Entries drop with the session's edgeCache in releaseCoEdges.
-  private val edgeCountCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), Long]
-  private def coEdgeCount(s: org.apache.spark.sql.SparkSession,
-      d: String): Long =
-    edgeCountCache.getOrElseUpdate((s, d), coEdges(s, d).count())
 
   /** q86's customer↔supplier authority graph, [[graft.operators
     * .PageRank.prepare]]d (degree-annotated edges pre-partitioned on
@@ -151,9 +169,14 @@ object Graph {
 
   /** Release every cached edge frame built on `s` (all corpora). */
   def releaseCoEdges(s: org.apache.spark.sql.SparkSession): Unit = {
-    edgeCountCache.keys.filter(_._1 eq s).foreach(edgeCountCache.remove)
     edgeCache.keys.filter(_._1 eq s).foreach { k =>
       edgeCache.remove(k).foreach { df =>
+        try df.unpersist()
+        catch { case _: Throwable => () }
+      }
+    }
+    biEdgeCache.keys.filter(_._1 eq s).foreach { k =>
+      biEdgeCache.remove(k).foreach { df =>
         try df.unpersist()
         catch { case _: Throwable => () }
       }
@@ -165,8 +188,8 @@ object Graph {
       }
     }
     hitsEdgeCache.keys.filter(_._1 eq s).foreach { k =>
-      hitsEdgeCache.remove(k).foreach { df =>
-        try df.unpersist()
+      hitsEdgeCache.remove(k).foreach { case (bySrc, byDst) =>
+        try { bySrc.unpersist(); byDst.unpersist() }
         catch { case _: Throwable => () }
       }
     }
@@ -419,7 +442,10 @@ object Graph {
   // just size) and the still-unreached count at the horizon.
   //
   // Scale shape per superstep: one frontier⋈edges equi-join (the
-  // persisted pre-partitioned coEdges — only the frontier moves) and
+  // persisted src-partitioned biEdges artifact — only the frontier
+  // moves; a per-query union of the two coEdges orientations has no
+  // output partitioning and re-shuffled the full 2|E| list per ring)
+  // and
   // one anti-join against settled (node-keyed). Each ring is EAGERLY
   // localCheckpoint-ed (Resources-retained) before the next step reads
   // it — the ConnectedComponents lineage discipline. This is
@@ -435,12 +461,21 @@ object Graph {
   private val BfsSteps = 4
   private val q153 = QueryDef.of(
     (s, d) => {
-      val e = coEdges(s, d)
-      val both = e.select(col("x").as("src"), col("y").as("dst"))
-        .union(e.select(col("y").as("src"), col("x").as("dst")))
+      // shared src-partitioned bidirectional artifact: the per-ring
+      // expand join keys on src, so only the frontier ever shuffles
+      val both = biEdges(s, d)
       val nodes = both.select(col("src").as("node")).distinct()
-      val src0 = nodes.agg(min(col("node")).as("node"))
-        .withColumn("dist", lit(0))
+      // the BFS seed (global min node id) is ONE value — collect it
+      // once and seed from a literal one-row frame: left as a lazy
+      // subtree it was re-executed (a full node-set distinct + agg
+      // over the edge artifact) inside every ring's settled anti-join
+      // AND the final readout
+      val seedRow = nodes.agg(min(col("node"))).head()
+      val src0 =
+        if (seedRow.isNullAt(0))
+          nodes.select(col("node"), lit(0).as("dist")).limit(0)
+        else s.range(1).select(lit(seedRow.get(0)).as("node"),
+          lit(0).as("dist"))
       var settled = src0
       var frontier = src0
       // NOTE (round-10): a 2-hops-per-checkpoint stride was built and
@@ -450,10 +485,10 @@ object Graph {
       // needs an extra materialization job — exactly what it tried to
       // save. Per-ring eager materialization is the floor for exact
       // per-ring BFS output.
-      // loop shuffles sized to the measured (bidirectional) edge count
-      // — every ring is a subset of the dst side of one expand join
-      graft.Tuning.withSuperstepConf(s,
-        graft.Tuning.partsFor(2 * coEdgeCount(s, d))) {
+      // loop shuffles sized to the edge artifact's own (size-matched)
+      // width so the frontier exchange co-partitions with the pinned
+      // edges — every ring is a subset of the dst side of one expand
+      graft.Tuning.withSuperstepConf(s, both.rdd.getNumPartitions) {
         for (t <- 1 to BfsSteps) {
           frontier = graft.Resources.retain(frontier
             .join(both, col("node") === col("src"))
@@ -536,17 +571,21 @@ object Graph {
   private val LpaRounds = 3
   private val q154 = QueryDef.of(
     (s, d) => {
-      val e = coEdges(s, d)
-      val both = e.select(col("x").as("src"), col("y").as("dst"))
-        .union(e.select(col("y").as("src"), col("x").as("dst")))
+      val both = biEdges(s, d)
       val nodes = both.select(col("src").as("node")).distinct()
       var labels = nodes.select(col("node"), col("node").as("lbl"))
+      // gather on the PARTITIONED side: the edge list is symmetric, so
+      // Σ_{(s,d)∈E} (vote at s, label of d) ≡ Σ (vote at d, label of
+      // s). Joining labels on SRC (the artifact's cached partitioning)
+      // and grouping by DST computes the identical neighbor-label
+      // multiset while the pinned edge list never re-shuffles — only
+      // the node-sized label frame moves each round.
       for (_ <- 1 to LpaRounds) {
-        labels = both.join(labels, col("dst") === col("node"))
-          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("src"))
+        labels = both.join(labels, col("src") === col("node"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
           .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+          .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
       }
       labels.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"))
@@ -592,16 +631,22 @@ object Graph {
   // move, the edge list is the persisted artifact shape), one
   // map-side-combined sum, one 1-row max broadcast back. Two rounds
   // unrolled (bipartite HITS converges in O(1) rounds up to scale).
+  // TWO persisted copies, one per join key: the auth half-round joins
+  // scores on src, the hub half-round on dst — an equi-join requires
+  // ClusteredDistribution on its key of BOTH sides, so with only a
+  // src-partitioned copy the hub half re-shuffled the full EDGE list
+  // every round (the score frame is the one that's supposed to move).
+  // The dst twin is built from the already-persisted src copy (one
+  // shuffle at warmup) — the GraphX both-orientations trade: O(|E|)
+  // extra memory for zero edge movement inside the iteration.
   private val hitsEdgeCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
   private def hitsEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
     hitsEdgeCache.getOrElseUpdate((s, d), {
-      // both half-rounds join on src OR dst; partition on src (the
-      // hub side joins reuse it, the auth side re-shuffles the small
-      // score frame, not the edges); size-matched partition count
-      graft.Tuning.compactPersist(
+      val bySrc = graft.Tuning.compactPersist(
         Tables.raw(s, d, "orders")
           .join(Tables.raw(s, d, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
@@ -610,19 +655,25 @@ object Graph {
           .distinct()
           .repartition(col("src")),
         Seq(col("src")))
+      val byDst = graft.Tuning.compactPersist(
+        bySrc.repartition(col("dst")), Seq(col("dst")))
+      (bySrc, byDst)
     })
 
   /** Offline build entry point (idempotent per session+corpus). */
   def ensureHitsEdges(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = {
-    hitsEdges(s, d).count()
+    val (bySrc, byDst) = hitsEdges(s, d)
+    bySrc.count()
+    byDst.count()
     ()
   }
 
   private val q155 = QueryDef.of(
     (s, d) => {
-      // shared per-(session, corpus) directed edge artifact
-      val e = hitsEdges(s, d)
+      // shared per-(session, corpus) directed edge artifact — one copy
+      // per join key so neither half-round ever moves the edge list
+      val (e, eDst) = hitsEdges(s, d)
       var hub = e.select(col("src")).distinct()
         .select(col("src"), lit(1000000L).as("h"))
       var auth: org.apache.spark.sql.DataFrame = null
@@ -645,27 +696,33 @@ object Graph {
       // re-plan jobs are pure scheduling overhead here; partition
       // count follows the edge artifact's own (size-matched) width
       graft.Tuning.withSuperstepConf(s, e.rdd.getNumPartitions) {
+        // the per-half normalization max rides the half-round's own
+        // checkpoint job (Tuning.checkpointWithStats / observe) — a
+        // half-round is ONE driver job, not checkpoint + max probe.
+        // Max of an EMPTY frame observes as null — fall back to 1 (the
+        // frame is empty anyway, the literal never meets a row). The
+        // metric casts to long EXPLICITLY so a future type widening of
+        // a/h (e.g. decimal from an overflow fix) fails at analysis
+        // time instead of a runtime ClassCastException here.
+        def longOr1(v: Any): Long = v match {
+          case null => 1L
+          case x    => x.asInstanceOf[Long]
+        }
         for (_ <- 1 to 2) {
-          val authRaw = graft.Resources.retain(e.join(hub, "src")
-            .groupBy(col("dst")).agg(sum(col("h")).as("a"))
-            .localCheckpoint())
-          // max of an EMPTY frame is a single null row — fall back to 1
-          // (the frame is empty anyway, the literal never meets a row).
-          // The agg casts to long EXPLICITLY so a future type widening
-          // of a/h (e.g. decimal from an overflow fix) fails at analysis
-          // time instead of a runtime ClassCastException here.
-          def statMax(df: org.apache.spark.sql.DataFrame,
-              c: String): Long = {
-            val row = df.agg(max(col(c)).cast("long")).head()
-            if (row.isNullAt(0)) 1L else row.getLong(0)
-          }
-          val amax = statMax(authRaw, "a")
+          val (authRaw, aSt) = graft.Tuning.checkpointWithStats(
+            e.join(hub, "src")
+              .groupBy(col("dst")).agg(sum(col("h")).as("a")),
+            max(col("a")).cast("long").as("mx"))
+          graft.Resources.retain(authRaw)
+          val amax = longOr1(aSt("mx"))
           auth = authRaw
             .select(col("dst"), expr(s"(a * 1000000L) div ${amax}L").as("a"))
-          val hubRaw = graft.Resources.retain(e.join(auth, "dst")
-            .groupBy(col("src")).agg(sum(col("a")).as("h"))
-            .localCheckpoint())
-          val hmax = statMax(hubRaw, "h")
+          val (hubRaw, hSt) = graft.Tuning.checkpointWithStats(
+            eDst.join(auth, "dst")
+              .groupBy(col("src")).agg(sum(col("a")).as("h")),
+            max(col("h")).cast("long").as("mx"))
+          graft.Resources.retain(hubRaw)
+          val hmax = longOr1(hSt("mx"))
           hub = hubRaw
             .select(col("src"), expr(s"(h * 1000000L) div ${hmax}L").as("h"))
         }
@@ -861,14 +918,20 @@ object Graph {
             .union(e.select(col("y").as("n")))
             .groupBy(col("n")).agg(count(lit(1)).as("deg"))
           val alive = deg.filter(col("deg") >= CoreK).select(col("n"))
-          e = e.join(alive.withColumnRenamed("n", "x"), Seq("x"),
-              "left_semi")
-            .join(alive.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
-            .select(col("x"), col("y"))
-            .localCheckpoint(true)
+          // the surviving-edge count (the fixpoint early-exit) rides
+          // the round's own checkpoint job via checkpointWithStats —
+          // one driver job per peel round, not checkpoint + count
+          val (ne, st) = graft.Tuning.checkpointWithStats(
+            e.join(alive.withColumnRenamed("n", "x"), Seq("x"),
+                "left_semi")
+              .join(alive.withColumnRenamed("n", "y"), Seq("y"),
+                "left_semi")
+              .select(col("x"), col("y")),
+            count(lit(1)).cast("long").as("n"))
+          e = ne
           graft.Resources.releaseCheckpoint(prev) // no-op on round 0's plan
           round += 1
-          val c = e.count()
+          val c = st("n").asInstanceOf[Long]
           converged = c == prevCount
           prevCount = c
         }
