@@ -337,16 +337,26 @@ object Bench {
         val oracleS = node.get("value").asDouble()
         val oracleWall = node.get("wall_sec").asDouble()
         val oq = node.get("queries")
+        // per-query fail-soft (oracle_time.py catches a dying oracle
+        // and reports it instead of blanking the denominator): failed
+        // names must leave the NUMERATOR too, or the ratio compares an
+        // engine set the oracle never finished
+        import scala.collection.JavaConverters._
+        val oFailed: Set[String] = Option(node.get("failed")).map(
+          _.properties().asScala.map(_.getKey).toSet).getOrElse(Set.empty)
         // engine seconds over the SAME oracled set — the numerator a
         // per-query or total ratio must use (no-oracle queries would
         // inflate engine_s against a denominator that never ran them)
         val engineOracledS = results.collect {
-          case (n, t) if oracled.contains(n) => t
+          case (n, t) if oracled.contains(n) && !oFailed(n) => t
         }.sum
         val ratio =
           if (oracleS > 0) math.round(engineOracledS / oracleS * 100) / 100.0
           else 0.0
-        import scala.collection.JavaConverters._
+        val oFailedJson =
+          if (oFailed.isEmpty) ""
+          else s""","oracle_failed":${oFailed.toSeq.sorted
+            .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
         val oqJson = oq.properties().asScala.toSeq
           .sortBy(_.getKey).map { e =>
             "\"" + e.getKey + "\":" + r3(e.getValue.asDouble())
@@ -361,10 +371,10 @@ object Bench {
         }
         val full =
           s""""pair":{"engine_oracled_s":${r3(engineOracledS)},"oracle_s":${
-            r3(oracleS)},"oracle_wall_s":${r3(oracleWall)},"ratio":$ratio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal$asym,"oracle_queries":$oqJson}"""
+            r3(oracleS)},"oracle_wall_s":${r3(oracleWall)},"ratio":$ratio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal$asym$oFailedJson,"oracle_queries":$oqJson}"""
         val short =
           s""""pair":{"engine_oracled_s":${r3(engineOracledS)},"oracle_s":${
-            r3(oracleS)},"ratio":$ratio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal}"""
+            r3(oracleS)},"ratio":$ratio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal$oFailedJson}"""
         Some((short, full))
       } catch {
         case e: Throwable =>

@@ -99,7 +99,7 @@ object Tuning {
     * AQE off here costs nothing a fixed `partsFor` sizing didn't
     * already decide. */
   def withSuperstepConf[T](spark: org.apache.spark.sql.SparkSession,
-      n: Int)(body: => T): T = {
+      n: Int, allowBroadcast: Boolean = false)(body: => T): T = {
     val confs = Seq("spark.sql.shuffle.partitions" -> n.toString) ++
       // AQE materializes every exchange as its own job to re-plan on
       // runtime stats — the right trade on a genuinely large shuffle,
@@ -110,15 +110,22 @@ object Tuning {
       (if (!java.lang.Boolean.parseBoolean(
         System.getProperty("graft.superstep.aqe", "false")))
         Seq("spark.sql.adaptive.enabled" -> "false") else Nil) ++
-      // no auto-broadcast inside the loop: each broadcast build is its
-      // own driver-side collect JOB (per round, per side), and the
-      // frames a superstep joins are frontier-/node-sized — exactly the
-      // frames that grow with the graph, so a stats-driven broadcast
-      // here is an OOM hazard at scale and a per-round job tax at test
-      // scale. Keyed shuffle joins at the explicit partition count keep
-      // each round ONE job (its eager checkpoint) with deterministic
-      // memory.
-      (if (java.lang.Boolean.parseBoolean(
+      // no auto-broadcast inside the loop BY DEFAULT: each broadcast
+      // build is its own driver-side collect JOB (per round, per
+      // side), and where the loop's big side is a persisted
+      // pre-partitioned artifact (q153/q155: edges never move, only
+      // the frontier/score frame shuffles to match) a broadcast buys
+      // nothing — it is pure per-round job tax, and a stats-driven
+      // broadcast of a frame that grows with the graph is an OOM
+      // hazard besides. Loops whose per-round joins hit FRESH
+      // unpartitioned frames (labelsStar's sym, labels()' per-round
+      // join) pass allowBroadcast = true: there a broadcast of the
+      // node-sized aggregate replaces a full 2|E| shuffle per round,
+      // and the candidate's size estimate is grounded in a
+      // materialized checkpoint (LogicalRDD sizes are real, not
+      // guesses), so Spark's own 10 MB threshold makes the safe call
+      // at every scale — broadcast at test scale, shuffle at 100 TB.
+      (if (!allowBroadcast && java.lang.Boolean.parseBoolean(
         System.getProperty("graft.superstep.noBroadcast", "true")))
         Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1") else Nil)
     withConfs(spark, confs: _*)(body)
@@ -160,19 +167,27 @@ object Tuning {
     * accumulators — Spark drops updates from failed task attempts, so
     * retries/speculation don't double-count; the returned row is the
     * exact aggregate over the materialized frame, bit-identical to a
-    * separate agg job. The metric row is read AFTER the eager
-    * checkpoint action completes, so the blocking `Observation.get`
-    * returns immediately. The CollectMetrics node itself is truncated
-    * away with the rest of the lineage — downstream re-reads of the
-    * pinned frame never re-fire it.
+    * separate agg job. The metrics are read SYNCHRONOUSLY off the
+    * executed plan (`QueryExecution.observedMetrics`) right after the
+    * eager checkpoint action — not via `Observation`, whose blocking
+    * get waits on the ASYNC listener bus: inside a full bench/verify
+    * run the shared bus lags the job end by ~100 ms+, and a
+    * 10-round loop would pay that lag per round for a value that is
+    * already sitting on the plan. The CollectMetrics node itself is
+    * truncated away with the rest of the lineage — downstream re-reads
+    * of the pinned frame never re-fire it.
     *
     * @return (pinned frame, one-row metric values keyed by alias) */
   def checkpointWithStats(df: DataFrame,
       metrics: Column*): (DataFrame, Map[String, Any]) = {
-    val obs = org.apache.spark.sql.Observation()
-    val pinned = df.observe(obs, metrics.head, metrics.tail: _*)
-      .localCheckpoint(true)
-    (pinned, obs.get)
+    val observed = df.observe("ckpt_stats", metrics.head, metrics.tail: _*)
+    val pinned = observed.localCheckpoint(true)
+    val row = observed.queryExecution.observedMetrics.getOrElse(
+      "ckpt_stats",
+      throw new IllegalStateException(
+        "eager checkpoint did not surface observed metrics — " +
+          "checkpoint is no longer an observed action on this Spark"))
+    (pinned, row.getValuesMap[Any](row.schema.fieldNames))
   }
 
   /** Persist `df`, then — if its materialized partition count is more

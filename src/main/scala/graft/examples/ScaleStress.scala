@@ -38,7 +38,13 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 32 like every other probe main (Bench/JobProbe/SuperstepProbe):
+    // the committed SCALE artifacts have always been 32-thread runs —
+    // a 4-thread run makes every CPU-bound 10× leg read ~4-8× slower
+    // and flags linear probes as superlinear (r14 lesson: two clean
+    // 4-cpu runs flagged bloom/triangle; the same code+data at 32
+    // cpus produced empty flag lists)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -38,7 +38,8 @@ object ConnectedComponents {
     // price of sizing (for every repo caller that frame is a filter
     // over an already-pinned artifact).
     val loopParts = graft.Tuning.partsFor(2 * edges.count())
-    graft.Tuning.withSuperstepConf(nodes.sparkSession, loopParts) {
+    graft.Tuning.withSuperstepConf(nodes.sparkSession, loopParts,
+      allowBroadcast = true) {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -171,7 +172,8 @@ object ConnectedComponents {
         .union(sMin.select(col("u"), col("mn").as("v")))
         .distinct()
     }
-    graft.Tuning.withSuperstepConf(edges.sparkSession, loopParts) {
+    graft.Tuning.withSuperstepConf(edges.sparkSession, loopParts,
+      allowBroadcast = true) {
     while (!done && rounds < maxIters) {
       // ONE round per checkpoint. Pairwise fusion (two starRounds per
       // checkpoint) was built and MEASURED here (r14): the fused plan

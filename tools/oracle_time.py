@@ -18,6 +18,16 @@ reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
 con = duckdb.connect()
 con.sql("SET threads TO 32")
+# Bounded memory + disk spill: DuckDB's default limit is 80% of box RAM,
+# but this tool runs while the bench's 48g-heap JVM still holds its RSS
+# (Bench shells out right after spark.stop(), same process tree) — the
+# default budget then over-commits the box and one allocation-heavy
+# oracle (the q20 regex pass) dies with "Failed to allocate block"
+# (r13's q20 'err' row and a reproduced r14 pair failure). A fixed
+# 24 GB budget + temp spill keeps the denominator alive on any box the
+# bench itself fits on.
+con.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
+con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sfdir}/{t}.parquet"
@@ -27,19 +37,35 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(oracle_path))
 times = {}
+failed = {}
 t_all0 = time.perf_counter()
 for name in sorted(oracle):
     best = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        con.sql(oracle[name]).fetchall()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    times[name] = round(best, 3)
+    # one retry after a transient failure (reproduced: q189/q190 died
+    # mid-suite under momentary host memory pressure, then passed
+    # standalone seconds later), then fail-soft: one dying oracle must
+    # not blank the whole denominator (the r13 q20 lesson)
+    for attempt in range(2):
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.sql(oracle[name]).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+            failed.pop(name, None)
+            break
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200]
+            failed[name] = msg
+            print(f"[oracle_time] {name} attempt {attempt}: {msg}",
+                  file=sys.stderr)
+            time.sleep(1)
 wall = round(time.perf_counter() - t_all0, 3)
 total = round(sum(times.values()), 3)
 load = os.getloadavg()
 print(json.dumps({"metric": "oracle_total", "value": total, "unit": "sec",
                   "wall_sec": wall, "reps": reps,
                   "load": [round(x, 1) for x in load],
+                  "failed": failed,
                   "queries": times}))
