@@ -580,8 +580,18 @@ object Graph {
       // and grouping by DST computes the identical neighbor-label
       // multiset while the pinned edge list never re-shuffles — only
       // the node-sized label frame moves each round.
+      // ONE exchange per round: repartition the gathered (dst, lbl)
+      // votes on dst once, then BOTH aggregates are partition-local
+      // (HashPartitioning(dst) satisfies ClusteredDistribution(dst,
+      // lbl) and (dst) alike). The two-groupBy form paid two exchanges
+      // per round and its map-side combine bought ~nothing here: round
+      // 1's labels are all-distinct node ids, so there is nothing to
+      // combine before the shuffle. Bonus: each round's output is
+      // already node-partitioned for the NEXT round's label-side join.
       for (_ <- 1 to LpaRounds) {
         labels = both.join(labels, col("src") === col("node"))
+          .select(col("dst"), col("lbl"))
+          .repartition(col("dst"))
           .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
           .groupBy(col("dst"))
           .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
