@@ -800,8 +800,19 @@ object EventAnalytics {
       val e = hourUserHashes(s, d)
       val hourly = hourlyUserSketches(s, d)
       val merged = slidingDistinctEstimates(hourly)
-      val exact = hourly.select(col("hr").as("w"))
-        .join(e, col("hr").between(col("w") - 5, col("w")))
+      // exact gate leg by EXPLODE, not range join: hour hr contributes
+      // to windows w ∈ [hr, hr+5] ⟺ window w covers hours [w-5, w], so
+      // exploding each hash row into its ≤6 windows and equi-joining
+      // the (broadcast, hours-sized) real-window list computes the
+      // identical (w, h) multiset LINEARLY — the between-join planned
+      // as a nested loop doing |windows| predicate evals per hash row
+      // (~50M at sf0.1; at corpus scale the nested loop is the first
+      // thing to die). The sketch-side merge (slidingDistinct
+      // estimates) keeps its between-join: it runs on the hours-row
+      // sketch frame where work ∝ hours × window by construction.
+      val exact = e
+        .select(explode(expr("sequence(hr, hr + 5L)")).as("w"), col("h"))
+        .join(broadcast(hourly.select(col("hr").as("w"))), Seq("w"))
         .groupBy(col("w"))
         .agg(countDistinct(col("h")).as("exact_distinct"))
       merged.join(exact, "w")
