@@ -914,8 +914,15 @@ object Graph {
       // identical), cutting 3 rounds of superstep jobs.
       var prevCount = e.count()
       var round = 0
+      // allowBroadcast (the labelsStar rationale): the peel's two
+      // semi-joins alternate keys (x then y), so whatever partitioning
+      // the round's edge frame carries, ONE of them always re-shuffles
+      // the edge side — unless the node-sized `alive` set broadcasts.
+      // Its size estimate is grounded (an aggregate over the measured
+      // checkpoint), so Spark's threshold broadcasts at test scale and
+      // falls back to shuffle joins at graph scale.
       graft.Tuning.withSuperstepConf(s,
-        graft.Tuning.partsFor(prevCount)) {
+        graft.Tuning.partsFor(prevCount), allowBroadcast = true) {
         var converged = false
         while (round < CoreRounds && !converged) {
           // eager localCheckpoint per round (the ConnectedComponents
