@@ -316,10 +316,20 @@ object Bench {
         val ran = results.map(_._1).toSet
         val oracled = SparkEntry.oracleSql.filter { case (n, _) => ran(n) }
         if (oracled.isEmpty) return None
-        val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
-        java.nio.file.Files.write(tmp, oracled.toSeq.sortBy(_._1)
+        def sqlMap(m: Map[String, String]) = m.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + jsonEsc(k) + "\":\"" + jsonEsc(v) + "\"" }
           .mkString("{", ",", "}")
+        // lifecycle twins (r14 VERDICT #3): prelude statements run once,
+        // untimed; overrides are the timed SQL for queries whose verbatim
+        // oracle rebuilds a deploy-time artifact inline. oracle_time.py
+        // equality-checks each override against the verbatim SQL first.
+        val overrides = SparkEntry.oracleBenchOverride
+          .filter { case (n, _) => oracled.contains(n) }
+        val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+        java.nio.file.Files.write(tmp,
+          (s"""{"queries":${sqlMap(oracled)},"overrides":${sqlMap(overrides)},""" +
+            s""""prelude":${SparkEntry.oracleBenchPrelude
+              .map("\"" + jsonEsc(_) + "\"").mkString("[", ",", "]")}}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val tool = sys.env.getOrElse("SPARK_GRAFT_ORACLE_TOOL",
           "tools/oracle_time.py")
@@ -350,31 +360,60 @@ object Bench {
         val engineOracledS = results.collect {
           case (n, t) if oracled.contains(n) && !oFailed(n) => t
         }.sum
+        // an all-failed oracle must read as "no denominator", never as a
+        // perfect 0.0 ratio (r14 ADVICE #4)
         val ratio =
-          if (oracleS > 0) math.round(engineOracledS / oracleS * 100) / 100.0
-          else 0.0
+          if (oracleS > 0)
+            (math.round(engineOracledS / oracleS * 100) / 100.0).toString
+          else "null"
         val oFailedJson =
           if (oFailed.isEmpty) ""
           else s""","oracle_failed":${oFailed.toSeq.sorted
             .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-        val oqJson = oq.properties().asScala.toSeq
-          .sortBy(_.getKey).map { e =>
-            "\"" + e.getKey + "\":" + r3(e.getValue.asDouble())
-          }.mkString("{", ",", "}")
-        // q179 asymmetry (r13 ADVICE): the engine's coverTok posting
-        // frame is a warmed lifecycle artifact (warmup.coverTok), while
-        // the oracle's q179 SQL builds its tok CTE inside the timed
-        // run — the per-query q179 ratio must be read with the build
-        // cost added back; it rides here as an explicit component.
-        val asym = warmup.get("coverTok").fold("") { w =>
-          s""","engine_warm_components":{"q179_coverage_selection":${r3(w)}}"""
+        val oTimes: Map[String, Double] = oq.properties().asScala.map { e =>
+          e.getKey -> e.getValue.asDouble()
+        }.toMap
+        val oqJson = oTimes.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + r3(v)
+        }.mkString("{", ",", "}")
+        val overridesUsed: Seq[String] =
+          Option(node.get("overrides_used")).map(
+            _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        val ovJson = s""","oracle_overrides":${overridesUsed.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        // floor-adjusted per-query ratios (r14 VERDICT #4): next to the
+        // raw engine/oracle ratio, the same numerator less the per-query
+        // fixed floor and the pass-1 driver scheduling gap — the two
+        // components that amortize across a real cluster's long-lived
+        // session but dominate a 0.05–0.5 s query at local[32]. Clamped
+        // at 0; profile-grade (the gap is pass-1-attributed while the
+        // reported time is a min over passes).
+        def adjNum(n: String): Double = {
+          val t = results.collectFirst { case (`n`, v) => v }.getOrElse(0.0)
+          val gap = decomp.get(n).map(_._3).getOrElse(0.0)
+          math.max(0.0, t - floorPerQuery - gap)
         }
+        val ratioPairs = oTimes.toSeq.sortBy(_._1).collect {
+          case (n, o) if o > 0 && !oFailed(n) =>
+            val t = results.collectFirst { case (`n`, v) => v }.getOrElse(0.0)
+            (n, t / o, adjNum(n) / o)
+        }
+        val ratiosJson = ratioPairs.map { case (n, raw, adj) =>
+          "\"" + n + "\":[" + r3(raw) + "," + r3(adj) + "]"
+        }.mkString("{", ",", "}")
+        val adjTotal = oTimes.collect {
+          case (n, o) if o > 0 && !oFailed(n) => adjNum(n)
+        }.sum
+        val adjRatio =
+          if (oracleS > 0)
+            (math.round(adjTotal / oracleS * 100) / 100.0).toString
+          else "null"
         val full =
           s""""pair":{"engine_oracled_s":${r3(engineOracledS)},"oracle_s":${
-            r3(oracleS)},"oracle_wall_s":${r3(oracleWall)},"ratio":$ratio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal$asym$oFailedJson,"oracle_queries":$oqJson}"""
+            r3(oracleS)},"oracle_wall_s":${r3(oracleWall)},"ratio":$ratio,"adj_ratio":$adjRatio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal$ovJson$oFailedJson,"oracle_queries":$oqJson,"query_ratios":$ratiosJson}"""
         val short =
           s""""pair":{"engine_oracled_s":${r3(engineOracledS)},"oracle_s":${
-            r3(oracleS)},"ratio":$ratio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal$oFailedJson}"""
+            r3(oracleS)},"ratio":$ratio,"adj_ratio":$adjRatio,"steal_pct_engine":$stealPct,"steal_pct_oracle":$oSteal$oFailedJson}"""
         Some((short, full))
       } catch {
         case e: Throwable =>
@@ -382,13 +421,23 @@ object Bench {
       }
     }
 
+    // q179 pool telemetry (r14 VERDICT #2): hit-rate of the two-tier
+    // CELF certificate — pool-certified picks vs bulk fetches vs
+    // distributed fallback rounds — rides the file line
+    val coverJson = {
+      val st = graft.queries.Mixing.lastCoverStats
+      if (st.isEmpty) ""
+      else s""","cover_pool":${st.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")}"""
+    }
     def mkLine(short: Boolean, pair: Option[(String, String)]) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${
         qsJson(short)},"sf":"$sfDir","load":$loadJson,"steal_pct":$stealPct,"floor_per_query":${
         r3(floorPerQuery)},"warmup_sec":${r3(warmupTotal)},"above_floor_total":${
         r3(aboveFloorTotal)},"sched_gap_total":${r3(schedGapTotal)},"failed_n":${
         failed.size},"failed":${failedJson(short)}$onlyJson${
-        if (short) "" else s""","floor":$floorJson,"warmup":$warmupJson,"runs":$runsJson"""}${
+        if (short) "" else s""","floor":$floorJson,"warmup":$warmupJson$coverJson,"runs":$runsJson"""}${
         // pair LAST: the driver captures the stream line's ~2 KB TAIL,
         // so the paired-ratio summary must sit at the end to survive
         pair.fold("")(p => "," + (if (short) p._1 else p._2))}}"""

@@ -29,4 +29,14 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+
+  /** BENCH-pair-only oracle lifecycle twins (r14 VERDICT #3). The
+    * correctness gate always runs [[oracleSql]] verbatim; the timed
+    * pair additionally (a) executes [[oracleBenchPrelude]] statements
+    * once, untimed — pre-materializing the artifacts the engine warms
+    * at deploy time — and (b) times [[oracleBenchOverride]] SQL where
+    * present, after oracle_time.py has asserted the override's rows
+    * equal the verbatim oracle's. */
+  def oracleBenchPrelude: Seq[String] = Mixing.oraclePrelude
+  def oracleBenchOverride: Map[String, String] = Mixing.oracleOverride
 }

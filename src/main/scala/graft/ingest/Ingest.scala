@@ -36,23 +36,33 @@ object Ingest {
   // JSON-level type of the required "value" key, detected on the raw text
   // (get_json_object strips quotes, so the raw payload is the only place the
   // number-vs-string distinction survives). Anchored on the "value" key.
-  private val numRe  = """"value"\s*:\s*-?(\d|\.\d)"""
-  private val strRe  = """"value"\s*:\s*""""
+  // ONE regex pass: each `"value":` occurrence yields a token — the opening
+  // quote for a string, the number's first character(s) otherwise; an
+  // occurrence followed by any other JSON value yields nothing. Collecting
+  // ALL occurrences keeps the exact truth table of the earlier two-regex
+  // form (number-anywhere wins over string-anywhere), at half the regex
+  // scans per payload: `numRe` matched ⟺ some token ≠ `"`;
+  // `strRe` matched ⟺ some token = `"`.
+  private[ingest] val kindRe = """"value"\s*:\s*(-?(?:\d|\.\d)|")"""
 
   /** F4 — inferred ClickHouse type name for the payload's "value" key:
     * "Float64", "String", or null (absent / unsupported JSON type).
     *
-    * KNOWN LIMIT: the regexes scan the raw text, so a NESTED "value" key
+    * KNOWN LIMIT: the regex scans the raw text, so a NESTED "value" key
     * can shadow the top-level one's JSON type (the reference's payloads
     * are flat `{"timestamp":..., "value":...}` objects, message.go:64-94,
     * so this doesn't arise in its domain). The failure mode is safe by
     * construction: a misfire makes the castability check in [[parse]]
     * fail and the row lands in rejected — never a wrong-typed record,
     * never a query-killing cast. */
-  def valueType(payload: Column): Column =
-    when(payload.rlike(numRe), lit("Float64"))
-      .when(payload.rlike(strRe), lit("String"))
+  def valueType(payload: Column): Column = {
+    val kinds = regexp_extract_all(payload, lit(kindRe), lit(1))
+    // exists() is null-safe: a NULL payload gives NULL kinds, both
+    // branches stay NULL, and the type correctly falls through to null
+    when(exists(kinds, k => k =!= "\""), lit("Float64"))
+      .when(size(kinds) > 0, lit("String"))
       .otherwise(lit(null).cast("string"))
+  }
 
   /** F2+F3+F4 — full parse: adds tableName/client/device from the topic and
     * value_type/value_d/value_s from the payload, plus a `valid` flag.

@@ -46,6 +46,14 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("id"), col("id").as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BOTH loop frames before round 0's plan is made
+    // (r14 ADVICE #2): allowBroadcast above hands the broadcast call to
+    // Spark's size estimates, and an unmaterialized cache estimates
+    // from the caller's plan — which can underestimate and mis-broadcast
+    // a large frame. Two node/edge-sized count jobs ground every
+    // round's estimate (incl. round 0) in real cached-block sizes.
+    sym.count()
+    labels.count()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {

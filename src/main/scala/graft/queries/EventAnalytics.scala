@@ -797,24 +797,31 @@ object EventAnalytics {
 
   private val q186 = QueryDef.of(
     (s, d) => {
-      val e = hourUserHashes(s, d)
       val hourly = hourlyUserSketches(s, d)
       val merged = slidingDistinctEstimates(hourly)
       // exact gate leg by EXPLODE, not range join: hour hr contributes
       // to windows w ∈ [hr, hr+5] ⟺ window w covers hours [w-5, w], so
-      // exploding each hash row into its ≤6 windows and equi-joining
+      // exploding each row into its ≤6 windows and equi-joining
       // the (broadcast, hours-sized) real-window list computes the
-      // identical (w, h) multiset LINEARLY — the between-join planned
-      // as a nested loop doing |windows| predicate evals per hash row
-      // (~50M at sf0.1; at corpus scale the nested loop is the first
-      // thing to die). The sketch-side merge (slidingDistinct
+      // identical (w, user) multiset LINEARLY — the between-join
+      // planned as a nested loop doing |windows| predicate evals per
+      // row (~50M at sf0.1; at corpus scale the nested loop is the
+      // first thing to die). The sketch-side merge (slidingDistinct
       // estimates) keeps its between-join: it runs on the hours-row
       // sketch frame where work ∝ hours × window by construction.
-      val exact = e
-        .select(explode(expr("sequence(hr, hr + 5L)")).as("w"), col("h"))
+      // The gate counts RAW user_ids, not 48-bit hashes (r14 VERDICT
+      // #1 exact-leg width): the md5→conv→substring string pipeline
+      // per event row was pure gate overhead, and distinct-users is
+      // what the sketch estimate is FOR — a hash collision would have
+      // made the gate measure hash-space, not users.
+      val exact = eventsRaw(s, d)
+        .select(expr("unix_micros(ts) div 3600000000L").as("hr"),
+          col("user_id"))
+        .select(explode(expr("sequence(hr, hr + 5L)")).as("w"),
+          col("user_id"))
         .join(broadcast(hourly.select(col("hr").as("w"))), Seq("w"))
         .groupBy(col("w"))
-        .agg(countDistinct(col("h")).as("exact_distinct"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
       merged.join(exact, "w")
         .select(col("w").as("w_hr"), col("est_distinct"),
           col("exact_distinct"))
@@ -841,9 +848,12 @@ object EventAnalytics {
       |         ELSE (63 * 281474976710656) // mu[64] END AS est_distinct
       |  FROM merged),
       |ex AS (
-      |  SELECT w.hr AS w, CAST(COUNT(DISTINCT e.h) AS BIGINT)
+      |  SELECT w.hr AS w, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
       |      AS exact_distinct
-      |  FROM hs w JOIN e ON e.hr BETWEEN w.hr - 5 AND w.hr
+      |  FROM hs w JOIN (
+      |    SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |      user_id
+      |    FROM events) u ON u.hr BETWEEN w.hr - 5 AND w.hr
       |  GROUP BY w.hr)
       |SELECT est.w AS w_hr, est_distinct, exact_distinct
       |FROM est JOIN ex USING (w)

@@ -473,7 +473,13 @@ object Graph {
       val seedRow = nodes.agg(min(col("node"))).head()
       val src0 =
         if (seedRow.isNullAt(0))
-          nodes.select(col("node"), lit(0).as("dist")).limit(0)
+          // empty edge set: mirror the oracle's v0, which emits ONE
+          // (NULL node, dist 0) seed row from its MIN() subquery — the
+          // pre-collect lazy agg form did the same, and a zero-row seed
+          // here would drop the dist=0 ring the oracle still reports
+          // (r14 ADVICE #1; unreachable on current fixtures)
+          s.range(1).select(lit(null).cast("long").as("node"),
+            lit(0).as("dist"))
         else s.range(1).select(lit(seedRow.get(0)).as("node"),
           lit(0).as("dist"))
       var settled = src0
@@ -588,18 +594,37 @@ object Graph {
       // 1's labels are all-distinct node ids, so there is nothing to
       // combine before the shuffle. Bonus: each round's output is
       // already node-partitioned for the NEXT round's label-side join.
-      for (_ <- 1 to LpaRounds) {
-        labels = both.join(labels, col("src") === col("node"))
-          .select(col("dst"), col("lbl"))
-          .repartition(col("dst"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+      // FUSED-EAGER rounds (r14 VERDICT #7): the 3 rounds fuse into one
+      // linear DAG, but a lazily-returned plan executes later under
+      // SESSION conf — AQE then materializes every exchange as its own
+      // job (~10 jobs of pure scheduling floor on node-sized, already
+      // explicitly-sized shuffles). Materializing the node-count-sized
+      // histogram INSIDE the superstep scope runs the whole DAG as one
+      // non-AQE job; the returned frame is the tiny checkpointed result.
+      // allowBroadcast: unlike the frontier loops (q153), LPA's moving
+      // frame is the |V|-sized label set whose join side is the WARMED
+      // persisted biEdges artifact — real stats, and Spark's 10 MB
+      // threshold makes the scale call (broadcast the labels at test
+      // scale, co-partitioned shuffle at 100 TB where |V| outgrows the
+      // threshold); forcing the shuffle here bought SMJ sorts of the
+      // full edge list every round instead.
+      graft.Tuning.withSuperstepConf(s, both.rdd.getNumPartitions,
+        allowBroadcast = true) {
+        for (_ <- 1 to LpaRounds) {
+          labels = both.join(labels, col("src") === col("node"))
+            .select(col("dst"), col("lbl"))
+            .repartition(col("dst"))
+            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+            .groupBy(col("dst"))
+            .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+        }
+        graft.Resources.retain(
+          labels.groupBy(col("lbl").as("community"))
+            .agg(count(lit(1)).as("n_members"))
+            .localCheckpoint())
+          .orderBy(col("community"))
       }
-      labels.groupBy(col("lbl").as("community"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy(col("community"))
     },
     s"""WITH li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -321,6 +321,13 @@ object Mixing {
   // overridable (CoverageSelectionSpec shrinks it to force the
   // distributed-fallback path — output must be identical at any value)
   private[queries] var CoverPoolM = 256
+  // tier-2 hard cap (gains only; sets bulk-fetched at most ONCE, on the
+  // first certificate failure). Bounds q179's driver state at
+  // M2·max-doc-bigrams — a cap, never corpus-sized; test-overridable
+  private[queries] var CoverPoolM2 = 4096
+  /** Last q179 run's pool telemetry — Bench embeds it in the artifact
+    * (r14 VERDICT #2: record the pool hit-rate next to the timing). */
+  @volatile private[graft] var lastCoverStats: Map[String, Long] = Map.empty
   /** Shared COVERAGE-POSTING artifact: the distinct (doc_id, bigram)
     * frame every greedy round scans. A production curation job
     * materializes the posting frame once per corpus and runs many
@@ -331,17 +338,23 @@ object Mixing {
     * compact checkpoint, and an onReleaseAll hook clears the memo in
     * the same breath the checkpoint dies. */
   private val coverTokCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.DataFrame]
+    String, (org.apache.spark.sql.DataFrame, Long)]
   private val coverTokHook = new java.util.concurrent.atomic.AtomicBoolean
-  private[queries] def coverTok(s: SparkSession, d: String): DataFrame = {
+  private[queries] def coverTok(s: SparkSession, d: String): DataFrame =
+    coverTokWithCount(s, d)._1
+  /** The memoized posting frame plus its row count — the count rides
+    * the memo (one job at build time) so each q179 run's shuffle
+    * sizing doesn't pay a count job over the checkpoint. */
+  private[queries] def coverTokWithCount(
+      s: SparkSession, d: String): (DataFrame, Long) = {
     if (coverTokHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => coverTokCache.clear())
-    coverTokCache.computeIfAbsent(s"${graft.Resources.sessionKey(s)}:$d", _ =>
+    coverTokCache.computeIfAbsent(s"${graft.Resources.sessionKey(s)}:$d", _ => {
       // per-doc bigram dedup happens MAP-SIDE (array_distinct before
       // the explode) — (doc_id, w) distinctness is within-document by
       // construction, so a post-explode .distinct() shuffle of the
       // whole bigram stream would buy nothing
-      graft.Resources.retain(graft.Tuning.compactCheckpoint(
+      val f = graft.Resources.retain(graft.Tuning.compactCheckpoint(
         Tables.documents(s, d)
           .select(col("doc_id"),
             expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
@@ -349,7 +362,9 @@ object Mixing {
             """array_distinct(CASE WHEN size(toks) >= 2 THEN
               |  transform(sequence(0, size(toks) - 2),
               |    i -> concat_ws(' ', toks[i], toks[i + 1]))
-              |ELSE array() END)""".stripMargin)).as("w")))))
+              |ELSE array() END)""".stripMargin)).as("w"))))
+      (f, f.count())
+    })
   }
 
   /** Offline build entry point (idempotent per session+corpus). */
@@ -357,33 +372,47 @@ object Mixing {
     coverTok(s, d).count()
     ()
   }
-  private def coverSql(k: Int): String = {
-    val b = new StringBuilder
-    b ++= """WITH tok AS MATERIALIZED (
-      |  SELECT DISTINCT doc_id, w FROM (
+  /** The posting-frame body shared by the self-contained oracle (inline
+    * CTE) and the bench pair's pre-materialized table ([[oraclePrelude]]). */
+  private val coverTokSqlBody =
+    """SELECT DISTINCT doc_id, w FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
       |      i -> toks[i] || ' ' || toks[i + 1])) AS w
       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
       |            t -> t <> '') AS toks
-      |          FROM documents))),
-      |s1 AS MATERIALIZED (
+      |          FROM documents))""".stripMargin
+
+  /** q179 oracle SQL. With `tokRel` empty the posting frame is an inline
+    * MATERIALIZED CTE (self-contained — the correctness gate's form);
+    * otherwise rounds read the named pre-built table (the bench pair's
+    * form, r14 VERDICT #3: the engine's coverTok is a warmed lifecycle
+    * artifact, so the timed DuckDB twin gets the same amortization). */
+  private def coverSql(k: Int, tokRel: String = ""): String = {
+    val tok = if (tokRel.isEmpty) "tok" else tokRel
+    val b = new StringBuilder
+    b ++= (if (tokRel.isEmpty)
+      s"""WITH tok AS MATERIALIZED (
+         |  $coverTokSqlBody),
+         |""".stripMargin
+    else "WITH ")
+    b ++= s"""s1 AS MATERIALIZED (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
-      |  FROM tok GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+      |  FROM $tok GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
       |c1 AS MATERIALIZED (
-      |  SELECT DISTINCT w FROM tok
+      |  SELECT DISTINCT w FROM $tok
       |  WHERE doc_id IN (SELECT doc_id FROM s1)),
       |""".stripMargin
     (2 to k).foreach { i =>
       val prev = (1 until i).map(j => s"SELECT doc_id FROM s$j")
         .mkString(" UNION ALL ")
       b ++= s"""s$i AS MATERIALIZED (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM tok
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM $tok
         |  WHERE w NOT IN (SELECT w FROM c${i - 1})
         |    AND doc_id NOT IN ($prev)
         |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
         |c$i AS MATERIALIZED (
         |  SELECT w FROM c${i - 1} UNION
-        |  SELECT w FROM tok WHERE doc_id IN (SELECT doc_id FROM s$i)),
+        |  SELECT w FROM $tok WHERE doc_id IN (SELECT doc_id FROM s$i)),
         |""".stripMargin
     }
     val rows = (1 to k).map(i =>
@@ -393,6 +422,18 @@ object Mixing {
     b ++= s"sel AS (\n$rows)\nSELECT * FROM sel ORDER BY sel_rank"
     b.result()
   }
+  /** Bench-pair oracle lifecycle twin (r14 VERDICT #3): the engine's
+    * coverTok posting frame is a warmed deploy-time artifact, so the
+    * timed DuckDB denominator gets the same pre-materialized table —
+    * built once, UNTIMED, by oracle_time.py. The correctness gate is
+    * untouched: it runs the self-contained [[coverSql]] verbatim, and
+    * oracle_time.py asserts the override returns row-identical output
+    * before timing it. */
+  val oraclePrelude: Seq[String] =
+    Seq(s"CREATE TEMP TABLE cover_tok AS\n  $coverTokSqlBody")
+  def oracleOverride: Map[String, String] =
+    Map("q179_coverage_selection" -> coverSql(CoverK, "cover_tok"))
+
   private val q179 = QueryDef.of(
     (s, d) => {
       import s.implicits._
@@ -403,49 +444,61 @@ object Mixing {
       // query's single most expensive stage, and it's selection-
       // independent (the posting frame a curation job materializes once
       // and runs every selection ablation over)
-      val tok = coverTok(s, d)
+      val (tok, tokCount) = coverTokWithCount(s, d)
       var covered = Set.empty[String]
       var picked = Vector.empty[(Long, Long, Long, Long)]
       var stop = false
+      var statPool = 0L; var statBulk = 0L; var statDist = 0L
       graft.Tuning.withSuperstepConf(s,
-        graft.Tuning.partsFor(tok.count())) {
-      // CANDIDATE-POOL greedy with a submodular certificate (the lazy-
-      // greedy/CELF bound, Minoux '78): fetch the top-M docs by INITIAL
-      // gain (one TakeOrdered job) together with their bigram sets (one
-      // bounded fetch job — M·max-doc-bigrams rows, the q141 fixed-size
-      // class), then run the K greedy rounds ENTIRELY in the driver.
-      // Each driver pick is provably the global greedy pick whenever its
-      // conditional gain strictly exceeds the pool's minimum initial
-      // gain: for any doc outside the pool, conditional gain ≤ initial
-      // gain ≤ that bound (submodularity + TakeOrdered order). Ties at
-      // the bound fall back to the distributed per-round loop below
-      // (an outside doc with equal conditional gain and a smaller
-      // doc_id could win the deterministic tiebreak) — exactness never
-      // rests on the pool being "big enough". The per-round loop this
-      // replaces paid ~2 jobs × K rounds of per-stage scheduling floor
-      // (measured 3.4 s at sf0.1, over half inter-job gap); this shape
-      // is 4 jobs TOTAL regardless of K and identical output.
+        graft.Tuning.partsFor(tokCount)) {
+      // TWO-TIER candidate pool with a submodular certificate (the
+      // lazy-greedy/CELF bound, Minoux '78):
+      //   tier 2 — the top-M2 docs by INITIAL gain, gains only (one
+      //     TakeOrdered job; 16 bytes/doc of driver state);
+      //   tier 1 — the top-M1 of those with their full bigram sets
+      //     (one bounded fetch job — M1·max-doc-bigrams rows, the q141
+      //     fixed-size class).
+      // The K greedy rounds run ENTIRELY in the driver over held sets.
+      // A held pick is provably the global greedy pick when its
+      // conditional gain strictly exceeds (a) every unheld tier-2 doc's
+      // initial gain and (b) the tier-2 floor B: submodularity bounds
+      // any doc's conditional gain by its initial gain, and TakeOrdered
+      // order bounds every doc outside tier 2 by B. On the first (a)
+      // failure the remaining tier-2 sets are fetched in ONE batched
+      // job (CELF's re-evaluation, amortized — r14's single-tier shape
+      // paid a ~2-job distributed round per uncertified pick, 23 jobs
+      // at sf0.1; this shape is ≤5 jobs for any K the cap certifies).
+      // Ties at either bound fall back to the distributed per-round
+      // loop below (an outside doc with equal conditional gain and a
+      // smaller doc_id could win the deterministic tiebreak) —
+      // exactness never rests on the pool being "big enough". Driver
+      // state is capped at M2·max-doc-bigrams, never corpus-sized.
       val PoolM = CoverPoolM
-      val pool = tok.groupBy(col("doc_id"))
+      val PoolM2 = math.max(CoverPoolM2, PoolM)
+      val gains = tok.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("doc_id"))
-        .limit(PoolM).collect()
+        .limit(PoolM2).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      // outside docs have initial gain ≤ the pool minimum (0 when the
-      // pool holds the whole corpus — then the certificate is vacuous)
-      val outsideBound =
-        if (pool.length < PoolM) 0L else pool.map(_._2).min
-      val poolSets: Map[Long, Set[String]] =
-        if (pool.isEmpty) Map.empty
-        else tok.join(
-            broadcast(pool.map(_._1).toSeq.toDF("doc_id")), Seq("doc_id"))
+      // outside docs have initial gain ≤ the tier-2 floor (vacuous when
+      // the tier holds the whole corpus)
+      val tierWhole = gains.length < PoolM2
+      val outsideBound = if (tierWhole) 0L else gains.map(_._2).min
+      val held = scala.collection.mutable.Map.empty[Long, Set[String]]
+      def fetchSets(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+        tok.join(broadcast(ids.toDF("doc_id")), Seq("doc_id"))
           .collect().groupBy(_.getLong(0))
-          .map { case (id, rows) =>
-            id -> rows.map(_.getString(1)).toSet }
+          .foreach { case (id, rows) =>
+            held(id) = rows.map(_.getString(1)).toSet }
+      }
+      fetchSets(gains.take(PoolM).map(_._1).toSeq)
+      // unheld tier-2 docs, kept in (gain DESC, doc_id ASC) order so
+      // head carries the certificate bound (a)
+      var unheld: List[(Long, Long)] = gains.drop(PoolM).toList
       while (picked.size < CoverK && !stop) {
         val pickedIds = picked.map(_._2).toSet
-        // driver argmax over the pool: conditional gain, ties by doc_id
-        val best = poolSets.iterator
+        // driver argmax over held sets: conditional gain, ties by id
+        val best = held.iterator
           .filter { case (id, _) => !pickedIds.contains(id) }
           .map { case (id, ws) => (id, (ws -- covered).size.toLong) }
           .foldLeft(Option.empty[(Long, Long)]) {
@@ -454,17 +507,24 @@ object Mixing {
               case _ => Some((id, g))
             }
           }
-        best match {
+        if (unheld.nonEmpty && best.forall(_._2 <= unheld.head._2)) {
+          // certificate (a) failed — an unheld tier-2 doc's initial
+          // gain reaches the best held conditional gain. One batched
+          // CELF re-evaluation: fetch every remaining tier-2 set.
+          fetchSets(unheld.map(_._1)); unheld = Nil; statBulk += 1
+        } else best match {
           case Some((id, g)) if g > outsideBound ||
-              (pool.length < PoolM && g > 0L) =>
-            covered ++= poolSets(id)
+              (tierWhole && g > 0L) =>
+            covered ++= held(id)
             picked :+= ((picked.size + 1L, id, g, covered.size.toLong))
-          case Some((_, 0L)) if pool.length < PoolM =>
-            // whole corpus in pool and nothing uncovered remains
+            statPool += 1
+          case Some((_, 0L)) if tierWhole =>
+            // whole corpus in the tier and nothing uncovered remains
             stop = true
           case _ =>
-            // certificate failed (or empty pool): ONE distributed round
-            // — the exact pre-pool form — then re-check the pool bound
+            // certificate (b) failed (or empty tier): ONE distributed
+            // round — the exact pre-pool form — then re-check
+            statDist += 1
             val ids = picked.map(_._2)
             var rem = tok
             // covered grows to thousands of bigrams — as an isin() it
@@ -483,18 +543,25 @@ object Mixing {
             if (top.isEmpty || top(0).getLong(1) == 0L) stop = true
             else {
               val id = top(0).getLong(0)
-              // a distributed-round winner usually sits in the pool
-              // (high conditional gain ⇒ high initial gain) — its full
-              // bigram set is already driver-held, skipping the fetch
-              // job; only a genuinely outside winner pays the scan
-              covered ++= poolSets.getOrElse(id,
+              // a distributed-round winner usually sits in a tier
+              // (high conditional gain ⇒ high initial gain) — a held
+              // set skips the fetch job; only a genuinely outside
+              // winner pays the single-doc scan
+              val ws = held.getOrElse(id,
                 tok.filter(col("doc_id") === id)
                   .collect().map(_.getString(1)).toSet)
+              held(id) = ws
+              unheld = unheld.filterNot(_._1 == id)
+              covered ++= ws
               picked :+= ((picked.size + 1L, id,
                 top(0).getLong(1), covered.size.toLong))
             }
         }
       }
+      lastCoverStats = Map(
+        "pool_picks" -> statPool, "bulk_fetches" -> statBulk,
+        "dist_rounds" -> statDist, "tier2_n" -> gains.length.toLong,
+        "pool_m" -> PoolM.toLong, "pool_m2" -> PoolM2.toLong)
       }
       picked.toDF("sel_rank", "doc_id", "gain", "covered_total")
         .orderBy(col("sel_rank"))

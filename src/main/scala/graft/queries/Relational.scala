@@ -644,6 +644,59 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin)
 
+  // --------------------------------------------------------------- q19b
+  // The PRODUCTION memory story of q19 (r14 VERDICT #5): the same GK
+  // operator at Spark's DEFAULT accuracy 10000 — per-sketch state is
+  // O(accuracy) entries (~32 B each, a few hundred KB per
+  // (group, column) sketch) REGARDLESS of corpus size, which is the
+  // configuration a 100 TB run actually ships (q19's oracle-exact
+  // 5×-group accuracy is a gate device; its 8 M ceiling bounds memory
+  // at ~256 MB worst-case and past it q19 switches to the exact
+  // value-distribution path). Oracled by ENVELOPE, the q18 pattern:
+  // the engine re-ranks the sketch's returned element exactly (one
+  // broadcast-join pass) and asserts GK's rank guarantee — the
+  // returned value's true rank range [lo+1, hi] must cover the target
+  // rank ⌈p·n⌉ within 2·n/accuracy (2×: merged partial sketches
+  // compound the per-sketch ε bound) — so the oracle's side is exact
+  // counts plus TRUE literals.
+  private val q19b = QueryDef.of(
+    (s, d) => {
+      val li = lineitem(s, d)
+      val acc = 10000
+      val sk = li.groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(acc))
+          .as("v50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc))
+          .as("v95"))
+      // exact integer rank test: target·acc within
+      // [(lo+1)·acc − 2n, hi·acc + 2n] ⟺ |rank − ⌈p·n⌉| ≤ 2n/acc
+      def ok(num: Int, den: Int, lo: String, hi: String) = expr(
+        s"""((($num * n_rows + $den - 1) div $den) * $acc
+           |   >= ($lo + 1) * $acc - 2 * n_rows)
+           |AND ((($num * n_rows + $den - 1) div $den) * $acc
+           |   <= $hi * $acc + 2 * n_rows)""".stripMargin)
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity") < col("v50"), 1L).otherwise(0L))
+            .as("lo50"),
+          sum(when(col("l_quantity") <= col("v50"), 1L).otherwise(0L))
+            .as("hi50"),
+          sum(when(col("l_extendedprice") < col("v95"), 1L).otherwise(0L))
+            .as("lo95"),
+          sum(when(col("l_extendedprice") <= col("v95"), 1L)
+            .otherwise(0L)).as("hi95"))
+        .select(col("l_returnflag"), col("n_rows"),
+          ok(1, 2, "lo50", "hi50").as("p50_in_envelope"),
+          ok(19, 20, "lo95", "hi95").as("p95_in_envelope"))
+        .orderBy(col("l_returnflag"))
+    },
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  TRUE AS p50_in_envelope, TRUE AS p95_in_envelope
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
   // --------------------------------------------------------------- q129
   // Winsorized robust aggregation (feature/metric preprocessing: clamp
   // a heavy-tailed value to its per-group [p05, p95] before averaging
@@ -862,6 +915,7 @@ object Relational {
   val defs: Map[String, QueryDef] = Map(
     "q121_epsilon_join" -> q121,
     "q19_approx_quantiles" -> q19,
+    "q19b_default_accuracy_quantiles" -> q19b,
     "q129_winsorized_agg" -> q129,
     "q26_cube" -> q26,
     "q29_pivot" -> q29,

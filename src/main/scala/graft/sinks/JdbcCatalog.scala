@@ -157,13 +157,21 @@ final class JdbcCatalog(connect: () => Connection, dialect: SqlDialect)
     }
 
   override def append(table: String, df: DataFrame): Unit = {
-    val cols = df.schema.fields.toSeq.map(f =>
-      ColumnDef(f.name, graft.ingest.TypeMapping.toClickHouse(f.dataType)))
+    // write-side widening (r14 VERDICT #6): a bootstrapped EXTERNAL
+    // table reads back as DateTime64/Date/Decimal/sized-int Spark types
+    // (TypeMapping.toSparkRead) and the router appends to it — fail
+    // early, by column name, on a genuinely non-appendable type
+    val cols = df.schema.fields.toSeq.map { f =>
+      val ch = graft.ingest.TypeMapping.toClickHouseWrite(f.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"column '${f.name}': ${f.dataType.sql} is not JDBC-appendable"))
+      ColumnDef(f.name, ch)
+    }
     val sql = s"INSERT INTO ${dialect.quote(table)} (" +
       cols.map(c => dialect.quote(c.name)).mkString(", ") +
       s") VALUES (${cols.map(_ => "?").mkString(", ")})"
     val conn = connect
-    val types = cols.map(_.chType)
+    val sparkTypes = df.schema.fields.toSeq.map(_.dataType)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val c = conn()
@@ -171,11 +179,22 @@ final class JdbcCatalog(connect: () => Connection, dialect: SqlDialect)
           val ps = c.prepareStatement(sql)
           var n = 0
           rows.foreach { r =>
-            types.zipWithIndex.foreach { case (t, i) =>
+            sparkTypes.zipWithIndex.foreach { case (t, i) =>
+              import org.apache.spark.sql.types._
               if (r.isNullAt(i)) ps.setObject(i + 1, null)
               else t match {
-                case "Float64" => ps.setDouble(i + 1, r.getDouble(i))
-                case "Int64" | "Int" => ps.setLong(i + 1, r.getLong(i))
+                case DoubleType => ps.setDouble(i + 1, r.getDouble(i))
+                case FloatType => ps.setFloat(i + 1, r.getFloat(i))
+                case LongType => ps.setLong(i + 1, r.getLong(i))
+                case IntegerType => ps.setInt(i + 1, r.getInt(i))
+                case ShortType => ps.setShort(i + 1, r.getShort(i))
+                case ByteType => ps.setByte(i + 1, r.getByte(i))
+                case BooleanType => ps.setBoolean(i + 1, r.getBoolean(i))
+                case TimestampType =>
+                  ps.setTimestamp(i + 1, r.getTimestamp(i))
+                case DateType => ps.setDate(i + 1, r.getDate(i))
+                case _: DecimalType =>
+                  ps.setBigDecimal(i + 1, r.getDecimal(i))
                 case _ => ps.setString(i + 1, r.getString(i))
               }
             }

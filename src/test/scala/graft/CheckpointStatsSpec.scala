@@ -8,9 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * into the SAME job that materializes an eager localCheckpoint
   * (Dataset.observe / CollectMetricsExec), so a driver-coordinated
   * round is one job instead of checkpoint + stat probe. The spec pins
-  * (a) that the blocking Observation.get actually resolves off the
-  * checkpoint action (a Spark version that stopped treating checkpoint
-  * as an observed action would HANG here, not silently regress),
+  * (a) that the synchronous QueryExecution.observedMetrics read
+  * resolves off the checkpoint action (a Spark version that stopped
+  * populating observed metrics on checkpoint would throw
+  * checkpointWithStats' IllegalStateException here — fail-fast, not a
+  * silent regression),
   * (b) bit-equality of the observed stats with a separate agg job,
   * (c) the null/empty-frame conventions the callers rely on, and
   * (d) that the returned frame is pinned (re-readable after the

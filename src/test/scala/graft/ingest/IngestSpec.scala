@@ -97,6 +97,54 @@ class IngestSpec extends AnyFunSuite {
       (goodTopic, """{"meta":{"value": 1},"value":"open"}""")).count() == 0)
   }
 
+  // Full golden replay for the single-pass classifier (r14 VERDICT #1):
+  // valueType() fused the two type-detection regexes (number-anywhere /
+  // string-anywhere) into ONE regexp_extract_all pass. This table replays
+  // every reference type-inference golden (message_test.go:60-146), every
+  // payload shape the q20–q22 fixture synthesizes, and the adversarial
+  // multi-"value" shapes, against the LEGACY two-regex form — the fused
+  // classifier must agree on all of them.
+  test("single-pass classifier replays the two-regex truth table") {
+    val legacy = {
+      val numRe = """"value"\s*:\s*-?(\d|\.\d)"""
+      val strRe = """"value"\s*:\s*""""
+      (p: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.functions.when(p.rlike(numRe), "Float64")
+          .when(p.rlike(strRe), "String")
+          .otherwise(org.apache.spark.sql.functions.lit(null)
+            .cast("string"))
+    }
+    val corpus = Seq(
+      // message_test.go type-inference table
+      goodPayload,
+      """{"value":27.8}""", """{"value":42}""", """{"value":-3.5}""",
+      """{"value":.5}""", """{"value":-.5}""", """{"value":"on"}""",
+      """{"value":true}""", """{"value":false}""", """{"value":null}""",
+      """{"value":[1,2]}""", """{"value":{"a":1}}""", """{"other":1}""",
+      """{}""", """""", """not json at all""",
+      // q20–q22 fixture shapes (IngestQueries.mqttFrame branches)
+      """{"k": 69}""",
+      """{"value":"page_view"}""",
+      """{"timestamp":"2024-01-01T00:00:00Z","value":12.5}""",
+      """{"nested":{"value":9},"value":"click"}""",
+      // nested-misfire golden (spec above) + whitespace variants
+      """{"meta":{"value": 1},"value":"open"}""",
+      """{"value" : 7}""", """{"value" :"x"}""", """{"value":  -0.1}""",
+      // multi-"value" adversarials: number-anywhere must win either way
+      """{"a":{"value":"s"},"value":5}""",
+      """{"value":5,"b":{"value":"s"}}""",
+      null.asInstanceOf[String])
+    val df = corpus.zipWithIndex.map(_.swap).toDF("i", "payload")
+    val got = df.select(col("i"),
+        Ingest.valueType(col("payload")).as("fused"),
+        legacy(col("payload")).as("legacy"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("fused") == r.getAs[String]("legacy"),
+        s"payload #${r.getInt(0)}: ${corpus(r.getInt(0))}")
+    }
+  }
+
   test("null topic goes to rejected as invalid_topic (not silently lost)") {
     val rows = Seq((null.asInstanceOf[String], """{"value":1}"""))
     val df = rows.toDF("topic", "payload")

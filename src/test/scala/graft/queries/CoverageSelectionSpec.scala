@@ -61,22 +61,56 @@ class CoverageSelectionSpec extends AnyFunSuite {
   }
 
   test("pool certificate: a starved pool falls back and stays exact") {
-    // CoverPoolM = 2 makes the lazy-greedy bound fail on nearly every
-    // round (the pool can't certify picks beyond its two candidates),
-    // forcing the distributed per-round fallback — the output must be
-    // bit-identical to the full-pool run and the local replay
+    // CoverPoolM = CoverPoolM2 = 2 makes the lazy-greedy bound fail on
+    // nearly every round (two-doc tier, no bulk fetch possible beyond
+    // it), forcing the distributed per-round fallback — the output
+    // must be bit-identical to the full-pool run and the local replay
     val sets = bigramSets
     val expected = greedy(sets, 8)
-    val saved = Mixing.CoverPoolM
+    val (savedM, savedM2) = (Mixing.CoverPoolM, Mixing.CoverPoolM2)
     try {
       Mixing.CoverPoolM = 2
+      Mixing.CoverPoolM2 = 2
       val got = SparkEntry.queries("q179_coverage_selection")(spark, sfDir)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toVector.sortBy(_._1)
       assert(got == expected,
         s"fallback path diverged from replay:\n$got\n$expected")
-    } finally Mixing.CoverPoolM = saved
+      assert(Mixing.lastCoverStats("dist_rounds") > 0L,
+        s"a 2-doc tier must exercise the distributed fallback: " +
+          s"${Mixing.lastCoverStats}")
+    } finally {
+      Mixing.CoverPoolM = savedM
+      Mixing.CoverPoolM2 = savedM2
+    }
+  }
+
+  test("pool certificate: a starved tier 1 bulk-fetches tier 2, exact") {
+    // CoverPoolM = 2 with a roomy tier 2: the held-set certificate
+    // fails immediately, the remaining tier-2 sets arrive in ONE
+    // batched fetch, and every pick thereafter is driver-certified —
+    // zero distributed rounds, identical output
+    val sets = bigramSets
+    val expected = greedy(sets, 8)
+    val (savedM, savedM2) = (Mixing.CoverPoolM, Mixing.CoverPoolM2)
+    try {
+      Mixing.CoverPoolM = 2
+      Mixing.CoverPoolM2 = 1 << 20
+      val got = SparkEntry.queries("q179_coverage_selection")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toVector.sortBy(_._1)
+      assert(got == expected,
+        s"bulk-fetch path diverged from replay:\n$got\n$expected")
+      assert(Mixing.lastCoverStats("bulk_fetches") == 1L &&
+        Mixing.lastCoverStats("dist_rounds") == 0L,
+        s"a whole-corpus tier 2 must certify every pick after one " +
+          s"bulk fetch: ${Mixing.lastCoverStats}")
+    } finally {
+      Mixing.CoverPoolM = savedM
+      Mixing.CoverPoolM2 = savedM2
+    }
   }
 
   test("early stop: a corpus whose bigrams one doc covers yields rank 1 only") {

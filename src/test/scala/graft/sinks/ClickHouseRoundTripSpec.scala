@@ -23,8 +23,14 @@ object FakeClickHouse {
   val ddl = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val insertSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val inserted = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+  /** every PreparedStatement setter invocation, by JDBC method name —
+    * pins WHICH typed setter bound each parameter (r14 VERDICT #6) */
+  val setters = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  def reset(): Unit = { tables.clear(); ddl.clear(); insertSql.clear(); inserted.clear() }
+  def reset(): Unit = {
+    tables.clear(); ddl.clear(); insertSql.clear(); inserted.clear()
+    setters.clear()
+  }
 
   private val cl = getClass.getClassLoader
 
@@ -117,7 +123,8 @@ object FakeClickHouse {
     val current = new Array[Any](nParams)
     val batch = new ArrayBuffer[Seq[Any]]()
     proxy(classOf[PreparedStatement]) {
-      case (("setDouble" | "setLong" | "setString" | "setObject"), a) =>
+      case (m, a) if m.startsWith("set") =>
+        setters.add(m)
         current(a(0).asInstanceOf[Integer] - 1) = a(1); null
       case ("addBatch", _) => batch += current.toSeq; null
       case ("executeBatch", _) =>
@@ -254,5 +261,52 @@ class ClickHouseRoundTripSpec extends AnyFunSuite {
       Seq("c1", "d1", 27.8), Seq("c1", "d2", 19.1), Seq("c2", "d1", 3.0)))
     // Float64 went through setDouble (a Double, not a string)
     assert(rows.head(2).isInstanceOf[java.lang.Double])
+  }
+
+  test("append binds DateTime64/Decimal/Date/Int32 via typed setters " +
+      "(bootstrapped external-table write path)") {
+    // r14 VERDICT #6: the production DB presents DateTime64/Decimal
+    // tables on bootstrap (read back as Timestamp/Decimal Spark types,
+    // TypeMapping.toSparkRead) and the router appends to them — the
+    // INSERT parameters must go through setTimestamp/setBigDecimal,
+    // never a stringly setString (ClickHouse JDBC rejects a VARCHAR
+    // bind against DateTime64) and never a getString ClassCastException
+    FakeClickHouse.reset()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, "2021-11-24 20:27:23.123", "12345.6789", "2021-11-24"))
+      .toDF("i", "ts", "dec", "dt")
+      .select(col("i"),
+        col("ts").cast("timestamp").as("ts"),
+        col("dec").cast("decimal(18,4)").as("dec"),
+        col("dt").cast("date").as("dt"))
+    catalog.append("ext_metrics", df)
+    assert(FakeClickHouse.insertSql.peek() ==
+      "INSERT INTO `ext_metrics` (`i`, `ts`, `dec`, `dt`) VALUES (?, ?, ?, ?)")
+    val row = FakeClickHouse.inserted.peek()
+    assert(row(0).isInstanceOf[java.lang.Integer])
+    assert(row(1).isInstanceOf[java.sql.Timestamp])
+    assert(row(2).isInstanceOf[java.math.BigDecimal])
+    assert(row(2).asInstanceOf[java.math.BigDecimal]
+      .compareTo(new java.math.BigDecimal("12345.6789")) == 0)
+    assert(row(3).isInstanceOf[java.sql.Date])
+    val used = {
+      val it = FakeClickHouse.setters.iterator()
+      val b = ArrayBuffer.empty[String]
+      while (it.hasNext) b += it.next()
+      b.toSet
+    }
+    assert(used == Set("setInt", "setTimestamp", "setBigDecimal", "setDate"),
+      s"unexpected setter set: $used")
+  }
+
+  test("append fails early, by column name, on a non-appendable type") {
+    FakeClickHouse.reset()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "emb")
+    val e = intercept[IllegalArgumentException](catalog.append("t", df))
+    assert(e.getMessage.contains("'emb'"))
+    assert(FakeClickHouse.insertSql.isEmpty, "no INSERT must be attempted")
   }
 }

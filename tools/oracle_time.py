@@ -35,11 +35,42 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         p = f"{p}/*.parquet"
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-oracle = json.load(open(oracle_path))
+spec = json.load(open(oracle_path))
+# Two input shapes: a flat {name: sql} dict (manual use, old artifacts),
+# or {"queries": {...}, "prelude": [...], "overrides": {...}} — the
+# Bench pair's form. `prelude` statements run once, UNTIMED (they
+# pre-materialize the artifacts the engine warms at deploy time, e.g.
+# q179's posting table — r14 VERDICT #3). `overrides` give the timed SQL
+# for a query whose verbatim oracle rebuilds such an artifact inline;
+# before timing an override, its rows are asserted equal to the verbatim
+# SQL's (untimed) so the denominator can never silently diverge.
+if isinstance(spec, dict) and "queries" in spec:
+    oracle = spec["queries"]
+    overrides = spec.get("overrides", {})
+    for stmt in spec.get("prelude", []):
+        con.sql(stmt)
+else:
+    oracle, overrides = spec, {}
 times = {}
 failed = {}
+used_override = []
 t_all0 = time.perf_counter()
 for name in sorted(oracle):
+    timed_sql = oracle[name]
+    if name in overrides:
+        try:
+            want = sorted(map(repr, con.sql(oracle[name]).fetchall()))
+            got = sorted(map(repr, con.sql(overrides[name]).fetchall()))
+            if want == got:
+                timed_sql = overrides[name]
+                used_override.append(name)
+            else:
+                print(f"[oracle_time] {name}: override rows DIVERGE from "
+                      f"verbatim oracle — timing the verbatim SQL",
+                      file=sys.stderr)
+        except Exception as e:
+            print(f"[oracle_time] {name}: override check failed ({e}) — "
+                  f"timing the verbatim SQL", file=sys.stderr)
     best = None
     # one retry after a transient failure (reproduced: q189/q190 died
     # mid-suite under momentary host memory pressure, then passed
@@ -49,7 +80,7 @@ for name in sorted(oracle):
         try:
             for _ in range(reps):
                 t0 = time.perf_counter()
-                con.sql(oracle[name]).fetchall()
+                con.sql(timed_sql).fetchall()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[name] = round(best, 3)
@@ -68,4 +99,5 @@ print(json.dumps({"metric": "oracle_total", "value": total, "unit": "sec",
                   "wall_sec": wall, "reps": reps,
                   "load": [round(x, 1) for x in load],
                   "failed": failed,
+                  "overrides_used": sorted(used_override),
                   "queries": times}))
