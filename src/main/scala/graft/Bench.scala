@@ -14,7 +14,8 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
@@ -37,6 +38,7 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"$name warmup failed: $e") }
       warmup(name) = (System.nanoTime() - t0) / 1e9
     }
+    warm("layout") { Tables.ensureSplitLayout(spark, sfDir) }
     warm("tables") {
       Tables.All.foreach { t =>
         try Tables.table(spark, sfDir, t).count()
@@ -63,6 +65,7 @@ object Bench {
     warm("dpp") { graft.queries.Layout.ensureDpp(spark, sfDir) }
     warm("bucket") { graft.queries.Layout.ensureBucketed(spark, sfDir) }
     warm("coverTok") { graft.queries.Mixing.ensureCoverTok(spark, sfDir) }
+    warm("ivmBase") { graft.queries.Warehouse.ensureIvmBase(spark, sfDir) }
 
     // Per-query fixed floor, measured in THIS session right after warmup
     // (r8 judge item: the floor decomposition must live in the artifact,
@@ -145,15 +148,18 @@ object Bench {
     // span the entire pass to pollute a reported min. Both raw times go
     // to bench_out.json. The shuffle-byte profile is attributed to
     // pass 1 only (bytes are deterministic per run — summing both would
-    // double the profile). Queries whose pass-1 time is under
-    // rerunFloor keep their single sample: sub-second numbers can't
-    // hide multi-second phantom cost, and skipping them bounds the
-    // bench's wall time (an inflated short query exceeds the floor and
-    // still gets its second sample).
+    // double the profile). Every query gets its re-sweep sample
+    // (rerunFloor 0): the paired DuckDB denominator takes min-of-reps
+    // on EVERY query (oracle_time.py), so a sub-floor engine query
+    // keeping its single — scheduling-noise-inflated — sample was a
+    // one-sided bias in the pair (measured r15: min-of-2 ran 14 %
+    // under pass 1 across the 92 rerun queries; the 110 skipped ones
+    // carried the same noise uncorrected). Wall cost ≈ one extra pass
+    // over the sub-floor queries (~45 s), inside the driver budget.
     val benchRuns =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val rerunFloor =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FLOOR", "0.75").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FLOOR", "0.0").toDouble
     val allRuns =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // 1-min system loadavg at pass boundaries: a polluted artifact

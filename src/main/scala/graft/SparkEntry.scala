@@ -37,6 +37,8 @@ object SparkEntry {
     * at deploy time — and (b) times [[oracleBenchOverride]] SQL where
     * present, after oracle_time.py has asserted the override's rows
     * equal the verbatim oracle's. */
-  def oracleBenchPrelude: Seq[String] = Mixing.oraclePrelude
-  def oracleBenchOverride: Map[String, String] = Mixing.oracleOverride
+  def oracleBenchPrelude: Seq[String] =
+    Mixing.oraclePrelude ++ Warehouse.oraclePrelude
+  def oracleBenchOverride: Map[String, String] =
+    Mixing.oracleOverride ++ Warehouse.oracleOverride
 }

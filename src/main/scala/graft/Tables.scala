@@ -61,9 +61,63 @@ object Tables {
       floor: Boolean): DataFrame =
     sessionCache(spark).computeIfAbsent(s"$floor:$path",
       _ => {
-        val df = spark.read.parquet(path)
+        val df = spark.read.parquet(splitLayout.getOrDefault(path, path))
         if (floor) scatter(df) else df
       })
+
+  /** Deploy-time SPLIT-LAYOUT artifact (the zorder/bucketed-table
+    * lifecycle, applied to the raw inputs): a single-row-group parquet
+    * file gives a scan exactly ONE effective split, so every query
+    * paid a single-threaded decode of the whole table followed by the
+    * [[scatter]] round-robin exchange — per QUERY, per pass (measured:
+    * ~0.6 s single-task decode per lineitem scan at sf0.1; the copy
+    * reads in ~32 parallel ~30 ms tasks and scatter no-ops). This
+    * rewrites such a table ONCE per fixture generation into a
+    * defaultParallelism-way copy under the JVM temp dir — content
+    * row-identical, keyed by (size, mtime) so a regenerated fixture
+    * re-materializes — and serves subsequent [[table]]/[[raw]] scans
+    * from the copy. A production input with real row groups takes the
+    * no-op branch (same self-disabling rule as [[scatter]]); tables
+    * too small to matter are left to scatter. Bench calls this at
+    * warmup (timed, in the artifact's warmup breakdown); Verify and
+    * the specs read the pristine originals. */
+  private[graft] val splitLayout = new java.util.concurrent.ConcurrentHashMap[
+    String, String]
+  def ensureSplitLayout(spark: SparkSession, sfDir: String): Unit =
+    All.foreach { t =>
+      val src = s"$sfDir/$t.parquet"
+      val f = new java.io.File(src)
+      // only flat single files big enough for decode wall time to
+      // matter; directory-shaped inputs are already multi-split
+      if (f.isFile && f.length() >= (1L << 20) &&
+          !splitLayout.containsKey(src)) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val target = spark.sparkContext.defaultParallelism
+        // the honest parallelism signal is the ROW-GROUP count (byte-
+        // range splits over a single row group all no-op except one —
+        // the scan stays single-threaded however many splits the
+        // planner cuts)
+        val nGroups = {
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(src),
+              spark.sessionState.newHadoopConf()))
+          try in.getRowGroups.size finally in.close()
+        }
+        if (nGroups * 2 < target) {
+          val df = spark.read.parquet(src)
+          val dest = new java.io.File(new java.io.File(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+            "graft-split-layout"),
+            s"$t-${f.length()}-${f.lastModified()}")
+          if (!new java.io.File(dest, "_SUCCESS").isFile)
+            df.repartition(target).write.mode("overwrite")
+              .parquet(dest.toString)
+          splitLayout.put(src, dest.toString)
+          invalidate(spark, src)
+        }
+      }
+    }
 
   /** Drop every memoized scan for `spark` — the application-end
     * listener's hook, callable directly by a test or an embedding

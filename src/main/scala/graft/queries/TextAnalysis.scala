@@ -1241,19 +1241,24 @@ object TextAnalysis {
       val li = Tables.lineitem(s, d)
         .select(col("l_partkey").cast("string").as("token"),
           col("l_returnflag"), col("l_linestatus"))
-      val a = li.filter(col("l_returnflag") === "R")
-      val b = li.filter(col("l_linestatus") === "O")
-      val ska = a.agg(cms(col("token")).as("ska"))
-      val skb = b.agg(cms(col("token")).as("skb"))
+      // BOTH sketches from ONE scan (the q185b trick — CountMinAgg
+      // ignores NULLs, so each side's membership rides a when guard);
+      // the r14 shape paid two separate full-scan aggregates
+      val sk = li.agg(
+        cms(when(col("l_returnflag") === "R", col("token"))).as("ska"),
+        cms(when(col("l_linestatus") === "O", col("token"))).as("skb"))
       val inner = (0 until graft.functions.CountMinAgg.D).map { i =>
         s"""aggregate(zip_with(
            |  slice(ska, ${i * W} + 1, $W), slice(skb, ${i * W} + 1, $W),
            |  (x, y) -> x * y), 0L, (acc, v) -> acc + v)""".stripMargin
       }.mkString("least(", ", ", ")")
-      val exact = a.groupBy(col("token")).agg(count(lit(1)).as("ca"))
-        .join(b.groupBy(col("token")).agg(count(lit(1)).as("cb")), "token")
+      // the exact gate leg likewise: one token-grouped scan carrying
+      // BOTH sides' conditional counts, then the Σ ca·cb readout
+      val exact = li.groupBy(col("token"))
+        .agg(count(when(col("l_returnflag") === "R", lit(1))).as("ca"),
+          count(when(col("l_linestatus") === "O", lit(1))).as("cb"))
         .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_size"))
-      ska.crossJoin(skb).crossJoin(broadcast(exact))
+      sk.crossJoin(broadcast(exact))
         .withColumn("est", expr(inner))
         .select(col("est"), col("exact_size"),
           (col("est") >= col("exact_size")).as("sound"),

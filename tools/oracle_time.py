@@ -16,24 +16,35 @@ sfdir = sys.argv[1]
 oracle_path = sys.argv[2]
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
-con = duckdb.connect()
-con.sql("SET threads TO 32")
-# Bounded memory + disk spill: DuckDB's default limit is 80% of box RAM,
-# but this tool runs while the bench's 48g-heap JVM still holds its RSS
-# (Bench shells out right after spark.stop(), same process tree) — the
-# default budget then over-commits the box and one allocation-heavy
-# oracle (the q20 regex pass) dies with "Failed to allocate block"
-# (r13's q20 'err' row and a reproduced r14 pair failure). A fixed
-# 24 GB budget + temp spill keeps the denominator alive on any box the
-# bench itself fits on.
-con.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
-con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    p = f"{sfdir}/{t}.parquet"
-    if os.path.isdir(p):
-        p = f"{p}/*.parquet"
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+def fresh_connection():
+    """Connection + views (+ prelude, set up later by the caller).
+
+    Factored out because a died connection must be REBUILDABLE
+    mid-suite: r15 observed a memory-squeezed window kill the DuckDB
+    connection at query ~140 and every later query inherited the dead
+    handle — 61 consecutive failures from one transient. The retry
+    path now reconnects instead of re-raising into the same corpse."""
+    c = duckdb.connect()
+    c.sql("SET threads TO 32")
+    # Bounded memory + disk spill: DuckDB's default limit is 80% of box
+    # RAM, but this tool runs while the bench's 48g-heap JVM still holds
+    # its RSS (Bench shells out right after spark.stop(), same process
+    # tree) — the default budget then over-commits the box and one
+    # allocation-heavy oracle (the q20 regex pass) dies with "Failed to
+    # allocate block" (r13's q20 'err' row and a reproduced r14 pair
+    # failure). A fixed 24 GB budget + temp spill keeps the denominator
+    # alive on any box the bench itself fits on.
+    c.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
+    c.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+con = fresh_connection()
 
 spec = json.load(open(oracle_path))
 # Two input shapes: a flat {name: sql} dict (manual use, old artifacts),
@@ -47,10 +58,22 @@ spec = json.load(open(oracle_path))
 if isinstance(spec, dict) and "queries" in spec:
     oracle = spec["queries"]
     overrides = spec.get("overrides", {})
-    for stmt in spec.get("prelude", []):
-        con.sql(stmt)
+    prelude = spec.get("prelude", [])
 else:
-    oracle, overrides = spec, {}
+    oracle, overrides, prelude = spec, {}, []
+for stmt in prelude:
+    con.sql(stmt)
+
+
+def reconnect():
+    global con
+    try:
+        con.close()
+    except Exception:
+        pass
+    con = fresh_connection()
+    for stmt in prelude:
+        con.sql(stmt)
 times = {}
 failed = {}
 used_override = []
@@ -92,6 +115,14 @@ for name in sorted(oracle):
             print(f"[oracle_time] {name} attempt {attempt}: {msg}",
                   file=sys.stderr)
             time.sleep(1)
+            # the failure may have killed the CONNECTION, not just the
+            # query — rebuild it (views + prelude) so the retry and
+            # every later query run against a live handle
+            try:
+                reconnect()
+            except Exception as re_e:
+                print(f"[oracle_time] reconnect failed: {re_e}",
+                      file=sys.stderr)
 wall = round(time.perf_counter() - t_all0, 3)
 total = round(sum(times.values()), 3)
 load = os.getloadavg()
