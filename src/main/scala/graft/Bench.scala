@@ -316,6 +316,10 @@ object Bench {
       case c if c < ' ' => "\\u%04x".format(c.toInt)
       case c => c.toString
     }
+    // a skipped pair must be visible in the FILE artifact (an r15 run
+    // lost its pair to a transient with the reason only on stderr,
+    // which the driver's tail capture can drop)
+    var lastPairError: String = null
     def runOracle(): Option[(String, String)] = {
       if (sys.env.getOrElse("SPARK_GRAFT_ORACLE", "1") == "0") return None
       try {
@@ -423,7 +427,9 @@ object Bench {
         Some((short, full))
       } catch {
         case e: Throwable =>
-          System.err.println(s"oracle pair skipped: $e"); None
+          System.err.println(s"oracle pair skipped: $e")
+          lastPairError = s"${e.getClass.getName}: ${e.getMessage}"
+          None
       }
     }
 
@@ -446,7 +452,10 @@ object Bench {
         if (short) "" else s""","floor":$floorJson,"warmup":$warmupJson$coverJson,"runs":$runsJson"""}${
         // pair LAST: the driver captures the stream line's ~2 KB TAIL,
         // so the paired-ratio summary must sit at the end to survive
-        pair.fold("")(p => "," + (if (short) p._1 else p._2))}}"""
+        pair.fold(
+          if (lastPairError != null)
+            s""","pair_error":"${jsonEsc(lastPairError)}""""
+          else "")(p => "," + (if (short) p._1 else p._2))}}"""
     // The bare full-name line goes to a file for the judge; the short
     // stream line is printed ONCE, on stdout only, AFTER spark.stop() so
     // it is the last line the process emits. (r03 post-mortem: printing
@@ -465,7 +474,8 @@ object Bench {
       Resources.releaseAll()
     } catch { case _: Throwable => () }
     spark.stop()
-    val pair = runOracle()
+    // one transient must not cost the round its ratio — retry once
+    val pair = runOracle().orElse(runOracle())
     val line = mkLine(short = false, pair)
     val streamLine = mkLine(short = true, pair)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")

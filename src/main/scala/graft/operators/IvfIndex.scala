@@ -65,6 +65,36 @@ object IvfIndex {
     spark.read.parquet(s"$dir/corpus"),
     spark.read.parquet(s"$dir/centroids"))
 
+  /** Collect a SMALL frame once and rebind it as a LocalRelation: a
+    * broadcast over a LocalRelation materializes driver-side with no
+    * scan job, where the same broadcast over a parquet frame launched a
+    * listing + 1-task read per QUERY (the IVF family re-broadcasts its
+    * nCells-row centroid tables in every probe — pure per-query job
+    * floor at bench, and at scale the centroid table is still tiny by
+    * construction). */
+  private[operators] def localize(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
+  /** [[load]] with the CENTROID side localized, memoized per
+    * (session, dir) — probe queries hit the memo, the one collect runs
+    * at warmup. Index dirs are immutable once written (ensure() never
+    * rewrites an existing dir), so the memo cannot go stale; it clears
+    * with Resources.releaseAll like the other per-session memos. */
+  private val localLoadCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val localLoadHook = new java.util.concurrent.atomic.AtomicBoolean
+  def loadLocal(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    if (localLoadHook.compareAndSet(false, true))
+      graft.Resources.onReleaseAll(() => localLoadCache.clear())
+    localLoadCache.getOrElseUpdate((spark, dir), {
+      val (corpus, cents) = load(spark, dir)
+      (corpus, localize(cents))
+    })
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/corpus/_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -100,7 +130,7 @@ object IvfIndex {
     * the probed cell directories are listed or read. */
   def searchPrebuilt(spark: SparkSession, dir: String, probes: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val (assigned, centroids) = load(spark, dir)
+    val (assigned, centroids) = loadLocal(spark, dir)
     val probeCells = nearestCells(centroids, probes, nProbe)
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -108,7 +138,9 @@ object IvfIndex {
   }
 
   /** Nearest nProbe centroids per probe (tiny broadcast cross:
-    * probes × nCells rows, both sides small by construction). */
+    * probes × nCells rows, both sides small by construction; a
+    * [[loadLocal]] centroid side is a LocalRelation, whose broadcast
+    * materializes driver-side with no job). */
   private def nearestCells(centroids: DataFrame, probes: DataFrame,
       nProbe: Int): DataFrame = {
     VectorFunctions.register(probes.sparkSession)
@@ -183,6 +215,24 @@ object IvfIndex {
   private[operators] def centroidArray(cents: DataFrame, as: String): DataFrame =
     cents.groupBy()
       .agg(expr("sort_array(collect_list(struct(cell, c)))").as(as))
+
+  /** [[centroidArray]] collected once and rebound as a LocalRelation,
+    * memoized by (session, cents-frame identity, alias): every
+    * broadcast of the aggregate form launched a 1-task job per QUERY
+    * (the aggregate must execute before the broadcast materializes);
+    * the localized form broadcasts driver-side with no job. ONLY for
+    * cents frames that are themselves memoized (loadLocal dirs) — a
+    * per-query cents frame would grow the memo unboundedly. */
+  private val centArrCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, DataFrame, String), DataFrame]
+  private val centArrHook = new java.util.concurrent.atomic.AtomicBoolean
+  private[operators] def centroidArrayLocal(cents: DataFrame,
+      as: String): DataFrame = {
+    if (centArrHook.compareAndSet(false, true))
+      graft.Resources.onReleaseAll(() => centArrCache.clear())
+    centArrCache.getOrElseUpdate((cents.sparkSession, cents, as),
+      localize(centroidArray(cents, as)))
+  }
 
   /** Exact-integer squared L2 fold between feature expr `fv` (bigint
     * array) and centroid expr `cv` (double array), in dimension order —

@@ -110,6 +110,26 @@ object PqIndex {
       (0 until m).map(i => spark.read.parquet(s"$dir/sub_$i")),
       subDim, nCells))
 
+  /** [[load]] with every codebook LOCALIZED (IvfIndex.localize),
+    * memoized per (session, dir): probeSide re-broadcasts the coarse +
+    * M sub codebooks on every probe query — 1+M parquet-read jobs per
+    * query of pure floor over tables that are tiny by construction.
+    * Index dirs are immutable once written, so the memo cannot go
+    * stale; clears with Resources.releaseAll. */
+  private val localLoadCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Codebooks)]
+  private val localLoadHook = new java.util.concurrent.atomic.AtomicBoolean
+  def loadLocal(spark: SparkSession, dir: String, m: Int, subDim: Int,
+      nCells: Int): (DataFrame, Codebooks) = {
+    if (localLoadHook.compareAndSet(false, true))
+      graft.Resources.onReleaseAll(() => localLoadCache.clear())
+    localLoadCache.getOrElseUpdate((spark, dir), {
+      val (codes, cb) = load(spark, dir, m, subDim, nCells)
+      (codes, Codebooks(IvfIndex.localize(cb.coarse),
+        cb.subs.map(IvfIndex.localize), cb.subDim, cb.nCells))
+    })
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -138,7 +158,7 @@ object PqIndex {
     * the join ([[IvfIndex.searchPrebuilt]] shape). */
   def searchPrebuilt(spark: SparkSession, dir: String, probes: DataFrame,
       k: Int, nProbe: Int, m: Int, subDim: Int, nCells: Int): DataFrame = {
-    val (codes, cb) = load(spark, dir, m, subDim, nCells)
+    val (codes, cb) = loadLocal(spark, dir, m, subDim, nCells)
     val ps = probeSide(cb, probes, nProbe)
     val cells = ps.select(explode(col("probe_cells")).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -150,11 +170,16 @@ object PqIndex {
   private def probeSide(cb: Codebooks, probes: DataFrame,
       nProbe: Int): DataFrame = {
     val m = cb.subs.size
+    // centroidArrayLocal, not centroidArray: probeSide only runs over
+    // loadLocal codebooks (memoized per dir), so the 1+M aggregate
+    // broadcasts collapse to job-free LocalRelation broadcasts
     var p = IvfIndex.quantize(probes)
       .withColumnRenamed("vec_id", "probe_id")
-      .crossJoin(broadcast(IvfIndex.centroidArray(cb.coarse, "cs_co")))
+      .crossJoin(broadcast(
+        IvfIndex.centroidArrayLocal(cb.coarse, "cs_co")))
     cb.subs.zipWithIndex.foreach { case (c, i) =>
-      p = p.crossJoin(broadcast(IvfIndex.centroidArray(c, s"cs_$i")))
+      p = p.crossJoin(broadcast(
+        IvfIndex.centroidArrayLocal(c, s"cs_$i")))
     }
     p.select(
       col("probe_id") +:
