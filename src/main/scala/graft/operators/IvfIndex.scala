@@ -72,10 +72,17 @@ object IvfIndex {
     * nCells-row centroid tables in every probe — pure per-query job
     * floor at bench, and at scale the centroid table is still tiny by
     * construction). */
+  private[operators] val LocalizeMaxRows = 65536
   private[operators] def localize(df: DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
+    val rows = df.collect()
+    // hard guard on the "tiny by construction" claim: localize is for
+    // centroid/codebook tables (≤ nCells ≤ 256 rows today); a caller
+    // handing it a data-sized frame must fail loudly, not OOM the
+    // driver at scale
+    require(rows.length <= LocalizeMaxRows,
+      s"localize() is for small control tables; got ${rows.length} rows")
     df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** [[load]] with the CENTROID side localized, memoized per

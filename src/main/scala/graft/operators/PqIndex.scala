@@ -117,13 +117,16 @@ object PqIndex {
     * Index dirs are immutable once written, so the memo cannot go
     * stale; clears with Resources.releaseAll. */
   private val localLoadCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, Codebooks)]
+    .empty[(SparkSession, String, Int, Int, Int), (DataFrame, Codebooks)]
   private val localLoadHook = new java.util.concurrent.atomic.AtomicBoolean
   def loadLocal(spark: SparkSession, dir: String, m: Int, subDim: Int,
       nCells: Int): (DataFrame, Codebooks) = {
     if (localLoadHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => localLoadCache.clear())
-    localLoadCache.getOrElseUpdate((spark, dir), {
+    // the geometry params ride the key: a dir read under two different
+    // (m, subDim, nCells) claims must not serve one caller the other's
+    // codebook view
+    localLoadCache.getOrElseUpdate((spark, dir, m, subDim, nCells), {
       val (codes, cb) = load(spark, dir, m, subDim, nCells)
       (codes, Codebooks(IvfIndex.localize(cb.coarse),
         cb.subs.map(IvfIndex.localize), cb.subDim, cb.nCells))
