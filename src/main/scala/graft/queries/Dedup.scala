@@ -146,9 +146,14 @@ object Dedup {
       d: String): org.apache.spark.sql.DataFrame = {
     if (sigFrameHook.compareAndSet(false, true))
       graft.Resources.onReleaseAll(() => sigFrameCache.clear())
+    // plain localCheckpoint, NOT compactCheckpoint: every consumer
+    // fans the 16-long rows out (band explode ×4 configs, zip_with
+    // match counts), so collapsing the frame to partsFor(nDocs)
+    // partitions serializes that work — measured q196 1.7 → 1.9 s
+    // under the compacted form vs 1.0 s at scan parallelism
     sigFrameCache.getOrElseUpdate(s"${graft.Resources.sessionKey(s)}:$d",
-      graft.Resources.retain(graft.Tuning.compactCheckpoint(
-        sigsOf(Tables.documents(s, d)))))
+      graft.Resources.retain(
+        sigsOf(Tables.documents(s, d)).localCheckpoint(true)))
   }
 
   /** Distinct-shingle sets for an arbitrary (doc_id, text) frame — the

@@ -38,13 +38,19 @@ object Retrieval {
   private val q89 = QueryDef.of(
     (s, d) => {
       VectorFunctions.register(s)
-      val corpus = Tables.documents(s, d)
-        .join(Tables.embeddings(s, d)
-          .select(col("vec_id").as("doc_id"), col("embedding")),
-          Seq("doc_id"))
-        .withColumn("emb_norm", expr("vec_norm(embedding)"))
-        .select(col("doc_id"), col("text"), col("embedding"),
-          col("emb_norm"))
+      // the joined corpus is referenced by probes, the term pipeline,
+      // the doc count AND the dense scan — pin it or the join+norm
+      // recompute per reference (the iterative-chain trap, NOTES);
+      // plain localCheckpoint keeps scan parallelism for the explode/
+      // cosine consumers (compaction would serialize them)
+      val corpus = graft.Resources.retain(
+        Tables.documents(s, d)
+          .join(Tables.embeddings(s, d)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+          .withColumn("emb_norm", expr("vec_norm(embedding)"))
+          .select(col("doc_id"), col("text"), col("embedding"),
+            col("emb_norm")).localCheckpoint(true))
       val probes = corpus
         .filter(col("doc_id").isin(ProbeIds.map(Int.box): _*))
         .select(col("doc_id").as("query_id"),
@@ -58,8 +64,11 @@ object Retrieval {
       val terms = corpus
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
-      val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("n_dt"))
+      // tf feeds dl, df AND the scored join — pin it so the token
+      // explode + (doc, term) shuffle run once, not three times
+      val tf = graft.Resources.retain(
+        terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("n_dt")).localCheckpoint(true))
       // dl/df derive from tf (one row per distinct (doc, term)) — the
       // raw token stream is shuffled exactly once (q77's contract)
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("dl"))
