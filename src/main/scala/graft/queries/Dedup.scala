@@ -1131,8 +1131,13 @@ object Dedup {
     * many verified pairs (~16 MB of collected (long, long) rows) the
     * distributed CC fixpoint is pure job floor; above it the
     * distributed path runs. The count comes from the aggregate the
-    * query computes anyway, so the gate adds zero jobs. */
-  private val DriverCcPairCap = 1000000L
+    * query computes anyway, so the gate adds zero jobs. A system
+    * property (test seam, graft.superstep.* precedent) lets
+    * ThresholdCurveSpec force the distributed arm on fixture-sized
+    * edge sets and pin both paths byte-identical. */
+  private def DriverCcPairCap: Long =
+    java.lang.Long.parseLong(
+      System.getProperty("graft.q170.driverCcCap", "1000000"))
   private val q170 = QueryDef.of(
     (s, d) => {
       // the shared pinned verify artifact (see [[pairStats]]) IS the

@@ -118,4 +118,31 @@ class IvfIndexSpec extends AnyFunSuite {
         "(otherwise q189's churn readout is vacuous on this fixture)")
     graft.Resources.releaseAll()
   }
+
+  test("loadLocal memoizes a LocalRelation centroid side that matches " +
+      "load, and localize refuses data-sized frames") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf-local").toString
+    IvfIndex.ensure(corpus, nCells = 4, dir)
+    val (_, cents) = IvfIndex.load(spark, dir)
+    val (_, local) = IvfIndex.loadLocal(spark, dir)
+    // the localized side must be a LocalRelation (broadcasting it
+    // launches no scan job — the point of the memo)
+    assert(local.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      case _ => false
+    }, "loadLocal centroid side must resolve to a LocalRelation")
+    // identical contents, and the memo returns the same instance
+    assert(local.collect().map(_.toString).sorted.toSeq ==
+      cents.collect().map(_.toString).sorted.toSeq)
+    assert(IvfIndex.loadLocal(spark, dir)._2 eq local)
+    // the small-table guard fails loudly on a data-sized frame
+    val big = spark.range(IvfIndex.LocalizeMaxRows + 1L).toDF("id")
+    intercept[IllegalArgumentException](IvfIndex.localize(big))
+    graft.Resources.releaseAll()
+    // releaseAll clears the memo: next call rebuilds (fresh instance)
+    assert(!(IvfIndex.loadLocal(spark, dir)._2 eq local))
+    graft.Resources.releaseAll()
+  }
 }
