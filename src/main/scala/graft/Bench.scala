@@ -52,6 +52,7 @@ object Bench {
     warm("shingle") { graft.queries.Dedup.ensureShingleIndex(spark, sfDir) }
     warm("labels") { graft.queries.Dedup.ensureClusterLabels(spark, sfDir) }
     warm("bm25") { graft.queries.TextAnalysis.ensureBm25(spark, sfDir) }
+    warm("lmScores") { graft.queries.TextAnalysis.ensureLmScores(spark, sfDir) }
     warm("coEdges") { graft.queries.Graph.ensureCoEdges(spark, sfDir) }
     warm("prGraph") { graft.queries.Graph.ensurePrGraph(spark, sfDir) }
     warm("walkAdj") { graft.queries.Graph.ensureWalkAdj(spark, sfDir) }

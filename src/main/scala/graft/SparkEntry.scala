@@ -38,7 +38,9 @@ object SparkEntry {
     * present, after oracle_time.py has asserted the override's rows
     * equal the verbatim oracle's. */
   def oracleBenchPrelude: Seq[String] =
-    Mixing.oraclePrelude ++ Warehouse.oraclePrelude
+    Mixing.oraclePrelude ++ Warehouse.oraclePrelude ++
+      TextAnalysis.oraclePrelude
   def oracleBenchOverride: Map[String, String] =
-    Mixing.oracleOverride ++ Warehouse.oracleOverride
+    Mixing.oracleOverride ++ Warehouse.oracleOverride ++
+      TextAnalysis.oracleOverride
 }
