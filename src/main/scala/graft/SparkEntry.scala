@@ -39,8 +39,8 @@ object SparkEntry {
     * equal the verbatim oracle's. */
   def oracleBenchPrelude: Seq[String] =
     Mixing.oraclePrelude ++ Warehouse.oraclePrelude ++
-      TextAnalysis.oraclePrelude
+      TextAnalysis.oraclePrelude ++ Training.oraclePrelude
   def oracleBenchOverride: Map[String, String] =
     Mixing.oracleOverride ++ Warehouse.oracleOverride ++
-      TextAnalysis.oracleOverride
+      TextAnalysis.oracleOverride ++ Training.oracleOverride
 }
