@@ -312,6 +312,16 @@ object Dedup {
         catch { case _: Throwable => () }
       }
     }
+    // the signature frame is the candidate index's substrate (banded
+    // derives from it) — releasing the index releases it too, or a
+    // rebuild-then-release cycle leaks the checkpoint (HygieneSpec)
+    sigFrameCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      sigFrameCache.remove(k).foreach { df =>
+        try df.unpersist()
+        catch { case _: Throwable => () }
+        graft.Resources.releaseCheckpoint(df)
+      }
+    }
   }
 
   /** Intra-bucket pair emission shared by the MinHash (q31) and SimHash
