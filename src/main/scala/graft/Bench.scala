@@ -54,6 +54,7 @@ object Bench {
     warm("bm25") { graft.queries.TextAnalysis.ensureBm25(spark, sfDir) }
     warm("lmScores") { graft.queries.TextAnalysis.ensureLmScores(spark, sfDir) }
     warm("probe") { graft.queries.Training.ensureProbeModel(spark, sfDir) }
+    warm("spans") { graft.queries.Dedup.ensureSpanIndex(spark, sfDir) }
     warm("coEdges") { graft.queries.Graph.ensureCoEdges(spark, sfDir) }
     warm("prGraph") { graft.queries.Graph.ensurePrGraph(spark, sfDir) }
     warm("walkAdj") { graft.queries.Graph.ensureWalkAdj(spark, sfDir) }

@@ -39,8 +39,10 @@ object SparkEntry {
     * equal the verbatim oracle's. */
   def oracleBenchPrelude: Seq[String] =
     Mixing.oraclePrelude ++ Warehouse.oraclePrelude ++
-      TextAnalysis.oraclePrelude ++ Training.oraclePrelude
+      TextAnalysis.oraclePrelude ++ Training.oraclePrelude ++
+      Dedup.oraclePrelude
   def oracleBenchOverride: Map[String, String] =
     Mixing.oracleOverride ++ Warehouse.oracleOverride ++
-      TextAnalysis.oracleOverride ++ Training.oracleOverride
+      TextAnalysis.oracleOverride ++ Training.oracleOverride ++
+      Dedup.oracleOverride
 }
