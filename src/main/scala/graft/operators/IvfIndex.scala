@@ -117,7 +117,9 @@ object IvfIndex {
       val (assigned, centroids) = build(embeddings, nCells, seed)
       persist(assigned, centroids, dir)
     }
-    load(spark, dir)
+    // serve the memoized view: a fresh load() fires two schema-read
+    // jobs per call — pure floor when callers ensure() per query
+    loadLocal(spark, dir)
   }
 
   /** Top-k cosine neighbors for each probe, scanning only nProbe cells.

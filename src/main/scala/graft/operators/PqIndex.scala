@@ -150,7 +150,10 @@ object PqIndex {
       val cb = train(embeddings, nCells, m, subDim, kSub, iters)
       persist(cb, encode(embeddings, cb), dir)
     }
-    load(spark, dir, m, subDim, nCells)
+    // serve the memoized view: a fresh load() constructs 1+1+M
+    // spark.read.parquet frames, each firing a schema-read job — pure
+    // per-call floor when callers ensure() before every probe query
+    loadLocal(spark, dir, m, subDim, nCells)
   }
 
   /** Probe a PREBUILT (persisted, cell-partitioned) index. The union of

@@ -281,7 +281,7 @@ object Similarity {
             .as("distinct_ok"),
           min(coalesce((col("prev_score") >= col("score")).cast("int"),
             lit(1))).as("monotone_ok"))
-      val (assigned, _) = graft.operators.IvfIndex.load(s, dir)
+      val (assigned, _) = graft.operators.IvfIndex.loadLocal(s, dir)
       val idxStats = assigned
         .agg(countDistinct(col("cell")).as("cells_used"),
           count(lit(1)).as("n_assigned"))
