@@ -21,6 +21,11 @@ object Bench {
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "true"))
+      // 202 queries × several codegen'd stages each blow through the
+      // default 100-entry generated-class cache, so even the min-of-2
+      // second pass recompiles every stage (Janino, driver-side — lands
+      // in the inter-job gap). Static conf; classes are KB-sized.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
