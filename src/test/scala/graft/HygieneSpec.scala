@@ -18,7 +18,10 @@ class HygieneSpec extends AnyFunSuite {
     graft.queries.Graph.ensureWalkAdj(spark, sfDir)
     graft.queries.Graph.ensureHitsEdges(spark, sfDir)
     graft.queries.Dedup.ensureClusterLabels(spark, sfDir)
+    graft.queries.Dedup.ensureSpanIndex(spark, sfDir)
     graft.queries.TextAnalysis.ensureBm25(spark, sfDir)
+    graft.queries.TextAnalysis.ensureLmScores(spark, sfDir)
+    graft.queries.Training.ensureProbeModel(spark, sfDir)
     val nodes = spark.range(6).toDF("id")
     val edges = spark.createDataFrame(Seq((0L, 1L), (1L, 2L), (4L, 5L)))
       .toDF("src", "dst")
