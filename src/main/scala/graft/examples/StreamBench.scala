@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("STREAM_BENCH_N", "200000").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
