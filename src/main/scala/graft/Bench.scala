@@ -344,12 +344,20 @@ object Bench {
         // untimed; overrides are the timed SQL for queries whose verbatim
         // oracle rebuilds a deploy-time artifact inline. oracle_time.py
         // equality-checks each override against the verbatim SQL first.
-        val overrides = SparkEntry.oracleBenchOverride
+        // defense in depth: a throwing override/prelude builder must
+        // degrade to verbatim timing, never skip the whole pair
+        val overrides = (try SparkEntry.oracleBenchOverride
+          catch { case e: Throwable =>
+            System.err.println(s"overrides disabled: $e")
+            Map.empty[String, String] })
           .filter { case (n, _) => oracled.contains(n) }
         val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
         java.nio.file.Files.write(tmp,
           (s"""{"queries":${sqlMap(oracled)},"overrides":${sqlMap(overrides)},""" +
-            s""""prelude":${SparkEntry.oracleBenchPrelude
+            s""""prelude":${(try SparkEntry.oracleBenchPrelude
+              catch { case e: Throwable =>
+                System.err.println(s"prelude disabled: $e")
+                Seq.empty[String] })
               .map("\"" + jsonEsc(_) + "\"").mkString("[", ",", "]")}}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val tool = sys.env.getOrElse("SPARK_GRAFT_ORACLE_TOOL",
@@ -422,8 +430,11 @@ object Bench {
         val ratiosJson = ratioPairs.map { case (n, raw, adj) =>
           "\"" + n + "\":[" + r3(raw) + "," + r3(adj) + "]"
         }.mkString("{", ",", "}")
+        // same numerator SET as the raw ratio: a query whose oracle
+        // time rounds to 0.000 must still contribute its engine
+        // seconds, or adj_ratio silently drops cost ratio carries
         val adjTotal = oTimes.collect {
-          case (n, o) if o > 0 && !oFailed(n) => adjNum(n)
+          case (n, _) if !oFailed(n) => adjNum(n)
         }.sum
         val adjRatio =
           if (oracleS > 0)

@@ -58,6 +58,27 @@ object Resources {
     ()
   }
 
+  /** [[retain]] scoped to a named SLOT: re-occupying the slot releases
+    * the previous occupants first, so a query that pins fresh
+    * per-invocation checkpoints (q89's corpus/tf, q163's toks) holds at
+    * most ONE generation between releaseAll calls — without this, every
+    * bench rep stacked another corpus-sized checkpoint in the block
+    * manager until session end. Safe because the previous generation's
+    * consuming action has completed before the query re-enters (the
+    * runners execute queries serially) and nothing else holds those
+    * frames. */
+  private val slots =
+    scala.collection.mutable.Map.empty[String, Seq[DataFrame]]
+  def retainSlot(key: String, dfs: DataFrame*): Unit = synchronized {
+    slots.remove(key).foreach(_.foreach { df =>
+      try df.unpersist()
+      catch { case _: Throwable => () }
+      releaseCheckpoint(df)
+    })
+    slots(key) = dfs
+    ()
+  }
+
   /** Unpersist every retained frame (blocking=false: eviction proceeds
     * asynchronously; correctness never depended on the cache). Safe to
     * call twice or while queries on other sessions run — unpersist on an
@@ -77,6 +98,12 @@ object Resources {
       releaseCheckpoint(df)
     }
     retained.clear()
+    slots.values.foreach(_.foreach { df =>
+      try df.unpersist()
+      catch { case _: Throwable => () }
+      releaseCheckpoint(df)
+    })
+    slots.clear()
   }
 
   /** Release the block-manager storage behind a `localCheckpoint`ed

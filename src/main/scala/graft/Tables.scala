@@ -109,7 +109,11 @@ object Tables {
           val dest = new java.io.File(new java.io.File(
             sys.props.getOrElse("java.io.tmpdir", "/tmp"),
             "graft-split-layout"),
-            s"$t-${f.length()}-${f.lastModified()}")
+            // target rides the key: a 4-thread test session must not
+            // publish a 4-way copy that a later 32-thread bench session
+            // silently reuses (scatter's self-disabling check sees
+            // byte-range splits, not row groups, so it would no-op)
+            s"$t-${f.length()}-${f.lastModified()}-p$target")
           if (!new java.io.File(dest, "_SUCCESS").isFile)
             df.repartition(target).write.mode("overwrite")
               .parquet(dest.toString)

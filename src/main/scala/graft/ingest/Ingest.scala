@@ -39,10 +39,14 @@ object Ingest {
   // ONE regex pass: each `"value":` occurrence yields a token — the opening
   // quote for a string, the number's first character(s) otherwise; an
   // occurrence followed by any other JSON value yields nothing. Collecting
-  // ALL occurrences keeps the exact truth table of the earlier two-regex
-  // form (number-anywhere wins over string-anywhere), at half the regex
-  // scans per payload: `numRe` matched ⟺ some token ≠ `"`;
-  // `strRe` matched ⟺ some token = `"`.
+  // ALL occurrences keeps the two-regex form's number-anywhere-wins rule
+  // at half the regex scans per payload: `numRe` matched ⟺ some token
+  // ≠ `"`; `strRe` matched ⟺ some token = `"`. One edge diverges:
+  // non-overlapping extract_all can consume the quote that OPENS the
+  // next `"value":` occurrence in pathological raw text like
+  // `{"value":"value": 5}` (string-shadowed number → String where the
+  // two-regex form said Float64) — inside the KNOWN LIMIT below, and
+  // safe the same way: a misfire lands in rejected.
   private[ingest] val kindRe = """"value"\s*:\s*(-?(?:\d|\.\d)|")"""
 
   /** F4 — inferred ClickHouse type name for the payload's "value" key:

@@ -991,10 +991,13 @@ object Dedup {
     (s, d) => {
       // toks is referenced by tokRows AND the final size join — pin it
       // (the iterative-chain discipline); spans are the shared index
-      val toks = graft.Resources.retain(Tables.documents(s, d)
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      // slot retention (one generation — see Resources.retainSlot)
+      graft.Resources.retainSlot(
+        s"q163:${graft.Resources.sessionKey(s)}:$d", toks)
       val spans = spanFrame(s, d)
       val marks = spans.groupBy(col("h"))
         .agg(count(lit(1)).as("cnt"),
@@ -2486,7 +2489,7 @@ object Dedup {
       |        list_slice(tk, i, i + 7), ' ')), 1, 16))
       |    ELSE [] END) AS h
       |FROM toks""".stripMargin)
-  def oracleOverride: Map[String, String] = {
+  def oracleOverride: Map[String, String] = try {
     // q112: toks exists only to feed its span CTE — replace the whole
     // prefix with a span_frame read
     val sql112 = q112.oracle.get
@@ -2512,5 +2515,12 @@ object Dedup {
     Map("q112_dup_spans" -> o112,
       "q163_dup_span_removal" -> o163,
       "q167_span_novelty" -> o167)
+  } catch {
+    // FAIL SOFT on marker drift (the Training.oraclePrelude rule): the
+    // pair then times the verbatim oracles; a throw here would cost
+    // the round its whole denominator
+    case e: Throwable =>
+      System.err.println(s"Dedup.oracleOverride disabled: $e")
+      Map.empty
   }
 }

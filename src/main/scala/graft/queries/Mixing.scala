@@ -369,7 +369,9 @@ object Mixing {
 
   /** Offline build entry point (idempotent per session+corpus). */
   def ensureCoverTok(s: SparkSession, d: String): Unit = {
-    coverTok(s, d).count()
+    // coverTokWithCount materializes the frame AND memoizes its count;
+    // a trailing .count() here was a second full pass per warmup
+    coverTokWithCount(s, d)
     ()
   }
   /** The posting-frame body shared by the self-contained oracle (inline

@@ -43,14 +43,14 @@ object Retrieval {
       // recompute per reference (the iterative-chain trap, NOTES);
       // plain localCheckpoint keeps scan parallelism for the explode/
       // cosine consumers (compaction would serialize them)
-      val corpus = graft.Resources.retain(
+      val corpus =
         Tables.documents(s, d)
           .join(Tables.embeddings(s, d)
             .select(col("vec_id").as("doc_id"), col("embedding")),
             Seq("doc_id"))
           .withColumn("emb_norm", expr("vec_norm(embedding)"))
           .select(col("doc_id"), col("text"), col("embedding"),
-            col("emb_norm")).localCheckpoint(true))
+            col("emb_norm")).localCheckpoint(true)
       val probes = corpus
         .filter(col("doc_id").isin(ProbeIds.map(Int.box): _*))
         .select(col("doc_id").as("query_id"),
@@ -66,9 +66,13 @@ object Retrieval {
         .filter(col("term") =!= "")
       // tf feeds dl, df AND the scored join — pin it so the token
       // explode + (doc, term) shuffle run once, not three times
-      val tf = graft.Resources.retain(
+      val tf =
         terms.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("n_dt")).localCheckpoint(true))
+          .agg(count(lit(1)).as("n_dt")).localCheckpoint(true)
+      // slot retention: one generation of these corpus-sized pins,
+      // the previous invocation's copies release on re-entry
+      graft.Resources.retainSlot(
+        s"q89:${graft.Resources.sessionKey(s)}:$d", corpus, tf)
       // dl/df derive from tf (one row per distinct (doc, term)) — the
       // raw token stream is shuffled exactly once (q77's contract)
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("n_dt")).as("dl"))

@@ -683,12 +683,19 @@ object Training {
     * drift; oracle_time.py equality-checks the rows anyway before
     * timing. q136 keeps its verbatim oracle — training is its
     * product, engine and oracle both train live. */
-  val oraclePrelude: Seq[String] = {
+  val oraclePrelude: Seq[String] = try {
     // the features body, verbatim from the q136 oracle (between
-    // "WITH f AS (" and the CTE's closing "FROM documents)")
+    // "WITH f AS (" and the CTE's closing "FROM documents)"). FAIL
+    // SOFT on marker drift: an empty prelude just means the pair
+    // times the verbatim oracles (the overrides' equality checks
+    // fail against missing tables and fall back) — a throw here
+    // would cost the round its whole denominator.
     val sql = q136.oracle.get
-    val start = sql.indexOf("WITH f AS (") + "WITH f AS (".length
-    val end = sql.indexOf("FROM documents)") + "FROM documents".length
+    val i0 = sql.indexOf("WITH f AS (")
+    val i1 = sql.indexOf("FROM documents)")
+    require(i0 >= 0 && i1 > i0, "q136 oracle lost its features CTE shape")
+    val start = i0 + "WITH f AS (".length
+    val end = i1 + "FROM documents".length
     val featuresBody = sql.substring(start, end)
     Seq(
       s"CREATE TEMP TABLE probe_f AS $featuresBody",
@@ -702,6 +709,10 @@ object Training {
          |${sqlIter(2, "w1")},
          |${sqlIter(3, "w2")}
          |SELECT * FROM w3""".stripMargin)
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"Training.oraclePrelude disabled: $e")
+      Seq.empty
   }
   private def evalOverride(q: QueryDef): String = {
     val sql = q.oracle.get
@@ -712,8 +723,14 @@ object Training {
       .replace("FROM f CROSS JOIN w3 w",
         "FROM probe_f f CROSS JOIN probe_w w")
   }
-  def oracleOverride: Map[String, String] = Map(
-    "q148_classifier_eval" -> evalOverride(q148),
-    "q190_calibration_bins" -> evalOverride(q190),
-    "q194_threshold_selection" -> evalOverride(q194))
+  def oracleOverride: Map[String, String] = try {
+    Map(
+      "q148_classifier_eval" -> evalOverride(q148),
+      "q190_calibration_bins" -> evalOverride(q190),
+      "q194_threshold_selection" -> evalOverride(q194))
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"Training.oracleOverride disabled: $e")
+      Map.empty
+  }
 }

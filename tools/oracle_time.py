@@ -61,8 +61,21 @@ if isinstance(spec, dict) and "queries" in spec:
     prelude = spec.get("prelude", [])
 else:
     oracle, overrides, prelude = spec, {}, []
-for stmt in prelude:
-    con.sql(stmt)
+def run_prelude(c):
+    # each statement individually guarded: one failing prelude table
+    # must only disable the overrides that read it (their equality
+    # check fails -> verbatim timing), never abort the whole oracle
+    # run and cost the round its denominator
+    for stmt in prelude:
+        try:
+            c.sql(stmt)
+        except Exception as e:
+            print(f"[oracle_time] prelude statement failed ({e}) — "
+                  f"dependent overrides will fall back to verbatim",
+                  file=sys.stderr)
+
+
+run_prelude(con)
 
 
 def reconnect():
@@ -72,8 +85,7 @@ def reconnect():
     except Exception:
         pass
     con = fresh_connection()
-    for stmt in prelude:
-        con.sql(stmt)
+    run_prelude(con)
 times = {}
 failed = {}
 used_override = []
