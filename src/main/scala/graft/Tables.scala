@@ -72,11 +72,13 @@ object Tables {
     * [[scatter]] round-robin exchange — per QUERY, per pass (measured:
     * ~0.6 s single-task decode per lineitem scan at sf0.1; the copy
     * reads in ~32 parallel ~30 ms tasks and scatter no-ops). This
-    * rewrites such a table ONCE per fixture generation into a
-    * defaultParallelism-way copy under the JVM temp dir — content
-    * row-identical, keyed by (size, mtime) so a regenerated fixture
-    * re-materializes — and serves subsequent [[table]]/[[raw]] scans
-    * from the copy. A production input with real row groups takes the
+    * rewrites such a table ONCE per process into a
+    * defaultParallelism-way copy under [[Tuning.artifactRoot]] —
+    * content row-identical, keyed by (size, mtime, parallelism) for
+    * in-process idempotence; the root is per-process, so every driver
+    * invocation pays the rebuild itself (timed in Bench's warmup) and
+    * never inherits a copy from an earlier run — and serves subsequent
+    * [[table]]/[[raw]] scans from the copy. A production input with real row groups takes the
     * no-op branch (same self-disabling rule as [[scatter]]); tables
     * too small to matter are left to scatter. Bench calls this at
     * warmup (timed, in the artifact's warmup breakdown); Verify and
@@ -107,8 +109,7 @@ object Tables {
         if (nGroups * 2 < target) {
           val df = spark.read.parquet(src)
           val dest = new java.io.File(new java.io.File(
-            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-            "graft-split-layout"),
+            graft.Tuning.artifactRoot, "split-layout"),
             // target rides the key: a 4-thread test session must not
             // publish a 4-way copy that a later 32-thread bench session
             // silently reuses (scatter's self-disabling check sees

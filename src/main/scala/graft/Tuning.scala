@@ -19,6 +19,31 @@ import org.apache.spark.storage.StorageLevel
   * partitions: this is data-proportional sizing, not a bench special.
   */
 object Tuning {
+  /** Root directory for deploy-time artifact builds (ANN indexes,
+    * warehouse tables, layout copies). Per-PROCESS by default: every
+    * driver invocation rebuilds its artifacts from the parquet inputs —
+    * the build cost is paid (and, in Bench, individually timed in the
+    * warmup breakdown) by the run that uses them, and nothing one run
+    * persists can be served to a later one. A production deployment
+    * that owns a real artifact store sets SPARK_GRAFT_INDEX_DIR and
+    * keeps build-or-load idempotence across jobs — there an index
+    * legitimately outlives the job that built it. */
+  lazy val artifactRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", {
+      val dir = java.nio.file.Files.createTempDirectory("graft-idx-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteRecursively(dir.toFile)
+        catch { case _: Throwable => () }))
+      dir.toString
+    })
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Target rows per cached partition for bounded artifact frames.
     * Artifact rows are narrow (two or three longs); 500k rows ≈ 10-20 MB
     * a partition — comfortably task-sized, far from the near-empty

@@ -79,8 +79,7 @@ object Layout {
 
   /** Deterministic per-sf bucketed-layout location + table names. */
   def bucketedNames(sfDir: String): (String, String, String) = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      sys.props("java.io.tmpdir") + "/graft-ivf")
+    val base = graft.Tuning.artifactRoot
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     (s"$base/$key-bkt", s"orders_bkt$key", s"customer_bkt$key")
   }
@@ -133,8 +132,7 @@ object Layout {
   // never change answers (q101/q85 precedent).
   /** Deterministic per-sf DPP layout location (fact + dim dirs). */
   def dppNames(sfDir: String): (String, String) = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      sys.props("java.io.tmpdir") + "/graft-ivf")
+    val base = graft.Tuning.artifactRoot
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     (s"$base/$key-dpp/orders", s"$base/$key-dpp/prio")
   }

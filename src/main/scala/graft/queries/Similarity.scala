@@ -226,8 +226,7 @@ object Similarity {
 
   /** Deterministic per-sf index location (offline-build artifact). */
   def ivfIndexDir(sfDir: String): String = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      sys.props("java.io.tmpdir") + "/graft-ivf")
+    val base = graft.Tuning.artifactRoot
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"$base/$key-c$IvfCells"
   }
@@ -572,8 +571,7 @@ object Similarity {
     * naming contract as [[pqIndexDir]] — constants in the name so a
     * constant change can never reuse a stale index). */
   def detIndexDir(sfDir: String): String = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      sys.props("java.io.tmpdir") + "/graft-ivf")
+    val base = graft.Tuning.artifactRoot
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"$base/$key-det$KCells-i$KIters"
   }
@@ -916,8 +914,7 @@ object Similarity {
     * The name encodes every training constant so a constant change can
     * never silently reuse a stale index. */
   def pqIndexDir(sfDir: String): String = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      sys.props("java.io.tmpdir") + "/graft-ivf")
+    val base = graft.Tuning.artifactRoot
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"$base/$key-pq$KCells-m$PqM-sd$PqSubDim-k$PqKSub-i$KIters"
   }

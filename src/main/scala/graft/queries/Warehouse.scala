@@ -59,8 +59,7 @@ object Warehouse {
 
   /** Deterministic per-sf warehouse location (offline-build artifact). */
   def cowDir(sfDir: String): String = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      sys.props("java.io.tmpdir") + "/graft-ivf")
+    val base = graft.Tuning.artifactRoot
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"$base/$key-cow"
   }
