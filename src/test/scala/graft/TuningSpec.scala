@@ -59,4 +59,29 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.partsFor(5000000L) == 10)
     assert(Tuning.partsFor(Long.MaxValue / 4) == (1 << 20))
   }
+
+  // The r15 lifecycle-compliance contract: every offline-build artifact
+  // (index, warehouse table, layout) roots under Tuning.artifactRoot,
+  // which without the SPARK_GRAFT_INDEX_DIR override is a PER-PROCESS
+  // directory — no run can be served an artifact a previous run built.
+  // A regression here (any dir helper reverting to a fixed /tmp path)
+  // silently reintroduces cross-run reuse the bench rules forbid.
+  test("artifactRoot is one per-process dir and all artifact dirs root there") {
+    val root = Tuning.artifactRoot
+    assert(root == Tuning.artifactRoot, "stable within the process")
+    if (!sys.env.contains("SPARK_GRAFT_INDEX_DIR")) {
+      assert(new java.io.File(root).isDirectory, "created eagerly")
+      assert(new java.io.File(root).getName.startsWith("graft-idx-"),
+        "fresh per-process dir, not a fixed shared path")
+    }
+    val d = "/root/testdata/sf0.001"
+    val dirs = Seq(
+      graft.queries.Similarity.ivfIndexDir(d),
+      graft.queries.Similarity.detIndexDir(d),
+      graft.queries.Similarity.pqIndexDir(d),
+      graft.queries.Warehouse.cowDir(d),
+      graft.queries.Layout.bucketedNames(d)._1,
+      graft.queries.Layout.dppNames(d)._1)
+    dirs.foreach(p => assert(p.startsWith(root), s"$p must root under $root"))
+  }
 }
