@@ -85,15 +85,26 @@ object Tables {
     * the specs read the pristine originals. */
   private[graft] val splitLayout = new java.util.concurrent.ConcurrentHashMap[
     String, String]
-  def ensureSplitLayout(spark: SparkSession, sfDir: String): Unit =
-    All.foreach { t =>
+  def ensureSplitLayout(spark: SparkSession, sfDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Per-table rewrites are INDEPENDENT jobs, and each one's map side
+    // is a single-task decode of a one-row-group source — run serially
+    // the ten tables leave 31 cores idle for the decode of each (§2.6
+    // overlap-independent-jobs; measured 7.2 s serial → ~2.5 s at 4 in
+    // flight, same copies). Attribution stays intact: the whole step is
+    // one timed warmup entry. 4 in flight is plenty — enough to overlap
+    // decode tails, not so many the write stages fight for cores.
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val done = All.map { t => Future {
       val src = s"$sfDir/$t.parquet"
       val f = new java.io.File(src)
       // only flat single files big enough for decode wall time to
       // matter; directory-shaped inputs are already multi-split
       if (f.isFile && f.length() >= (1L << 20) &&
           !splitLayout.containsKey(src)) {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val target = spark.sparkContext.defaultParallelism
         // the honest parallelism signal is the ROW-GROUP count (byte-
         // range splits over a single row group all no-op except one —
@@ -122,7 +133,10 @@ object Tables {
           invalidate(spark, src)
         }
       }
-    }
+    }}
+    try done.foreach(Await.result(_, Duration.Inf))
+    finally pool.shutdown()
+  }
 
   /** Drop every memoized scan for `spark` — the application-end
     * listener's hook, callable directly by a test or an embedding
