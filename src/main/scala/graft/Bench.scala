@@ -7,6 +7,41 @@ import org.apache.spark.sql.SparkSession
   * touches every fixture table (file listing, footer reads, codegen JIT),
   * so per-query numbers measure the query, not session start. */
 object Bench {
+  /** The deploy-time artifact builds the bench warms, in order — ONE
+    * definition shared with [[graft.examples.WarmupProbe]] (and any
+    * future driver), so a probe can never silently drift from the
+    * bench's actual warmup set when a round adds an artifact. */
+  val warmupSteps: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "layout" -> ((s, d) => Tables.ensureSplitLayout(s, d)),
+    "tables" -> ((s, d) => Tables.All.foreach { t =>
+      try { Tables.table(s, d, t).count(); () }
+      catch { case _: Throwable => () }
+    }),
+    "ivf" -> ((s, d) => { graft.queries.Similarity.ensureIvfIndex(s, d); () }),
+    "det" -> ((s, d) => { graft.queries.Similarity.ensureDetIndex(s, d); () }),
+    "pq" -> ((s, d) => { graft.queries.Similarity.ensurePqIndex(s, d); () }),
+    "lsh" -> ((s, d) => { graft.queries.Dedup.ensureCandidateIndex(s, d); () }),
+    "shingle" -> ((s, d) => { graft.queries.Dedup.ensureShingleIndex(s, d); () }),
+    "labels" -> ((s, d) => { graft.queries.Dedup.ensureClusterLabels(s, d); () }),
+    "bm25" -> ((s, d) => { graft.queries.TextAnalysis.ensureBm25(s, d); () }),
+    "lmScores" -> ((s, d) => { graft.queries.TextAnalysis.ensureLmScores(s, d); () }),
+    "probe" -> ((s, d) => { graft.queries.Training.ensureProbeModel(s, d); () }),
+    "spans" -> ((s, d) => { graft.queries.Dedup.ensureSpanIndex(s, d); () }),
+    "coEdges" -> ((s, d) => { graft.queries.Graph.ensureCoEdges(s, d); () }),
+    "prGraph" -> ((s, d) => { graft.queries.Graph.ensurePrGraph(s, d); () }),
+    "walkAdj" -> ((s, d) => { graft.queries.Graph.ensureWalkAdj(s, d); () }),
+    "hitsEdges" -> ((s, d) => { graft.queries.Graph.ensureHitsEdges(s, d); () }),
+    "bpe" -> ((s, d) => { graft.queries.TextAnalysis.ensureBpe(s, d); () }),
+    "groundTruth" -> ((s, d) => { graft.queries.Similarity.ensureGroundTruth(s, d); () }),
+    "cow" -> ((s, d) => { graft.queries.Warehouse.ensureMerged(s, d); () }),
+    "stats" -> ((s, d) => { graft.queries.Warehouse.ensureStatsTable(s, d); () }),
+    "zorder" -> ((s, d) => { graft.queries.Warehouse.ensureZorderTable(s, d); () }),
+    "bloom" -> ((s, d) => { graft.queries.Warehouse.ensureBloomTable(s, d); () }),
+    "dpp" -> ((s, d) => { graft.queries.Layout.ensureDpp(s, d); () }),
+    "bucket" -> ((s, d) => { graft.queries.Layout.ensureBucketed(s, d); () }),
+    "coverTok" -> ((s, d) => { graft.queries.Mixing.ensureCoverTok(s, d); () }),
+    "ivmBase" -> ((s, d) => { graft.queries.Warehouse.ensureIvmBase(s, d); () }))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // 32 in-code default (the ScaleStress r14 lesson): the box IS
@@ -46,37 +81,9 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"$name warmup failed: $e") }
       warmup(name) = (System.nanoTime() - t0) / 1e9
     }
-    warm("layout") { Tables.ensureSplitLayout(spark, sfDir) }
-    warm("tables") {
-      Tables.All.foreach { t =>
-        try Tables.table(spark, sfDir, t).count()
-        catch { case _: Throwable => () }
-      }
+    warmupSteps.foreach { case (name, step) =>
+      warm(name)(step(spark, sfDir))
     }
-    warm("ivf") { graft.queries.Similarity.ensureIvfIndex(spark, sfDir) }
-    warm("det") { graft.queries.Similarity.ensureDetIndex(spark, sfDir) }
-    warm("pq") { graft.queries.Similarity.ensurePqIndex(spark, sfDir) }
-    warm("lsh") { graft.queries.Dedup.ensureCandidateIndex(spark, sfDir) }
-    warm("shingle") { graft.queries.Dedup.ensureShingleIndex(spark, sfDir) }
-    warm("labels") { graft.queries.Dedup.ensureClusterLabels(spark, sfDir) }
-    warm("bm25") { graft.queries.TextAnalysis.ensureBm25(spark, sfDir) }
-    warm("lmScores") { graft.queries.TextAnalysis.ensureLmScores(spark, sfDir) }
-    warm("probe") { graft.queries.Training.ensureProbeModel(spark, sfDir) }
-    warm("spans") { graft.queries.Dedup.ensureSpanIndex(spark, sfDir) }
-    warm("coEdges") { graft.queries.Graph.ensureCoEdges(spark, sfDir) }
-    warm("prGraph") { graft.queries.Graph.ensurePrGraph(spark, sfDir) }
-    warm("walkAdj") { graft.queries.Graph.ensureWalkAdj(spark, sfDir) }
-    warm("hitsEdges") { graft.queries.Graph.ensureHitsEdges(spark, sfDir) }
-    warm("bpe") { graft.queries.TextAnalysis.ensureBpe(spark, sfDir) }
-    warm("groundTruth") { graft.queries.Similarity.ensureGroundTruth(spark, sfDir) }
-    warm("cow") { graft.queries.Warehouse.ensureMerged(spark, sfDir) }
-    warm("stats") { graft.queries.Warehouse.ensureStatsTable(spark, sfDir) }
-    warm("zorder") { graft.queries.Warehouse.ensureZorderTable(spark, sfDir) }
-    warm("bloom") { graft.queries.Warehouse.ensureBloomTable(spark, sfDir) }
-    warm("dpp") { graft.queries.Layout.ensureDpp(spark, sfDir) }
-    warm("bucket") { graft.queries.Layout.ensureBucketed(spark, sfDir) }
-    warm("coverTok") { graft.queries.Mixing.ensureCoverTok(spark, sfDir) }
-    warm("ivmBase") { graft.queries.Warehouse.ensureIvmBase(spark, sfDir) }
 
     // Per-query fixed floor, measured in THIS session right after warmup
     // (r8 judge item: the floor decomposition must live in the artifact,

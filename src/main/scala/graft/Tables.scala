@@ -98,7 +98,14 @@ object Tables {
     import scala.concurrent.{Await, ExecutionContext, Future}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val done = All.map { t => Future {
+    // Each body catches its OWN failure (Throwable, not just NonFatal:
+    // a fatal error escaping a Future body never completes the promise
+    // and the Await below would hang forever) and the function awaits
+    // EVERY future before returning — a rewrite must never outlive this
+    // call, or a late splitLayout.put/invalidate would flip a table's
+    // scan source between bench passes. One table failing leaves the
+    // others built (its queries just keep the scatter fallback).
+    val done = All.map { t => Future { try {
       val src = s"$sfDir/$t.parquet"
       val f = new java.io.File(src)
       // only flat single files big enough for decode wall time to
@@ -133,7 +140,9 @@ object Tables {
           invalidate(spark, src)
         }
       }
-    }}
+    } catch { case e: Throwable =>
+      System.err.println(s"split-layout $t skipped: $e")
+    }}}
     try done.foreach(Await.result(_, Duration.Inf))
     finally pool.shutdown()
   }

@@ -36,6 +36,18 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // Bench-condition scan sources: the bench warms the split-layout
+    // copies before any query, so the committed plan evidence must
+    // resolve scans the same way (without this, a plan shows the
+    // single-row-group original plus the scatter round-robin Exchange —
+    // a shape the bench never executes). The other ensure* artifacts
+    // need no pre-warm here: queries build-or-load them on demand and
+    // the resulting plan is identical either way.
+    try graft.Tables.ensureSplitLayout(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[plandump] split layout failed: $e")
+    }
+    var failed = 0
     val names = graft.SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy(_._1)
@@ -50,11 +62,18 @@ object PlanDump {
         println(s"[plandump] $name ok")
       } catch {
         case e: Throwable =>
+          failed += 1
           System.err.println(s"[plandump] $name FAILED: $e")
       }
     }
     try graft.Resources.releaseAll()
     catch { case _: Throwable => () }
     spark.stop()
+    // evidence must never be silently incomplete: a failed dump is a
+    // failed run
+    if (failed > 0) {
+      System.err.println(s"[plandump] $failed queries failed")
+      sys.exit(1)
+    }
   }
 }

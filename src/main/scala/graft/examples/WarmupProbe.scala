@@ -51,37 +51,9 @@ object WarmupProbe {
         jobs.get() - j0}%4d taskTime=${(taskMs.get() - t0m) / 1e3}%7.1fs")
     }
 
-    probe("layout") { graft.Tables.ensureSplitLayout(spark, sfDir) }
-    probe("tables") {
-      graft.Tables.All.foreach { t =>
-        try graft.Tables.table(spark, sfDir, t).count()
-        catch { case _: Throwable => () }
-      }
+    graft.Bench.warmupSteps.foreach { case (name, step) =>
+      probe(name)(step(spark, sfDir))
     }
-    probe("ivf") { graft.queries.Similarity.ensureIvfIndex(spark, sfDir) }
-    probe("det") { graft.queries.Similarity.ensureDetIndex(spark, sfDir) }
-    probe("pq") { graft.queries.Similarity.ensurePqIndex(spark, sfDir) }
-    probe("lsh") { graft.queries.Dedup.ensureCandidateIndex(spark, sfDir) }
-    probe("shingle") { graft.queries.Dedup.ensureShingleIndex(spark, sfDir) }
-    probe("labels") { graft.queries.Dedup.ensureClusterLabels(spark, sfDir) }
-    probe("bm25") { graft.queries.TextAnalysis.ensureBm25(spark, sfDir) }
-    probe("lmScores") { graft.queries.TextAnalysis.ensureLmScores(spark, sfDir) }
-    probe("probe") { graft.queries.Training.ensureProbeModel(spark, sfDir) }
-    probe("spans") { graft.queries.Dedup.ensureSpanIndex(spark, sfDir) }
-    probe("coEdges") { graft.queries.Graph.ensureCoEdges(spark, sfDir) }
-    probe("prGraph") { graft.queries.Graph.ensurePrGraph(spark, sfDir) }
-    probe("walkAdj") { graft.queries.Graph.ensureWalkAdj(spark, sfDir) }
-    probe("hitsEdges") { graft.queries.Graph.ensureHitsEdges(spark, sfDir) }
-    probe("bpe") { graft.queries.TextAnalysis.ensureBpe(spark, sfDir) }
-    probe("groundTruth") { graft.queries.Similarity.ensureGroundTruth(spark, sfDir) }
-    probe("cow") { graft.queries.Warehouse.ensureMerged(spark, sfDir) }
-    probe("stats") { graft.queries.Warehouse.ensureStatsTable(spark, sfDir) }
-    probe("zorder") { graft.queries.Warehouse.ensureZorderTable(spark, sfDir) }
-    probe("bloom") { graft.queries.Warehouse.ensureBloomTable(spark, sfDir) }
-    probe("dpp") { graft.queries.Layout.ensureDpp(spark, sfDir) }
-    probe("bucket") { graft.queries.Layout.ensureBucketed(spark, sfDir) }
-    probe("coverTok") { graft.queries.Mixing.ensureCoverTok(spark, sfDir) }
-    probe("ivmBase") { graft.queries.Warehouse.ensureIvmBase(spark, sfDir) }
 
     try graft.Resources.releaseAll()
     catch { case _: Throwable => () }
